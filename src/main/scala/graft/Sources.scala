@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Source-table resolution (SURVEY.md §2.1 S1-S4).
+  *
+  * The reference points every `source()` at one catalog via a macro
+  * (`macros/dune_dbt_overrides/source.sql:1-5`); here a `Sources` value maps
+  * logical table name → DataFrame. Two concrete resolvers:
+  *
+  *  - [[Sources.testdata]]: the driver's TPC-H-ish stand-in tables under an
+  *    sf dir (`/root/repo/TESTDATA.md`).
+  *  - [[Sources.sui]]: DeepBook-shaped tables (events/objects/prices) read
+  *    from parquet with the explicit schemas below — used by the model DAG
+  *    and fabricated by the test fixtures (FIXTURES.md).
+  *
+  * Schemas are declared, never inferred (`models/sources/_sources.yml:4-10`
+  * declares names only; column shapes per FIXTURES.md §1-3).
+  */
+final case class Sources(resolve: String => DataFrame) {
+  def apply(name: String): DataFrame = resolve(name)
+}
+
+object Sources {
+
+  /** `sui.events` — append-only event log keyed (transaction_digest,
+    * event_index), ordered by timestamp_ms (FIXTURES.md §1). */
+  val suiEventsSchema: StructType = StructType(Seq(
+    StructField("transaction_digest", StringType),
+    StructField("event_index", LongType),
+    StructField("timestamp_ms", LongType),
+    StructField("sender", StringType),
+    StructField("event_type", StringType),
+    StructField("event_json", StringType)))
+
+  /** `sui.objects` — one row per object mutation, keyed (object_id, version)
+    * (FIXTURES.md §2). */
+  val suiObjectsSchema: StructType = StructType(Seq(
+    StructField("object_id", StringType),
+    StructField("version", LongType),
+    StructField("type_", StringType),
+    StructField("object_status", StringType),
+    StructField("object_json", StringType),
+    StructField("timestamp_ms", LongType)))
+
+  /** `prices.day` — daily token prices, multiple rows/day allowed
+    * (FIXTURES.md §3; `fct_deepbook_margin_pool_daily.sql:122-135`). */
+  val pricesDaySchema: StructType = StructType(Seq(
+    StructField("blockchain", StringType),
+    StructField("symbol", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("price", DoubleType)))
+
+  /** `events` ships with a nanosecond parquet timestamp, which Spark's
+    * TimestampType (µs) cannot read directly; read the physical INT64 and
+    * truncate ns → µs (exact for every comparison at ms/date granularity). */
+  private val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Driver stand-in tables: `<dir>/<name>.parquet`. */
+  def testdata(spark: SparkSession, dir: String): Sources =
+    Sources {
+      case "events" =>
+        import org.apache.spark.sql.functions._
+        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case name => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  /** DeepBook-shaped sources rooted at `dir`, schema-enforced. */
+  def sui(spark: SparkSession, dir: String): Sources = {
+    val schemas = Map(
+      "sui.events" -> suiEventsSchema,
+      "sui.objects" -> suiObjectsSchema,
+      "prices.day" -> pricesDaySchema)
+    Sources { name =>
+      val path = s"$dir/${name.replace('.', '_')}.parquet"
+      schemas.get(name) match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None    => spark.read.parquet(path)
+      }
+    }
+  }
+
+  /** In-memory resolver for tests. */
+  def inMemory(tables: Map[String, DataFrame]): Sources = Sources(tables.apply)
+}

@@ -1,0 +1,68 @@
+package graft.incremental
+
+import graft.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.time.Instant
+
+/** Run mode of a model build — dbt `is_incremental()` resolved to a value
+  * (`deepbook_margin_loan_borrowed.sql:20-25`; SURVEY.md §2.10). */
+sealed trait RunMode
+object RunMode {
+  case object FullRefresh extends RunMode
+  case object Incremental extends RunMode
+}
+
+/** Everything a model function needs, with the clock injected so the
+  * 30-day backfill bound (`deepbook_margin_loan_borrowed.sql:23-25`) and
+  * `updated_at` audit columns are deterministic under test
+  * (SURVEY.md §7.5 #4).
+  *
+  * @param lookbackDays  trailing re-aggregation window of the daily fact
+  *                      (`fct_deepbook_margin_pool_daily.sql:33-35`)
+  * @param backfillDays  cold-start scan bound (`..._loan_borrowed.sql:23-25`)
+  */
+final case class RunContext(
+    spark: SparkSession,
+    sources: Sources,
+    mode: RunMode,
+    now: Instant,
+    lookbackDays: Int = 7,
+    backfillDays: Int = 30)
+
+/** A dbt model reborn as a Scala value: a name, a merge key, and a build
+  * function from (context, prior materialization, upstream refs). */
+trait Model {
+  def name: String
+  /** Composite merge key (dbt `unique_key`). */
+  def uniqueKey: Seq[String]
+  /** Partition column for scale-out merges (None ⇒ whole-snapshot merge). */
+  def partitionColumn: Option[String] = None
+  def build(ctx: RunContext, existing: Option[DataFrame],
+            ref: String => DataFrame): DataFrame
+}
+
+/** E1: the dbt DAG runner. Models run in the given (topological) order;
+  * each output is merged into its table via [[SnapshotStore]] and becomes
+  * available to downstream models through `ref` — exactly dbt's
+  * `ref()`/`source()` contract (`SURVEY.md §3 E1`). */
+final class Runner(root: String, models: Seq[Model]) {
+
+  def tableDir(name: String): String = s"$root/$name"
+
+  /** Runs the full DAG once; returns each model's post-merge table. */
+  def run(ctx: RunContext): Map[String, DataFrame] = {
+    val built = scala.collection.mutable.Map[String, DataFrame]()
+    models.foreach { m =>
+      val dir = tableDir(m.name)
+      val existing = SnapshotStore.read(ctx.spark, dir)
+      val mode = if (existing.isDefined) ctx.mode else RunMode.FullRefresh
+      val out = m.build(ctx.copy(mode = mode), existing,
+        name => built.getOrElse(name,
+          SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
+            sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
+      SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionColumn)
+      built(m.name) = SnapshotStore.read(ctx.spark, dir).get
+    }
+    built.toMap
+  }
+}

@@ -1,0 +1,267 @@
+package graft.queries
+
+/** DuckDB oracle SQL for [[RelationalQueries]] — same table names, column
+  * aliases, rounding, and ORDER BY as the Spark side (driver contract in
+  * `SparkEntry.oracleSql`). */
+object RelationalOracles {
+
+  val all: Map[String, String] = Map(
+
+    "s1_event_scan" -> """
+      SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
+             round(value, 2) AS value,
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY event_id""",
+
+    "p2_like_scan" -> """
+      SELECT p_partkey, p_name, p_type FROM part
+      WHERE p_name LIKE '%widget%' ORDER BY p_partkey""",
+
+    "p6_in_list" -> """
+      SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+      FROM customer
+      WHERE upper(c_mktsegment) IN ('BUILDING', 'AUTOMOBILE') AND 1 = 1
+      ORDER BY c_custkey""",
+
+    "p3_watermark" -> """
+      SELECT event_id, event_type FROM events
+      WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM events)
+      ORDER BY event_id""",
+
+    "p4_backfill_bound" -> """
+      SELECT count(*) AS n_rows, round(sum(value), 2) AS sum_value
+      FROM events
+      WHERE ts >= (SELECT max(ts) - INTERVAL 14 DAY FROM events)""",
+
+    "a2_hwm_scalar" -> """
+      SELECT coalesce(max(event_id), 0) AS hwm_event_id,
+             coalesce(round(max(value), 2), 0.0) AS max_value
+      FROM events WHERE event_type = 'purchase'""",
+
+    "a1_daily_agg" -> """
+      SELECT CAST(ts AS DATE) AS event_date, event_type,
+             round(sum(value), 2) AS sum_value, count(*) AS n_events
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "s5_seed_join" -> """
+      WITH seed(type_key, category, factor) AS (
+        VALUES ('purchase', 'revenue', 1.0), ('click', 'engagement', 0.1),
+               ('signup', 'growth', 2.0), ('error', 'ops', -1.0)),
+      daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2)
+      SELECT d.event_date, d.event_type,
+             coalesce(s.category, 'UNKNOWN') AS category,
+             round(d.sum_value, 2) AS sum_value,
+             round(d.sum_value * coalesce(s.factor, 0.0), 2) AS weighted_value
+      FROM daily d
+      LEFT JOIN seed s
+        ON (CASE WHEN d.event_type = 'view' THEN 'click' ELSE d.event_type END) = s.type_key
+      ORDER BY d.event_date, d.event_type""",
+
+    "j2_foj_chain" -> """
+      WITH ev AS (
+        SELECT CAST(ts AS DATE) AS event_date, user_id % 3 AS pool_id,
+               event_type, value FROM events),
+      s AS (SELECT event_date, pool_id, sum(value) AS supply_v FROM ev
+            WHERE event_type = 'purchase' GROUP BY 1, 2),
+      w AS (SELECT event_date, pool_id, sum(value) AS withdraw_v FROM ev
+            WHERE event_type = 'view' GROUP BY 1, 2),
+      b AS (SELECT event_date, pool_id, sum(value) AS borrow_v FROM ev
+            WHERE event_type = 'click' GROUP BY 1, 2),
+      r AS (SELECT event_date, pool_id, sum(value) AS repay_v FROM ev
+            WHERE event_type = 'signup' GROUP BY 1, 2)
+      SELECT
+        coalesce(s.event_date, w.event_date, b.event_date, r.event_date) AS event_date,
+        coalesce(s.pool_id, w.pool_id, b.pool_id, r.pool_id) AS pool_id,
+        round(coalesce(s.supply_v, 0), 2) AS supply_v,
+        round(coalesce(w.withdraw_v, 0), 2) AS withdraw_v,
+        round(coalesce(b.borrow_v, 0), 2) AS borrow_v,
+        round(coalesce(r.repay_v, 0), 2) AS repay_v
+      FROM s
+      FULL OUTER JOIN w ON s.event_date = w.event_date AND s.pool_id = w.pool_id
+      FULL OUTER JOIN b ON coalesce(s.event_date, w.event_date) = b.event_date
+                       AND coalesce(s.pool_id, w.pool_id) = b.pool_id
+      FULL OUTER JOIN r ON coalesce(s.event_date, w.event_date, b.event_date) = r.event_date
+                       AND coalesce(s.pool_id, w.pool_id, b.pool_id) = r.pool_id
+      ORDER BY 1, 2""",
+
+    "j3_left_join" -> """
+      SELECT coalesce(c.c_mktsegment, 'NONE') AS segment,
+             count(*) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS total_price
+      FROM orders o
+      LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+        ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "j4_expr_key_join" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS event_date, event_type, sum(value) AS volume
+        FROM events GROUP BY 1, 2),
+      prices AS (
+        SELECT price_date, symbol, last_value FROM (
+          SELECT CAST(ts AS DATE) AS price_date, upper(event_type) AS symbol,
+                 value AS last_value,
+                 row_number() OVER (PARTITION BY CAST(ts AS DATE), upper(event_type)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) x WHERE rn = 1)
+      SELECT d.event_date, d.event_type, round(d.volume, 2) AS volume,
+             round(coalesce(p.last_value, 0.0), 2) AS last_value
+      FROM daily d
+      LEFT JOIN prices p
+        ON p.price_date = d.event_date AND p.symbol = upper(d.event_type)
+      ORDER BY d.event_date, d.event_type""",
+
+    "w1_dedup_last" -> """
+      SELECT user_id, event_date, event_id, event_type, round(value, 2) AS value
+      FROM (
+        SELECT user_id, CAST(ts AS DATE) AS event_date, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1 ORDER BY user_id, event_date""",
+
+    "w3_lag_delta" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, event_date, round(sum_value, 2) AS sum_value,
+             round(sum_value - lag(sum_value) OVER (PARTITION BY event_type ORDER BY event_date), 2) AS dod_change
+      FROM daily ORDER BY event_type, event_date""",
+
+    "o2_topk_per_group" -> """
+      SELECT o_orderpriority, rk, o_orderkey, total_price FROM (
+        SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total_price,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        FROM orders) x
+      WHERE rk <= 3 ORDER BY o_orderpriority, rk""",
+
+    "o1_sort_nulls" -> """
+      SELECT s_suppkey, s_name,
+             CASE WHEN s_acctbal < 0 THEN NULL ELSE round(s_acctbal, 2) END AS acctbal
+      FROM supplier
+      ORDER BY acctbal DESC NULLS LAST, s_suppkey""",
+
+    "u1_union_seed" -> """
+      SELECT coin_type, coin_symbol, CAST(coin_decimals AS BIGINT) AS coin_decimals, coin_name
+      FROM (
+        SELECT '0x0000000000000000000000000000000000000000000000000000000000000002::sui::SUI' AS coin_type, 'SUI' AS coin_symbol, 9 AS coin_decimals, 'Sui' AS coin_name
+        UNION ALL SELECT '0x2::sui::SUI', 'SUI', 9, 'Sui'
+        UNION ALL SELECT '0xdba34672e30cb065b1f93e3ab55318768fd6fef66c15942c9f7cb846e2f900e7::usdc::USDC', 'USDC', 6, 'USD Coin'
+        UNION ALL SELECT '0x5d4b302506645c37ff133b98c4b50a5ae14841659738d6d733d59d0d217a93bf::coin::COIN', 'wUSDC', 6, 'Wormhole USDC'
+        UNION ALL SELECT '0xdeeb7a4662eec9f2f3def03fb937a663dddaa2e215b8078a284d026b7946c270::deep::DEEP', 'DEEP', 6, 'DeepBook Token') t
+      ORDER BY coin_type""",
+
+    "f_scalar_fns" -> """
+      SELECT c_custkey,
+             TRY_CAST(NULLIF(regexp_extract(c_name, 'Customer#(\d+)', 1), '') AS BIGINT) AS cust_num,
+             NULLIF(regexp_extract(c_name, 'NOPE#(\d+)', 1), '') AS no_match,
+             upper(c_mktsegment) AS segment,
+             power(10, c_nationkey % 4) AS pow10,
+             CASE WHEN c_acctbal > 0 THEN 'POS' ELSE 'NONPOS' END AS bal_flag,
+             TRY_CAST(c_name AS DOUBLE) AS bad_cast
+      FROM customer ORDER BY c_custkey""",
+
+    "f_time_fns" -> """
+      SELECT event_id, ms,
+             CAST(make_timestamp((ms // 1000) * 1000000) AS DATE) AS snapshot_date,
+             CAST(make_timestamp((ms // 1000) * 1000000) AS DATE) - 7 AS week_ago
+      FROM (SELECT event_id, epoch_ms(ts) AS ms FROM events) x
+      ORDER BY event_id""",
+
+    "q1_pricing_summary" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 2) AS avg_qty,
+             round(avg(l_extendedprice), 2) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q3_shipping_priority" -> """
+      SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, o.o_orderkey
+      LIMIT 10""",
+
+    "q5_region_revenue" -> """
+      SELECT n.n_name,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY n.n_name
+      ORDER BY revenue DESC, n.n_name""",
+
+    "fct_daily_standin" -> """
+      WITH ev AS (
+        SELECT event_id, ts, CAST(ts AS DATE) AS event_date, user_id % 3 AS pool_id,
+               event_type, value FROM events),
+      s AS (SELECT event_date, pool_id, sum(value) AS supply_v FROM ev
+            WHERE event_type = 'purchase' GROUP BY 1, 2),
+      w AS (SELECT event_date, pool_id, sum(value) AS withdraw_v FROM ev
+            WHERE event_type = 'view' GROUP BY 1, 2),
+      b AS (SELECT event_date, pool_id, sum(value) AS borrow_v FROM ev
+            WHERE event_type = 'click' GROUP BY 1, 2),
+      r AS (SELECT event_date, pool_id, sum(value) AS repay_v FROM ev
+            WHERE event_type = 'signup' GROUP BY 1, 2),
+      v AS (
+        SELECT
+          coalesce(s.event_date, w.event_date, b.event_date, r.event_date) AS event_date,
+          coalesce(s.pool_id, w.pool_id, b.pool_id, r.pool_id) AS pool_id,
+          coalesce(s.supply_v, 0) AS supply_v, coalesce(w.withdraw_v, 0) AS withdraw_v,
+          coalesce(b.borrow_v, 0) AS borrow_v, coalesce(r.repay_v, 0) AS repay_v
+        FROM s
+        FULL OUTER JOIN w ON s.event_date = w.event_date AND s.pool_id = w.pool_id
+        FULL OUTER JOIN b ON coalesce(s.event_date, w.event_date) = b.event_date
+                         AND coalesce(s.pool_id, w.pool_id) = b.pool_id
+        FULL OUTER JOIN r ON coalesce(s.event_date, w.event_date, b.event_date) = r.event_date
+                         AND coalesce(s.pool_id, w.pool_id, b.pool_id) = r.pool_id),
+      state AS (
+        SELECT event_date, pool_id, value AS eod_value FROM (
+          SELECT event_date, pool_id, value,
+                 row_number() OVER (PARTITION BY pool_id, event_date
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev) x WHERE rn = 1),
+      prices AS (
+        SELECT event_date AS price_date, value AS price FROM (
+          SELECT event_date, value,
+                 row_number() OVER (PARTITION BY event_date
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM ev WHERE event_type = 'purchase') x WHERE rn = 1)
+      SELECT st.event_date, st.pool_id,
+             round(st.eod_value, 2) AS eod_value,
+             round(CASE WHEN st.pool_id = 0 THEN 1.0 ELSE coalesce(p.price, 0.0) END, 2) AS price_usd,
+             round(st.eod_value * CASE WHEN st.pool_id = 0 THEN 1.0 ELSE coalesce(p.price, 0.0) END, 2) AS eod_value_usd,
+             round(coalesce(v.supply_v, 0), 2) AS supply_v,
+             round(coalesce(v.withdraw_v, 0), 2) AS withdraw_v,
+             round(coalesce(v.borrow_v, 0), 2) AS borrow_v,
+             round(coalesce(v.repay_v, 0), 2) AS repay_v,
+             round(st.eod_value - lag(st.eod_value) OVER (PARTITION BY st.pool_id ORDER BY st.event_date), 2) AS eod_change
+      FROM state st
+      LEFT JOIN v ON v.event_date = st.event_date AND v.pool_id = st.pool_id
+      LEFT JOIN prices p ON p.price_date = st.event_date
+      ORDER BY st.event_date DESC, st.pool_id""")
+}

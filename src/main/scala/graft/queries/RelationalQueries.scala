@@ -1,0 +1,455 @@
+package graft.queries
+
+import graft.{CoinMetadata, Sources}
+import graft.TrinoFns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-contract queries covering the reference's relational operator
+  * inventory (SURVEY.md §2) on the stand-in tables (SURVEY.md §7.3):
+  * `events` plays `sui.events`; the TPC-H-ish tables host joins, windows,
+  * sorts and set ops. Every query here is paired with ANSI SQL in
+  * [[RelationalOracles]] for the driver's DuckDB hash-compare.
+  *
+  * Cross-engine determinism policy (the traps are real — a single
+  * `59.9 * 48.05 = 2878.195` midpoint rounds differently in Spark and
+  * DuckDB):
+  *  - passthrough doubles are emitted raw (bit-identical to the parquet);
+  *  - every derived money value (sum / product / delta) is computed in
+  *    DECIMAL — exact, order-independent (deterministic under distributed
+  *    aggregation), identical across engines — and cast to double last;
+  *  - averages are `cast(sum_decimal as double) / count` (identical binary
+  *    division in both engines), never rounded;
+  *  - no raw TIMESTAMP outputs (parquet ns vs µs precision) — dates and
+  *    epoch millis instead;
+  *  - deterministic total ordering and identical column aliases everywhere.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Sources.testdata(spark, dir)(name)
+
+  /** Exact 2-dp money arithmetic: cast to decimal before aggregation.
+    * Widths chosen so products stay well under precision 38 (overflow
+    * triggers engine-specific lossy scale reduction). */
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def m2(c: Column): Column = c.cast(DecimalType(12, 2))  // row-level money
+  private def r2(c: Column): Column = c.cast(DecimalType(4, 2))   // small ratios
+  private val one = lit(1).cast(DecimalType(3, 2))
+  private def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  // ---- S1 + P1 + F1/F3/F8: filtered event scan with JSON extraction ------
+
+  /** Scan `events`, filter one event_type constant, flatten the JSON prop —
+    * the shape of every reference event model
+    * (`deepbook_margin_loan_borrowed.sql:10-40`). */
+  val s1EventScan: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .filter(col("event_type") === lit("purchase"))
+      .select(
+        col("event_id"), col("user_id"),
+        to_date(col("ts")).as("event_date"),
+        col("value"),
+        jsonScalar(col("props"), "$.k").try_cast(LongType).as("prop_k"))
+      .orderBy(col("event_id"))
+
+  // ---- P2: prefix/contains LIKE filter ------------------------------------
+
+  /** `type_ like '…MarginPool<%'` analog (`stg_...object.sql:95`). */
+  val p2LikeScan: Q = (spark, dir) =>
+    t(spark, dir, "part")
+      .filter(col("p_name").like("%widget%"))
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+      .orderBy(col("p_partkey"))
+
+  // ---- P6 + P7: IN-list and constant predicates ---------------------------
+
+  /** `upper(coin_symbol) in (…)` analog (`fct_...daily.sql:151`). */
+  val p6InList: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .filter(upper(col("c_mktsegment")).isin("BUILDING", "AUTOMOBILE") && lit(1) === lit(1))
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal").as("acctbal"))
+      .orderBy(col("c_custkey"))
+
+  // ---- P3: watermark scalar subquery ---------------------------------------
+
+  /** `ts >= (select max(ts) …)` — the incremental watermark predicate
+    * (`deepbook_margin_loan_borrowed.sql:20-22`), as a Catalyst scalar
+    * subquery. */
+  val p3Watermark: Q = (spark, dir) => {
+    t(spark, dir, "events").createOrReplaceTempView("graft_events_p3")
+    spark.sql("""
+      SELECT event_id, event_type
+      FROM graft_events_p3
+      WHERE ts >= (SELECT max(ts) - INTERVAL 7 DAY FROM graft_events_p3)
+      ORDER BY event_id""")
+  }
+
+  // ---- P4: bounded backfill (cold start) -----------------------------------
+
+  /** `timestamp_ms >= to_unixtime(now - interval '14' day) * 1000` analog
+    * (`deepbook_margin_loan_borrowed.sql:23-25`) with the clock anchored to
+    * max(ts) for determinism. */
+  val p4BackfillBound: Q = (spark, dir) => {
+    t(spark, dir, "events").createOrReplaceTempView("graft_events_p4")
+    spark.sql("""
+      SELECT count(*) AS n_rows,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      FROM graft_events_p4
+      WHERE ts >= (SELECT max(ts) - INTERVAL 14 DAY FROM graft_events_p4)""")
+  }
+
+  // ---- A2 + A3: null-safe scalar max (high-watermark bootstrap) ------------
+
+  val a2HwmScalar: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .agg(
+        coalesce(max(col("event_id")), lit(0L)).as("hwm_event_id"),
+        coalesce(max(col("value")), lit(0.0)).as("max_value"))
+
+  // ---- A1: daily hash aggregate (the flagship shape) -----------------------
+
+  /** `sum(amount) group by date, key` ×4 in the daily fact
+    * (`fct_...daily.sql:27-76`). */
+  val a1DailyAgg: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+      .orderBy(col("event_date"), col("event_type"))
+
+  // ---- S5 + J1: inline seed, broadcast join on CASE-canonicalized key ------
+
+  /** The coin-metadata pattern (`stg_...object.sql:22-33,202-209`): literal
+    * dimension, LEFT join whose key canonicalizes aliases, coalesce defaults. */
+  val s5SeedJoin: Q = (spark, dir) => {
+    import spark.implicits._
+    val seed = broadcast(Seq(
+      ("purchase", "revenue", 1.0),
+      ("click", "engagement", 0.1),
+      ("signup", "growth", 2.0),
+      ("error", "ops", -1.0)).toDF("type_key", "category", "factor"))
+    val daily = t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(sum(dec2(col("value"))).as("sum_value"))
+    val canon = when(col("event_type") === "view", lit("click")).otherwise(col("event_type"))
+    daily.join(seed, canon === seed("type_key"), "left")
+      .select(
+        col("event_date"), col("event_type"),
+        coalesce(col("category"), lit("UNKNOWN")).as("category"),
+        col("sum_value").cast(DoubleType).as("sum_value"),
+        (col("sum_value") * coalesce(col("factor"), lit(0.0)).cast(DecimalType(4, 1)))
+          .cast(DoubleType).as("weighted_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  // ---- J2: FULL OUTER join chain with coalesced keys ------------------------
+
+  /** The 4-way volume alignment (`fct_...daily.sql:78-90`). */
+  val j2FojChain: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    def agg(et: String, out: String): DataFrame = ev
+      .filter(col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("event_date"),
+        (col("user_id") % 3).as("pool_id"))
+      .agg(sum(dec2(col("value"))).as(out))
+    val s = agg("purchase", "supply_v")
+    val w = agg("view", "withdraw_v")
+    val b = agg("click", "borrow_v")
+    val r = agg("signup", "repay_v")
+    val sw = s.join(w, s("event_date") === w("event_date") && s("pool_id") === w("pool_id"), "full_outer")
+      .select(coalesce(s("event_date"), w("event_date")).as("event_date"),
+        coalesce(s("pool_id"), w("pool_id")).as("pool_id"),
+        s("supply_v"), w("withdraw_v"))
+    val swb = sw.join(b, sw("event_date") === b("event_date") && sw("pool_id") === b("pool_id"), "full_outer")
+      .select(coalesce(sw("event_date"), b("event_date")).as("event_date"),
+        coalesce(sw("pool_id"), b("pool_id")).as("pool_id"),
+        sw("supply_v"), sw("withdraw_v"), b("borrow_v"))
+    swb.join(r, swb("event_date") === r("event_date") && swb("pool_id") === r("pool_id"), "full_outer")
+      .select(coalesce(swb("event_date"), r("event_date")).as("event_date"),
+        coalesce(swb("pool_id"), r("pool_id")).as("pool_id"),
+        coalesce(swb("supply_v"), lit(0)).cast(DoubleType).as("supply_v"),
+        coalesce(swb("withdraw_v"), lit(0)).cast(DoubleType).as("withdraw_v"),
+        coalesce(swb("borrow_v"), lit(0)).cast(DoubleType).as("borrow_v"),
+        coalesce(r("repay_v"), lit(0)).cast(DoubleType).as("repay_v"))
+      .orderBy(col("event_date"), col("pool_id"))
+  }
+
+  // ---- J3: LEFT join on composite key + aggregate --------------------------
+
+  val j3LeftJoin: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer").filter(col("c_acctbal") > 5000)
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("segment"))
+  }
+
+  // ---- J4 + W2: expression-key join to window-deduped "prices" -------------
+
+  /** `upper(symbol) = upper(coin_symbol)` price join (`fct_...daily.sql:206-208`)
+    * against a last-per-day dedup (`:121-135`). */
+  val j4ExprKeyJoin: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+      .agg(dsum(col("value")).as("volume"))
+    val priceW = Window.partitionBy(to_date(col("ts")), upper(col("event_type")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val prices = ev
+      .select(to_date(col("ts")).as("price_date"), upper(col("event_type")).as("symbol"),
+        col("value").as("last_value"), row_number().over(priceW).as("rn"))
+      .filter(col("rn") === 1).drop("rn")
+    daily.join(prices,
+        prices("price_date") === daily("event_date") &&
+          prices("symbol") === upper(daily("event_type")), "left")
+      .select(daily("event_date"), daily("event_type"), daily("volume"),
+        coalesce(prices("last_value"), lit(0.0)).as("last_value"))
+      .orderBy(col("event_date"), col("event_type"))
+  }
+
+  // ---- W1 + P8 + O2: window dedup to last row per key -----------------------
+
+  /** `row_number() … order by timestamp_ms desc, version desc` + `rn = 1`
+    * (`fct_...daily.sql:106-118`). */
+  val w1DedupLast: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("event_date"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_date"), col("event_id"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"), col("event_date"))
+
+  // ---- W3: lag day-over-day deltas ------------------------------------------
+
+  /** `x - lag(x) over (partition by pool order by snapshot_date)`
+    * (`fct_...daily.sql:187-196`). */
+  val w3LagDelta: Q = (spark, dir) => {
+    val daily = t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(sum(dec2(col("value"))).as("sum_value"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_date"))
+    daily.select(col("event_type"), col("event_date"),
+        col("sum_value").cast(DoubleType).as("sum_value"),
+        (col("sum_value") - lag(col("sum_value"), 1).over(w))
+          .cast(DoubleType).as("dod_change"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  // ---- O2: top-k per group ---------------------------------------------------
+
+  val o2TopkPerGroup: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        col("o_totalprice").as("total_price"))
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
+  // ---- O1: global multi-key sort with NULLS LAST ----------------------------
+
+  /** `order by … desc nulls last` (`fct_...daily.sql:210`). */
+  val o1SortNulls: Q = (spark, dir) =>
+    t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        when(col("s_acctbal") < 0, lit(null).cast(DoubleType))
+          .otherwise(col("s_acctbal")).as("acctbal"))
+      .orderBy(col("acctbal").desc_nulls_last, col("s_suppkey"))
+
+  // ---- U1 + S5: UNION ALL of literal selects (the coin seed itself) ---------
+
+  val u1UnionSeed: Q = (spark, _) =>
+    CoinMetadata.seed(spark)
+      .select(col("coin_type"), col("coin_symbol"),
+        col("coin_decimals").cast(LongType).as("coin_decimals"), col("coin_name"))
+      .orderBy(col("coin_type"))
+
+  // ---- F11/F12/F13/F15/F3: scalar-function surface ---------------------------
+
+  val fScalarFns: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        regexpExtractNullable(col("c_name"), "Customer#(\\d+)", 1)
+          .try_cast(LongType).as("cust_num"),
+        regexpExtractNullable(col("c_name"), "NOPE#(\\d+)", 1).as("no_match"),
+        upper(col("c_mktsegment")).as("segment"),
+        pow10(col("c_nationkey") % 4).as("pow10"),
+        when(col("c_acctbal") > 0, lit("POS")).otherwise(lit("NONPOS")).as("bal_flag"),
+        col("c_name").try_cast(DoubleType).as("bad_cast"))
+      .orderBy(col("c_custkey"))
+
+  // ---- F5/F6/F8/F9: time-function surface ------------------------------------
+
+  /** `date(from_unixtime(ms / 1000))` with Trino integer division, and
+    * `date_add('day', -7, d)` (`fct_...daily.sql:29`, `:34`). */
+  val fTimeFns: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .select(col("event_id"), unix_millis(col("ts")).as("ms"))
+      .select(col("event_id"), col("ms"),
+        msToDate(col("ms")).as("snapshot_date"),
+        dateAddDays(msToDate(col("ms")), -7).as("week_ago"))
+      .orderBy(col("event_id"))
+
+  // ---- bench-scale joins/aggregates (TPC-H shapes) ---------------------------
+
+  /** Pricing summary (TPC-H Q1 shape): wide hash agg over the fact table.
+    * All money math in decimal (exact, order-independent). */
+  val q1PricingSummary: Q = (spark, dir) => {
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))
+          * (one + r2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
+        (sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Shipping priority (TPC-H Q3 shape): 3-way join, agg, deterministic top-10. */
+  val q3ShippingPriority: Q = (spark, dir) => {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-03-15 00:00:00"))
+    val c = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(o("o_orderkey"), to_date(o("o_orderdate")).as("orderdate"), o("o_orderpriority"))
+      .agg(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Local-supplier volume (TPC-H Q5 shape): 6-way join through the star. */
+  val q5RegionRevenue: Q = (spark, dir) => {
+    val r = t(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = t(spark, dir, "nation")
+    val c = t(spark, dir, "customer")
+    val s = t(spark, dir, "supplier")
+    val o = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val l = t(spark, dir, "lineitem")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(n("n_name"))
+      .agg(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Integration query: the full daily-fact pipeline shape
+    * (`fct_deepbook_margin_pool_daily.sql`) re-expressed over the events
+    * stand-in — 4 volume aggs → FOJ chain → window-deduped EOD state →
+    * price join with peg CASE → lag deltas → final sort. */
+  val fctDailyStandin: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .withColumn("event_date", to_date(col("ts")))
+      .withColumn("pool_id", col("user_id") % 3)
+
+    // group keys re-derived per aggregate: four branches of one source must
+    // not share attribute ids or the FOJ join conditions become ambiguous
+    def vol(et: String, out: String): DataFrame = ev
+      .filter(col("event_type") === et)
+      .groupBy(to_date(col("ts")).as("event_date"), (col("user_id") % 3).as("pool_id"))
+      .agg(sum(dec2(col("value"))).as(out))
+
+    val s = vol("purchase", "supply_v"); val w = vol("view", "withdraw_v")
+    val b = vol("click", "borrow_v");    val r = vol("signup", "repay_v")
+    val sw = s.join(w, s("event_date") === w("event_date") && s("pool_id") === w("pool_id"), "full_outer")
+      .select(coalesce(s("event_date"), w("event_date")).as("event_date"),
+        coalesce(s("pool_id"), w("pool_id")).as("pool_id"), s("supply_v"), w("withdraw_v"))
+    val swb = sw.join(b, sw("event_date") === b("event_date") && sw("pool_id") === b("pool_id"), "full_outer")
+      .select(coalesce(sw("event_date"), b("event_date")).as("event_date"),
+        coalesce(sw("pool_id"), b("pool_id")).as("pool_id"),
+        sw("supply_v"), sw("withdraw_v"), b("borrow_v"))
+    val v = swb.join(r, swb("event_date") === r("event_date") && swb("pool_id") === r("pool_id"), "full_outer")
+      .select(coalesce(swb("event_date"), r("event_date")).as("event_date"),
+        coalesce(swb("pool_id"), r("pool_id")).as("pool_id"),
+        coalesce(swb("supply_v"), lit(0)).as("supply_v"),
+        coalesce(swb("withdraw_v"), lit(0)).as("withdraw_v"),
+        coalesce(swb("borrow_v"), lit(0)).as("borrow_v"),
+        coalesce(r("repay_v"), lit(0)).as("repay_v"))
+
+    // EOD state: last event per (pool, day) — W1 shape
+    val stateW = Window.partitionBy(col("pool_id"), col("event_date"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val state = ev.withColumn("rn", row_number().over(stateW))
+      .filter(col("rn") === 1)
+      .select(col("event_date"), col("pool_id"), col("value").as("eod_value"))
+
+    // daily "price": last purchase value per day — W2 shape
+    val priceW = Window.partitionBy(col("event_date")).orderBy(col("ts").desc, col("event_id").desc)
+    val prices = ev.filter(col("event_type") === "purchase")
+      .withColumn("rn", row_number().over(priceW))
+      .filter(col("rn") === 1)
+      .select(col("event_date").as("price_date"), col("value").as("price"))
+
+    // state and v share lineage (both derive from ev) — disambiguate.
+    val peg = when(col("st.pool_id") === 0, lit(1.0))
+      .otherwise(coalesce(col("pp.price"), lit(0.0)))
+    val lagW = Window.partitionBy(col("st.pool_id")).orderBy(col("st.event_date"))
+
+    state.alias("st")
+      .join(v.alias("vv"),
+        col("st.event_date") === col("vv.event_date") &&
+          col("st.pool_id") === col("vv.pool_id"), "left")
+      .join(prices.alias("pp"), col("pp.price_date") === col("st.event_date"), "left")
+      .select(col("st.event_date").as("event_date"), col("st.pool_id").as("pool_id"),
+        col("st.eod_value").as("eod_value"),
+        peg.as("price_usd"),
+        (dec2(col("st.eod_value")) * dec2(peg)).cast(DoubleType).as("eod_value_usd"),
+        coalesce(col("vv.supply_v"), lit(0)).cast(DoubleType).as("supply_v"),
+        coalesce(col("vv.withdraw_v"), lit(0)).cast(DoubleType).as("withdraw_v"),
+        coalesce(col("vv.borrow_v"), lit(0)).cast(DoubleType).as("borrow_v"),
+        coalesce(col("vv.repay_v"), lit(0)).cast(DoubleType).as("repay_v"),
+        (dec2(col("st.eod_value")) - dec2(lag(col("st.eod_value"), 1).over(lagW)))
+          .cast(DoubleType).as("eod_change"))
+      .orderBy(col("event_date").desc, col("pool_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "s1_event_scan" -> s1EventScan,
+    "p2_like_scan" -> p2LikeScan,
+    "p6_in_list" -> p6InList,
+    "p3_watermark" -> p3Watermark,
+    "p4_backfill_bound" -> p4BackfillBound,
+    "a2_hwm_scalar" -> a2HwmScalar,
+    "a1_daily_agg" -> a1DailyAgg,
+    "s5_seed_join" -> s5SeedJoin,
+    "j2_foj_chain" -> j2FojChain,
+    "j3_left_join" -> j3LeftJoin,
+    "j4_expr_key_join" -> j4ExprKeyJoin,
+    "w1_dedup_last" -> w1DedupLast,
+    "w3_lag_delta" -> w3LagDelta,
+    "o2_topk_per_group" -> o2TopkPerGroup,
+    "o1_sort_nulls" -> o1SortNulls,
+    "u1_union_seed" -> u1UnionSeed,
+    "f_scalar_fns" -> fScalarFns,
+    "f_time_fns" -> fTimeFns,
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "fct_daily_standin" -> fctDailyStandin)
+}
