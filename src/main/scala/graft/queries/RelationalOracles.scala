@@ -49,12 +49,13 @@ object RelationalOracles {
         VALUES ('purchase', 'revenue', 1.0), ('click', 'engagement', 0.1),
                ('signup', 'growth', 2.0), ('error', 'ops', -1.0)),
       daily AS (
-        SELECT CAST(ts AS DATE) AS event_date, event_type, sum(value) AS sum_value
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
         FROM events GROUP BY 1, 2)
       SELECT d.event_date, d.event_type,
              coalesce(s.category, 'UNKNOWN') AS category,
-             round(d.sum_value, 2) AS sum_value,
-             round(d.sum_value * coalesce(s.factor, 0.0), 2) AS weighted_value
+             CAST(d.sum_value AS DOUBLE) AS sum_value,
+             CAST(round(d.sum_value * CAST(coalesce(s.factor, 0.0) AS DECIMAL(4,1)), 2) AS DOUBLE) AS weighted_value
       FROM daily d
       LEFT JOIN seed s
         ON (CASE WHEN d.event_type = 'view' THEN 'click' ELSE d.event_type END) = s.type_key
@@ -176,11 +177,11 @@ object RelationalOracles {
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             round(avg(l_quantity), 2) AS avg_qty,
-             round(avg(l_extendedprice), 2) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
+             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -189,7 +190,7 @@ object RelationalOracles {
 
     "q3_shipping_priority" -> """
       SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -202,7 +203,7 @@ object RelationalOracles {
 
     "q5_region_revenue" -> """
       SELECT n.n_name,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -254,7 +255,7 @@ object RelationalOracles {
       SELECT st.event_date, st.pool_id,
              round(st.eod_value, 2) AS eod_value,
              round(CASE WHEN st.pool_id = 0 THEN 1.0 ELSE coalesce(p.price, 0.0) END, 2) AS price_usd,
-             round(st.eod_value * CASE WHEN st.pool_id = 0 THEN 1.0 ELSE coalesce(p.price, 0.0) END, 2) AS eod_value_usd,
+             CAST(round(CAST(st.eod_value AS DECIMAL(18,2)) * CAST(CASE WHEN st.pool_id = 0 THEN 1.0 ELSE coalesce(p.price, 0.0) END AS DECIMAL(18,2)), 2) AS DOUBLE) AS eod_value_usd,
              round(coalesce(v.supply_v, 0), 2) AS supply_v,
              round(coalesce(v.withdraw_v, 0), 2) AS withdraw_v,
              round(coalesce(v.borrow_v, 0), 2) AS borrow_v,

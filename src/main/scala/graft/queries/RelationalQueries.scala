@@ -142,7 +142,7 @@ object RelationalQueries {
         col("event_date"), col("event_type"),
         coalesce(col("category"), lit("UNKNOWN")).as("category"),
         col("sum_value").cast(DoubleType).as("sum_value"),
-        (col("sum_value") * coalesce(col("factor"), lit(0.0)).cast(DecimalType(4, 1)))
+        round(col("sum_value") * coalesce(col("factor"), lit(0.0)).cast(DecimalType(4, 1)), 2)
           .cast(DoubleType).as("weighted_value"))
       .orderBy(col("event_date"), col("event_type"))
   }
@@ -312,13 +312,13 @@ object RelationalQueries {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount"))))
+        round(sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))), 2)
           .cast(DoubleType).as("sum_disc_price"),
-        sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))
-          * (one + r2(col("l_tax")))).cast(DoubleType).as("sum_charge"),
-        (sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1))).as("avg_qty"),
-        (sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1))).as("avg_price"),
-        (sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1))).as("avg_disc"),
+        round(sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))
+          * (one + r2(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
+        round(sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 2).as("avg_qty"),
+        round(sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 2).as("avg_price"),
+        round(sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -332,7 +332,7 @@ object RelationalQueries {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(o("o_orderkey"), to_date(o("o_orderdate")).as("orderdate"), o("o_orderpriority"))
-      .agg(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount"))))
+      .agg(round(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount")))), 2)
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -354,7 +354,7 @@ object RelationalQueries {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(n("n_name"))
-      .agg(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount"))))
+      .agg(round(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount")))), 2)
         .cast(DoubleType).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
@@ -419,7 +419,7 @@ object RelationalQueries {
       .select(col("st.event_date").as("event_date"), col("st.pool_id").as("pool_id"),
         col("st.eod_value").as("eod_value"),
         peg.as("price_usd"),
-        (dec2(col("st.eod_value")) * dec2(peg)).cast(DoubleType).as("eod_value_usd"),
+        round(dec2(col("st.eod_value")) * dec2(peg), 2).cast(DoubleType).as("eod_value_usd"),
         coalesce(col("vv.supply_v"), lit(0)).cast(DoubleType).as("supply_v"),
         coalesce(col("vv.withdraw_v"), lit(0)).cast(DoubleType).as("withdraw_v"),
         coalesce(col("vv.borrow_v"), lit(0)).cast(DoubleType).as("borrow_v"),
