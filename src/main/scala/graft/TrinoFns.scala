@@ -49,10 +49,11 @@ object TrinoFns {
   def msToDate(ms: Column): Column = to_date(msToTs(ms))
 
   /** F6: `cast(to_unixtime(now - interval 'n' day) * 1000 as bigint)`
-    * (`deepbook_margin_loan_borrowed.sql:23-25`). Clock injected — never
-    * `now()` in library code (SURVEY.md §7.5 #4). */
+    * (`deepbook_margin_loan_borrowed.sql:23-25`). Millisecond-precise like
+    * Trino's fractional `to_unixtime` — no truncation to whole seconds.
+    * Clock injected — never `now()` in library code (SURVEY.md §7.5 #4). */
   def backfillBoundMs(now: java.time.Instant, days: Int): Long =
-    (now.getEpochSecond - days.toLong * 86400L) * 1000L
+    now.toEpochMilli - days.toLong * 86400000L
 
   /** F9: Trino `date_add('day', -n, d)` → Spark `date_add(d, -n)` —
     * argument order differs (`fct_deepbook_margin_pool_daily.sql:34`). */

@@ -1,7 +1,7 @@
 package graft.incremental
 
 import graft.Sources
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import java.time.Instant
 
 /** Run mode of a model build — dbt `is_incremental()` resolved to a value
@@ -35,8 +35,11 @@ trait Model {
   def name: String
   /** Composite merge key (dbt `unique_key`). */
   def uniqueKey: Seq[String]
-  /** Partition column for scale-out merges (None ⇒ whole-snapshot merge). */
-  def partitionColumn: Option[String] = None
+  /** Date expression over this model's output rows used to partition its
+    * snapshots — enables partition-scoped merges in [[SnapshotStore]]
+    * (only batch-touched dates are rewritten; the rest hard-link).
+    * None ⇒ whole-snapshot merge (small dimension-like tables only). */
+  def partitionDate: Option[Column] = None
   def build(ctx: RunContext, existing: Option[DataFrame],
             ref: String => DataFrame): DataFrame
 }
@@ -60,7 +63,7 @@ final class Runner(root: String, models: Seq[Model]) {
         name => built.getOrElse(name,
           SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
             sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
-      SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionColumn)
+      SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionDate)
       built(m.name) = SnapshotStore.read(ctx.spark, dir).get
     }
     built.toMap

@@ -1,8 +1,9 @@
 package graft.incremental
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption, StandardOpenOption}
+import org.apache.spark.sql.types.StringType
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
 /** S6: the incremental MERGE sink — dbt `incremental_strategy='merge'` on a
@@ -11,28 +12,38 @@ import scala.jdk.CollectionConverters._
   *
   * Layout:
   * {{{
-  *   <root>/_CURRENT          // pointer file: name of the live snapshot dir
-  *   <root>/snap-0000001/     // immutable parquet snapshot
+  *   <root>/_CURRENT                       // pointer: name of live snapshot
+  *   <root>/snap-0000001/                  // immutable snapshot
+  *     _dt=2026-01-07/part-*.parquet       // partitioned models (daily dirs)
+  *     part-*.parquet                      // unpartitioned models (flat)
   * }}}
   *
   * Merge = upsert: rows of the new batch win on key collision, unmatched old
   * rows survive (`newDf ∪ (old ⟕anti newDf)`), written to a fresh snapshot
   * dir and published by an atomic pointer swap — run-twice ≡ run-once.
   *
-  * Scale notes (100 TB): the whole-snapshot rewrite is correct but O(table)
-  * per merge. When a model declares a `partitionColumn` (the daily fact's
-  * `snapshot_date`), the merge is partition-pruned: only partitions present
-  * in the new batch are read for the anti-join and rewritten; untouched
-  * partition directories are carried into the new snapshot by reference
-  * (hard link / copy) rather than re-shuffled. On a real cluster the same
-  * protocol rides on a transactional table format; the pointer file is the
-  * minimal stand-in for that commit log.
+  * Scale design (100 TB): when a `partitionDate` expression is given, the
+  * merge is partition-scoped — only the date partitions present in the new
+  * batch are read for the anti-join and rewritten; every untouched
+  * `_dt=` directory is carried into the new snapshot by **hard link**
+  * (O(files) metadata ops, zero bytes moved, zero shuffle). An incremental
+  * run over a 7-day lookback therefore rewrites 7 partitions, not the
+  * table. This relies on keys being partition-stable (a re-delivered key
+  * lands in the same date partition — true for all models: event keys
+  * carry a fixed timestamp, the fct key contains snapshot_date itself),
+  * which is the same contract Delta's replaceWhere/partition-merge uses.
   *
-  * S8 (OPTIMIZE, `macros/dune_dbt_overrides/optimize_table.sql:1-5`) maps to
-  * snapshot compaction via `repartition`; S9 (VACUUM, `vacuum_table.sql:1-5`)
-  * to [[vacuum]] dropping superseded snapshot dirs.
+  * S7 (append, `DEVELOPMENT.md:134-142`) = [[append]]: batch written next
+  * to hard-linked prior files, no key semantics. S8 (OPTIMIZE,
+  * `macros/dune_dbt_overrides/optimize_table.sql:1-5`) = [[optimize]]:
+  * compacting snapshot rewrite. S9 (VACUUM, `vacuum_table.sql:1-5`) =
+  * [[vacuum]]: drop superseded snapshot dirs (hard links make this safe —
+  * deleting an old dir never invalidates files shared with newer ones).
   */
 object SnapshotStore {
+
+  /** Hidden partition column materialized from a model's `partitionDate`. */
+  val PartCol = "_dt"
 
   private def pointer(root: String) = Paths.get(root, "_CURRENT")
 
@@ -41,8 +52,12 @@ object SnapshotStore {
     if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty) else None
   }
 
+  /** Live table contents (partition column stripped). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentSnapshot(root).map(s => spark.read.parquet(s"$root/$s"))
+    currentSnapshot(root).map { s =>
+      val df = spark.read.parquet(s"$root/$s")
+      if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+    }
 
   private def nextSnapshotName(root: String): String = {
     val n = currentSnapshot(root)
@@ -58,42 +73,136 @@ object SnapshotStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** `_dt=<value>` partition directories of a snapshot. */
+  private def partitionDirs(snapDir: Path): Seq[(String, Path)] =
+    if (!Files.isDirectory(snapDir)) Seq.empty
+    else Files.list(snapDir).iterator().asScala.toSeq
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$PartCol="))
+      .map(p => (p.getFileName.toString.stripPrefix(s"$PartCol="), p))
+      .sortBy(_._1)
+
+  /** Hard-link every data file under `src` into the same relative location
+    * under `dst` — carries immutable parquet between snapshots with
+    * O(files) metadata work and zero data movement. */
+  private def linkInto(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    Files.walk(src).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot { p =>
+        val n = p.getFileName.toString
+        n.startsWith("_") || n.startsWith(".")
+      }
+      .foreach { p =>
+        val rel = src.relativize(p)
+        val target = dst.resolve(rel)
+        Files.createDirectories(target.getParent)
+        Files.createLink(target, p)
+      }
+  }
+
+  private def writeSnapshot(root: String, df: DataFrame, partitioned: Boolean,
+                            compactTo: Option[Int]): String = {
+    val snap = nextSnapshotName(root)
+    val arranged = (partitioned, compactTo) match {
+      // shuffle by partition value so each _dt dir gets few, large files
+      case (true, Some(n))  => df.repartition(n, col(PartCol))
+      case (true, None)     => df
+      case (false, Some(n)) => df.repartition(n)
+      case (false, None)    => df
+    }
+    val w = arranged.write.mode(SaveMode.Overwrite)
+    (if (partitioned) w.partitionBy(PartCol) else w).parquet(s"$root/$snap")
+    snap
+  }
+
   /** Upsert `batch` into the table at `root` on composite key `keys`.
     *
     * In-batch duplicate keys are collapsed (last-write-wins is undefined in
     * Trino MERGE; we keep one arbitrary row, matching dbt's assumption that
-    * the model SELECT is already key-unique).
+    * the model SELECT is already key-unique). With `partitionDate`, only
+    * batch-touched date partitions are read/rewritten; the rest hard-link.
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
-            keys: Seq[String], partitionColumn: Option[String] = None,
+            keys: Seq[String], partitionDate: Option[Column] = None,
             compactTo: Option[Int] = None): Unit = {
     Files.createDirectories(Paths.get(root))
     val newDf = batch.dropDuplicates(keys)
-    val old = read(spark, root)
-    val merged = old match {
-      case None => newDf
-      case Some(prev) =>
-        val prior = partitionColumn match {
-          // Partition-pruned anti-join: only partitions the batch touches
-          // can contain superseded rows; the rest pass through unchanged.
-          case Some(pc) =>
-            val touched = newDf.select(col(pc)).distinct()
-            val affected = prev.join(broadcast(touched), Seq(pc), "left_semi")
-            val untouched = prev.join(broadcast(touched), Seq(pc), "left_anti")
-            affected.join(newDf.select(keys.map(col): _*), keys, "left_anti")
-              .unionByName(untouched)
-          case None =>
-            prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
+    val cur = currentSnapshot(root)
+    (cur, partitionDate) match {
+      case (None, None) =>
+        publish(root, writeSnapshot(root, newDf, partitioned = false, compactTo))
+
+      case (None, Some(pd)) =>
+        val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
+        publish(root, writeSnapshot(root, batchP, partitioned = true, compactTo))
+
+      case (Some(c), None) =>
+        // Unpartitioned fallback: whole-table rewrite (only sensible for
+        // small dimension-like tables; every DAG model declares a date).
+        val prev = spark.read.parquet(s"$root/$c")
+        val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
+        val merged = newDf.unionByName(survivors.select(newDf.columns.map(col): _*))
+        publish(root, writeSnapshot(root, merged, partitioned = false, compactTo))
+
+      case (Some(c), Some(pd)) =>
+        val snapDir = Paths.get(root, c)
+        val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
+        // The touched-partition list is tiny (bounded by the lookback /
+        // backfill window — days, not rows); collecting it to the driver is
+        // the same metadata-sized step a table format's commit log does.
+        val touched = batchP.select(PartCol).distinct().collect()
+          .map(_.getString(0)).toSet
+        val (affectedDirs, untouchedDirs) =
+          partitionDirs(snapDir).partition { case (v, _) => touched(v) }
+        // Read ONLY touched partitions (explicit file-level pruning).
+        val affectedOld = affectedDirs.map { case (v, p) =>
+          spark.read.parquet(p.toString).withColumn(PartCol, lit(v))
+        }.reduceOption(_ unionByName _)
+        val out = affectedOld match {
+          case None => batchP
+          case Some(old) =>
+            val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
+            batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
         }
-        newDf.unionByName(prior.select(newDf.columns.map(col): _*))
+        val snap = writeSnapshot(root, out, partitioned = true, compactTo)
+        untouchedDirs.foreach { case (v, p) =>
+          linkInto(p, Paths.get(root, snap, s"$PartCol=$v"))
+        }
+        publish(root, snap)
     }
-    val snap = nextSnapshotName(root)
-    val out = compactTo.map(merged.repartition).getOrElse(merged)
-    out.write.mode(SaveMode.Overwrite).parquet(s"$root/$snap")
+  }
+
+  /** S7: `incremental_strategy='append'` (`DEVELOPMENT.md:134-142`) — blind
+    * append for pure logs: the batch is written into a fresh snapshot and
+    * every prior file is hard-linked alongside. No keys, no anti-join. */
+  def append(spark: SparkSession, root: String, batch: DataFrame,
+             partitionDate: Option[Column] = None,
+             compactTo: Option[Int] = None): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val cur = currentSnapshot(root)
+    val partitioned = partitionDate.isDefined ||
+      cur.exists(c => partitionDirs(Paths.get(root, c)).nonEmpty)
+    val out = partitionDate match {
+      case Some(pd) => batch.withColumn(PartCol, pd.cast(StringType))
+      case None     => batch
+    }
+    val snap = writeSnapshot(root, out, partitioned, compactTo)
+    cur.foreach(c => linkInto(Paths.get(root, c), Paths.get(root, snap)))
     publish(root, snap)
   }
 
-  /** S9: drop snapshot dirs superseded for more than `keep` generations. */
+  /** S8: OPTIMIZE — compact the live snapshot's small files into
+    * `filesPerPartition` files per date dir (or total, if unpartitioned),
+    * published as a new snapshot. */
+  def optimize(spark: SparkSession, root: String, filesPerPartition: Int = 1): Unit =
+    currentSnapshot(root).foreach { c =>
+      val partitioned = partitionDirs(Paths.get(root, c)).nonEmpty
+      val df = spark.read.parquet(s"$root/$c")
+      publish(root, writeSnapshot(root, df, partitioned, Some(filesPerPartition)))
+    }
+
+  /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
+    * generations. Hard links make deletion safe for newer snapshots. */
   def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>
     val curN = cur.stripPrefix("snap-").toLong
     val dir = Paths.get(root)
@@ -103,7 +212,7 @@ object SnapshotStore {
       .foreach(deleteRecursively)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       Files.list(p).iterator().asScala.foreach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -26,6 +26,9 @@ object EventModels {
   final case class EventModel(name: String, eventType: String, fields: Seq[Field])
       extends Model {
     val uniqueKey: Seq[String] = Seq("transaction_digest", "event_index")
+    /** Daily snapshot partitions — a key's timestamp is immutable, so
+      * re-delivered duplicates always land in the same partition. */
+    override val partitionDate: Option[Column] = Some(msToDate(col("timestamp_ms")))
 
     def build(ctx: RunContext, existing: Option[DataFrame],
               ref: String => DataFrame): DataFrame = {

@@ -29,7 +29,8 @@ object PoolDailyFct extends Model {
 
   val name = "fct_deepbook_margin_pool_daily"
   val uniqueKey: Seq[String] = Seq("margin_pool_id", "snapshot_date")
-  override val partitionColumn: Option[String] = Some("snapshot_date")
+  /** The merge key contains the partition date itself. */
+  override val partitionDate: Option[Column] = Some(col("snapshot_date"))
 
   private val stablecoins = Seq("USDC", "USDT", "AUSD")
 

@@ -18,6 +18,8 @@ object PoolObjectStg extends Model {
 
   val name = "stg_deepbook_margin_pool_object"
   val uniqueKey: Seq[String] = Seq("object_id", "version")
+  /** An (object_id, version) pair has a fixed timestamp ⇒ partition-stable. */
+  override val partitionDate: Option[Column] = Some(col("snapshot_date"))
 
   private val typePrefix = s"${EventModels.pkg}::margin_pool::MarginPool<"
 

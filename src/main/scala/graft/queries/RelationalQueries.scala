@@ -245,11 +245,25 @@ object RelationalQueries {
 
   // ---- O2: top-k per group ---------------------------------------------------
 
+  /** Two-phase top-k: a single window over the handful of priority groups
+    * would pull the whole orders table through that many sort partitions
+    * (a skew bottleneck at 100× scale). Phase 1 ranks within
+    * (priority, salt) — parallel across `salts` buckets — keeping each
+    * bucket's top 3; phase 2 ranks the surviving ≤ 3×salts rows per group.
+    * Any global top-3 row is necessarily top-3 within its salt bucket, so
+    * the output is identical to the single-window plan. */
   val o2TopkPerGroup: Q = (spark, dir) => {
-    val w = Window.partitionBy(col("o_orderpriority"))
+    val salts = 16
+    val localW = Window
+      .partitionBy(col("o_orderpriority"), pmod(col("o_orderkey"), lit(salts)))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val globalW = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     t(spark, dir, "orders")
-      .withColumn("rk", row_number().over(w))
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("salt_rk", row_number().over(localW))
+      .filter(col("salt_rk") <= 3).drop("salt_rk")
+      .withColumn("rk", row_number().over(globalW))
       .filter(col("rk") <= 3)
       .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
         col("o_totalprice").as("total_price"))

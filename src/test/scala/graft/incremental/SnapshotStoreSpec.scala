@@ -1,0 +1,121 @@
+package graft.incremental
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+/** S6-S9 sink contract: merge idempotency/upsert, partition-scoped rewrite
+  * with hard-linked untouched partitions, append, optimize, vacuum. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def rows(k: Seq[(Long, String, String)]): DataFrame =
+    k.toDF("id", "dt", "payload")
+
+  private val pd = Some(to_date(col("dt")))
+
+  private def readAll(root: String): Set[(Long, String, String)] =
+    SnapshotStore.read(spark, root).get
+      .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet
+
+  private def inodesByPartition(root: String): Map[String, Map[String, Long]] = {
+    val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
+    Files.list(snap).iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_dt="))
+      .map { dir =>
+        val files = Files.list(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p.getFileName.toString ->
+            Files.getAttribute(p, "unix:ino").asInstanceOf[Long])
+          .toMap
+        dir.getFileName.toString -> files
+      }.toMap
+  }
+
+  test("merge bootstrap + upsert: new rows win, unmatched old rows survive") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c"))), Seq("id"), pd)
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
+  }
+
+  test("merge is idempotent: run-twice ≡ run-once (flat and partitioned)") {
+    for (p <- Seq(None, pd)) {
+      val root = tmpRoot()
+      val batch = rows(Seq((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
+      SnapshotStore.merge(spark, root, batch, Seq("id"), p)
+      val once = readAll(root)
+      SnapshotStore.merge(spark, root, batch, Seq("id"), p)
+      assert(readAll(root) == once, s"partitionDate=$p")
+    }
+  }
+
+  test("merge collapses in-batch duplicate keys") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (1L, "2026-01-01", "a"))), Seq("id"), pd)
+    assert(SnapshotStore.read(spark, root).get.count() == 1)
+  }
+
+  test("partition-scoped merge rewrites ONLY touched partitions; untouched files hard-link") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"), (3L, "2026-01-03", "c"))),
+      Seq("id"), pd)
+    val before = inodesByPartition(root)
+    // second merge touches only 2026-01-02
+    SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b2"))), Seq("id"), pd)
+    val after = inodesByPartition(root)
+    assert(after.keySet == Set("_dt=2026-01-01", "_dt=2026-01-02", "_dt=2026-01-03"))
+    // untouched partitions: identical file names AND identical inodes (hard links)
+    for (dt <- Seq("_dt=2026-01-01", "_dt=2026-01-03"))
+      assert(after(dt) == before(dt), s"$dt must be carried by hard link")
+    // touched partition: fully rewritten (no file survives)
+    assert(after("_dt=2026-01-02").keySet.intersect(
+      before("_dt=2026-01-02").keySet).isEmpty)
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
+  }
+
+  test("S7 append: no key semantics, prior files carried by hard link") {
+    val root = tmpRoot()
+    SnapshotStore.append(spark, root, rows(Seq((1L, "2026-01-01", "a"))), pd)
+    SnapshotStore.append(spark, root, rows(Seq((1L, "2026-01-01", "dup"))), pd)
+    val all = SnapshotStore.read(spark, root).get
+    assert(all.count() == 2) // both rows kept — append, not merge
+    val inos = inodesByPartition(root)("_dt=2026-01-01")
+    assert(inos.size >= 2)
+  }
+
+  test("S8 optimize compacts to one file per partition dir") {
+    val root = tmpRoot()
+    val batch = rows((1L to 40L).map(i => (i, f"2026-01-${i % 2 + 1}%02d", s"p$i")))
+      .repartition(8) // force many small files
+    SnapshotStore.merge(spark, root, batch, Seq("id"), pd)
+    SnapshotStore.optimize(spark, root, filesPerPartition = 1)
+    val files = inodesByPartition(root)
+    assert(files.keySet == Set("_dt=2026-01-01", "_dt=2026-01-02"))
+    assert(files.values.forall(_.size == 1), s"got ${files.view.mapValues(_.size).toMap}")
+    assert(SnapshotStore.read(spark, root).get.count() == 40)
+  }
+
+  test("S9 vacuum drops superseded snapshots, table stays readable") {
+    val root = tmpRoot()
+    for (i <- 1 to 4)
+      SnapshotStore.merge(spark, root,
+        rows(Seq((i.toLong, "2026-01-01", s"v$i"))), Seq("id"), pd)
+    SnapshotStore.vacuum(root, keep = 1)
+    val snaps = Files.list(Paths.get(root)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("snap-")).toSet
+    assert(snaps == Set("snap-0000003", "snap-0000004"))
+    assert(readAll(root).size == 4)
+  }
+}
