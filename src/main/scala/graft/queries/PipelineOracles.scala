@@ -1,0 +1,173 @@
+package graft.queries
+
+import PipelineQueries._
+
+/** DuckDB oracle SQL for [[PipelineQueries]].
+  *
+  * The MinHash coefficients and ANN hyperplanes are interpolated from the
+  * same Scala constants the Spark side uses; everything else is the same
+  * arithmetic over the same splits, so values match bit-for-bit (floating
+  * results are rounded to 6 dp on both sides to absorb summation-order
+  * ULPs). `d2_minhash_lsh` is checked against the **exact all-pairs**
+  * Jaccard join — the LSH path must reproduce it to pass.
+  */
+object PipelineOracles {
+
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  /** DuckDB list literal of the 8×64 hyperplanes (1-based indexing). */
+  private val duckPlanes: String =
+    AnnPlanes.map(p => p.map(d => BigDecimal(d).bigDecimal.toPlainString)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private val shingleCte =
+    """docs AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      |          FROM documents),
+      |sh AS (SELECT doc_id, source,
+      |              CASE WHEN len(w) >= 3
+      |                   THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                                       for i in range(1, len(w)-1)])
+      |                   ELSE [] END AS sh
+      |       FROM docs)""".stripMargin
+
+  private val embCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+      |      FROM e)""".stripMargin
+
+  val all: Map[String, String] = Map(
+
+    "d1_exact_dedup" -> """
+      SELECT doc_id, lang, source, n_chars FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents) t
+      WHERE rn = 1 ORDER BY doc_id""",
+
+    // exact all-pairs ground truth: the LSH path must reproduce it
+    "d2_minhash_lsh" -> s"""
+      WITH $shingleCte
+      SELECT a_id, b_id, jaccard FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    "d3_simhash" -> """
+      WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+                   list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+            FROM docs)
+      SELECT doc_id,
+             list_sum([CASE WHEN list_sum(list_transform(h, v ->
+                         CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                       THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                       for j in range(0, 60)])::BIGINT AS simhash
+      FROM h ORDER BY doc_id""",
+
+    "d4_ngram_jaccard" -> s"""
+      WITH $shingleCte
+      SELECT source, a_id, b_id, jaccard FROM (
+        SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) t
+      WHERE jaccard >= 0.3 ORDER BY source, a_id, b_id""",
+
+    "v1_cosine_topk" -> s"""
+      WITH $embCte,
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      s AS (SELECT q.q_id, n.vec_id,
+                   round(list_sum(list_transform(range(1, len(n.v)+1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+            FROM n, q WHERE n.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM s)
+      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 10 ORDER BY q_id, rk""",
+
+    "v2_ann_lsh" -> s"""
+      WITH $embCte,
+      pl AS (SELECT $duckPlanes AS planes),
+      b AS (SELECT vec_id, v, nrm,
+                   list_sum([CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                               i -> v[i] * planes[j+1][i])) > 0
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                             for j in range(0, 8)])::BIGINT AS bucket
+            FROM n, pl),
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+            FROM b WHERE vec_id < 5),
+      s AS (SELECT q.q_id, b.vec_id,
+                   round(list_sum(list_transform(range(1, len(b.v)+1),
+                           i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn), 6) AS cosine
+            FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM s)
+      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
+    "t1_text_stats" -> s"""
+      WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+                   len(w) AS n_tokens,
+                   length(text) AS n_chars_m,
+                   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                         AS DOUBLE) / length(text), 6) AS punct_ratio,
+                   CAST(len(list_filter(w, x -> x IN ${inList(StopEn)}))
+                        AS DOUBLE) / len(w) AS stop_raw
+            FROM d)
+      SELECT doc_id, n_tokens, n_chars_m, punct_ratio,
+             round(stop_raw, 6) AS stopword_ratio,
+             round(least(1.0, n_tokens / 100.0) * 0.5 + stop_raw * 0.5, 6)
+               AS quality_score
+      FROM s ORDER BY doc_id""",
+
+    "t2_lang_id" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      s AS (SELECT doc_id,
+                   len(list_filter(w, x -> x IN ${inList(StopEn)})) AS en_hits,
+                   len(list_filter(w, x -> x IN ${inList(StopEs)})) AS es_hits,
+                   len(list_filter(w, x -> x IN ${inList(StopDe)})) AS de_hits,
+                   len(list_filter(w, x -> x IN ${inList(StopFr)})) AS fr_hits
+            FROM d)
+      SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+             CASE WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+                  WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+                  WHEN de_hits >= fr_hits THEN 'de'
+                  ELSE 'fr' END AS lang_pred
+      FROM s ORDER BY doc_id""",
+
+    "t3_token_count" -> s"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '$tokenPattern')) AS n_bpe_tokens,
+             CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+      FROM documents ORDER BY doc_id""",
+
+    "t4_fingerprint" -> """
+      WITH c AS (SELECT doc_id,
+                        trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                            '  +', ' ', 'g')) AS canon
+                 FROM documents),
+      w AS (SELECT doc_id, canon, string_split(canon, ' ') AS w FROM c)
+      SELECT doc_id, md5(canon) AS fp_md5,
+             CASE WHEN len(w) >= 5
+                  THEN list_min([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' '
+                                     || w[i+3] || ' ' || w[i+4])
+                                 for i in range(1, len(w)-3)])
+                  ELSE md5(canon) END AS fp_window_min
+      FROM w ORDER BY doc_id""",
+
+    "m1_multimodal_meta" -> """
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha256_hex,
+             320 + CAST(octet_length(encode(text)) AS BIGINT) % 320 AS width,
+             240 + CAST(octet_length(encode(text)) AS BIGINT) % 240 AS height,
+             1 + CAST(octet_length(encode(text)) AS BIGINT) % 16 AS n_frames
+      FROM documents ORDER BY doc_id""")
+}

@@ -1,0 +1,344 @@
+package graft.queries
+
+import graft.Sources
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data-pipeline operators over the driver's `documents` /
+  * `embeddings` tables (builder brief; SURVEY.md §7.6 north star):
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
+  * search (brute-force cosine top-k, LSH-bucketed ANN), text analysis
+  * (stats/quality, language-ID heuristic, regex token counting,
+  * fingerprinting) and multimodal binary-column plumbing.
+  *
+  * Every operator is expressed with codegen'd built-ins / higher-order
+  * functions (no UDFs except the explicitly-stubbed multimodal decode,
+  * which is genuine per-partition imperative logic). All randomized
+  * components (MinHash coefficients, LSH hyperplanes) are deterministic
+  * literals so the paired DuckDB oracles compute bit-identical values.
+  *
+  * Scale notes (100 TB):
+  *  - near-dup is banded LSH (shingle → signature → band bucket →
+  *    bucket-equi-join), never an all-pairs cross join; the exact-Jaccard
+  *    verify touches only LSH candidates.
+  *  - ANN buckets by sign-LSH so each query probes one bucket;
+  *    brute-force top-k exists as the correctness baseline.
+  *  - all per-doc stats are narrow map-side projections (no shuffle);
+  *    dedup/fingerprint group-bys shuffle on a 64-256 bit digest — uniform
+  *    keys, no skew.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Sources.testdata(spark, dir)(name)
+
+  // ---- deterministic pseudo-random literals (shared with the oracles) ----
+
+  /** 64-bit LCG stream (Knuth MMIX constants), top-33-bit outputs. */
+  private def lcg(seed: Long, n: Int): Seq[Long] = {
+    var x = seed
+    Seq.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L; x >>> 33 }
+  }
+
+  /** Mersenne prime 2^31-1: modulus of the MinHash universal-hash family. */
+  val MinhashP = 2147483647L
+  val NumHashes = 128
+  val Bands = 32 // × 4 rows/band
+  val hashA: Seq[Long] = lcg(0xD1CEB00CL, NumHashes).map(a => (a % (MinhashP - 1)) + 1)
+  val hashB: Seq[Long] = lcg(0xBADC0FFEL, NumHashes).map(_ % MinhashP)
+
+  /** 8 sign-LSH hyperplanes × 64 dims, each component an exact 6-dp decimal
+    * in (-0.5, 0.5] so the SQL literal parses to the identical double in
+    * Spark and DuckDB. */
+  val AnnPlanes: Seq[Seq[Double]] =
+    (0 until 8).map(j => lcg(0x91A0000L + j, 64).map(v => ((v % 1000001L) - 500000L) / 1e6))
+
+  private def sqlDouble(d: Double): String = BigDecimal(d).bigDecimal.toPlainString
+  private def sqlLongArray(xs: Seq[Long]): String = xs.mkString("array(", ",", ")")
+  private def sqlPlaneArray: String =
+    AnnPlanes.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+
+  /** Stopword list shared by stats, quality and language-ID. */
+  val StopEn = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+  val StopEs = Seq("el", "la", "de", "que", "y", "los")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "ein")
+  val StopFr = Seq("le", "les", "et", "est", "une", "dans")
+  private def inList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  // ---- D1: exact dedup (hash-groupBy) -------------------------------------
+
+  /** Exact dedup: group on a 256-bit content digest, keep the lowest doc_id
+    * per group. Digest-grouping (not raw-text grouping) keeps shuffle rows
+    * narrow at 100 TB; min_by avoids a second pass/join. */
+  val d1ExactDedup: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    docs
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")).as("keep"))
+      .select(col("keep.doc_id"), col("keep.lang"), col("keep.source"), col("keep.n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- shared shingling ----------------------------------------------------
+
+  /** doc_id + distinct word-3-gram shingles of lowercased text. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"),
+        when(size(col("w")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
+          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
+
+  // ---- D2: MinHash + banded LSH near-dup ----------------------------------
+
+  /** Near-duplicate pairs by MinHash/LSH with exact-Jaccard verification.
+    *
+    * shingle → 128-slot MinHash signature (universal hashes over a 31-bit
+    * shingle hash) → 32 bands × 4 rows → band-bucket equi-join for
+    * candidates → exact Jaccard on candidates only → threshold 0.5.
+    * With sim ≥ 0.9 dup pairs, band-miss probability is (1-0.9⁴)³² ≈ 2e-15,
+    * so the output equals the exact all-pairs result the oracle computes —
+    * without the O(n²) cross join that would be impossible at scale. */
+  val d2MinhashLsh: Q = (spark, dir) => {
+    val sh = shingled(spark, dir).persist()
+    val sig = sh.withColumn("sig", expr(
+      s"""transform(sequence(0, ${NumHashes - 1}), k ->
+         |  array_min(transform(sh, s ->
+         |    pmod(${sqlLongArray(hashA)}[k] * (xxhash64(s) & ${MinhashP}) +
+         |         ${sqlLongArray(hashB)}[k], ${MinhashP}))))""".stripMargin))
+    val buckets = sig.select(col("doc_id"), posexplode(expr(
+      s"""transform(sequence(0, ${Bands - 1}), b ->
+         |  xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))""".stripMargin))
+      .as(Seq("band", "bucket")))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- D3: SimHash fingerprint --------------------------------------------
+
+  /** 60-bit SimHash over word tokens. The per-word hash is the first 15 hex
+    * digits of md5 (engine-portable); each bit of the fingerprint is the
+    * sign of the ±1 vote sum across tokens. A narrow map-side projection —
+    * no shuffle; near-dup lookups then group on fingerprint prefixes. */
+  val d3Simhash: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("h", expr("transform(w, x -> cast(conv(substring(md5(x),1,15),16,10) as bigint))"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+          |  transform(sequence(0, 59), j ->
+          |    CASE WHEN aggregate(h, 0L, (acc, v) ->
+          |           acc + CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |         THEN shiftleft(1L, j) ELSE 0L END),
+          |  0L, (acc, bit) -> acc + bit)""".stripMargin).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  // ---- D4: n-gram Jaccard similarity join within source groups -------------
+
+  /** Exact word-3-gram Jaccard over pairs co-grouped by `source` — the
+    * blocked (not all-pairs) exact similarity join: candidates are bounded
+    * per block, so the quadratic term is per-group, not global. */
+  val d4NgramJaccard: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val sh = shingled(spark, dir)
+    val withSrc = docs.join(sh, "doc_id")
+    val a = withSrc.select(col("source"), col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = withSrc.select(col("source").as("src_b"), col("doc_id").as("b_id"), col("sh").as("sb"))
+    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id"))
+      .select(col("source"), col("a_id"), col("b_id"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.3)
+      .orderBy(col("source"), col("a_id"), col("b_id"))
+  }
+
+  // ---- V1: brute-force cosine top-k (correctness baseline) -----------------
+
+  /** Cosine top-10 for query vectors (vec_id < 5) over all embeddings —
+    * broadcast the tiny query side, single scan of the corpus, two-phase
+    * top-k via per-query window. All math in double with a fixed
+    * left-to-right summation so the oracle reproduces it exactly. */
+  val v1CosineTopk: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(expr("aggregate(zip_with(v, qv, (x,y) -> x*y), 0D, (a,x) -> a+x)")
+          / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- V2: sign-LSH bucketed ANN (scale path) ------------------------------
+
+  /** ANN variant: 8 literal hyperplanes → 8-bit sign bucket; each query
+    * probes only its own bucket (1/256 of the corpus in expectation),
+    * then ranks candidates by exact cosine. The planes are fixed 6-dp
+    * literals, so buckets — and therefore results — are reproducible in
+    * the oracle. */
+  val v2AnnLsh: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+      .withColumn("bucket", expr(
+        s"""aggregate(transform(sequence(0, 7), j ->
+           |  CASE WHEN aggregate(zip_with(v, ${sqlPlaneArray}[j], (x,y) -> x*y),
+           |                      0D, (a,x) -> a+x) > 0D
+           |       THEN shiftleft(1L, j) ELSE 0L END),
+           |  0L, (acc, bit) -> acc + bit)""".stripMargin))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(expr("aggregate(zip_with(v, qv, (x,y) -> x*y), 0D, (a,x) -> a+x)")
+          / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- T1: text statistics + quality score ---------------------------------
+
+  val t1TextStats: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("stop_raw", // unrounded: rounding before the blend would
+        // manufacture exact 6-dp midpoints that the two engines break
+        // differently; a single final round of identical doubles is safe
+        expr(s"size(filter(w, x -> x in ${inList(StopEn)}))").cast(DoubleType) / size(col("w")))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
+        round(col("stop_raw"), 6).as("stopword_ratio"),
+        round(least(lit(1.0), size(col("w")) / 100.0) * 0.5 + col("stop_raw") * 0.5, 6)
+          .as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  // ---- T2: language-ID heuristic -------------------------------------------
+
+  /** Stopword-hit n-gram heuristic: count hits per language list, argmax
+    * with a fixed precedence (en > es > de > fr). */
+  val t2LangId: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("w", split(lower(col("text")), " "))
+      .select(
+        col("doc_id"),
+        expr(s"size(filter(w, x -> x in ${inList(StopEn)}))").as("en_hits"),
+        expr(s"size(filter(w, x -> x in ${inList(StopEs)}))").as("es_hits"),
+        expr(s"size(filter(w, x -> x in ${inList(StopDe)}))").as("de_hits"),
+        expr(s"size(filter(w, x -> x in ${inList(StopFr)}))").as("fr_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), lit("en"))
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), lit("es"))
+          .when(col("de_hits") >= col("fr_hits"), lit("de"))
+          .otherwise(lit("fr")))
+      .orderBy(col("doc_id"))
+
+  // ---- T3: regex token counting (BPE-ish pre-tokenizer) --------------------
+
+  val tokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  val t3TokenCount: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(expr(s"regexp_extract_all(text, '$tokenPattern', 0)")).as("n_bpe_tokens"),
+        ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+      .orderBy(col("doc_id"))
+
+  // ---- T4: document fingerprinting -----------------------------------------
+
+  /** Content fingerprints: md5 of the whitespace/punct-canonicalized text,
+    * plus a winnowing-style min-hash over 5-word windows (lexicographic min
+    * of window md5s) that survives local edits. */
+  val t4Fingerprint: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("canon",
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")))
+      .withColumn("w", split(col("canon"), " "))
+      .select(
+        col("doc_id"),
+        md5(col("canon")).as("fp_md5"),
+        when(size(col("w")) >= 5, expr(
+          """array_min(transform(sequence(0, size(w)-5), i ->
+            |  md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))""".stripMargin))
+          .otherwise(md5(col("canon"))).as("fp_window_min"))
+      .orderBy(col("doc_id"))
+
+  // ---- M1: multimodal binary-column plumbing -------------------------------
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256_hex: String,
+                             width: Long, height: Long, n_frames: Long)
+
+  /** Opaque-binary media pipeline: payload as a `binary` column, metadata
+    * extracted batch-wise in mapPartitions (genuine per-partition imperative
+    * logic — the place a real image/audio decode would run). The decode is
+    * STUBBED deterministically (this container ships no codec libraries);
+    * the Spark-side plumbing — binary schema, typed Dataset, partition
+    * batching, output shape — is real and oracle-checked. */
+  val m1MultimodalMeta: Q = (spark, dir) => {
+    import spark.implicits._
+    t(spark, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // one digest instance per partition — the batch-shaped pattern a
+        // real decoder (decode → resize → frame-sample) would follow
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        it.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          val n = bytes.length.toLong
+          MediaMeta(id, n, hex, 320 + n % 320, 240 + n % 240, 1 + n % 16)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_minhash_lsh" -> d2MinhashLsh,
+    "d3_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "v1_cosine_topk" -> v1CosineTopk,
+    "v2_ann_lsh" -> v2AnnLsh,
+    "t1_text_stats" -> t1TextStats,
+    "t2_lang_id" -> t2LangId,
+    "t3_token_count" -> t3TokenCount,
+    "t4_fingerprint" -> t4Fingerprint,
+    "m1_multimodal_meta" -> m1MultimodalMeta)
+}
