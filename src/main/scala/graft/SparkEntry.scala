@@ -20,10 +20,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline operators over documents/embeddings. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ PipelineQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ DagQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.all ++ PipelineOracles.all
+    RelationalOracles.all ++ PipelineOracles.all ++ DagOracles.all
 }

@@ -94,10 +94,10 @@ object PoolDailyFct extends Model {
         col("coin_symbol"), col("coin_decimals"),
         col("total_borrow_normalized"), col("total_supply_normalized"),
         col("utilization_rate"), col("available_liquidity_normalized"),
-        col("active_positions_count"), col("timestamp_ms"),
-        col("version").as("last_object_version"))
+        col("active_positions_count"), col("timestamp_ms"), col("version"))
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") === 1).drop("rn")
+      .withColumnRenamed("version", "last_object_version")
 
     // W2: last price per (day, symbol) (`:121-135`)
     val priceW = Window.partitionBy(to_date(col("timestamp")), col("symbol"))

@@ -23,8 +23,10 @@ object PoolObjectStg extends Model {
 
   private val typePrefix = s"${EventModels.pkg}::margin_pool::MarginPool<"
 
-  /** `$..` extraction spec: (output column, path, cast target or None). */
-  private val jsonFields: Seq[(String, String, Option[DataType])] = Seq(
+  /** `$..` extraction spec: (output column, path, cast target or None).
+    * `private[graft]` so the DAG oracle SQL is generated from the same
+    * metadata (no spec drift between engine and oracle). */
+  private[graft] val jsonFields: Seq[(String, String, Option[DataType])] = Seq(
     ("margin_pool_id", "$.id.id", None),
     ("total_borrow", "$.state.total_borrow", Some(DoubleType)),
     ("total_supply", "$.state.total_supply", Some(DoubleType)),

@@ -1,0 +1,225 @@
+package graft.queries
+
+import graft.CoinMetadata
+import graft.TrinoFns
+import graft.fixtures.DeepbookFixtures
+import graft.models.{EventModels, PoolObjectStg}
+import org.apache.spark.sql.types._
+
+/** DuckDB oracle SQL for [[DagQueries]] — independent re-computation of
+  * every DeepBook model from the raw fixture parquet, translated from the
+  * reference SQL under `models/deepbook_margin/`. Extraction specs are
+  * generated from the SAME metadata the Spark models use
+  * ([[EventModels.EventModel.fields]], [[PoolObjectStg.jsonFields]]), so
+  * the two sides cannot drift.
+  *
+  * All fixture numerics are integer-valued ⇒ double sums are exact and
+  * order-independent; ratios/products are single IEEE ops identical across
+  * engines — no rounding needed anywhere.
+  */
+object DagOracles {
+
+  private val fix = DeepbookFixtures.fixturesDir
+  private val pkg = EventModels.pkg
+  private val bound = TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30)
+
+  private val eventsSrc = s"read_parquet('$fix/sui_events.parquet/*.parquet')"
+  private val objectsSrc = s"read_parquet('$fix/sui_objects.parquet/*.parquet')"
+  private val pricesSrc = s"read_parquet('$fix/prices_day.parquet/*.parquet')"
+
+  private def duckType(t: DataType): String = t match {
+    case DoubleType  => "DOUBLE"
+    case LongType    => "BIGINT"
+    case BooleanType => "BOOLEAN"
+    case other       => sys.error(s"no duck type mapping for $other")
+  }
+
+  private def extract(json: String, path: String, cast: Option[DataType], as: String): String =
+    cast match {
+      case Some(t) => s"TRY_CAST(json_extract_string($json, '$path') AS ${duckType(t)}) AS $as"
+      case None    => s"json_extract_string($json, '$path') AS $as"
+    }
+
+  /** `date(from_unixtime(ms/1000))` with Trino integer division (F5+F8). */
+  private def msToDate(ms: String): String =
+    s"CAST(make_timestamp(($ms // 1000) * 1000000) AS DATE)"
+
+  // ---- event models (P1 + P3/P4 + P9 + F1/F3) ------------------------------
+
+  /** Model body minus ORDER BY, shared by the standalone oracle and the
+    * fct CTEs. */
+  private def eventBody(m: EventModels.EventModel): String = {
+    val ex = m.fields.map(f => extract("event_json", f.path, f.castTo, f.name))
+      .mkString(",\n             ")
+    s"""SELECT transaction_digest, event_index, timestamp_ms, sender, event_type,
+       |             $ex
+       |      FROM $eventsSrc
+       |      WHERE event_type = '${m.eventType}' AND timestamp_ms >= $bound""".stripMargin
+  }
+
+  private def eventOracle(m: EventModels.EventModel): String =
+    s"""${eventBody(m)}
+       |      ORDER BY transaction_digest, event_index""".stripMargin
+
+  // ---- stg model (P2 + P9 + J1 + P10) --------------------------------------
+
+  private val seedValues = CoinMetadata.coins
+    .map(c => s"('${c.coin_type}', '${c.coin_symbol}', ${c.coin_decimals}, '${c.coin_name}')")
+    .mkString(",\n        ")
+
+  private val stgExtracts = PoolObjectStg.jsonFields
+    .map { case (n, p, t) => extract("object_json", p, t, n) }
+    .mkString(",\n               ")
+
+  private val canonKey =
+    s"CASE WHEN m.asset_type = '${CoinMetadata.suiShortForm}' " +
+      s"THEN '${CoinMetadata.suiLongForm}' ELSE m.asset_type END"
+
+  private def norm(x: String): String =
+    s"CASE WHEN s.coin_decimals IS NOT NULL THEN ($x) / power(10, s.coin_decimals) END"
+
+  /** stg body minus ORDER BY (reused as the fct `stg` CTE). */
+  private val stgBody =
+    s"""WITH seed(coin_type, coin_symbol, coin_decimals, coin_name) AS (VALUES
+       |        $seedValues),
+       |      m AS (
+       |        SELECT CAST(object_id AS VARCHAR) AS object_id, version, type_ AS type,
+       |               object_status, timestamp_ms,
+       |               NULLIF(regexp_extract(type_, '<(.+)>$$', 1), '') AS asset_type,
+       |               json_extract_string(object_json, '$$.allowed_deepbook_pools.contents')
+       |                 AS allowed_deepbook_pools_json,
+       |               $stgExtracts
+       |        FROM $objectsSrc
+       |        WHERE type_ LIKE '$pkg::margin_pool::MarginPool<%'
+       |          AND timestamp_ms >= $bound)
+       |      SELECT m.timestamp_ms,
+       |             ${msToDate("m.timestamp_ms")} AS snapshot_date,
+       |             m.object_id, m.version, m.type, m.object_status,
+       |             m.margin_pool_id, m.asset_type,
+       |             coalesce(s.coin_symbol, 'UNKNOWN') AS coin_symbol,
+       |             coalesce(s.coin_decimals, 9) AS coin_decimals,
+       |             coalesce(s.coin_name, 'Unknown') AS coin_name,
+       |             m.total_borrow, m.total_supply, m.borrow_shares, m.supply_shares,
+       |             m.last_update_timestamp_ms, m.vault_balance,
+       |             ${norm("m.total_borrow")} AS total_borrow_normalized,
+       |             ${norm("m.total_supply")} AS total_supply_normalized,
+       |             ${norm("m.vault_balance")} AS vault_balance_normalized,
+       |             CASE WHEN m.supply_shares > 0 THEN m.total_supply / m.supply_shares END
+       |               AS supply_share_price,
+       |             CASE WHEN m.borrow_shares > 0 THEN m.total_borrow / m.borrow_shares END
+       |               AS borrow_share_price,
+       |             CASE WHEN m.total_supply > 0 THEN m.total_borrow / m.total_supply
+       |                  ELSE 0.0 END AS utilization_rate,
+       |             m.total_supply - m.total_borrow AS available_liquidity,
+       |             ${norm("m.total_supply - m.total_borrow")} AS available_liquidity_normalized,
+       |             m.fees_per_share, m.maintainer_fees, m.protocol_fees,
+       |             m.protocol_fee_total_shares, m.referrals_count,
+       |             m.active_positions_count, m.positions_table_id,
+       |             m.interest_base_rate, m.interest_base_slope,
+       |             m.interest_excess_slope, m.interest_optimal_utilization,
+       |             m.max_utilization_rate, m.min_borrow, m.protocol_spread,
+       |             m.supply_cap, m.rate_limit_enabled, m.rate_limit_capacity,
+       |             m.rate_limiter_available, m.rate_limiter_capacity,
+       |             m.rate_limiter_enabled, m.rate_limiter_last_updated_ms,
+       |             m.allowed_deepbook_pools_json
+       |      FROM m LEFT JOIN seed s ON ($canonKey) = s.coin_type""".stripMargin
+
+  private val stgOracle = s"$stgBody\n      ORDER BY m.object_id, m.version"
+
+  // ---- fct model (A1×4 + J2 FOJ + W1/W2 + J3/J4 + W3 + O1) -----------------
+
+  private val pegSql =
+    "CASE WHEN upper(p.coin_symbol) IN ('USDC','USDT','AUSD') THEN 1.0 " +
+      "ELSE coalesce(pr.price_usd, 0.0) END"
+
+  private def volCte(alias: String, body: String, amount: String, out: String): String =
+    s"""$alias AS (
+       |        SELECT ${msToDate("timestamp_ms")} AS snapshot_date, margin_pool_id,
+       |               sum($amount) AS $out
+       |        FROM ($body) GROUP BY 1, 2)""".stripMargin
+
+  private def normVol(v: String): String =
+    s"coalesce($v, 0.0) / power(10, coalesce(p.coin_decimals, 9))"
+
+  private def dod(x: String): String =
+    s"$x - lag($x) OVER (PARTITION BY p.margin_pool_id ORDER BY p.snapshot_date)"
+
+  private val fctOracle = {
+    val sup = eventBody(EventModels.assetSupplied)
+    val wdr = eventBody(EventModels.assetWithdrawn)
+    val bor = eventBody(EventModels.loanBorrowed)
+    val rep = eventBody(EventModels.loanRepaid)
+    s"""WITH
+       |      ${volCte("sv", sup, "supply_amount", "supply_volume")},
+       |      ${volCte("wv", wdr, "withdraw_amount", "withdraw_volume")},
+       |      ${volCte("bv", bor, "loan_amount", "borrow_volume")},
+       |      ${volCte("rv", rep, "repay_amount", "repay_volume")},
+       |      v AS (
+       |        SELECT
+       |          coalesce(sv.snapshot_date, wv.snapshot_date, bv.snapshot_date, rv.snapshot_date)
+       |            AS snapshot_date,
+       |          coalesce(sv.margin_pool_id, wv.margin_pool_id, bv.margin_pool_id, rv.margin_pool_id)
+       |            AS margin_pool_id,
+       |          coalesce(sv.supply_volume, 0.0) AS supply_volume,
+       |          coalesce(wv.withdraw_volume, 0.0) AS withdraw_volume,
+       |          coalesce(bv.borrow_volume, 0.0) AS borrow_volume,
+       |          coalesce(rv.repay_volume, 0.0) AS repay_volume
+       |        FROM sv
+       |        FULL OUTER JOIN wv ON sv.snapshot_date = wv.snapshot_date
+       |                          AND sv.margin_pool_id = wv.margin_pool_id
+       |        FULL OUTER JOIN bv ON coalesce(sv.snapshot_date, wv.snapshot_date) = bv.snapshot_date
+       |                          AND coalesce(sv.margin_pool_id, wv.margin_pool_id) = bv.margin_pool_id
+       |        FULL OUTER JOIN rv ON coalesce(sv.snapshot_date, wv.snapshot_date, bv.snapshot_date) = rv.snapshot_date
+       |                          AND coalesce(sv.margin_pool_id, wv.margin_pool_id, bv.margin_pool_id) = rv.margin_pool_id),
+       |      stg AS ($stgBody),
+       |      p AS (
+       |        SELECT * EXCLUDE (rn) FROM (
+       |          SELECT snapshot_date, margin_pool_id, asset_type, coin_symbol, coin_decimals,
+       |                 total_borrow_normalized, total_supply_normalized, utilization_rate,
+       |                 available_liquidity_normalized, active_positions_count, timestamp_ms,
+       |                 version AS last_object_version,
+       |                 row_number() OVER (PARTITION BY margin_pool_id, snapshot_date
+       |                                    ORDER BY timestamp_ms DESC, version DESC) AS rn
+       |          FROM stg) x WHERE rn = 1),
+       |      pr AS (
+       |        SELECT * EXCLUDE (rn) FROM (
+       |          SELECT CAST("timestamp" AS DATE) AS price_date, symbol, price AS price_usd,
+       |                 row_number() OVER (PARTITION BY CAST("timestamp" AS DATE), symbol
+       |                                    ORDER BY "timestamp" DESC) AS rn
+       |          FROM $pricesSrc
+       |          WHERE blockchain = 'sui' AND symbol IN ('SUI','USDC','DEEP')) x
+       |        WHERE rn = 1)
+       |      SELECT p.snapshot_date, p.margin_pool_id, p.coin_symbol,
+       |             p.total_supply_normalized, p.total_borrow_normalized,
+       |             p.available_liquidity_normalized, p.utilization_rate,
+       |             p.active_positions_count,
+       |             $pegSql AS price_usd,
+       |             p.total_supply_normalized * ($pegSql) AS total_supply_usd,
+       |             p.total_borrow_normalized * ($pegSql) AS total_borrow_usd,
+       |             ${normVol("v.supply_volume")} AS daily_supply_volume,
+       |             ${normVol("v.withdraw_volume")} AS daily_withdraw_volume,
+       |             ${normVol("v.borrow_volume")} AS daily_borrow_volume,
+       |             ${normVol("v.repay_volume")} AS daily_repay_volume,
+       |             (${normVol("v.supply_volume")}) * ($pegSql) AS daily_supply_volume_usd,
+       |             (${normVol("v.withdraw_volume")}) * ($pegSql) AS daily_withdraw_volume_usd,
+       |             (${normVol("v.borrow_volume")}) * ($pegSql) AS daily_borrow_volume_usd,
+       |             (${normVol("v.repay_volume")}) * ($pegSql) AS daily_repay_volume_usd,
+       |             ${dod("p.total_supply_normalized")} AS daily_supply_change,
+       |             ${dod("p.total_borrow_normalized")} AS daily_borrow_change,
+       |             ${dod("p.utilization_rate")} AS daily_utilization_change,
+       |             p.asset_type
+       |      FROM p
+       |      LEFT JOIN v ON v.snapshot_date = p.snapshot_date
+       |                 AND v.margin_pool_id = p.margin_pool_id
+       |      LEFT JOIN pr ON pr.price_date = p.snapshot_date
+       |                  AND upper(pr.symbol) = upper(p.coin_symbol)
+       |      ORDER BY p.snapshot_date, p.margin_pool_id""".stripMargin
+  }
+
+  val all: Map[String, String] =
+    EventModels.all.map(m =>
+      s"dag_${m.name.stripPrefix("deepbook_margin_")}" -> eventOracle(m)).toMap ++
+      Map(
+        "dag_stg_pool_object" -> stgOracle,
+        "dag_fct_pool_daily" -> fctOracle)
+}

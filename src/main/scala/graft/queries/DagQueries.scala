@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.fixtures.DeepbookFixtures
+import graft.incremental.{RunContext, RunMode}
+import graft.models.{EventModels, PoolDailyFct, PoolObjectStg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The REAL DeepBook model DAG run full-refresh over the deterministic
+  * fixtures (`/root/repo/fixtures`), exposed as oracle-checkable driver
+  * queries — one entry per dbt model in the reference
+  * (`models/deepbook_margin/` events, objects and daily SQL files).
+  *
+  * The `sfDir` argument is ignored: these queries run on the DAG fixtures
+  * (FIXTURES.md), not the TPC-H stand-ins, so the oracle SQL reads the
+  * same fixture parquet via absolute `read_parquet` paths.
+  *
+  * Non-deterministic/derived-timestamp columns (`updated_at` — F7 — and
+  * the `msToTs` convenience timestamps, whose semantics are already
+  * oracle-covered by `f_time_fns`) are projected out; epoch-ms and DATE
+  * columns stay in.
+  */
+object DagQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ctx(spark: SparkSession): RunContext =
+    RunContext(spark, DeepbookFixtures.ensureWritten(spark),
+      RunMode.FullRefresh, DeepbookFixtures.now)
+
+  private def noRef(name: String): DataFrame =
+    sys.error(s"unexpected ref('$name') in a root model")
+
+  private def eventQ(m: EventModels.EventModel): Q = (spark, _) =>
+    m.build(ctx(spark), None, noRef)
+      .drop("updated_at")
+      .orderBy("transaction_digest", "event_index")
+
+  val stgQ: Q = (spark, _) =>
+    PoolObjectStg.build(ctx(spark), None, noRef)
+      .drop("updated_at", "block_timestamp", "last_update_timestamp",
+        "rate_limiter_last_updated_timestamp")
+      .orderBy("object_id", "version")
+
+  val fctQ: Q = (spark, _) => {
+    val c = ctx(spark)
+    val upstream: Map[String, DataFrame] =
+      (EventModels.all.map(m => m.name -> m.build(c, None, noRef)) :+
+        (PoolObjectStg.name -> PoolObjectStg.build(c, None, noRef))).toMap
+    PoolDailyFct.build(c, None, upstream.apply)
+      .drop("updated_at")
+      .orderBy("snapshot_date", "margin_pool_id")
+  }
+
+  private def shortName(full: String): String =
+    full.stripPrefix("deepbook_margin_")
+
+  val all: Map[String, Q] =
+    EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
+      Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ)
+}
