@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * (`:1-8`) with a trailing 7-day re-aggregation window per incremental run
   * (`:33-35`) so late events revise recently closed days.
   *
+  * Faithful quirk: the reference computes the W3 lag deltas over the
+  * lookback-FILTERED state (`:112-114` feeds `:190-196`), so every
+  * incremental run re-NULLs `daily_*_change` on the window's first day
+  * (no predecessor inside the window) and the merge overwrites the
+  * previously correct value. Reproduced as-is — see IncrementalEquivSpec.
+  *
   * Scale notes: the four upstream aggregates each shuffle on
   * (snapshot_date, margin_pool_id) — the same key the FOJ chain and the J3
   * join use, so AQE reuses one exchange layout; the daily-prices side is
