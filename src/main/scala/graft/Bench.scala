@@ -28,7 +28,9 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.sqlContext.clearCache() // drop per-query persists between runs
+      sec
     }
     // JVM/codegen warmup on the tiny flagship so the first measured query
     // isn't charged for classloading and whole-stage-codegen compilation.

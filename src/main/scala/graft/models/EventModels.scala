@@ -30,6 +30,24 @@ object EventModels {
       * re-delivered duplicates always land in the same partition. */
     override val partitionDate: Option[Column] = Some(msToDate(col("timestamp_ms")))
 
+    /** P1 + P9: the type filter and JSON flatten, shared verbatim by the
+      * batch build and the Structured Streaming ingest (the expressions
+      * are stateless, so the same plan runs over a streaming source). */
+    def project(events: DataFrame, now: java.time.Instant): DataFrame = {
+      val raw = events
+        .filter(col("event_type") === lit(eventType))
+        .select("transaction_digest", "event_index", "timestamp_ms",
+          "sender", "event_type", "event_json")
+      val extracted = fields.map { f =>
+        val scalar = jsonScalar(col("event_json"), f.path)
+        f.castTo.fold(scalar)(scalar.try_cast).as(f.name)
+      }
+      raw.select(
+        Seq(col("transaction_digest"), col("event_index"), col("timestamp_ms"),
+          col("sender"), col("event_type")) ++ extracted :+
+          lit(java.sql.Timestamp.from(now)).as("updated_at"): _*)
+    }
+
     def build(ctx: RunContext, existing: Option[DataFrame],
               ref: String => DataFrame): DataFrame = {
       val events = ctx.sources("sui.events")
@@ -43,18 +61,7 @@ object EventModels {
         case _ =>
           col("timestamp_ms") >= lit(backfillBoundMs(ctx.now, ctx.backfillDays))
       }
-      val raw = events
-        .filter(col("event_type") === lit(eventType) && bound)
-        .select("transaction_digest", "event_index", "timestamp_ms",
-          "sender", "event_type", "event_json")
-      val extracted = fields.map { f =>
-        val scalar = jsonScalar(col("event_json"), f.path)
-        f.castTo.fold(scalar)(scalar.try_cast).as(f.name)
-      }
-      raw.select(
-        Seq(col("transaction_digest"), col("event_index"), col("timestamp_ms"),
-          col("sender"), col("event_type")) ++ extracted :+
-          lit(java.sql.Timestamp.from(ctx.now)).as("updated_at"): _*)
+      project(events.filter(bound), ctx.now)
     }
   }
 

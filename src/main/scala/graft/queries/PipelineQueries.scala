@@ -109,15 +109,19 @@ object PipelineQueries {
     * without the O(n²) cross join that would be impossible at scale. */
   val d2MinhashLsh: Q = (spark, dir) => {
     val sh = shingled(spark, dir).persist()
-    val sig = sh.withColumn("sig", expr(
-      s"""transform(sequence(0, ${NumHashes - 1}), k ->
-         |  array_min(transform(sh, s ->
-         |    pmod(${sqlLongArray(hashA)}[k] * (xxhash64(s) & ${MinhashP}) +
-         |         ${sqlLongArray(hashB)}[k], ${MinhashP}))))""".stripMargin))
-    val buckets = sig.select(col("doc_id"), posexplode(expr(
-      s"""transform(sequence(0, ${Bands - 1}), b ->
-         |  xxhash64(b, sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))""".stripMargin))
-      .as(Seq("band", "bucket")))
+    // signature via explode + 128 codegen'd min() aggregates — an
+    // order of magnitude faster than per-row higher-order lambdas
+    // (interpreted), and the same map-side-combine shape a cluster wants
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .withColumn("x", expr(s"xxhash64(s) & $MinhashP"))
+    val minAggs = (0 until NumHashes).map(k =>
+      min(pmod(lit(hashA(k)) * col("x") + lit(hashB(k)), lit(MinhashP))).as(s"m$k"))
+    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64(lit(b), col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+        col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
+    val buckets = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bucket")
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -139,35 +143,62 @@ object PipelineQueries {
     * digits of md5 (engine-portable); each bit of the fingerprint is the
     * sign of the ±1 vote sum across tokens. A narrow map-side projection —
     * no shuffle; near-dup lookups then group on fingerprint prefixes. */
-  val d3Simhash: Q = (spark, dir) =>
-    t(spark, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .withColumn("h", expr("transform(w, x -> cast(conv(substring(md5(x),1,15),16,10) as bigint))"))
-      .select(col("doc_id"), expr(
-        """aggregate(
-          |  transform(sequence(0, 59), j ->
-          |    CASE WHEN aggregate(h, 0L, (acc, v) ->
-          |           acc + CASE WHEN (shiftright(v, j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |         THEN shiftleft(1L, j) ELSE 0L END),
-          |  0L, (acc, bit) -> acc + bit)""".stripMargin).as("simhash"))
+  val d3Simhash: Q = (spark, dir) => {
+    // explode words, then 60 codegen'd conditional-sum aggregates (one per
+    // bit) — partial aggregation combines map-side, so the shuffle carries
+    // 60 longs per doc, not the token stream
+    val ex = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      .withColumn("h", expr("cast(conv(substring(md5(word),1,15),16,10) as bigint)"))
+    val bitAggs = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1L).otherwise(-1L)).as(s"b$j"))
+    val fingerprint = (0 until 60)
+      .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"), fingerprint.as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   // ---- D4: n-gram Jaccard similarity join within source groups -------------
 
-  /** Exact word-3-gram Jaccard over pairs co-grouped by `source` — the
-    * blocked (not all-pairs) exact similarity join: candidates are bounded
-    * per block, so the quadratic term is per-group, not global. */
+  /** Exact word-3-gram Jaccard join blocked by `source`, with PPJoin-style
+    * PREFIX FILTERING: order each doc's shingles by global document
+    * frequency (rarest first — one canonical order for all docs) and keep
+    * only the first `n − ⌈t·n⌉ + 1`. Any pair with Jaccard ≥ t provably
+    * shares a shingle inside BOTH prefixes (Chaudhuri et al.), so the
+    * candidate equi-join on (source, prefix-shingle) misses nothing while
+    * pruning the high-frequency shingles that would otherwise make the
+    * inverted-index join quadratic. Candidates are then verified with the
+    * exact intersect/union — output identical to all-pairs, cost
+    * proportional to true near-dups. */
   val d4NgramJaccard: Q = (spark, dir) => {
+    val thr = 0.3
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
-    val sh = shingled(spark, dir)
-    val withSrc = docs.join(sh, "doc_id")
-    val a = withSrc.select(col("source"), col("doc_id").as("a_id"), col("sh").as("sa"))
-    val b = withSrc.select(col("source").as("src_b"), col("doc_id").as("b_id"), col("sh").as("sb"))
-    a.join(b, col("source") === col("src_b") && col("a_id") < col("b_id"))
+    val sh = shingled(spark, dir).join(docs, "doc_id")
+      .select(col("source"), col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .persist()
+    val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("s"))
+      .select(col("source"), col("doc_id"), col("n"), xxhash64(col("s")).as("sid"))
+    val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    val prefix = ex.join(dfreq, "sid")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      .filter(col("rk") <= col("n") - ceil(col("n") * lit(thr)) + 1)
+      .select(col("source"), col("doc_id"), col("sid"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.source") === col("y.source") && col("x.sid") === col("y.sid") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.source").as("source"),
+        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
       .select(col("source"), col("a_id"), col("b_id"),
         round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
           size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.3)
+      .filter(col("jaccard") >= thr)
       .orderBy(col("source"), col("a_id"), col("b_id"))
   }
 

@@ -151,7 +151,7 @@ object RelationalQueries {
 
   /** The 4-way volume alignment (`fct_...daily.sql:78-90`). */
   val j2FojChain: Q = (spark, dir) => {
-    val ev = t(spark, dir, "events")
+    val ev = t(spark, dir, "events").persist() // four agg branches share it
     def agg(et: String, out: String): DataFrame = ev
       .filter(col("event_type") === et)
       .groupBy(to_date(col("ts")).as("event_date"),
@@ -195,7 +195,7 @@ object RelationalQueries {
   /** `upper(symbol) = upper(coin_symbol)` price join (`fct_...daily.sql:206-208`)
     * against a last-per-day dedup (`:121-135`). */
   val j4ExprKeyJoin: Q = (spark, dir) => {
-    val ev = t(spark, dir, "events")
+    val ev = t(spark, dir, "events").persist() // volume + price branches share it
     val daily = ev.groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
       .agg(dsum(col("value")).as("volume"))
     val priceW = Window.partitionBy(to_date(col("ts")), upper(col("event_type")))
@@ -378,9 +378,12 @@ object RelationalQueries {
     * stand-in — 4 volume aggs → FOJ chain → window-deduped EOD state →
     * price join with peg CASE → lag deltas → final sort. */
   val fctDailyStandin: Q = (spark, dir) => {
+    // seven branches (4 volume aggs, EOD state, prices, base) share this
+    // scan — persist it once; Bench clears the cache between queries
     val ev = t(spark, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .withColumn("pool_id", col("user_id") % 3)
+      .persist()
 
     // group keys re-derived per aggregate: four branches of one source must
     // not share attribute ids or the FOJ join conditions become ambiguous

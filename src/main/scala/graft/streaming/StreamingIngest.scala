@@ -1,0 +1,56 @@
+package graft.streaming
+
+import graft.incremental.SnapshotStore
+import graft.models.EventModels.EventModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import java.time.Instant
+
+/** Structured Streaming variants of the incremental protocol (§2.9).
+  *
+  * The reference's incremental runs are micro-batches; Structured
+  * Streaming gives the same semantics continuously:
+  *  - [[ingest]] = the event-extractor path (`deepbook_margin_*.sql`):
+  *    `readStream` → the SAME projection the batch model uses →
+  *    `foreachBatch` → [[SnapshotStore.merge]]. The merge-on-key sink
+  *    makes redelivered and late rows idempotent upserts — exactly the
+  *    dbt `incremental_strategy='merge'` contract, so no watermark-based
+  *    dedup state is needed for the stateless extract.
+  *  - [[dailyVolumes]] = the A1 daily-aggregate shape as a watermarked
+  *    tumbling window: late events beyond the allowed lateness are
+  *    dropped by the engine; within it, updated aggregates flow to the
+  *    sink (the batch fct's 7-day lookback is the same revision window,
+  *    expressed with state instead of recomputation).
+  *
+  * Scale notes: foreachBatch merges are partition-scoped (only dates in
+  * the micro-batch rewrite); watermark state is bounded by
+  * (#keys × allowed lateness), not by stream length.
+  */
+object StreamingIngest {
+
+  /** Continuous ingest of one event model into its snapshot table. */
+  def ingest(model: EventModel, streamingEvents: DataFrame, root: String,
+             checkpointDir: String, now: Instant): StreamingQuery =
+    model.project(streamingEvents, now)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SnapshotStore.merge(batch.sparkSession, root, batch,
+          model.uniqueKey, model.partitionDate)
+      }
+      .start()
+
+  /** Watermarked tumbling daily aggregate over a raw event stream:
+    * `sum(value) group by (1-day window, event_type)` with `lateness`
+    * allowed out-of-order arrival (§2.9 "window re-aggregation"). */
+  def dailyVolumes(streamingEvents: DataFrame, valueExpr: String,
+                   lateness: String = "2 days"): DataFrame =
+    streamingEvents
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 day").as("day"), col("event_type"))
+      .agg(sum(expr(valueExpr)).as("volume"), count(lit(1)).as("n_events"))
+      .select(to_date(col("day.start")).as("snapshot_date"),
+        col("event_type"), col("volume"), col("n_events"))
+}

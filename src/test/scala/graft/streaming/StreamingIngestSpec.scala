@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.fixtures.DeepbookFixtures
+import graft.incremental.SnapshotStore
+import graft.models.EventModels
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.Sources
+import java.nio.file.Files
+
+/** §2.9 streaming semantics: the foreachBatch merge ingest is idempotent
+  * under redelivery and converges to the batch projection; the
+  * watermarked daily window aggregates match the batch group-by. */
+class StreamingIngestSpec extends SparkSpec {
+
+  private val model = EventModels.loanBorrowed
+  private lazy val fixtureEvents =
+    DeepbookFixtures.events(spark).collect().toSeq
+
+  private def rowStream(): MemoryStream[Row] = {
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+    new MemoryStream[Row](42, spark)
+  }
+
+  test("streaming ingest: merge sink converges to the batch projection, dedup under redelivery") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val input = rowStream()
+    val q = StreamingIngest.ingest(model, input.toDF(), root, ckpt, DeepbookFixtures.now)
+    try {
+      val (early, late) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      input.addData(early)
+      q.processAllAvailable()
+      // redeliver an overlap plus the remainder — merge must dedup
+      input.addData(early.takeRight(10) ++ late)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = SnapshotStore.read(spark, root).get
+      .drop("updated_at").collect().map(_.toSeq.map(String.valueOf)).toSet
+    val batch = model
+      .project(DeepbookFixtures.events(spark), DeepbookFixtures.now)
+      .drop("updated_at").collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(streamed == batch)
+  }
+
+  test("watermarked daily window aggregate matches the batch group-by") {
+    val input = rowStream()
+    val agg = StreamingIngest.dailyVolumes(input.toDF(),
+      "try_cast(get_json_object(event_json, '$.loan_amount') as double)")
+    val q = agg.writeStream.format("memory").queryName("daily_vol")
+      .outputMode("complete").start()
+    try {
+      input.addData(fixtureEvents)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("daily_vol")
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    val batch = DeepbookFixtures.events(spark)
+      .groupBy(to_date(timestamp_millis(col("timestamp_ms"))).as("snapshot_date"),
+        col("event_type"))
+      .agg(sum(expr("try_cast(get_json_object(event_json, '$.loan_amount') as double)"))
+        .as("volume"), count(lit(1)).as("n_events"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(streamed == batch)
+  }
+}
