@@ -47,8 +47,13 @@ trait Model {
 /** E1: the dbt DAG runner. Models run in the given (topological) order;
   * each output is merged into its table via [[SnapshotStore]] and becomes
   * available to downstream models through `ref` — exactly dbt's
-  * `ref()`/`source()` contract (`SURVEY.md §3 E1`). */
-final class Runner(root: String, models: Seq[Model]) {
+  * `ref()`/`source()` contract (`SURVEY.md §3 E1`).
+  *
+  * `maintenance = true` reproduces the prod post-hooks: S8 OPTIMIZE
+  * (file compaction, `macros/dune_dbt_overrides/optimize_table.sql:1-5`)
+  * and S9 VACUUM (retention, `vacuum_table.sql:1-5`) after each model
+  * build — off by default like the reference's dev target. */
+final class Runner(root: String, models: Seq[Model], maintenance: Boolean = false) {
 
   def tableDir(name: String): String = s"$root/$name"
 
@@ -64,6 +69,10 @@ final class Runner(root: String, models: Seq[Model]) {
           SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
             sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
       SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionDate)
+      if (maintenance) {
+        SnapshotStore.optimize(ctx.spark, dir)
+        SnapshotStore.vacuum(dir)
+      }
       built(m.name) = SnapshotStore.read(ctx.spark, dir).get
     }
     built.toMap

@@ -8,5 +8,7 @@ import graft.incremental.{Model, Runner}
   */
 object DeepbookPipeline {
   val models: Seq[Model] = EventModels.all ++ Seq(PoolObjectStg, PoolDailyFct)
-  def runner(root: String): Runner = new Runner(root, models)
+  /** `maintenance` = prod target's optimize/vacuum post-hooks. */
+  def runner(root: String, maintenance: Boolean = false): Runner =
+    new Runner(root, models, maintenance)
 }

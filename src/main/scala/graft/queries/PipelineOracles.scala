@@ -162,6 +162,19 @@ object PipelineOracles {
                   ELSE md5(canon) END AS fp_window_min
       FROM w ORDER BY doc_id""",
 
+    "m2_frame_sample" -> """
+      WITH d AS (SELECT doc_id, text, n_chars,
+                        CAST(1 + n_chars % 8 AS INT) AS n_frames
+                 FROM documents),
+      f AS (SELECT doc_id, n_frames, text, n_chars,
+                   unnest(range(0, n_frames)) AS frame_idx
+            FROM d)
+      SELECT doc_id, frame_idx, n_frames,
+             CAST(floor(frame_idx * n_chars / n_frames) AS INT) + 1 AS frame_off,
+             md5(substring(text, CAST(floor(frame_idx * n_chars / n_frames) AS INT) + 1, 32))
+               AS frame_md5
+      FROM f ORDER BY doc_id, frame_idx""",
+
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

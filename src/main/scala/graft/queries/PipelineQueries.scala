@@ -360,7 +360,26 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- M2: frame sampling (one row per sampled frame) ----------------------
+
+  /** Frame-sample plumbing: each payload yields `1 + n_chars % 8` evenly
+    * spaced frames via a generator (explode over a per-row sequence) —
+    * the row-shape a video/audio frame extractor produces. The "decode"
+    * is a deterministic window digest (no codec libs in this container);
+    * offsets/fan-out/ordering are the real, oracle-checked part. */
+  val m2FrameSample: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("n_frames", (lit(1) + pmod(col("n_chars"), lit(8))).cast(IntegerType))
+      .select(col("doc_id"), col("text"), col("n_chars"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .withColumn("frame_off",
+        (floor(col("frame_idx") * col("n_chars") / col("n_frames")) + 1).cast(IntegerType))
+      .select(col("doc_id"), col("frame_idx"), col("n_frames"), col("frame_off"),
+        md5(expr("substring(text, frame_off, 32)")).as("frame_md5"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   val all: Map[String, Q] = Map(
+    "m2_frame_sample" -> m2FrameSample,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
