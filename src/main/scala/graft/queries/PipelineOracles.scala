@@ -20,6 +20,11 @@ object PipelineOracles {
     AnnPlanes.map(p => p.map(d => BigDecimal(d).bigDecimal.toPlainString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** DuckDB list literal of the near-dup tables×planes×dims. */
+  private val duckNdPlanes: String =
+    NdPlanes.map(t => t.map(p => p.map(d => BigDecimal(d).bigDecimal.toPlainString)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")).mkString("[", ",", "]")
+
   private val shingleCte =
     """docs AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
       |          FROM documents),
@@ -76,6 +81,24 @@ object PipelineOracles {
                      / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
         FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) t
       WHERE jaccard >= 0.3 ORDER BY source, a_id, b_id""",
+
+    "d5_embedding_neardup" -> s"""
+      WITH $embCte,
+      pl AS (SELECT $duckNdPlanes AS planes),
+      bk AS (SELECT n.vec_id, t.tbl,
+                    list_sum([CASE WHEN list_sum(list_transform(range(1, len(n.v)+1),
+                                i -> n.v[i] * planes[t.tbl+1][j+1][i])) > 0
+                              THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                              for j in range(0, ${NdBits})])::BIGINT AS bucket
+             FROM n, pl, (SELECT unnest(range(0, ${NdTables})) AS tbl) t),
+      cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+               FROM bk x JOIN bk y
+                 ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
+      s AS (SELECT c.a_id, c.b_id,
+                   round(list_sum(list_transform(range(1, len(a.v)+1),
+                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+            FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id)
+      SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.3 ORDER BY a_id, b_id""",
 
     "v1_cosine_topk" -> s"""
       WITH $embCte,

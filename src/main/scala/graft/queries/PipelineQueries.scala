@@ -57,6 +57,14 @@ object PipelineQueries {
   val AnnPlanes: Seq[Seq[Double]] =
     (0 until 8).map(j => lcg(0x91A0000L + j, 64).map(v => ((v % 1000001L) - 500000L) / 1e6))
 
+  /** 4 independent LSH tables × 6 hyperplanes for the near-dup pair miner
+    * (multiple small tables trade bucket selectivity for recall). */
+  val NdTables = 4
+  val NdBits = 6
+  val NdPlanes: Seq[Seq[Seq[Double]]] =
+    (0 until NdTables).map(t => (0 until NdBits).map(j =>
+      lcg(0xA11CE00L + t * 16 + j, 64).map(v => ((v % 1000001L) - 500000L) / 1e6)))
+
   private def sqlDouble(d: Double): String = BigDecimal(d).bigDecimal.toPlainString
   private def sqlLongArray(xs: Seq[Long]): String = xs.mkString("array(", ",", ")")
   private def sqlPlaneArray: String =
@@ -257,6 +265,45 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
+
+  /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
+    * a sign-LSH bucket in ANY of [[NdTables]] independent tables (explode
+    * table buckets → equi-join — never an all-pairs product), verified with
+    * exact cosine ≥ 0.3. The planes are fixed literals, so the bucketing —
+    * and therefore the result — is reproduced exactly by the oracle; the
+    * brute-force v1 path remains the recall baseline. */
+  val d5EmbeddingNeardup: Q = (spark, dir) => {
+    val planeSql = NdPlanes.map(t => t.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")).mkString("array(", ",", ")")
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+      .persist()
+    val buckets = e.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${NdTables - 1}), t ->
+         |  aggregate(transform(sequence(0, ${NdBits - 1}), j ->
+         |    CASE WHEN aggregate(zip_with(v, ${planeSql}[t][j], (x,y) -> x*y),
+         |                        0D, (a,x) -> a+x) > 0D
+         |         THEN shiftleft(1L, j) ELSE 0L END),
+         |    0L, (acc, bit) -> acc + bit))""".stripMargin)))
+      .toDF("vec_id", "tbl", "bucket")
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
+      .distinct()
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("cosine",
+        round(expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (a,x) -> a+x)")
+          / (col("na") * col("nb")), 6))
+      .filter(col("cosine") >= 0.3)
+      .select(col("a_id"), col("b_id"), col("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- T1: text statistics + quality score ---------------------------------
 
   val t1TextStats: Q = (spark, dir) =>
@@ -384,6 +431,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "t1_text_stats" -> t1TextStats,
