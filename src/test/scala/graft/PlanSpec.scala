@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.RelationalQueries
+
+/** Physical-plan regression net: pins the plan properties the engine is
+  * designed around (SCALE.md §6) so they can't silently regress —
+  * predicate pushdown to parquet, broadcast star joins, and the bounded
+  * exchange count of the two-phase top-k. */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def planOf(q: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): String =
+    q(spark, sf).queryExecution.executedPlan.toString
+
+  test("s1: the event_type equality filter is pushed to the parquet scan") {
+    val p = planOf(RelationalQueries.s1EventScan)
+    assert(p.contains("EqualTo(event_type,purchase)"), p.take(800))
+  }
+
+  test("q1: the shipdate bound is pushed to the parquet scan") {
+    val p = planOf(RelationalQueries.q1PricingSummary)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p.take(800))
+  }
+
+  test("q5: executes as a broadcast star — 5 broadcast joins, fact side never shuffles pre-agg") {
+    val p = planOf(RelationalQueries.q5RegionRevenue)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts == 5, s"expected 5 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"), "star join must not sort-merge at this scale")
+  }
+
+  test("o2: two-phase top-k keeps exactly its three planned exchanges") {
+    val p = planOf(RelationalQueries.o2TopkPerGroup)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length +
+      "Exchange rangepartitioning".r.findAllIn(p).length
+    assert(exchanges == 3, s"salted window + global window + final sort = 3, got $exchanges\n${p.take(1200)}")
+  }
+
+  test("s5: the 5-row seed joins by broadcast, never a shuffle") {
+    val p = planOf(RelationalQueries.s5SeedJoin)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}
