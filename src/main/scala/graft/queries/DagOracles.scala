@@ -144,7 +144,13 @@ object DagOracles {
   private def dod(x: String): String =
     s"$x - lag($x) OVER (PARTITION BY p.margin_pool_id ORDER BY p.snapshot_date)"
 
-  private val fctOracle = {
+  private def fctOracle(includeLags: Boolean) = {
+    val lagSelect = if (includeLags)
+      s"""${dod("p.total_supply_normalized")} AS daily_supply_change,
+         |             ${dod("p.total_borrow_normalized")} AS daily_borrow_change,
+         |             ${dod("p.utilization_rate")} AS daily_utilization_change,
+         |             """.stripMargin
+    else ""
     val sup = eventBody(EventModels.assetSupplied)
     val wdr = eventBody(EventModels.assetWithdrawn)
     val bor = eventBody(EventModels.loanBorrowed)
@@ -204,10 +210,7 @@ object DagOracles {
        |             (${normVol("v.withdraw_volume")}) * ($pegSql) AS daily_withdraw_volume_usd,
        |             (${normVol("v.borrow_volume")}) * ($pegSql) AS daily_borrow_volume_usd,
        |             (${normVol("v.repay_volume")}) * ($pegSql) AS daily_repay_volume_usd,
-       |             ${dod("p.total_supply_normalized")} AS daily_supply_change,
-       |             ${dod("p.total_borrow_normalized")} AS daily_borrow_change,
-       |             ${dod("p.utilization_rate")} AS daily_utilization_change,
-       |             p.asset_type
+       |             ${lagSelect}p.asset_type
        |      FROM p
        |      LEFT JOIN v ON v.snapshot_date = p.snapshot_date
        |                 AND v.margin_pool_id = p.margin_pool_id
@@ -221,5 +224,8 @@ object DagOracles {
       s"dag_${m.name.stripPrefix("deepbook_margin_")}" -> eventOracle(m)).toMap ++
       Map(
         "dag_stg_pool_object" -> stgOracle,
-        "dag_fct_pool_daily" -> fctOracle)
+        "dag_fct_pool_daily" -> fctOracle(includeLags = true),
+        // lag columns excluded: the reference's own incremental runs
+        // re-NULL them at the lookback boundary (see DagQueries)
+        "dag_fct_incremental" -> fctOracle(includeLags = false))
 }

@@ -1,9 +1,11 @@
 package graft.queries
 
+import graft.Sources
 import graft.fixtures.DeepbookFixtures
-import graft.incremental.{RunContext, RunMode}
-import graft.models.{EventModels, PoolDailyFct, PoolObjectStg}
+import graft.incremental.{RunContext, RunMode, SnapshotStore}
+import graft.models.{DeepbookPipeline, EventModels, PoolDailyFct, PoolObjectStg}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The REAL DeepBook model DAG run full-refresh over the deterministic
   * fixtures (`/root/repo/fixtures`), exposed as oracle-checkable driver
@@ -51,10 +53,38 @@ object DagQueries {
       .orderBy("snapshot_date", "margin_pool_id")
   }
 
+  /** The DAG run INCREMENTALLY — two watermarked batches through the real
+    * Runner + partition-scoped merge sink (S6/P3/P5/§2.9) — emitting the
+    * final fct. Oracle = the declarative fct recomputation, minus the
+    * `daily_*_change` lag columns, which the reference itself re-NULLs at
+    * the lookback-window boundary on every incremental run (see
+    * PoolDailyFct scaladoc + IncrementalEquivSpec); everything else must
+    * match the full-refresh result exactly. Puts the merge protocol
+    * itself inside the driver's correctness gate. */
+  val fctIncrementalQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val cutoffMs = java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
+    val slice = Sources { name =>
+      val df = full(name)
+      val tsCol = if (name == "prices.day") unix_millis(col("timestamp"))
+                  else col("timestamp_ms")
+      df.filter(tsCol <= cutoffMs)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-daginc").toString
+    val runner = DeepbookPipeline.runner(root)
+    runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
+    runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))
+    SnapshotStore.read(spark, s"$root/${PoolDailyFct.name}").get
+      .drop("updated_at",
+        "daily_supply_change", "daily_borrow_change", "daily_utilization_change")
+      .orderBy("snapshot_date", "margin_pool_id")
+  }
+
   private def shortName(full: String): String =
     full.stripPrefix("deepbook_margin_")
 
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
-      Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ)
+      Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
+        "dag_fct_incremental" -> fctIncrementalQ)
 }
