@@ -1,6 +1,7 @@
 package graft.models
 
-import graft.incremental.{Model, Runner}
+import graft.incremental.{Model, Runner, SnapshotStore}
+import org.apache.spark.sql.SparkSession
 
 /** The reference's model DAG in topological order (SURVEY.md §0):
   * 5 event extractors + object staging (roots) → daily fact (leaf).
@@ -11,4 +12,13 @@ object DeepbookPipeline {
   /** `maintenance` = prod target's optimize/vacuum post-hooks. */
   def runner(root: String, maintenance: Boolean = false): Runner =
     new Runner(root, models, maintenance)
+
+  /** E3 (SURVEY §3): register every materialized model as a temp view so
+    * `spark.sql` serves the same ad-hoc consumption queries the reference
+    * runs on Dune (`README.md:77-120`). */
+  def registerViews(spark: SparkSession, root: String): Unit =
+    models.foreach { m =>
+      SnapshotStore.read(spark, s"$root/${m.name}")
+        .foreach(_.createOrReplaceTempView(m.name))
+    }
 }

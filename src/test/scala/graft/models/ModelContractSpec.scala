@@ -13,11 +13,18 @@ import java.nio.file.Files
   * relies on but never tests) and golden spot-checks of the daily fact. */
 class ModelContractSpec extends SparkSpec {
 
-  private lazy val tables: Map[String, DataFrame] = {
+  private lazy val dagRoot: String = {
     val root = Files.createTempDirectory("graft-dag").toString
     val ctx = RunContext(spark, DeepbookFixtures.sources(spark),
       RunMode.FullRefresh, DeepbookFixtures.now)
     DeepbookPipeline.runner(root).run(ctx)
+    root
+  }
+  private lazy val tables: Map[String, DataFrame] = {
+    val root = dagRoot
+    DeepbookPipeline.models
+      .map(m => m.name -> graft.incremental.SnapshotStore.read(spark, s"$root/${m.name}").get)
+      .toMap
   }
 
   /** `schema.yml` not_null column sets (line-ranges per model in §5). */
@@ -68,6 +75,24 @@ class ModelContractSpec extends SparkSpec {
     assert(fct.filter(col("margin_pool_id") === "0xpool03mys" &&
       col("snapshot_date") === lit(java.sql.Date.valueOf("2026-01-04")))
       .select("utilization_rate").head().getDouble(0) == 0.0)
+  }
+
+  test("E3: ad-hoc consumption SQL over registered views (README.md:77-120 shapes)") {
+    DeepbookPipeline.registerViews(spark, dagRoot)
+    // TVL-style rollup over the daily fact
+    val tvl = spark.sql("""
+      SELECT coin_symbol, round(sum(total_supply_usd), 2) AS tvl_usd
+      FROM fct_deepbook_margin_pool_daily
+      WHERE snapshot_date = DATE '2026-01-10'
+      GROUP BY coin_symbol ORDER BY tvl_usd DESC""")
+    assert(tvl.count() == 4)
+    // loan activity over the raw event model (from_unixtime + 1e6 scaling)
+    val loans = spark.sql("""
+      SELECT date(from_unixtime(timestamp_ms / 1000)) AS day,
+             round(sum(loan_amount) / 1e6, 2) AS borrowed_m
+      FROM deepbook_margin_loan_borrowed
+      GROUP BY 1 ORDER BY 1""")
+    assert(loans.count() == 10)
   }
 
   test("events older than the 30-day backfill bound are excluded") {
