@@ -36,7 +36,12 @@ object Bench {
     // isn't charged for classloading and whole-stage-codegen compilation.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // dag_fct_incremental is a pipeline-protocol check (two full DAG runs
+    // through the disk-based merge sink — ~14 write/read cycles of fixed
+    // overhead on tiny fixtures), not a query; it stays in the
+    // correctness gate but would only measure sink fsync here.
+    val results = (SparkEntry.queries - "dag_fct_incremental")
+      .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
