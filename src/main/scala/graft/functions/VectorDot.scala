@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** `vector_dot(a, b)` — the dot product of two double arrays as a native
+  * Catalyst expression with whole-stage codegen.
+  *
+  * Motivation (the one place built-ins genuinely fall short): the
+  * embedding similarity operators need `Σ aᵢ·bᵢ` in their innermost
+  * loop, and Spark's higher-order functions (`aggregate(zip_with(...))`)
+  * are INTERPRETED — every element allocates lambda-variable slots.
+  * This expression generates a tight Java `for` loop inside the stage,
+  * keeping the cosine math in compiled code. Summation is sequential
+  * ascending-index — bit-identical to the left-fold the oracle mirrors.
+  *
+  * Elements are assumed non-null (embeddings are dense); a null array
+  * yields null via the default null-safe path.
+  */
+case class VectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"vector_dot expects (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vector_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Register `vector_dot` in the session's function registry (idempotent)
+    * so `expr("vector_dot(a, b)")` resolves — the per-session equivalent
+    * of [[GraftExtensions]] for sessions built without the extensions
+    * config (e.g. the driver-contract queries, which receive the session). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+}
+
+/** `spark.sql.extensions`-style injection:
+  * {{{
+  * SparkSession.builder().config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}} */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorDot].getCanonicalName, "vector_dot"),
+      (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+}

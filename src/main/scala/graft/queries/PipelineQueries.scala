@@ -221,17 +221,17 @@ object PipelineQueries {
     * top-k via per-query window. All math in double with a fixed
     * left-to-right summation so the oracle reproduces it exactly. */
   val v1CosineTopk: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
-        round(expr("aggregate(zip_with(v, qv, (x,y) -> x*y), 0D, (a,x) -> a+x)")
-          / (col("nrm") * col("qn")), 6))
+        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
@@ -246,13 +246,13 @@ object PipelineQueries {
     * literals, so buckets — and therefore results — are reproducible in
     * the oracle. */
   val v2AnnLsh: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
       .withColumn("bucket", expr(
         s"""aggregate(transform(sequence(0, 7), j ->
-           |  CASE WHEN aggregate(zip_with(v, ${sqlPlaneArray}[j], (x,y) -> x*y),
-           |                      0D, (a,x) -> a+x) > 0D
+           |  CASE WHEN vector_dot(v, cast(${sqlPlaneArray}[j] as array<double>)) > 0D
            |       THEN shiftleft(1L, j) ELSE 0L END),
            |  0L, (acc, bit) -> acc + bit)""".stripMargin))
     val q = e.filter(col("vec_id") < 5)
@@ -261,8 +261,7 @@ object PipelineQueries {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
       .withColumn("cosine",
-        round(expr("aggregate(zip_with(v, qv, (x,y) -> x*y), 0D, (a,x) -> a+x)")
-          / (col("nrm") * col("qn")), 6))
+        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
@@ -278,17 +277,17 @@ object PipelineQueries {
     * and therefore the result — is reproduced exactly by the oracle; the
     * brute-force v1 path remains the recall baseline. */
   val d5EmbeddingNeardup: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val planeSql = NdPlanes.map(t => t.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")).mkString("array(", ",", ")")
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(transform(v, x -> x*x), 0D, (a,x) -> a+x))"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
       .persist()
     val buckets = e.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${NdTables - 1}), t ->
          |  aggregate(transform(sequence(0, ${NdBits - 1}), j ->
-         |    CASE WHEN aggregate(zip_with(v, ${planeSql}[t][j], (x,y) -> x*y),
-         |                        0D, (a,x) -> a+x) > 0D
+         |    CASE WHEN vector_dot(v, cast(${planeSql}[t][j] as array<double>)) > 0D
          |         THEN shiftleft(1L, j) ELSE 0L END),
          |    0L, (acc, bit) -> acc + bit))""".stripMargin)))
       .toDF("vec_id", "tbl", "bucket")
@@ -301,8 +300,7 @@ object PipelineQueries {
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, "a_id").join(b, "b_id")
       .withColumn("cosine",
-        round(expr("aggregate(zip_with(va, vb, (x,y) -> x*y), 0D, (a,x) -> a+x)")
-          / (col("na") * col("nb")), 6))
+        round(expr("vector_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The custom codegen'd expression: both evaluation paths (interpreted
+  * eval and whole-stage codegen), null handling, registration surfaces,
+  * and bit-identity with the left-fold it replaced. */
+class VectorDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+    (2L, Seq(0.5, -0.5), Seq(2.0, 2.0))).toDF("id", "a", "b")
+
+  test("vector_dot computes Σ aᵢ·bᵢ (codegen path)") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = df.select(col("id"), expr("vector_dot(a, b)").as("d"))
+      .orderBy("id").as[(Long, Double)].collect()
+    assert(r.toSeq == Seq((1L, 32.0), (2L, 0.0)))
+  }
+
+  test("interpreted eval matches codegen") {
+    GraftFunctions.ensureRegistered(spark)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val r = df.select(expr("vector_dot(a, b)")).as[Double].collect()
+      assert(r.toSeq == Seq(32.0, 0.0))
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+
+  test("null array yields null; result is bit-identical to the HOF left-fold") {
+    GraftFunctions.ensureRegistered(spark)
+    val withNull = Seq((Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))
+      .toDF("a", "b")
+    assert(withNull.select(expr("vector_dot(a, b)")).head().isNullAt(0))
+    // identical summation order → identical doubles vs aggregate(zip_with)
+    val vecs = Seq((Seq.tabulate(64)(i => math.sin(i) * 0.1),
+      Seq.tabulate(64)(i => math.cos(i) * 0.2))).toDF("a", "b")
+    val native = vecs.select(expr("vector_dot(a, b)")).as[Double].head()
+    val hof = vecs.select(
+      expr("aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)"))
+      .as[Double].head()
+    assert(native == hof) // exact equality, not approximate
+  }
+
+  test("GraftExtensions wires the function builder into SparkSessionExtensions") {
+    // A second SparkSession can't exist in this JVM (the suite shares one),
+    // so exercise the injector surface directly; the functional behavior
+    // of the registered builder is covered by the tests above.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must wire without throwing
+  }
+}
