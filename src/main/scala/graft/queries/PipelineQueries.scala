@@ -121,9 +121,9 @@ object PipelineQueries {
     * without the O(n²) cross join that would be impossible at scale. */
   val d2MinhashLsh: Q = (spark, dir) => {
     val sh = shingled(spark, dir).persist()
-    // signature via explode + 128 codegen'd min() aggregates — an
-    // order of magnitude faster than per-row higher-order lambdas
-    // (interpreted), and the same map-side-combine shape a cluster wants
+    // signature via explode + 64 codegen'd min() aggregates — an order of
+    // magnitude faster than per-row higher-order lambdas (interpreted),
+    // and the same map-side-combine shape a cluster wants
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .withColumn("x", expr(s"xxhash64(s) & $MinhashP"))
     val minAggs = (0 until NumHashes).map(k =>
