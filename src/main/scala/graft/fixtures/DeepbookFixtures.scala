@@ -194,14 +194,25 @@ object DeepbookFixtures {
     prices(spark).coalesce(1).write.mode("overwrite").parquet(s"$dir/prices_day.parquet")
   }
 
+  /** Content digest of the generated rows — stored in the marker so an
+    * edit to any generator forces regeneration of the committed parquet
+    * (existence-only markers let generator code and files drift apart). */
+  def contentDigest: String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (eventRows ++ objectRows ++ priceRows)
+      .foreach(r => md.update(r.mkString("|").getBytes("UTF-8")))
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** Idempotently materialize the fixtures at [[fixturesDir]] (the path the
     * oracle SQL reads) and return a file-backed resolver over them. */
   def ensureWritten(spark: SparkSession): Sources = synchronized {
     val marker = Paths.get(fixturesDir, "_FIXTURES_OK")
-    if (!Files.exists(marker)) {
+    val digest = contentDigest
+    if (!Files.exists(marker) || Files.readString(marker).trim != digest) {
       writeTo(spark, fixturesDir)
       Files.createDirectories(marker.getParent)
-      Files.writeString(marker, now.toString)
+      Files.writeString(marker, digest)
     }
     Sources.sui(spark, fixturesDir)
   }

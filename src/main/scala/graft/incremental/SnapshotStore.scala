@@ -73,10 +73,18 @@ object SnapshotStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Directory value Spark uses for a null partition key. */
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private def withList[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** `_dt=<value>` partition directories of a snapshot. */
   private def partitionDirs(snapDir: Path): Seq[(String, Path)] =
     if (!Files.isDirectory(snapDir)) Seq.empty
-    else Files.list(snapDir).iterator().asScala.toSeq
+    else withList(snapDir)(_.toSeq)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$PartCol="))
       .map(p => (p.getFileName.toString.stripPrefix(s"$PartCol="), p))
       .sortBy(_._1)
@@ -86,7 +94,8 @@ object SnapshotStore {
     * O(files) metadata work and zero data movement. */
   private def linkInto(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
-    Files.walk(src).iterator().asScala
+    val walk = Files.walk(src)
+    try walk.iterator().asScala
       .filter(Files.isRegularFile(_))
       .filterNot { p =>
         val n = p.getFileName.toString
@@ -98,6 +107,7 @@ object SnapshotStore {
         Files.createDirectories(target.getParent)
         Files.createLink(target, p)
       }
+    finally walk.close()
   }
 
   private def writeSnapshot(root: String, df: DataFrame, partitioned: Boolean,
@@ -147,28 +157,44 @@ object SnapshotStore {
       case (Some(c), Some(pd)) =>
         val snapDir = Paths.get(root, c)
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
-        // The touched-partition list is tiny (bounded by the lookback /
-        // backfill window — days, not rows); collecting it to the driver is
-        // the same metadata-sized step a table format's commit log does.
-        val touched = batchP.select(PartCol).distinct().collect()
-          .map(_.getString(0)).toSet
-        val (affectedDirs, untouchedDirs) =
-          partitionDirs(snapDir).partition { case (v, _) => touched(v) }
-        // Read ONLY touched partitions (explicit file-level pruning).
-        val affectedOld = affectedDirs.map { case (v, p) =>
-          spark.read.parquet(p.toString).withColumn(PartCol, lit(v))
-        }.reduceOption(_ unionByName _)
-        val out = affectedOld match {
-          case None => batchP
-          case Some(old) =>
-            val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
-            batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
+        if (partitionDirs(snapDir).isEmpty) {
+          // Migration path: the live snapshot is unpartitioned (e.g.
+          // bootstrapped without a partitionDate). A dir-scoped merge
+          // would see zero `_dt=` dirs and silently drop every prior
+          // row — instead fall back to one whole-table rewrite that
+          // PRODUCES the partitioned layout; subsequent merges are
+          // partition-scoped.
+          val prev = spark.read.parquet(snapDir.toString)
+          val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
+            .withColumn(PartCol, pd.cast(StringType))
+          val merged = batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
+          publish(root, writeSnapshot(root, merged, partitioned = true, compactTo))
+        } else {
+          // The touched-partition list is tiny (bounded by the lookback /
+          // backfill window — days, not rows); collecting it to the driver
+          // is the same metadata-sized step a table format's commit log
+          // does. A null date lands in Spark's null-partition dir.
+          val touched = batchP.select(PartCol).distinct().collect()
+            .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
+          val (affectedDirs, untouchedDirs) =
+            partitionDirs(snapDir).partition { case (v, _) => touched(v) }
+          // Read ONLY touched partitions (explicit file-level pruning).
+          val affectedOld = affectedDirs.map { case (v, p) =>
+            val dtVal = if (v == NullPart) lit(null).cast(StringType) else lit(v)
+            spark.read.parquet(p.toString).withColumn(PartCol, dtVal)
+          }.reduceOption(_ unionByName _)
+          val out = affectedOld match {
+            case None => batchP
+            case Some(old) =>
+              val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
+              batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
+          }
+          val snap = writeSnapshot(root, out, partitioned = true, compactTo)
+          untouchedDirs.foreach { case (v, p) =>
+            linkInto(p, Paths.get(root, snap, s"$PartCol=$v"))
+          }
+          publish(root, snap)
         }
-        val snap = writeSnapshot(root, out, partitioned = true, compactTo)
-        untouchedDirs.foreach { case (v, p) =>
-          linkInto(p, Paths.get(root, snap, s"$PartCol=$v"))
-        }
-        publish(root, snap)
     }
   }
 
@@ -180,13 +206,20 @@ object SnapshotStore {
              compactTo: Option[Int] = None): Unit = {
     Files.createDirectories(Paths.get(root))
     val cur = currentSnapshot(root)
-    val partitioned = partitionDate.isDefined ||
-      cur.exists(c => partitionDirs(Paths.get(root, c)).nonEmpty)
+    // Mixing layouts in one snapshot is unreadable (flat files next to
+    // `_dt=` dirs ⇒ "conflicting directory structures"), and writing flat
+    // into a partitioned table would partitionBy a missing column — fail
+    // fast instead of corrupting the table.
+    val curPartitioned = cur.exists(c => partitionDirs(Paths.get(root, c)).nonEmpty)
+    require(cur.isEmpty || curPartitioned == partitionDate.isDefined,
+      s"append layout mismatch at $root: table is " +
+        s"${if (curPartitioned) "partitioned" else "flat"} but partitionDate is " +
+        s"${if (partitionDate.isDefined) "set" else "absent"}")
     val out = partitionDate match {
       case Some(pd) => batch.withColumn(PartCol, pd.cast(StringType))
       case None     => batch
     }
-    val snap = writeSnapshot(root, out, partitioned, compactTo)
+    val snap = writeSnapshot(root, out, partitionDate.isDefined, compactTo)
     cur.foreach(c => linkInto(Paths.get(root, c), Paths.get(root, snap)))
     publish(root, snap)
   }
@@ -205,16 +238,14 @@ object SnapshotStore {
     * generations. Hard links make deletion safe for newer snapshots. */
   def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>
     val curN = cur.stripPrefix("snap-").toLong
-    val dir = Paths.get(root)
-    Files.list(dir).iterator().asScala
+    withList(Paths.get(root))(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("snap-"))
       .filter(p => p.getFileName.toString.stripPrefix("snap-").toLong <= curN - keep - 1)
       .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+    if (Files.isDirectory(p)) withList(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

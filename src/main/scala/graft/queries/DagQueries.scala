@@ -70,7 +70,10 @@ object DagQueries {
                   else col("timestamp_ms")
       df.filter(tsCol <= cutoffMs)
     }
-    val root = java.nio.file.Files.createTempDirectory("graft-daginc").toString
+    // fixed per-JVM location, wiped per invocation — repeated verify runs
+    // must not accumulate orphaned snapshot trees in /tmp
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-daginc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     val runner = DeepbookPipeline.runner(root)
     runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
     runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))

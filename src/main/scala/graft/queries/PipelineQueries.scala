@@ -70,7 +70,6 @@ object PipelineQueries {
       lcg(0xA11CE00L + t * 16 + j, 64).map(v => ((v % 1000001L) - 500000L) / 1e6)))
 
   private def sqlDouble(d: Double): String = BigDecimal(d).bigDecimal.toPlainString
-  private def sqlLongArray(xs: Seq[Long]): String = xs.mkString("array(", ",", ")")
   private def sqlPlaneArray: String =
     AnnPlanes.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
@@ -113,12 +112,14 @@ object PipelineQueries {
 
   /** Near-duplicate pairs by MinHash/LSH with exact-Jaccard verification.
     *
-    * shingle → 128-slot MinHash signature (universal hashes over a 31-bit
-    * shingle hash) → 32 bands × 4 rows → band-bucket equi-join for
-    * candidates → exact Jaccard on candidates only → threshold 0.5.
-    * With sim ≥ 0.9 dup pairs, band-miss probability is (1-0.9⁴)³² ≈ 2e-15,
-    * so the output equals the exact all-pairs result the oracle computes —
-    * without the O(n²) cross join that would be impossible at scale. */
+    * shingle → [[NumHashes]]-slot MinHash signature (universal hashes over
+    * a 31-bit shingle hash) → [[Bands]] bands × 4 rows → band-bucket
+    * equi-join for candidates → exact Jaccard on candidates only →
+    * threshold 0.5. With dup pairs at sim ≥ 0.9, band-miss probability is
+    * (1−0.9⁴)^Bands ≈ 1e-7 at 16 bands, so the output equals the exact
+    * all-pairs result the oracle computes — without the O(n²) cross join
+    * that would be impossible at scale. (Pairs near the 0.5 threshold
+    * would need more bands; this corpus is bimodal at 0.9 vs 0.07.) */
   val d2MinhashLsh: Q = (spark, dir) => {
     val sh = shingled(spark, dir).persist()
     // signature via explode + 64 codegen'd min() aggregates — an order of

@@ -29,6 +29,13 @@ class VectorDotSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
 
+  test("mismatched lengths yield null, not a truncated dot product") {
+    GraftFunctions.ensureRegistered(spark)
+    val r = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0))).toDF("a", "b")
+      .select(expr("vector_dot(a, b)"))
+    assert(r.head().isNullAt(0))
+  }
+
   test("null array yields null; result is bit-identical to the HOF left-fold") {
     GraftFunctions.ensureRegistered(spark)
     val withNull = Seq((Option(Seq(1.0, 2.0)), Option.empty[Seq[Double]]))

@@ -7,19 +7,22 @@ import org.scalacheck.rng.Seed
 import java.nio.file.Files
 
 /** Property tests of the merge sink (SURVEY.md §5): for ANY sequence of
-  * key-unique batches, replaying them (each twice — redelivery) through
-  * [[SnapshotStore.merge]] yields exactly the fold of last-write-wins
-  * upserts. Batches are drawn from scalacheck generators with fixed
-  * seeds: adversarial (tiny key space forces collisions across batches,
-  * dates both shared and disjoint) yet deterministic in CI. */
+  * key-unique, PARTITION-STABLE batches, replaying them (each twice —
+  * redelivery) through [[SnapshotStore.merge]] yields exactly the fold of
+  * last-write-wins upserts. Partition stability (a key always carries the
+  * same date — true for every DAG model, see the SnapshotStore scaladoc)
+  * is the sink's documented precondition, so the generator derives the
+  * date FROM the key; without it, a superseded key in an untouched
+  * partition would legitimately survive a partition-scoped merge. Batches
+  * are drawn with fixed seeds: adversarial (tiny key space forces
+  * cross-batch collisions) yet deterministic in CI. */
 class MergePropertySpec extends SparkSpec {
   import spark.implicits._
 
   private val row: Gen[(Long, String, String)] = for {
     id <- Gen.choose(0L, 7L) // small key space forces cross-batch collisions
-    dt <- Gen.oneOf("2026-01-01", "2026-01-02", "2026-01-03")
     pay <- Gen.identifier.map(_.take(6))
-  } yield (id, dt, pay)
+  } yield (id, f"2026-01-${id % 3 + 1}%02d", pay) // date derived from key
 
   private val batches: Gen[List[List[(Long, String, String)]]] =
     Gen.listOfN(3, Gen.nonEmptyListOf(row))

@@ -85,6 +85,38 @@ class SnapshotStoreSpec extends SparkSpec {
       (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
   }
 
+  test("flat→partitioned migration: first partitioned merge keeps every prior row") {
+    val root = tmpRoot()
+    // bootstrap WITHOUT a partitionDate → flat snapshot layout
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), None)
+    // later the model gains a partitionDate: must migrate, not truncate
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c"))), Seq("id"), pd)
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
+    // and the table is now partitioned — the next merge is dir-scoped
+    assert(inodesByPartition(root).keySet ==
+      Set("_dt=2026-01-01", "_dt=2026-01-02", "_dt=2026-01-03"))
+  }
+
+  test("null partition dates upsert correctly (no duplicate keys in the null dir)") {
+    val root = tmpRoot()
+    val pdNullable = Some(when(col("dt") === "bad", lit(null)).otherwise(to_date(col("dt"))))
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "bad", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pdNullable)
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "bad", "a2"))), Seq("id"), pdNullable)
+    assert(readAll(root) == Set((1L, "bad", "a2"), (2L, "2026-01-02", "b")))
+  }
+
+  test("append refuses a layout mismatch instead of corrupting the table") {
+    val root = tmpRoot()
+    SnapshotStore.append(spark, root, rows(Seq((1L, "2026-01-01", "a"))), pd)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.append(spark, root, rows(Seq((2L, "2026-01-02", "b"))), None)
+    }
+  }
+
   test("S7 append: no key semantics, prior files carried by hard link") {
     val root = tmpRoot()
     SnapshotStore.append(spark, root, rows(Seq((1L, "2026-01-01", "a"))), pd)
