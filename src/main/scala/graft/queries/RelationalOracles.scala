@@ -7,6 +7,32 @@ object RelationalOracles {
 
   val all: Map[String, String] = Map(
 
+    "a3_distinct_agg" -> """
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "a4_rollup" -> """
+      SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+             count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY ROLLUP (c_mktsegment, nation_band)
+      ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
+
+    "u2_set_ops" -> """
+      WITH building AS (
+        SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      rich AS (SELECT c_nationkey FROM customer WHERE c_acctbal > 8000)
+      SELECT c_nationkey, 'BOTH' AS which
+      FROM (SELECT c_nationkey FROM building INTERSECT SELECT c_nationkey FROM rich) t
+      UNION ALL
+      SELECT c_nationkey, 'BUILDING_ONLY' AS which
+      FROM (SELECT c_nationkey FROM building EXCEPT SELECT c_nationkey FROM rich) t
+      ORDER BY which, c_nationkey""",
+
     "s1_event_scan" -> """
       SELECT event_id, user_id, CAST(ts AS DATE) AS event_date,
              round(value, 2) AS value,

@@ -446,7 +446,45 @@ object RelationalQueries {
       .orderBy(col("event_date").desc, col("pool_id"))
   }
 
+  // ---- beyond-reference relational widening ---------------------------------
+  // (SURVEY §2.4/§2.7 list these as "not present" in the reference; a user
+  // of a complete engine expects them, so they ship oracle-checked.)
+
+  /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
+    * which survives scale (no driver-side distinct). */
+  val a3DistinctAgg: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP hierarchy totals: (segment, nation) → segment → grand total. */
+  val a4Rollup: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .rollup(col("c_mktsegment"), (col("c_nationkey") % 5).as("nation_band"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("nation_band").asc_nulls_first)
+
+  /** INTERSECT / EXCEPT set semantics (deduplicating, like SQL). */
+  val u2SetOps: Q = (spark, dir) => {
+    val building = t(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_nationkey"))
+    val richNations = t(spark, dir, "customer")
+      .filter(col("c_acctbal") > 8000).select(col("c_nationkey"))
+    val both = building.intersect(richNations)
+      .select(col("c_nationkey"), lit("BOTH").as("which"))
+    val onlyBuilding = building.except(richNations)
+      .select(col("c_nationkey"), lit("BUILDING_ONLY").as("which"))
+    both.unionByName(onlyBuilding).orderBy(col("which"), col("c_nationkey"))
+  }
+
   val all: Map[String, Q] = Map(
+    "a3_distinct_agg" -> a3DistinctAgg,
+    "a4_rollup" -> a4Rollup,
+    "u2_set_ops" -> u2SetOps,
     "s1_event_scan" -> s1EventScan,
     "p2_like_scan" -> p2LikeScan,
     "p6_in_list" -> p6InList,
