@@ -1,10 +1,11 @@
 package graft.streaming
 
 import graft.incremental.SnapshotStore
+import graft.models.EventModels
 import graft.models.EventModels.EventModel
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.time.Instant
 
 /** Structured Streaming variants of the incremental protocol (§2.9).
@@ -40,6 +41,40 @@ object StreamingIngest {
           model.uniqueKey, model.partitionDate)
       }
       .start()
+
+  final case class PoolPosition(margin_pool_id: String,
+                                net_supplied: Double, n_events: Long)
+
+  /** Arbitrary stateful streaming (`flatMapGroupsWithState`): a running
+    * net supplied position per margin pool, folded across micro-batches.
+    * State is one (sum, count) pair per pool — bounded by #pools, not
+    * stream length — and each batch emits the pools it touched (Update
+    * mode). The continuous counterpart of the fct's cumulative state. */
+  def runningNetPosition(streamingEvents: DataFrame): Dataset[PoolPosition] = {
+    val spark = streamingEvents.sparkSession
+    import spark.implicits._
+    val supplied = s"${EventModels.pkg}::margin_pool::AssetSupplied"
+    val withdrawn = s"${EventModels.pkg}::margin_pool::AssetWithdrawn"
+    streamingEvents
+      .filter(col("event_type").isin(supplied, withdrawn))
+      .select(
+        get_json_object(col("event_json"), "$.margin_pool_id").as("pool"),
+        when(col("event_type") === supplied,
+          get_json_object(col("event_json"), "$.supply_amount").try_cast("double"))
+          .otherwise(-get_json_object(col("event_json"), "$.withdraw_amount")
+            .try_cast("double")).as("delta"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (pool: String, rows: Iterator[(String, Double)],
+         state: GroupState[(Double, Long)]) =>
+          val (sum0, n0) = state.getOption.getOrElse((0.0, 0L))
+          var s = sum0; var n = n0
+          rows.foreach { r => s += r._2; n += 1 }
+          state.update((s, n))
+          Iterator(PoolPosition(pool, s, n))
+      }
+  }
 
   /** Watermarked tumbling daily aggregate over a raw event stream:
     * `sum(value) group by (1-day window, event_type)` with `lateness`

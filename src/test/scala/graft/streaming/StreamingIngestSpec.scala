@@ -47,6 +47,38 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState running position folds state across batches") {
+    val input = rowStream()
+    val q = StreamingIngest.runningNetPosition(input.toDF())
+      .writeStream.format("memory").queryName("net_pos")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+    } finally q.stop()
+    // final state per pool (last update wins) must equal the batch fold
+    val finalState = spark.table("net_pos")
+      .groupBy("margin_pool_id")
+      .agg(max(struct(col("n_events"), col("net_supplied"))).as("s"))
+      .select(col("margin_pool_id"), col("s.net_supplied"), col("s.n_events"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val sup = s"${EventModels.pkg}::margin_pool::AssetSupplied"
+    val wdr = s"${EventModels.pkg}::margin_pool::AssetWithdrawn"
+    val expected = DeepbookFixtures.events(spark)
+      .filter(col("event_type").isin(sup, wdr))
+      .select(get_json_object(col("event_json"), "$.margin_pool_id").as("pool"),
+        when(col("event_type") === sup,
+          get_json_object(col("event_json"), "$.supply_amount").try_cast("double"))
+          .otherwise(-get_json_object(col("event_json"), "$.withdraw_amount")
+            .try_cast("double")).as("delta"))
+      .groupBy("pool").agg(sum("delta").as("net"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(finalState == expected)
+  }
+
   test("watermarked daily window aggregate matches the batch group-by") {
     val input = rowStream()
     val agg = StreamingIngest.dailyVolumes(input.toDF(),
