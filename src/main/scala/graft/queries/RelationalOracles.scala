@@ -22,6 +22,45 @@ object RelationalOracles {
       GROUP BY ROLLUP (c_mktsegment, nation_band)
       ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
 
+    "a5_percentiles" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
+             round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "w4_frames" -> """
+      WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS event_date,
+               sum(CAST(value AS DECIMAL(18,2))) AS dv
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, event_date,
+             CAST(dv AS DOUBLE) AS daily_value,
+             CAST(sum(dv) OVER (PARTITION BY event_type ORDER BY event_date
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_value,
+             CAST(first_value(dv) OVER (PARTITION BY event_type ORDER BY event_date
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               AS prev_or_self,
+             CAST(last_value(dv) OVER (PARTITION BY event_type ORDER BY event_date
+                    ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE)
+               AS next_or_self
+      FROM daily ORDER BY event_type, event_date""",
+
+    "p7_pivot" -> """
+      SELECT CAST(ts AS DATE) AS event_date,
+             coalesce(CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS purchase,
+             coalesce(CAST(sum(CASE WHEN event_type = 'view'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS view,
+             coalesce(CAST(sum(CASE WHEN event_type = 'click'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS click,
+             coalesce(CAST(sum(CASE WHEN event_type = 'signup'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS signup,
+             coalesce(CAST(sum(CASE WHEN event_type = 'error'
+               THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS error
+      FROM events GROUP BY 1 ORDER BY 1""",
+
     "u2_set_ops" -> """
       WITH building AS (
         SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'),

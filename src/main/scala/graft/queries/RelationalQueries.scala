@@ -481,9 +481,50 @@ object RelationalQueries {
     both.unionByName(onlyBuilding).orderBy(col("which"), col("c_nationkey"))
   }
 
+  /** Exact interpolated percentiles (no sketch): `percentile` sorts within
+    * the aggregation — exact and engine-portable, unlike approx sketches
+    * whose internals differ per engine. */
+  val a5Percentiles: Q = (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Window frames: running sum over rows-between-unbounded-and-current,
+    * plus first/last value in a bounded frame. */
+  val w4Frames: Q = (spark, dir) => {
+    val byDate = Window.partitionBy(col("event_type")).orderBy(col("event_date"))
+    val running = byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val centered = byDate.rowsBetween(-1, 1)
+    t(spark, dir, "events")
+      .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      .agg(sum(dec2(col("value"))).as("dv"))
+      .select(col("event_type"), col("event_date"),
+        col("dv").cast(DoubleType).as("daily_value"),
+        sum(col("dv")).over(running).cast(DoubleType).as("running_value"),
+        first(col("dv")).over(centered).cast(DoubleType).as("prev_or_self"),
+        last(col("dv")).over(centered).cast(DoubleType).as("next_or_self"))
+      .orderBy(col("event_type"), col("event_date"))
+  }
+
+  /** Pivot: daily event volumes spread into one column per event_type. */
+  val p7Pivot: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("event_date"))
+      .pivot(col("event_type"), Seq("purchase", "view", "click", "signup", "error"))
+      .agg(sum(dec2(col("value"))).cast(DoubleType))
+      .na.fill(0.0)
+      .orderBy(col("event_date"))
+
   val all: Map[String, Q] = Map(
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
+    "a5_percentiles" -> a5Percentiles,
+    "w4_frames" -> w4Frames,
+    "p7_pivot" -> p7Pivot,
     "u2_set_ops" -> u2SetOps,
     "s1_event_scan" -> s1EventScan,
     "p2_like_scan" -> p2LikeScan,
