@@ -7,6 +7,15 @@ object RelationalOracles {
 
   val all: Map[String, String] = Map(
 
+    "j5_asof_join" -> """
+      SELECT c.event_id, c.user_id, CAST(c.ts AS DATE) AS event_date,
+             round(c.value, 2) AS click_value,
+             round(p.value, 2) AS asof_value
+      FROM (SELECT * FROM events WHERE event_type = 'click') c
+      ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+      ORDER BY c.event_id""",
+
     "a3_distinct_agg" -> """
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS n_parts,

@@ -450,6 +450,37 @@ object RelationalQueries {
   // (SURVEY §2.4/§2.7 list these as "not present" in the reference; a user
   // of a complete engine expects them, so they ship oracle-checked.)
 
+  /** AS-OF join — for each click, the most recent purchase value by the
+    * same user at-or-before its timestamp. Spark lacks a native as-of
+    * operator; the scalable composition is union-the-sides + a
+    * last-non-null window over (key, time): one shuffle+sort on
+    * (user, time), no per-row range probe, no point-in-time subquery —
+    * the plan a cluster wants at 100 TB. Inner-join semantics (clicks
+    * with no prior purchase drop) to match DuckDB's native ASOF JOIN,
+    * which the oracle uses verbatim. */
+  val j5AsofJoin: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    // src 0 sorts a same-instant purchase BEFORE the click: "at-or-before"
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(0).as("src"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(DoubleType).as("click_value"),
+        col("value").as("purchase_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), lit(1).as("src"),
+        col("event_id"), col("value").as("click_value"),
+        lit(null).cast(DoubleType).as("purchase_value"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("src"), col("event_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("asof_value", last(col("purchase_value"), ignoreNulls = true).over(w))
+      .filter(col("src") === 1 && col("asof_value").isNotNull)
+      .select(col("event_id"), col("user_id"), to_date(col("ts")).as("event_date"),
+        col("click_value"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
     * which survives scale (no driver-side distinct). */
   val a3DistinctAgg: Q = (spark, dir) =>
@@ -520,6 +551,7 @@ object RelationalQueries {
       .orderBy(col("event_date"))
 
   val all: Map[String, Q] = Map(
+    "j5_asof_join" -> j5AsofJoin,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a5_percentiles" -> a5Percentiles,
