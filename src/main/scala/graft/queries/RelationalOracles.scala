@@ -16,6 +16,19 @@ object RelationalOracles {
         ON c.user_id = p.user_id AND c.ts >= p.ts
       ORDER BY c.event_id""",
 
+    "j6_range_join" -> """
+      WITH campaigns AS (
+        SELECT i AS campaign_id,
+               DATE '1996-01-01' + INTERVAL (i * 70) DAY AS start_date,
+               DATE '1996-01-01' + INTERVAL (i * 70 + 13) DAY AS end_date
+        FROM (SELECT unnest(range(0, 10)) AS i))
+      SELECT c.campaign_id, count(*) AS n_orders,
+             CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders o
+      JOIN campaigns c
+        ON CAST(o.o_orderdate AS DATE) BETWEEN c.start_date AND c.end_date
+      GROUP BY c.campaign_id ORDER BY c.campaign_id""",
+
     "a3_distinct_agg" -> """
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS n_parts,

@@ -481,6 +481,32 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** RANGE join — orders matched to overlapping campaign windows. A naive
+    * interval join with no equi-key becomes a broadcast nested loop with
+    * a per-row range probe; the scale-safe plan BUCKETIZES: each interval
+    * expands to its covered day keys (bounded fan-out = interval length)
+    * and the join becomes a day-key equi-join — shuffle hash, prunable,
+    * skew-free. The oracle is DuckDB's native BETWEEN join, so the
+    * bucketization is proven semantically identical. */
+  val j6RangeJoin: Q = (spark, dir) => {
+    // ten deterministic 14-day campaign windows every 70 days from a fixed epoch
+    val campaigns = spark.range(10).toDF("campaign_id")
+      .select(col("campaign_id"),
+        date_add(lit(java.sql.Date.valueOf("1996-01-01")),
+          (col("campaign_id") * 70).cast(IntegerType)).as("start_date"))
+      .withColumn("end_date", date_add(col("start_date"), 13))
+    val campaignDays = campaigns
+      .select(col("campaign_id"),
+        explode(expr("sequence(start_date, end_date)")).as("day"))
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("order_day"),
+        col("o_totalprice"))
+      .join(broadcast(campaignDays), col("order_day") === col("day"))
+      .groupBy(col("campaign_id"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+      .orderBy(col("campaign_id"))
+  }
+
   /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
     * which survives scale (no driver-side distinct). */
   val a3DistinctAgg: Q = (spark, dir) =>
@@ -552,6 +578,7 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "j5_asof_join" -> j5AsofJoin,
+    "j6_range_join" -> j6RangeJoin,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a5_percentiles" -> a5Percentiles,
