@@ -90,4 +90,33 @@ object Sources {
 
   /** In-memory resolver for tests. */
   def inMemory(tables: Map[String, DataFrame]): Sources = Sources(tables.apply)
+
+  /** Format-agnostic schema-enforced reader: the same logical tables can
+    * arrive as parquet, ORC, JSON-lines or CSV (chain ingests are rarely
+    * columnar at the edge). Schema is always declared — never inferred —
+    * so a malformed file fails loudly instead of silently retyping
+    * columns; JSON/CSV get explicit null handling via PERMISSIVE mode. */
+  def read(spark: SparkSession, format: String, path: String,
+           schema: StructType): DataFrame = format match {
+    case "parquet" => spark.read.schema(schema).parquet(path)
+    case "orc"     => spark.read.schema(schema).orc(path)
+    case "json"    => spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").json(path)
+    case "csv"     => spark.read.schema(schema)
+      .option("header", "true").option("mode", "PERMISSIVE").csv(path)
+    case other => sys.error(s"unsupported source format: $other")
+  }
+
+  /** DeepBook-shaped sources in any supported format:
+    * `<dir>/<table>.<ext>`. */
+  def suiAs(spark: SparkSession, dir: String, format: String): Sources = {
+    val schemas = Map(
+      "sui.events" -> suiEventsSchema,
+      "sui.objects" -> suiObjectsSchema,
+      "prices.day" -> pricesDaySchema)
+    Sources { name =>
+      val path = s"$dir/${name.replace('.', '_')}.$format"
+      read(spark, format, path, schemas(name))
+    }
+  }
 }
