@@ -29,6 +29,40 @@ object RelationalOracles {
         ON CAST(o.o_orderdate AS DATE) BETWEEN c.start_date AND c.end_date
       GROUP BY c.campaign_id ORDER BY c.campaign_id""",
 
+    "j7_semi_anti" -> """
+      WITH open AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      SELECT c_custkey,
+             CASE WHEN EXISTS (SELECT 1 FROM open WHERE o_custkey = c_custkey)
+                  THEN 'HAS_OPEN' ELSE 'NO_OPEN' END AS status
+      FROM customer ORDER BY c_custkey""",
+
+    "w5_sliding" -> """
+      WITH assigned AS (
+        SELECT unnest([CAST(ts AS DATE) - 1, CAST(ts AS DATE)]) AS window_start,
+               event_type, value
+        FROM events)
+      SELECT window_start, event_type,
+             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+             count(*) AS n_events
+      FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "w6_sessions" -> """
+      WITH ordered AS (
+        SELECT user_id, epoch_ms(ts) AS ms,
+               CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+                      OVER (PARTITION BY user_id ORDER BY ts) >= 30*60*1000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events),
+      islands AS (
+        SELECT user_id, ms,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ms
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM ordered)
+      SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_last_ms,
+             count(*) AS n_events
+      FROM islands GROUP BY user_id, session_id
+      ORDER BY user_id, session_start_ms""",
+
     "a3_distinct_agg" -> """
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS n_parts,

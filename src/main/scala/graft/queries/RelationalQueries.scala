@@ -507,6 +507,45 @@ object RelationalQueries {
       .orderBy(col("campaign_id"))
   }
 
+  /** Explicit LEFT SEMI / LEFT ANTI joins — the primitives the merge
+    * sink uses internally (S6), surfaced as queries: customers with and
+    * without open ('O') orders. */
+  val j7SemiAnti: Q = (spark, dir) => {
+    val c = t(spark, dir, "customer")
+    val open = t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val withOrders = c.join(open, c("c_custkey") === open("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("HAS_OPEN").as("status"))
+    val without = c.join(open, c("c_custkey") === open("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("NO_OPEN").as("status"))
+    withOrders.unionByName(without).orderBy(col("c_custkey"))
+  }
+
+  /** Sliding windows in batch: each event contributes to the 2-day
+    * windows it falls in (2-day length, 1-day slide) — `window()` handles
+    * the multi-assignment; emitted as window-start dates for the oracle. */
+  val w5Sliding: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"), col("event_type"))
+      .agg(dsum(col("value")).as("sum_value"), count(lit(1)).as("n_events"))
+      .select(to_date(col("w.start")).as("window_start"), col("event_type"),
+        col("sum_value"), col("n_events"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Session windows: per-user sessions with a 30-minute inactivity gap
+    * (`session_window` — the sessionization every log/training-data
+    * pipeline needs). Emitted as (user, first/last epoch-ms, count) so
+    * the oracle's gaps-and-islands SQL is directly comparable. */
+  val w6Sessions: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes").as("s"), col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("session_start_ms"),
+        max(unix_millis(col("ts"))).as("session_last_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_ms"),
+        col("session_last_ms"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
   /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
     * which survives scale (no driver-side distinct). */
   val a3DistinctAgg: Q = (spark, dir) =>
@@ -579,6 +618,9 @@ object RelationalQueries {
   val all: Map[String, Q] = Map(
     "j5_asof_join" -> j5AsofJoin,
     "j6_range_join" -> j6RangeJoin,
+    "j7_semi_anti" -> j7SemiAnti,
+    "w5_sliding" -> w5Sliding,
+    "w6_sessions" -> w6Sessions,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a5_percentiles" -> a5Percentiles,
