@@ -80,9 +80,9 @@ object RelationalOracles {
 
     "a5_percentiles" -> """
       SELECT l_returnflag,
-             round(quantile_cont(l_extendedprice, 0.5), 2) AS p50_price,
-             round(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price,
-             round(quantile_cont(l_quantity, 0.5), 2) AS p50_qty
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+             round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+             round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "w4_frames" -> """

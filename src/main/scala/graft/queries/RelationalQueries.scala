@@ -584,9 +584,12 @@ object RelationalQueries {
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 2).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 2).as("p90_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_qty"))
+        // interpolating 2-dp inputs yields ≤3 decimals, so 4-dp rounding
+        // is exact (a 2-dp round would sit ON the .xx5 midpoints, which
+        // the two engines' rounding modes break differently)
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
       .orderBy(col("l_returnflag"))
 
   /** Window frames: running sum over rows-between-unbounded-and-current,

@@ -42,6 +42,17 @@ object StreamingIngest {
       }
       .start()
 
+  /** Watermarked streaming dedup (§2.9 "late/duplicate data"): exact
+    * once-per-key emission with state bounded by the lateness horizon —
+    * the upstream guard that keeps re-delivered events from ever reaching
+    * a sink (the merge sink stays idempotent regardless; this bounds the
+    * work, not the correctness). */
+  def dedupEvents(streamingEvents: DataFrame, lateness: String = "1 day"): DataFrame =
+    streamingEvents
+      .withColumn("event_time", timestamp_millis(col("timestamp_ms")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicates("transaction_digest", "event_index")
+
   final case class PoolPosition(margin_pool_id: String,
                                 net_supplied: Double, n_events: Long)
 

@@ -47,6 +47,26 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermarked streaming dedup emits each (digest, index) exactly once") {
+    val input = rowStream()
+    val q = StreamingIngest.dedupEvents(input.toDF())
+      .select("transaction_digest", "event_index")
+      .writeStream.format("memory").queryName("dedup_ev")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b1.takeRight(20) ++ b2) // redeliver an overlap
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("dedup_ev").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(emitted.size == emitted.distinct.size, "duplicates emitted")
+    assert(emitted.toSet ==
+      fixtureEvents.map(r => (r.getString(0), r.getLong(1))).toSet)
+  }
+
   test("flatMapGroupsWithState running position folds state across batches") {
     val input = rowStream()
     val q = StreamingIngest.runningNetPosition(input.toDF())
