@@ -121,7 +121,12 @@ object PipelineQueries {
     * that would be impossible at scale. (Pairs near the 0.5 threshold
     * would need more bands; this corpus is bimodal at 0.9 vs 0.07.) */
   val d2MinhashLsh: Q = (spark, dir) => {
-    val sh = shingled(spark, dir).persist()
+    // localCheckpoint (not persist): three consumers share the shingling
+    // pass, and the materialized blocks are released by the ContextCleaner
+    // when the result goes out of scope — a persist() here has no safe
+    // unpersist point (the returned DataFrame is lazy) and would leak
+    // cached blocks into a library consumer's session
+    val sh = shingled(spark, dir).localCheckpoint()
     // signature via explode + 64 codegen'd min() aggregates — an order of
     // magnitude faster than per-row higher-order lambdas (interpreted),
     // and the same map-side-combine shape a cluster wants
@@ -190,7 +195,7 @@ object PipelineQueries {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
     val sh = shingled(spark, dir).join(docs, "doc_id")
       .select(col("source"), col("doc_id"), col("sh"), size(col("sh")).as("n"))
-      .persist()
+      .localCheckpoint() // shared by dfreq/prefix/verify; GC-released (see d2)
     val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("s"))
       .select(col("source"), col("doc_id"), col("n"), xxhash64(col("s")).as("sid"))
     val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
@@ -284,7 +289,7 @@ object PipelineQueries {
     val e = t(spark, dir, "embeddings")
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
-      .persist()
+      .localCheckpoint() // shared by buckets/verify sides; GC-released (see d2)
     val buckets = e.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${NdTables - 1}), t ->
          |  aggregate(transform(sequence(0, ${NdBits - 1}), j ->
@@ -389,19 +394,23 @@ object PipelineQueries {
     * logic — the place a real image/audio decode would run). The decode is
     * STUBBED deterministically (this container ships no codec libraries);
     * the Spark-side plumbing — binary schema, typed Dataset, partition
-    * batching, output shape — is real and oracle-checked. */
+    * batching, output shape — is real and oracle-checked.
+    *
+    * The content digest stays a codegen'd `sha2` COLUMN (hashing is
+    * expressible relational work — doing it per-row inside the imperative
+    * seam would pay interpreter + hex-formatting cost for nothing); only
+    * the stubbed decode (width/height/frames from the payload bytes) runs
+    * in the partition iterator. */
   val m1MultimodalMeta: Q = (spark, dir) => {
     import spark.implicits._
     t(spark, dir, "documents")
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
+      .withColumn("sha256_hex", sha2(col("payload"), 256))
+      .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // one digest instance per partition — the batch-shaped pattern a
-        // real decoder (decode → resize → frame-sample) would follow
-        val md = java.security.MessageDigest.getInstance("SHA-256")
-        it.map { case (id, bytes) =>
-          md.reset()
-          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+        // per-partition batch shape a real decoder (decode → resize →
+        // frame-sample) would follow; bytes are in hand, stub is arithmetic
+        it.map { case (id, bytes, hex) =>
           val n = bytes.length.toLong
           MediaMeta(id, n, hex, 320 + n % 320, 240 + n % 240, 1 + n % 16)
         }

@@ -33,14 +33,35 @@ object RelationalQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Sources.testdata(spark, dir)(name)
 
-  /** Exact 2-dp money arithmetic: cast to decimal before aggregation.
-    * Widths chosen so products stay well under precision 38 (overflow
-    * triggers engine-specific lossy scale reduction). */
+  /** Exact 2-dp money arithmetic, long fixed-point ("cents") edition.
+    *
+    * Money columns are 2-dp decimal values stored as doubles; `round(x*100)`
+    * recovers the integral cents exactly (the double representation error is
+    * ~1e-8 of a cent, nowhere near a rounding boundary). Sums and products
+    * of longs are exact and order-independent — deterministic under
+    * distributed aggregation, identical to the DECIMAL math the DuckDB
+    * oracles compute — but stay inside Tungsten's codegen'd/vectorized long
+    * path instead of its order-of-magnitude-slower decimal aggregation.
+    * The single division back to double at the end is correctly rounded,
+    * so the output double is bit-identical to `sum(DECIMAL) CAST DOUBLE`
+    * while every long stays under 2^53 (exact long→double promotion; see
+    * each site's overflow-envelope note).
+    *
+    * `dec2` remains for row-level decimal products (e.g. 2dp×2dp monetary
+    * blends) where the value count is small and decimal cost immaterial. */
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
-  private def m2(c: Column): Column = c.cast(DecimalType(12, 2))  // row-level money
-  private def r2(c: Column): Column = c.cast(DecimalType(4, 2))   // small ratios
-  private val one = lit(1).cast(DecimalType(3, 2))
-  private def dsum(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+  /** Integral cents of a 2-dp money double (exact; codegen'd). */
+  private def cents(c: Column): Column = round(c * 100).cast(LongType)
+  /** Exact sum of 2-dp money as long cents, divided back to double —
+    * bit-identical to `CAST(sum(CAST(c AS DECIMAL)) AS DOUBLE)`. */
+  private def dsum(c: Column): Column = (sum(cents(c)) / lit(100.0)).cast(DoubleType)
+  /** Row-level revenue term `price·(1−discount)` as an exact long in 1e-4
+    * dollar units (price cents × discount-complement hundredths); the
+    * consumer rounds the summed value to cents with `(x+50) div 100`
+    * (HALF_UP — all revenue terms are non-negative), matching the
+    * oracle's `round(sum(DECIMAL product), 2)` exactly. */
+  private def revenue4(price: Column, discount: Column): Column =
+    cents(price) * (lit(100L) - round(discount * 100).cast(LongType))
 
   // ---- S1 + P1 + F1/F3/F8: filtered event scan with JSON extraction ------
 
@@ -98,7 +119,7 @@ object RelationalQueries {
     t(spark, dir, "events").createOrReplaceTempView("graft_events_p4")
     spark.sql("""
       SELECT count(*) AS n_rows,
-             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             CAST(sum(cast(round(value * 100) as bigint)) / 100.0 AS DOUBLE) AS sum_value
       FROM graft_events_p4
       WHERE ts >= (SELECT max(ts) - INTERVAL 14 DAY FROM graft_events_p4)""")
   }
@@ -151,12 +172,12 @@ object RelationalQueries {
 
   /** The 4-way volume alignment (`fct_...daily.sql:78-90`). */
   val j2FojChain: Q = (spark, dir) => {
-    val ev = t(spark, dir, "events").persist() // four agg branches share it
+    val ev = t(spark, dir, "events")
     def agg(et: String, out: String): DataFrame = ev
       .filter(col("event_type") === et)
       .groupBy(to_date(col("ts")).as("event_date"),
         (col("user_id") % 3).as("pool_id"))
-      .agg(sum(dec2(col("value"))).as(out))
+      .agg(sum(cents(col("value"))).as(out))
     val s = agg("purchase", "supply_v")
     val w = agg("view", "withdraw_v")
     val b = agg("click", "borrow_v")
@@ -172,10 +193,10 @@ object RelationalQueries {
     swb.join(r, swb("event_date") === r("event_date") && swb("pool_id") === r("pool_id"), "full_outer")
       .select(coalesce(swb("event_date"), r("event_date")).as("event_date"),
         coalesce(swb("pool_id"), r("pool_id")).as("pool_id"),
-        coalesce(swb("supply_v"), lit(0)).cast(DoubleType).as("supply_v"),
-        coalesce(swb("withdraw_v"), lit(0)).cast(DoubleType).as("withdraw_v"),
-        coalesce(swb("borrow_v"), lit(0)).cast(DoubleType).as("borrow_v"),
-        coalesce(r("repay_v"), lit(0)).cast(DoubleType).as("repay_v"))
+        (coalesce(swb("supply_v"), lit(0L)) / lit(100.0)).as("supply_v"),
+        (coalesce(swb("withdraw_v"), lit(0L)) / lit(100.0)).as("withdraw_v"),
+        (coalesce(swb("borrow_v"), lit(0L)) / lit(100.0)).as("borrow_v"),
+        (coalesce(r("repay_v"), lit(0L)) / lit(100.0)).as("repay_v"))
       .orderBy(col("event_date"), col("pool_id"))
   }
 
@@ -195,7 +216,10 @@ object RelationalQueries {
   /** `upper(symbol) = upper(coin_symbol)` price join (`fct_...daily.sql:206-208`)
     * against a last-per-day dedup (`:121-135`). */
   val j4ExprKeyJoin: Q = (spark, dir) => {
-    val ev = t(spark, dir, "events").persist() // volume + price branches share it
+    // volume + price branches each re-scan the (cheap, column-pruned)
+    // parquet — no persist: caching here would outlive the query and leak
+    // blocks into any library consumer's session
+    val ev = t(spark, dir, "events")
     val daily = ev.groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
       .agg(dsum(col("value")).as("volume"))
     val priceW = Window.partitionBy(to_date(col("ts")), upper(col("event_type")))
@@ -234,12 +258,13 @@ object RelationalQueries {
   val w3LagDelta: Q = (spark, dir) => {
     val daily = t(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
-      .agg(sum(dec2(col("value"))).as("sum_value"))
+      .agg(sum(cents(col("value"))).as("sv_c"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("event_date"))
+    // the delta stays in exact long cents through the window; one division
+    // per output row back to double
     daily.select(col("event_type"), col("event_date"),
-        col("sum_value").cast(DoubleType).as("sum_value"),
-        (col("sum_value") - lag(col("sum_value"), 1).over(w))
-          .cast(DoubleType).as("dod_change"))
+        (col("sv_c") / lit(100.0)).as("sum_value"),
+        ((col("sv_c") - lag(col("sv_c"), 1).over(w)) / lit(100.0)).as("dod_change"))
       .orderBy(col("event_type"), col("event_date"))
   }
 
@@ -318,21 +343,43 @@ object RelationalQueries {
   // ---- bench-scale joins/aggregates (TPC-H shapes) ---------------------------
 
   /** Pricing summary (TPC-H Q1 shape): wide hash agg over the fact table.
-    * All money math in decimal (exact, order-independent). */
+    *
+    * All money math in exact long fixed-point: prices as cents,
+    * discount/tax as integral hundredths, so the products
+    * `price·(1−disc)` / `price·(1−disc)·(1+tax)` are exact integers in
+    * 1e-4 / 1e-6 dollar units. Rounding to cents happens in the integer
+    * domain (`(x+50) div 100` — HALF_UP for the non-negative money here,
+    * identical to the oracle's `round(DECIMAL, 2)`), and only the final
+    * 6-row projection divides back to double.
+    *
+    * Overflow envelope: the 1e-6-unit charge is ≤1.25e11 per row, so a
+    * single long sum holds ~7e7 rows per group (≈ TPC-H sf10). The hi/lo
+    * split below (two long sums, recombined exactly in DECIMAL(38,0) on
+    * the 6 output rows) extends exactness to ~9e12 rows per group —
+    * beyond 100 TB — while keeping the per-row path pure long codegen. */
   val q1PricingSummary: Q = (spark, dir) => {
+    val epC = cents(col("l_extendedprice"))
+    val discH = round(col("l_discount") * 100).cast(LongType) // hundredths
+    val taxH = round(col("l_tax") * 100).cast(LongType)
+    val disc4 = epC * (lit(100L) - discH)                     // 1e-4 dollars
+    val charge6 = disc4 * (lit(100L) + taxH)                  // 1e-6 dollars
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        cents(col("l_quantity")).as("qty_c"), epC.as("ep_c"), discH.as("disc_h"),
+        disc4.as("disc4"), charge6.as("charge6"))
+      .withColumn("charge_hi", expr("charge6 div 1000000"))
+      .withColumn("charge_lo", expr("charge6 % 1000000"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        dsum(col("l_quantity")).as("sum_qty"),
-        dsum(col("l_extendedprice")).as("sum_base_price"),
-        round(sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))), 2)
-          .cast(DoubleType).as("sum_disc_price"),
-        round(sum(m2(col("l_extendedprice")) * (one - r2(col("l_discount")))
-          * (one + r2(col("l_tax")))), 2).cast(DoubleType).as("sum_charge"),
-        round(sum(dec2(col("l_quantity"))).cast(DoubleType) / count(lit(1)), 2).as("avg_qty"),
-        round(sum(dec2(col("l_extendedprice"))).cast(DoubleType) / count(lit(1)), 2).as("avg_price"),
-        round(sum(dec2(col("l_discount"))).cast(DoubleType) / count(lit(1)), 4).as("avg_disc"),
+        (sum(col("qty_c")) / lit(100.0)).as("sum_qty"),
+        (sum(col("ep_c")) / lit(100.0)).as("sum_base_price"),
+        expr("((sum(disc4) + 50) div 100) / 100.0").as("sum_disc_price"),
+        expr("""((cast(sum(charge_hi) as decimal(38,0)) * 1000000 + sum(charge_lo)
+               |  + 5000) div 10000) / 100.0""".stripMargin).as("sum_charge"),
+        round((sum(col("qty_c")) / lit(100.0)) / count(lit(1)), 2).as("avg_qty"),
+        round((sum(col("ep_c")) / lit(100.0)) / count(lit(1)), 2).as("avg_price"),
+        round((sum(col("disc_h")) / lit(100.0)) / count(lit(1)), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -345,9 +392,9 @@ object RelationalQueries {
     val l = t(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
+      .withColumn("disc4", revenue4(l("l_extendedprice"), l("l_discount")))
       .groupBy(o("o_orderkey"), to_date(o("o_orderdate")).as("orderdate"), o("o_orderpriority"))
-      .agg(round(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount")))), 2)
-        .cast(DoubleType).as("revenue"))
+      .agg(expr("((sum(disc4) + 50) div 100) / 100.0").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
@@ -367,9 +414,9 @@ object RelationalQueries {
       .join(s, l("l_suppkey") === s("s_suppkey") && c("c_nationkey") === s("s_nationkey"))
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .withColumn("disc4", revenue4(l("l_extendedprice"), l("l_discount")))
       .groupBy(n("n_name"))
-      .agg(round(sum(m2(l("l_extendedprice")) * (one - r2(l("l_discount")))), 2)
-        .cast(DoubleType).as("revenue"))
+      .agg(expr("((sum(disc4) + 50) div 100) / 100.0").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -378,19 +425,19 @@ object RelationalQueries {
     * stand-in — 4 volume aggs → FOJ chain → window-deduped EOD state →
     * price join with peg CASE → lag deltas → final sort. */
   val fctDailyStandin: Q = (spark, dir) => {
-    // seven branches (4 volume aggs, EOD state, prices, base) share this
-    // scan — persist it once; Bench clears the cache between queries
+    // seven branches (4 volume aggs, EOD state, prices, base) each re-scan
+    // the column-pruned parquet; a persist here would leak cached blocks
+    // past the query's lifetime (no safe point to unpersist a lazy result)
     val ev = t(spark, dir, "events")
       .withColumn("event_date", to_date(col("ts")))
       .withColumn("pool_id", col("user_id") % 3)
-      .persist()
 
     // group keys re-derived per aggregate: four branches of one source must
     // not share attribute ids or the FOJ join conditions become ambiguous
     def vol(et: String, out: String): DataFrame = ev
       .filter(col("event_type") === et)
       .groupBy(to_date(col("ts")).as("event_date"), (col("user_id") % 3).as("pool_id"))
-      .agg(sum(dec2(col("value"))).as(out))
+      .agg(sum(cents(col("value"))).as(out))
 
     val s = vol("purchase", "supply_v"); val w = vol("view", "withdraw_v")
     val b = vol("click", "borrow_v");    val r = vol("signup", "repay_v")
@@ -436,11 +483,13 @@ object RelationalQueries {
       .select(col("st.event_date").as("event_date"), col("st.pool_id").as("pool_id"),
         col("st.eod_value").as("eod_value"),
         peg.as("price_usd"),
+        // row-level 2dp×2dp product on the final (days×pools)-sized output:
+        // decimal cost immaterial here, exactness matters
         round(dec2(col("st.eod_value")) * dec2(peg), 2).cast(DoubleType).as("eod_value_usd"),
-        coalesce(col("vv.supply_v"), lit(0)).cast(DoubleType).as("supply_v"),
-        coalesce(col("vv.withdraw_v"), lit(0)).cast(DoubleType).as("withdraw_v"),
-        coalesce(col("vv.borrow_v"), lit(0)).cast(DoubleType).as("borrow_v"),
-        coalesce(col("vv.repay_v"), lit(0)).cast(DoubleType).as("repay_v"),
+        (coalesce(col("vv.supply_v"), lit(0L)) / lit(100.0)).as("supply_v"),
+        (coalesce(col("vv.withdraw_v"), lit(0L)) / lit(100.0)).as("withdraw_v"),
+        (coalesce(col("vv.borrow_v"), lit(0L)) / lit(100.0)).as("borrow_v"),
+        (coalesce(col("vv.repay_v"), lit(0L)) / lit(100.0)).as("repay_v"),
         (dec2(col("st.eod_value")) - dec2(lag(col("st.eod_value"), 1).over(lagW)))
           .cast(DoubleType).as("eod_change"))
       .orderBy(col("event_date").desc, col("pool_id"))
@@ -600,12 +649,12 @@ object RelationalQueries {
     val centered = byDate.rowsBetween(-1, 1)
     t(spark, dir, "events")
       .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
-      .agg(sum(dec2(col("value"))).as("dv"))
+      .agg(sum(cents(col("value"))).as("dv_c"))
       .select(col("event_type"), col("event_date"),
-        col("dv").cast(DoubleType).as("daily_value"),
-        sum(col("dv")).over(running).cast(DoubleType).as("running_value"),
-        first(col("dv")).over(centered).cast(DoubleType).as("prev_or_self"),
-        last(col("dv")).over(centered).cast(DoubleType).as("next_or_self"))
+        (col("dv_c") / lit(100.0)).as("daily_value"),
+        (sum(col("dv_c")).over(running) / lit(100.0)).as("running_value"),
+        (first(col("dv_c")).over(centered) / lit(100.0)).as("prev_or_self"),
+        (last(col("dv_c")).over(centered) / lit(100.0)).as("next_or_self"))
       .orderBy(col("event_type"), col("event_date"))
   }
 
@@ -614,7 +663,7 @@ object RelationalQueries {
     t(spark, dir, "events")
       .groupBy(to_date(col("ts")).as("event_date"))
       .pivot(col("event_type"), Seq("purchase", "view", "click", "signup", "error"))
-      .agg(sum(dec2(col("value"))).cast(DoubleType))
+      .agg((sum(cents(col("value"))) / lit(100.0)).cast(DoubleType))
       .na.fill(0.0)
       .orderBy(col("event_date"))
 

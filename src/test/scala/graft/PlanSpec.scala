@@ -40,4 +40,19 @@ class PlanSpec extends SparkSpec {
     val p = planOf(RelationalQueries.s5SeedJoin)
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("j6: bucketized range join is a single broadcast hash join — no nested loop") {
+    val p = planOf(RelationalQueries.j6RangeJoin)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts == 1, s"expected 1 broadcast hash join, got $broadcasts\n${p.take(1200)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "interval join must stay an equi-join on the bucketized day key")
+  }
+
+  test("q1: money aggregation stays in the codegen'd long path — no decimal agg buffers") {
+    val plan = RelationalQueries.q1PricingSummary(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("decimal(1"),
+      s"q1 aggregate should carry long cents, not decimal buffers\n${plan.take(1200)}")
+  }
 }
