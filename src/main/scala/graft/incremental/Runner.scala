@@ -44,6 +44,17 @@ trait Model {
             ref: String => DataFrame): DataFrame
 }
 
+/** S10: dbt target → output namespace, mirroring the reference's schema
+  * macro (`macros/dune_dbt_overrides/get_custom_schema.sql:9-24`):
+  *   - `prod`            → `{schema}` (the team schema, verbatim)
+  *   - anything else     → `{schema}__tmp_{suffix}` — suffix trimmed; an
+  *     empty suffix keeps the trailing underscore (the macro's default-dev
+  *     branch; the reference's CI sets the suffix to the PR number). */
+final case class Target(name: String, schema: String, devSuffix: String = "") {
+  def resolvedSchema: String =
+    if (name == "prod") schema else s"${schema}__tmp_${devSuffix.trim}"
+}
+
 /** E1: the dbt DAG runner. Models run in the given (topological) order;
   * each output is merged into its table via [[SnapshotStore]] and becomes
   * available to downstream models through `ref` — exactly dbt's
@@ -53,9 +64,15 @@ trait Model {
   * (file compaction, `macros/dune_dbt_overrides/optimize_table.sql:1-5`)
   * and S9 VACUUM (retention, `vacuum_table.sql:1-5`) after each model
   * build — off by default like the reference's dev target. */
-final class Runner(root: String, models: Seq[Model], maintenance: Boolean = false) {
+final class Runner(root: String, models: Seq[Model], maintenance: Boolean = false,
+                   target: Option[Target] = None) {
 
-  def tableDir(name: String): String = s"$root/$name"
+  /** Tables live under the target-resolved schema namespace when a
+    * [[Target]] is set (dev and prod runs of the same DAG never collide —
+    * the reference's environment-switching convention); flat under `root`
+    * otherwise. */
+  def tableDir(name: String): String =
+    target.fold(s"$root/$name")(t => s"$root/${t.resolvedSchema}/$name")
 
   /** Runs the full DAG once; returns each model's post-merge table. */
   def run(ctx: RunContext): Map[String, DataFrame] = {

@@ -227,5 +227,8 @@ object DagOracles {
         "dag_fct_pool_daily" -> fctOracle(includeLags = true),
         // lag columns excluded: the reference's own incremental runs
         // re-NULL them at the lookback boundary (see DagQueries)
-        "dag_fct_incremental" -> fctOracle(includeLags = false))
+        "dag_fct_incremental" -> fctOracle(includeLags = false),
+        // same oracle with maintenance (OPTIMIZE+VACUUM) post-hooks on:
+        // compaction/retention must be invisible to readers
+        "dag_fct_maintenance" -> fctOracle(includeLags = false))
 }

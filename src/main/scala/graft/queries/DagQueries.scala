@@ -61,7 +61,7 @@ object DagQueries {
     * PoolDailyFct scaladoc + IncrementalEquivSpec); everything else must
     * match the full-refresh result exactly. Puts the merge protocol
     * itself inside the driver's correctness gate. */
-  val fctIncrementalQ: Q = (spark, _) => {
+  private def incrementalQ(maintenance: Boolean): Q = (spark, _) => {
     val full = DeepbookFixtures.ensureWritten(spark)
     val cutoffMs = java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
     val slice = Sources { name =>
@@ -70,18 +70,32 @@ object DagQueries {
                   else col("timestamp_ms")
       df.filter(tsCol <= cutoffMs)
     }
-    // fixed per-JVM location, wiped per invocation — repeated verify runs
-    // must not accumulate orphaned snapshot trees in /tmp
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-daginc"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    val runner = DeepbookPipeline.runner(root)
-    runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
-    runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))
-    SnapshotStore.read(spark, s"$root/${PoolDailyFct.name}").get
-      .drop("updated_at",
-        "daily_supply_change", "daily_borrow_change", "daily_utilization_change")
-      .orderBy("snapshot_date", "margin_pool_id")
+    // unique tree per invocation (concurrent verify sessions must not
+    // corrupt each other's snapshots), deleted before returning — the
+    // result is materialized off it first via localCheckpoint
+    val root = java.nio.file.Files.createTempDirectory("graft-daginc").toString
+    try {
+      val runner = DeepbookPipeline.runner(root, maintenance)
+      runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
+      runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))
+      SnapshotStore.read(spark, s"$root/${PoolDailyFct.name}").get
+        .drop("updated_at",
+          "daily_supply_change", "daily_borrow_change", "daily_utilization_change")
+        .localCheckpoint()
+        .orderBy("snapshot_date", "margin_pool_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  val fctIncrementalQ: Q = incrementalQ(maintenance = false)
+
+  /** S7/S8/S9 inside the hard gate: the same two-batch incremental run,
+    * but with the prod target's maintenance post-hooks on — OPTIMIZE file
+    * compaction + VACUUM retention after every model build
+    * (`macros/dune_dbt_overrides/optimize_table.sql:1-5`,
+    * `vacuum_table.sql:1-5`, `DEVELOPMENT.md:134-142`). Hash-matching the
+    * same oracle as [[fctIncrementalQ]] proves compaction and retention
+    * never corrupt what readers see. */
+  val fctMaintenanceQ: Q = incrementalQ(maintenance = true)
 
   private def shortName(full: String): String =
     full.stripPrefix("deepbook_margin_")
@@ -89,5 +103,6 @@ object DagQueries {
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
-        "dag_fct_incremental" -> fctIncrementalQ)
+        "dag_fct_incremental" -> fctIncrementalQ,
+        "dag_fct_maintenance" -> fctMaintenanceQ)
 }

@@ -150,4 +150,16 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(snaps == Set("snap-0000003", "snap-0000004"))
     assert(readAll(root).size == 4)
   }
+
+  test("S10 target schema naming follows the get_custom_schema macro") {
+    def dir(t: Target) = new Runner("/w", Nil, target = Some(t)).tableDir("fct")
+    // prod → team schema verbatim
+    assert(dir(Target("prod", "deepbook")) == "/w/deepbook/fct")
+    // dev without suffix → trailing underscore kept (the macro's default)
+    assert(dir(Target("dev", "deepbook")) == "/w/deepbook__tmp_/fct")
+    // dev with suffix (CI sets the PR number), whitespace trimmed
+    assert(dir(Target("dev", "deepbook", " 123 ")) == "/w/deepbook__tmp_123/fct")
+    // no target → flat legacy layout
+    assert(new Runner("/w", Nil).tableDir("fct") == "/w/fct")
+  }
 }
