@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-rehearsal tier generator: amplifies an sf directory by an integer
+  * factor K with the join/dedup structure preserved, so Bench can be run
+  * one tier above the largest driver-provided scale (SCALE.md §"rehearsal").
+  *
+  * Amplification is K key-shifted copies, NOT K verbatim copies — verbatim
+  * duplication would manufacture quadratic artifacts the real 100 TB corpus
+  * doesn't have (every doc near-dup with its 9 clones, every vector
+  * cosine-1.0 with its 9 clones):
+  *
+  *   - Relational tables: every key column shifts by `copy × 10M`, applied
+  *     consistently across FK pairs (orders↔lineitem, customer↔orders…), so
+  *     per-copy join cardinalities are exactly the originals and output
+  *     sizes scale linearly. Dimension tables (region/nation) stay fixed —
+  *     as they do at any real scale.
+  *   - documents: every non-leading word gets a copy-specific prefix
+  *     (`" " → " c<i>x"`). A bijection on word sequences, so within-copy
+  *     word-shingle Jaccard is EXACTLY the original's (near-dup pairs scale
+  *     linearly), while cross-copy shingle sets are disjoint (no artificial
+  *     pairs).
+  *   - embeddings: components multiply by a copy-specific deterministic
+  *     ±1 pattern. Sign flips preserve within-copy dot products exactly
+  *     (s²=1 componentwise) and decorrelate cross-copy cosines to ~0.
+  *
+  * Usage: ScaleGen [inDir] [outDir] [K]
+  */
+object ScaleGen {
+
+  private val Off = 10000000L // key shift per copy; all keys are < 10M
+
+  def main(args: Array[String]): Unit = {
+    val in = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(1).headOption.getOrElse("/tmp/graft-sf1")
+    val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // events ships a TIMESTAMP(NANOS) parquet column Spark can't read as
+    // TimestampType — read the physical INT64 (as Sources.testdata does);
+    // the copy keeps nanos, so the tier reads through the same shim
+    def read(t: String) =
+      if (t == "events")
+        spark.read.schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", LongType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType), StructField("props", StringType))))
+          .parquet(s"$in/$t.parquet")
+      else spark.read.parquet(s"$in/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$out/$t.parquet")
+    /** K copies of `t`, the i-th transformed by `f(_, i)`. */
+    def amplified(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+      val base = read(t)
+      write((0 until k).map(i => f(base, i)).reduce(_ union _), t)
+    }
+    def shift(df: DataFrame, i: Int, keys: String*): DataFrame =
+      keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
+
+    Seq("region", "nation").foreach(t => write(read(t), t))
+    amplified("customer")(shift(_, _, "c_custkey"))
+    amplified("supplier")(shift(_, _, "s_suppkey"))
+    amplified("part")(shift(_, _, "p_partkey"))
+    amplified("orders")(shift(_, _, "o_orderkey", "o_custkey"))
+    amplified("lineitem")(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey"))
+    amplified("events")(shift(_, _, "event_id", "user_id"))
+    amplified("documents") { (d, i) =>
+      val shifted = shift(d, i, "doc_id")
+      if (i == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), lit(" "), lit(s" c${i}x")))
+    }
+    amplified("embeddings") { (d, i) =>
+      // LCG-derived ±1 per (copy, component) — deterministic, literal
+      val signs = Array.iterate(i * 2654435761L + 12345L, 64)(s =>
+        s * 6364136223846793005L + 1442695040888963407L)
+        .map(s => if (((s >>> 33) & 1L) == 0L) 1.0f else -1.0f)
+      val signArr = array(signs.map(lit): _*)
+      shift(d, i, "vec_id").withColumn("embedding",
+        if (i == 0) col("embedding")
+        else zip_with(col("embedding"), signArr, (x, s) => x * s)
+          .cast("array<float>"))
+    }
+    println(s"wrote ${k}x tier of $in to $out")
+    spark.stop()
+  }
+}

@@ -34,8 +34,23 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written tier (e.g. ScaleGen output)
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        else:
+            continue
+        if t == "events":
+            # ScaleGen tiers carry ts as raw INT64 nanos (the same physical
+            # value the engine's read shim consumes); normalize the view to
+            # the TIMESTAMP the driver testdata presents
+            (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall()
+                          if r[0] == "ts"]
+            if ts_type == "BIGINT":
+                con.execute(
+                    "CREATE OR REPLACE VIEW events AS SELECT event_id, "
+                    "make_timestamp(ts // 1000) AS ts, user_id, event_type, "
+                    f"value, props FROM '{p}/*.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     names = sorted(d for d in os.listdir(outdir)
