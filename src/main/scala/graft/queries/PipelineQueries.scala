@@ -36,6 +36,17 @@ object PipelineQueries {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     Sources.testdata(spark, dir)(name)
 
+  /** Round-robin repartition to full parallelism ahead of CPU-dense per-row
+    * stages (shingling lambdas, hyperplane projections, per-window hashing).
+    *
+    * Parquet can only split at row-group boundaries, so a corpus delivered
+    * as a few single-row-group files caps those stages at #files tasks no
+    * matter the cluster size. The row shuffle is trivial next to the per-row
+    * CPU it unlocks; on a cluster whose scan already yields thousands of
+    * splits AQE coalesces it away rather than letting it hurt. */
+  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
+
   // ---- deterministic pseudo-random literals (shared with the oracles) ----
 
   /** 64-bit LCG stream (Knuth MMIX constants), top-33-bit outputs. */
@@ -98,15 +109,24 @@ object PipelineQueries {
 
   // ---- shared shingling ----------------------------------------------------
 
-  /** doc_id + distinct word-3-gram shingles of lowercased text. */
+  /** doc_id + distinct xxhash64 images of the word-3-gram shingles.
+    *
+    * Multi-arg `xxhash64(w[i], w[i+1], w[i+2])` seed-chains the three words,
+    * and words can never contain the split delimiter, so the triple ↔
+    * joined-string mapping is a bijection: hash equality classes equal the
+    * oracles' string-shingle equality (modulo a 64-bit collision inside one
+    * pair's union, ≪1e-15). Producing LONGS instead of strings means the
+    * downstream minhash / prefix / verify stages never pay string
+    * allocation, hashing, or comparison — at 100 TB the shingle stream is
+    * 8 bytes/element instead of ~25. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .select(col("doc_id"),
         when(size(col("w")) >= 3,
           array_distinct(expr(
-            "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")))
-          .otherwise(array().cast(ArrayType(StringType))).as("sh"))
+            "transform(sequence(0, size(w)-3), i -> xxhash64(w[i], w[i+1], w[i+2]))")))
+          .otherwise(array().cast(ArrayType(LongType))).as("ids"))
 
   // ---- D2: MinHash + banded LSH near-dup ----------------------------------
 
@@ -126,12 +146,15 @@ object PipelineQueries {
     // when the result goes out of scope — a persist() here has no safe
     // unpersist point (the returned DataFrame is lazy) and would leak
     // cached blocks into a library consumer's session
-    val sh = shingled(spark, dir).localCheckpoint()
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .localCheckpoint()
     // signature via explode + 64 codegen'd min() aggregates — an order of
     // magnitude faster than per-row higher-order lambdas (interpreted),
-    // and the same map-side-combine shape a cluster wants
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("x", expr(s"xxhash64(s) & $MinhashP"))
+    // and the same map-side-combine shape a cluster wants; the shingle ids
+    // are already 31-bit-maskable longs, so no per-row string hash here
+    val ex = sh.select(col("doc_id"), explode(col("ids")).as("sid"))
+      .withColumn("x", expr(s"sid & $MinhashP"))
     val minAggs = (0 until NumHashes).map(k =>
       min(pmod(lit(hashA(k)) * col("x") + lit(hashB(k)), lit(MinhashP))).as(s"m$k"))
     val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
@@ -140,17 +163,22 @@ object PipelineQueries {
         col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
     val buckets = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bucket")
+    // keep the pre-verify distinct: a true near-dup pair collides in ~10 of
+    // 16 bands, so dedup here shrinks the verify input ~10×
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val a = sh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+    // |union| = na + nb − |inter| (per-doc ids are distinct): one long-array
+    // intersect per pair, no union materialization, no string comparisons
     cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+        round(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -191,31 +219,46 @@ object PipelineQueries {
     * exact intersect/union — output identical to all-pairs, cost
     * proportional to true near-dups. */
   val d4NgramJaccard: Q = (spark, dir) => {
-    val thr = 0.3
+    val thr = 0.3 // as a rational 3/10 — the pruning math below is integer-exact
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
     val sh = shingled(spark, dir).join(docs, "doc_id")
-      .select(col("source"), col("doc_id"), col("sh"), size(col("sh")).as("n"))
+      .select(col("source"), col("doc_id"), col("ids"), size(col("ids")).as("n"))
       .localCheckpoint() // shared by dfreq/prefix/verify; GC-released (see d2)
-    val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("sh")).as("s"))
-      .select(col("source"), col("doc_id"), col("n"), xxhash64(col("s")).as("sid"))
+    val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("ids")).as("sid"))
     val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    // prefix length n − ⌈t·n⌉ + 1 in integer arithmetic: ⌈3n/10⌉ = (3n+9) div 10
+    // (a double ceil(n*0.3) can round the wrong way exactly when 3n/10 is whole)
     val prefix = ex.join(dfreq, "sid")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
-      .filter(col("rk") <= col("n") - ceil(col("n") * lit(thr)) + 1)
-      .select(col("source"), col("doc_id"), col("sid"))
+      .filter(col("rk") <= col("n") - expr("(3 * n + 9) div 10") + 1)
+      .select(col("source"), col("doc_id"), col("sid"), col("rk"), col("n"))
+    // candidate join with PPJoin's two extra lossless prunes (both exact):
+    //  - length filter: J ≥ t ⟹ t·nb ≤ na ∧ t·na ≤ nb  (3·nb ≤ 10·na …)
+    //  - positional filter: a shared token at ranks (rx, ry) bounds the
+    //    overlap by 1 + min(na−rx, nb−ry), which must reach the overlap
+    //    threshold α = t(na+nb)/(1+t); ubound ≥ α ⟺ 13·ubound ≥ 3(na+nb).
+    //    A true pair's FIRST shared prefix token always passes (Chaudhuri /
+    //    Xiao et al.), and the join keeps a pair if any token row passes.
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.source") === col("y.source") && col("x.sid") === col("y.sid") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") &&
+          lit(3) * col("y.n") <= lit(10) * col("x.n") &&
+          lit(3) * col("x.n") <= lit(10) * col("y.n") &&
+          lit(13) * (lit(1) + least(col("x.n") - col("x.rk"), col("y.n") - col("y.rk"))) >=
+            lit(3) * (col("x.n") + col("y.n")))
       .select(col("x.source").as("source"),
         col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val a = sh.select(col("doc_id").as("a_id"), col("sh").as("sa"))
-    val b = sh.select(col("doc_id").as("b_id"), col("sh").as("sb"))
+    val a = sh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+    // |union| = na + nb − |inter| (per-doc shingles are already distinct),
+    // so one array op per pair instead of intersect + union
     cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       .select(col("source"), col("a_id"), col("b_id"),
-        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+        round(col("inter").cast(DoubleType) /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
       .filter(col("jaccard") >= thr)
       .orderBy(col("source"), col("a_id"), col("b_id"))
   }
@@ -286,10 +329,12 @@ object PipelineQueries {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val planeSql = NdPlanes.map(t => t.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")).mkString("array(", ",", ")")
-    val e = t(spark, dir, "embeddings")
+    val e = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
       .localCheckpoint() // shared by buckets/verify sides; GC-released (see d2)
+    // checkpointed: the self-join below would otherwise compute the
+    // 24-hyperplane projection once per side
     val buckets = e.select(col("vec_id"), posexplode(expr(
       s"""transform(sequence(0, ${NdTables - 1}), t ->
          |  aggregate(transform(sequence(0, ${NdBits - 1}), j ->
@@ -297,11 +342,16 @@ object PipelineQueries {
          |         THEN shiftleft(1L, j) ELSE 0L END),
          |    0L, (acc, bit) -> acc + bit))""".stripMargin)))
       .toDF("vec_id", "tbl", "bucket")
+      .localCheckpoint()
+    // NO pre-verify distinct: unlike d2 (a true pair collides in ~10 of 16
+    // bands), independent tables rarely agree — measured dup rate ~3% — so
+    // a distinct on the full candidate stream costs more than verifying the
+    // few dups; dedup happens after the cosine filter on the far smaller
+    // surviving set
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-      .distinct()
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
     cand.join(a, "a_id").join(b, "b_id")
@@ -309,6 +359,7 @@ object PipelineQueries {
         round(expr("vector_dot(va, vb)") / (col("na") * col("nb")), 6))
       .filter(col("cosine") >= 0.3)
       .select(col("a_id"), col("b_id"), col("cosine"))
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -369,20 +420,33 @@ object PipelineQueries {
 
   /** Content fingerprints: md5 of the whitespace/punct-canonicalized text,
     * plus a winnowing-style min-hash over 5-word windows (lexicographic min
-    * of window md5s) that survives local edits. */
-  val t4Fingerprint: Q = (spark, dir) =>
-    t(spark, dir, "documents")
+    * of window md5s) that survives local edits.
+    *
+    * The window md5s run as a codegen'd projection over EXPLODED window
+    * rows + a map-side-combined `min` — not inside a `transform` lambda,
+    * which Spark evaluates interpreted per element. The explode stays in
+    * the scan stage and the partial min collapses each doc back to one row
+    * before the shuffle, so the fan-out never crosses the wire. */
+  val t4Fingerprint: Q = (spark, dir) => {
+    val base = fanOut(spark, t(spark, dir, "documents"))
       .withColumn("canon",
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")))
       .withColumn("w", split(col("canon"), " "))
-      .select(
-        col("doc_id"),
-        md5(col("canon")).as("fp_md5"),
-        when(size(col("w")) >= 5, expr(
-          """array_min(transform(sequence(0, size(w)-5), i ->
-            |  md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))))""".stripMargin))
-          .otherwise(md5(col("canon"))).as("fp_window_min"))
+      .select(col("doc_id"), col("canon"), col("w"))
+      .localCheckpoint() // shared by the window-min branch and the fallback
+    val winMin = base
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 5)).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", col("w")(col("i")), col("w")(col("i") + 1),
+          col("w")(col("i") + 2), col("w")(col("i") + 3), col("w")(col("i") + 4))).as("h"))
+      .groupBy(col("doc_id")).agg(min(col("h")).as("win_min"))
+    base.join(winMin, Seq("doc_id"), "left")
+      .select(col("doc_id"), md5(col("canon")).as("fp_md5"),
+        coalesce(col("win_min"), md5(col("canon"))).as("fp_window_min"))
       .orderBy(col("doc_id"))
+  }
 
   // ---- M1: multimodal binary-column plumbing -------------------------------
 

@@ -626,20 +626,57 @@ object RelationalQueries {
     both.unionByName(onlyBuilding).orderBy(col("which"), col("c_nationkey"))
   }
 
-  /** Exact interpolated percentiles (no sketch): `percentile` sorts within
-    * the aggregation — exact and engine-portable, unlike approx sketches
-    * whose internals differ per engine. */
-  val a5Percentiles: Q = (spark, dir) =>
-    t(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        // interpolating 2-dp inputs yields ≤3 decimals, so 4-dp rounding
-        // is exact (a 2-dp round would sit ON the .xx5 midpoints, which
-        // the two engines' rounding modes break differently)
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
-      .orderBy(col("l_returnflag"))
+  /** Exact interpolated percentile of `v` per `key`, computed with
+    * codegen'd operators only: collapse to (key, value, count) with a
+    * map-side-combined hash agg (the full column never shuffles — only its
+    * distinct values), then locate each rank with cumulative counts over a
+    * value-ordered window and interpolate. Equivalent to `percentile()` /
+    * DuckDB `quantile_cont` (same pos = p·(n−1) arithmetic) but avoids the
+    * ObjectHashAggregate value→count map, which is an order of magnitude
+    * slower per row and holds every distinct value in one buffer. At scale
+    * the window sees distinct values per key, not rows. */
+  private def exactPctls(df: DataFrame, key: String, v: String,
+                         ps: Seq[(Double, String)]): DataFrame = {
+    val g = df.groupBy(col(key), col(v).cast(DoubleType).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+    val ordered = Window.partitionBy(col(key)).orderBy(col("value"))
+    val whole = Window.partitionBy(col(key))
+    val c = g
+      .withColumn("cum", sum(col("cnt")).over(ordered))
+      .withColumn("n", sum(col("cnt")).over(whole))
+      .withColumn("pos_base", col("n") - 1)
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(p) * col("pos_base")
+      val loRank = floor(pos) + 1
+      Seq(
+        min(when(col("cum") >= loRank, col("value"))).as(s"${name}_lo"),
+        min(when(col("cum") >= loRank + 1, col("value"))).as(s"${name}_hi"),
+        max(col("pos_base")).as(s"${name}_n1"))
+    }
+    val out = ps.map { case (p, name) =>
+      val pos = lit(p) * col(s"${name}_n1")
+      val frac = pos - floor(pos)
+      // top-rank pos has frac 0 and no hi value; coalesce keeps NULL×0 out
+      round(col(s"${name}_lo") +
+        frac * (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")),
+        4).as(name)
+    }
+    c.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+      .select(col(key) +: out: _*)
+  }
+
+  /** Exact interpolated percentiles (no sketch) — engine-portable, unlike
+    * approx sketches whose internals differ per engine. Interpolating 2-dp
+    * inputs yields ≤3 decimals, so 4-dp rounding is exact (a 2-dp round
+    * would sit ON the .xx5 midpoints, which the two engines' rounding modes
+    * break differently). */
+  val a5Percentiles: Q = (spark, dir) => {
+    val li = t(spark, dir, "lineitem")
+    val price = exactPctls(li, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.9 -> "p90_price"))
+    val qty = exactPctls(li, "l_returnflag", "l_quantity", Seq(0.5 -> "p50_qty"))
+    price.join(qty, "l_returnflag").orderBy(col("l_returnflag"))
+  }
 
   /** Window frames: running sum over rows-between-unbounded-and-current,
     * plus first/last value in a bounded frame. */

@@ -55,4 +55,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("decimal(1"),
       s"q1 aggregate should carry long cents, not decimal buffers\n${plan.take(1200)}")
   }
+
+  test("a5: exact percentiles run as codegen'd hash aggs + windows — no ObjectHashAggregate") {
+    val p = planOf(RelationalQueries.a5Percentiles)
+    assert(!p.contains("ObjectHashAggregate"),
+      s"percentile must not fall back to the value-map ObjectHashAggregate\n${p.take(1200)}")
+    assert(p.contains("Window"), p.take(800))
+  }
+
+  test("d2/d4/d5: every near-dup candidate generator stays an equi-join — no nested loop anywhere") {
+    import graft.queries.PipelineQueries
+    for ((name, q) <- Seq("d2" -> PipelineQueries.d2MinhashLsh,
+                          "d4" -> PipelineQueries.d4NgramJaccard,
+                          "d5" -> PipelineQueries.d5EmbeddingNeardup)) {
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
+    }
+  }
 }
