@@ -456,19 +456,20 @@ object RelationalQueries {
         coalesce(swb("borrow_v"), lit(0)).as("borrow_v"),
         coalesce(r("repay_v"), lit(0)).as("repay_v"))
 
-    // EOD state: last event per (pool, day) — W1 shape
-    val stateW = Window.partitionBy(col("pool_id"), col("event_date"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    val state = ev.withColumn("rn", row_number().over(stateW))
-      .filter(col("rn") === 1)
-      .select(col("event_date"), col("pool_id"), col("value").as("eod_value"))
+    // EOD state: last event per (pool, day) — W1 semantics as a map-side-
+    // combinable max_by instead of a row_number window: the window form
+    // shuffles AND sorts every event row globally; max_by keeps one
+    // (ts, event_id, value) per group per map task, so the exchange carries
+    // groups, not events. (event_id is unique, so "last" is total.)
+    val state = ev.groupBy(col("event_date"), col("pool_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("eod_value"))
+      .select(col("event_date"), col("pool_id"), col("eod_value"))
 
-    // daily "price": last purchase value per day — W2 shape
-    val priceW = Window.partitionBy(col("event_date")).orderBy(col("ts").desc, col("event_id").desc)
+    // daily "price": last purchase value per day — W2 semantics, same form
     val prices = ev.filter(col("event_type") === "purchase")
-      .withColumn("rn", row_number().over(priceW))
-      .filter(col("rn") === 1)
-      .select(col("event_date").as("price_date"), col("value").as("price"))
+      .groupBy(col("event_date"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("price"))
+      .select(col("event_date").as("price_date"), col("price"))
 
     // state and v share lineage (both derive from ev) — disambiguate.
     val peg = when(col("st.pool_id") === 0, lit(1.0))
