@@ -134,6 +134,36 @@ object PipelineOracles {
             FROM s)
       SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    "v3_ann_ivf" -> s"""
+      WITH $embCte,
+      ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
+        c.map(d => BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")} AS cents,
+                    ${PipelineQueries.IvfHalfSq.map(d =>
+        BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]")} AS hs),
+      a AS (SELECT n.vec_id, n.v, n.nrm,
+                   [list_sum(list_transform(range(1, len(n.v)+1),
+                      i -> n.v[i] * cents[k+1][i])) - hs[k+1]
+                    for k in range(0, ${PipelineQueries.IvfCells})] AS s
+            FROM n, ct),
+      c AS (SELECT vec_id, v, nrm, s, list_position(s, list_max(s)) AS cell FROM a),
+      q0 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell,
+                    [CASE WHEN i = cell THEN -1e18 ELSE s[i] END
+                     for i in range(1, ${PipelineQueries.IvfCells + 1})] AS s2
+             FROM c WHERE vec_id < 5),
+      q AS (SELECT q_id, qv, qn,
+                   unnest([cell, list_position(s2, list_max(s2))]) AS probe
+            FROM q0),
+      s AS (SELECT q.q_id, c.vec_id,
+                   round(list_sum(list_transform(range(1, len(c.v)+1),
+                           i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn), 6) AS cosine
+            FROM c JOIN q ON c.cell = q.probe AND c.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM s)
+      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,

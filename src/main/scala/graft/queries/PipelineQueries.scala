@@ -72,6 +72,24 @@ object PipelineQueries {
   val AnnPlanes: Seq[Seq[Double]] =
     (0 until 8).map(j => lcg(0x91A0000L + j, 64).map(v => ((v % 1000001L) - 500000L) / 1e6))
 
+  /** IVF coarse quantizer: [[IvfCells]] literal centroids × 64 dims, 6-dp
+    * components (same engine-portability rule as the hyperplanes). Cell
+    * assignment is argmin Euclidean distance ⟺ argmax of
+    * dot(v, c) − ‖c‖²/2, so each score is one [[graft.functions.VectorDot]]
+    * plus a precomputed constant. 16 cells suit the fixture corpus; a real
+    * deployment scales cells ∝ √corpus and trains them (k-means) — the
+    * plumbing (assign → invert → probe nearest cells) is identical. */
+  val IvfCells = 16
+  /** Queries probe their [[IvfProbe]] best cells (candidates ≈ probe/cells
+    * of the corpus). */
+  val IvfProbe = 2
+  val IvfCentroids: Seq[Seq[Double]] =
+    (0 until IvfCells).map(c => lcg(0xCE11000L + c, 64).map(v => ((v % 1000001L) - 500000L) / 1e6))
+  /** ‖c‖²/2 per centroid, precomputed HERE and embedded as the same literal
+    * in both engines — no cross-engine summation drift can enter the
+    * argmax. */
+  val IvfHalfSq: Seq[Double] = IvfCentroids.map(c => 0.5 * c.map(x => x * x).sum)
+
   /** 4 independent LSH tables × 6 hyperplanes for the near-dup pair miner
     * (multiple small tables trade bucket selectivity for recall). */
   val NdTables = 4
@@ -317,6 +335,46 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V3: IVF-bucketed ANN (inverted-file scale path) ---------------------
+
+  /** IVF ANN: every vector lands in the cell of its nearest coarse-quantizer
+    * centroid (one argmax over [[IvfCells]] dot-product scores — the
+    * inverted file); each query probes its [[IvfProbe]] best cells and
+    * ranks only those candidates by exact cosine. Complements v2: sign-LSH
+    * partitions by random hyperplanes, IVF by data-shaped regions, and the
+    * probe count tunes recall without touching the index. The centroids and
+    * the ‖c‖²/2 terms are literals, so cell assignment — and therefore the
+    * result — is reproduced exactly by the oracle. */
+  val v3AnnIvf: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def centroidSql(k: Int) =
+      IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
+    val scoreCols = (0 until IvfCells).map(k => expr(
+      s"vector_dot(v, cast(${centroidSql(k)} as array<double>)) - ${sqlDouble(IvfHalfSq(k))}"))
+    val e = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+      .withColumn("s", array(scoreCols: _*))
+      // ties break to the first maximal cell in BOTH engines
+      // (array_position / list_position return the first match)
+      .withColumn("cell", array_position(col("s"), array_max(col("s"))))
+      .localCheckpoint() // shared by corpus/query sides; GC-released (see d2)
+    val q = e.filter(col("vec_id") < 5)
+      .withColumn("s2",
+        expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+      .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    e.join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
 
   /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
@@ -510,6 +568,7 @@ object PipelineQueries {
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
+    "v3_ann_ivf" -> v3AnnIvf,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

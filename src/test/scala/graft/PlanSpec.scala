@@ -67,7 +67,8 @@ class PlanSpec extends SparkSpec {
     import graft.queries.PipelineQueries
     for ((name, q) <- Seq("d2" -> PipelineQueries.d2MinhashLsh,
                           "d4" -> PipelineQueries.d4NgramJaccard,
-                          "d5" -> PipelineQueries.d5EmbeddingNeardup)) {
+                          "d5" -> PipelineQueries.d5EmbeddingNeardup,
+                          "v3" -> PipelineQueries.v3AnnIvf)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
