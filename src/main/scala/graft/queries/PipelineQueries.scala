@@ -382,7 +382,19 @@ object PipelineQueries {
     * table buckets → equi-join — never an all-pairs product), verified with
     * exact cosine ≥ 0.3. The planes are fixed literals, so the bucketing —
     * and therefore the result — is reproduced exactly by the oracle; the
-    * brute-force v1 path remains the recall baseline. */
+    * brute-force v1 path remains the recall baseline.
+    *
+    * The verify is FUSED into the bucket self-join: each side carries its
+    * vector, the cosine is computed in the join's output projection and
+    * filtered in the same stage. The candidate stream (which on a
+    * low-threshold/low-dim corpus like this fixture is inherently ~n²·p —
+    * at cos ≥ 0.3 in 64 dims, ~1% of ALL pairs qualify, so the OUTPUT
+    * itself is near-quadratic) is therefore never shuffled or
+    * materialized: everything that crosses the wire is linear in the
+    * corpus (bucket rows with vectors attached), and the quadratic part is
+    * pure in-stage arithmetic. A 3-join formulation that shuffled the
+    * candidate pairs twice died of exactly that at the 30× rehearsal tier
+    * (347 s → 10 s). Only the post-filter survivors reach the dedup. */
   val d5EmbeddingNeardup: Q = (spark, dir) => {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val planeSql = NdPlanes.map(t => t.map(p => p.map(sqlDouble).mkString("array(", ",", ")"))
@@ -390,33 +402,23 @@ object PipelineQueries {
     val e = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
-      .localCheckpoint() // shared by buckets/verify sides; GC-released (see d2)
-    // checkpointed: the self-join below would otherwise compute the
-    // 24-hyperplane projection once per side
-    val buckets = e.select(col("vec_id"), posexplode(expr(
+      .localCheckpoint() // both join sides re-derive from this; GC-released (see d2)
+    val sides = e.select(col("vec_id"), col("v"), col("nrm"), posexplode(expr(
       s"""transform(sequence(0, ${NdTables - 1}), t ->
          |  aggregate(transform(sequence(0, ${NdBits - 1}), j ->
          |    CASE WHEN vector_dot(v, cast(${planeSql}[t][j] as array<double>)) > 0D
          |         THEN shiftleft(1L, j) ELSE 0L END),
          |    0L, (acc, bit) -> acc + bit))""".stripMargin)))
-      .toDF("vec_id", "tbl", "bucket")
-      .localCheckpoint()
-    // NO pre-verify distinct: unlike d2 (a true pair collides in ~10 of 16
-    // bands), independent tables rarely agree — measured dup rate ~3% — so
-    // a distinct on the full candidate stream costs more than verifying the
-    // few dups; dedup happens after the cosine filter on the far smaller
-    // surviving set
-    val cand = buckets.as("x").join(buckets.as("y"),
+      .toDF("vec_id", "v", "nrm", "tbl", "bucket")
+    // dedup (pairs found by >1 table, measured ~3%) runs AFTER the cosine
+    // filter, on survivors only — a distinct on the raw candidate stream
+    // would force materializing it
+    sides.as("x").join(sides.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("nrm").as("nb"))
-    cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("cosine",
-        round(expr("vector_dot(va, vb)") / (col("na") * col("nb")), 6))
+      .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+        round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6).as("cosine"))
       .filter(col("cosine") >= 0.3)
-      .select(col("a_id"), col("b_id"), col("cosine"))
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -489,10 +491,12 @@ object PipelineQueries {
     val base = fanOut(spark, t(spark, dir, "documents"))
       .withColumn("canon",
         trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), "  +", " ")))
-      .withColumn("w", split(col("canon"), " "))
-      .select(col("doc_id"), col("canon"), col("w"))
-      .localCheckpoint() // shared by the window-min branch and the fallback
+      .select(col("doc_id"), col("canon"))
+      // checkpoint carries (doc_id, canon) only — the regex passes run once,
+      // and the word arrays (≈2× the text again) never hit block storage
+      .localCheckpoint()
     val winMin = base
+      .withColumn("w", split(col("canon"), " "))
       .filter(size(col("w")) >= 5)
       .select(col("doc_id"), col("w"),
         explode(sequence(lit(0), size(col("w")) - 5)).as("i"))
