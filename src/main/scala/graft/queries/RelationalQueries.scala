@@ -636,8 +636,8 @@ object RelationalQueries {
     * ObjectHashAggregate value→count map, which is an order of magnitude
     * slower per row and holds every distinct value in one buffer. At scale
     * the window sees distinct values per key, not rows. */
-  private def exactPctls(df: DataFrame, key: String, v: String,
-                         ps: Seq[(Double, String)]): DataFrame = {
+  private[graft] def exactPctls(df: DataFrame, key: String, v: String,
+                                ps: Seq[(Double, String)]): DataFrame = {
     val g = df.groupBy(col(key), col(v).cast(DoubleType).as("value"))
       .agg(count(lit(1)).as("cnt"))
     val ordered = Window.partitionBy(col(key)).orderBy(col("value"))
