@@ -25,16 +25,21 @@ object Profile {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
     names.foreach { n =>
-      val times = (1 to repeats).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        spark.sqlContext.clearCache()
-        sec
+      SparkEntry.queries.get(n) match {
+        case None =>
+          // a typo must not abort the names after it
+          System.err.println(s"$n: unknown query (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+        case Some(q) =>
+          val times = (1 to repeats).map { _ =>
+            val t0 = System.nanoTime()
+            q(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            spark.sqlContext.clearCache()
+            sec
+          }
+          val med = times.sorted.apply(times.size / 2)
+          println(f"$n%-24s median=$med%7.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
       }
-      val med = times.sorted.apply(times.size / 2)
-      println(f"$n%-24s median=$med%7.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
     spark.stop()
   }

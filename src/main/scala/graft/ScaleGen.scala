@@ -47,15 +47,11 @@ object ScaleGen {
     spark.sparkContext.setLogLevel("ERROR")
 
     // events ships a TIMESTAMP(NANOS) parquet column Spark can't read as
-    // TimestampType — read the physical INT64 (as Sources.testdata does);
-    // the copy keeps nanos, so the tier reads through the same shim
+    // TimestampType — read the physical INT64 through the same raw schema
+    // the engine's shim uses; the copy keeps nanos
     def read(t: String) =
       if (t == "events")
-        spark.read.schema(StructType(Seq(
-          StructField("event_id", LongType), StructField("ts", LongType),
-          StructField("user_id", LongType), StructField("event_type", StringType),
-          StructField("value", DoubleType), StructField("props", StringType))))
-          .parquet(s"$in/$t.parquet")
+        spark.read.schema(Sources.eventsRawSchema).parquet(s"$in/$t.parquet")
       else spark.read.parquet(s"$in/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")
@@ -76,9 +72,14 @@ object ScaleGen {
     amplified("events")(shift(_, _, "event_id", "user_id"))
     amplified("documents") { (d, i) =>
       val shifted = shift(d, i, "doc_id")
+      // EVERY word gets the copy prefix — including the first (and a
+      // space-free doc's only word): a partial bijection would preserve
+      // document-initial shingles across copies and emit verbatim clones
+      // of single-word docs, both quadratic artifacts this tier exists
+      // to avoid
       if (i == 0) shifted
       else shifted.withColumn("text",
-        regexp_replace(col("text"), lit(" "), lit(s" c${i}x")))
+        concat(lit(s"c${i}x"), regexp_replace(col("text"), lit(" "), lit(s" c${i}x"))))
     }
     amplified("embeddings") { (d, i) =>
       // LCG-derived ±1 per (copy, component) — deterministic, literal

@@ -55,7 +55,7 @@ object Sources {
   /** `events` ships with a nanosecond parquet timestamp, which Spark's
     * TimestampType (µs) cannot read directly; read the physical INT64 and
     * truncate ns → µs (exact for every comparison at ms/date granularity). */
-  private val eventsRawSchema: StructType = StructType(Seq(
+  private[graft] val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos since epoch
     StructField("user_id", LongType),

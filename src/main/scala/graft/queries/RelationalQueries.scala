@@ -55,6 +55,20 @@ object RelationalQueries {
   /** Exact sum of 2-dp money as long cents, divided back to double —
     * bit-identical to `CAST(sum(CAST(c AS DECIMAL)) AS DOUBLE)`. */
   private def dsum(c: Column): Column = (sum(cents(c)) / lit(100.0)).cast(DoubleType)
+  /** Splits a 1e-4-dollar-unit long column into hi (1e2 dollars) / lo
+    * (1e-4 dollars) parts so each group sum stays a pure codegen'd long:
+    * `sum(hi)` overflows past ~8.8e15 rows/group and `sum(lo)` past
+    * ~9.2e12 — both beyond 100 TB — where a single `sum` of the raw
+    * 1e-4 units wraps silently at ~8.8e9 rows/group (a few TB). */
+  private def split4(df: DataFrame, src: String, name: String): DataFrame =
+    df.withColumn(s"${name}_hi", expr(s"$src div 1000000"))
+      .withColumn(s"${name}_lo", expr(s"$src % 1000000"))
+  /** Exact HALF_UP cents-rounded dollar total of a [[split4]] pair —
+    * recombined in DECIMAL(38,0) only on the grouped output rows. */
+  private def sum4ToDollars(name: String): Column =
+    expr(s"""((cast(sum(${name}_hi) as decimal(38,0)) * 1000000 + sum(${name}_lo)
+           |  + 50) div 100) / 100.0""".stripMargin)
+
   /** Row-level revenue term `price·(1−discount)` as an exact long in 1e-4
     * dollar units (price cents × discount-complement hundredths); the
     * consumer rounds the summed value to cents with `(x+50) div 100`
@@ -352,11 +366,13 @@ object RelationalQueries {
     * identical to the oracle's `round(DECIMAL, 2)`), and only the final
     * 6-row projection divides back to double.
     *
-    * Overflow envelope: the 1e-6-unit charge is ≤1.25e11 per row, so a
-    * single long sum holds ~7e7 rows per group (≈ TPC-H sf10). The hi/lo
-    * split below (two long sums, recombined exactly in DECIMAL(38,0) on
-    * the 6 output rows) extends exactness to ~9e12 rows per group —
-    * beyond 100 TB — while keeping the per-row path pure long codegen. */
+    * Overflow envelope: the 1e-6-unit charge is ≤1.25e11 per row (single
+    * long sum wraps at ~7e7 rows/group ≈ TPC-H sf10) and the 1e-4-unit
+    * discount price ≤1.05e9 (~8.8e9 rows/group). Both are therefore
+    * hi/lo-split — two long sums each, recombined exactly in
+    * DECIMAL(38,0) on the 6 output rows — extending exactness past
+    * ~9e12 rows per group, beyond 100 TB, while keeping the per-row
+    * path pure long codegen. */
   val q1PricingSummary: Q = (spark, dir) => {
     val epC = cents(col("l_extendedprice"))
     val discH = round(col("l_discount") * 100).cast(LongType) // hundredths
@@ -368,13 +384,14 @@ object RelationalQueries {
       .select(col("l_returnflag"), col("l_linestatus"),
         cents(col("l_quantity")).as("qty_c"), epC.as("ep_c"), discH.as("disc_h"),
         disc4.as("disc4"), charge6.as("charge6"))
+      .transform(split4(_, "disc4", "disc"))
       .withColumn("charge_hi", expr("charge6 div 1000000"))
       .withColumn("charge_lo", expr("charge6 % 1000000"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         (sum(col("qty_c")) / lit(100.0)).as("sum_qty"),
         (sum(col("ep_c")) / lit(100.0)).as("sum_base_price"),
-        expr("((sum(disc4) + 50) div 100) / 100.0").as("sum_disc_price"),
+        sum4ToDollars("disc").as("sum_disc_price"),
         expr("""((cast(sum(charge_hi) as decimal(38,0)) * 1000000 + sum(charge_lo)
                |  + 5000) div 10000) / 100.0""".stripMargin).as("sum_charge"),
         round((sum(col("qty_c")) / lit(100.0)) / count(lit(1)), 2).as("avg_qty"),
@@ -394,6 +411,8 @@ object RelationalQueries {
       .join(c, o("o_custkey") === c("c_custkey"))
       .withColumn("disc4", revenue4(l("l_extendedprice"), l("l_discount")))
       .groupBy(o("o_orderkey"), to_date(o("o_orderdate")).as("orderdate"), o("o_orderpriority"))
+      // per-order groups are bounded (≤7 lineitems in the TPC-H shape), so a
+      // single long sum of 1e-4 units can never approach its ~8.8e9-row wrap
       .agg(expr("((sum(disc4) + 50) div 100) / 100.0").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
@@ -415,8 +434,11 @@ object RelationalQueries {
       .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .withColumn("disc4", revenue4(l("l_extendedprice"), l("l_discount")))
+      .transform(split4(_, "disc4", "disc"))
       .groupBy(n("n_name"))
-      .agg(expr("((sum(disc4) + 50) div 100) / 100.0").as("revenue"))
+      // hi/lo split: per-nation groups are table/25 — a single long sum
+      // would wrap silently within the 100 TB design point
+      .agg(sum4ToDollars("disc").as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -638,24 +660,26 @@ object RelationalQueries {
     * the window sees distinct values per key, not rows. */
   private[graft] def exactPctls(df: DataFrame, key: String, v: String,
                                 ps: Seq[(Double, String)]): DataFrame = {
-    val g = df.groupBy(col(key), col(v).cast(DoubleType).as("value"))
+    // NULL values are ignored, as percentile()/quantile_cont do. (A group
+    // whose values are ALL null is omitted entirely — a caller that must
+    // keep such groups outer-joins this result.)
+    val g = df.filter(col(v).isNotNull)
+      .groupBy(col(key), col(v).cast(DoubleType).as("value"))
       .agg(count(lit(1)).as("cnt"))
     val ordered = Window.partitionBy(col(key)).orderBy(col("value"))
     val whole = Window.partitionBy(col(key))
     val c = g
       .withColumn("cum", sum(col("cnt")).over(ordered))
-      .withColumn("n", sum(col("cnt")).over(whole))
-      .withColumn("pos_base", col("n") - 1)
-    val aggs = ps.flatMap { case (p, name) =>
-      val pos = lit(p) * col("pos_base")
-      val loRank = floor(pos) + 1
+      .withColumn("pos_base", sum(col("cnt")).over(whole) - 1)
+    val rankAggs = ps.flatMap { case (p, name) =>
+      val loRank = floor(lit(p) * col("pos_base")) + 1
       Seq(
         min(when(col("cum") >= loRank, col("value"))).as(s"${name}_lo"),
-        min(when(col("cum") >= loRank + 1, col("value"))).as(s"${name}_hi"),
-        max(col("pos_base")).as(s"${name}_n1"))
+        min(when(col("cum") >= loRank + 1, col("value"))).as(s"${name}_hi"))
     }
+    val aggs = rankAggs :+ max(col("pos_base")).as("pctl_n1")
     val out = ps.map { case (p, name) =>
-      val pos = lit(p) * col(s"${name}_n1")
+      val pos = lit(p) * col("pctl_n1")
       val frac = pos - floor(pos)
       // top-rank pos has frac 0 and no hi value; coalesce keeps NULL×0 out
       round(col(s"${name}_lo") +

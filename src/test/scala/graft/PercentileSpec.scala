@@ -49,6 +49,17 @@ class PercentileSpec extends SparkSpec {
     compare((1 to 11).map(i => "z" -> i.toDouble))
   }
 
+  test("NULL values are ignored exactly as percentile() ignores them") {
+    import spark.implicits._
+    val df = Seq[(String, Option[Double])](
+      "k" -> None, "k" -> Some(1.0), "k" -> Some(3.0), "k" -> None,
+      "m" -> Some(2.0), "m" -> None).toDF("k", "v")
+    val got = RelationalQueries.exactPctls(df, "k", "v", ps)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    // percentile(v, 0.5) over (1.0, 3.0) = 2.0; over (2.0) = 2.0
+    assert(got.toSeq == Seq("k" -> 2.0, "m" -> 2.0))
+  }
+
   test("seeded random groups match percentile() everywhere") {
     val rnd = new scala.util.Random(42)
     val rows = (1 to 2000).map { _ =>

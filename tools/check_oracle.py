@@ -35,11 +35,12 @@ def main():
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written tier (e.g. ScaleGen output)
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+            src = f"'{p}/*.parquet'"
         elif os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+            src = f"'{p}'"
         else:
             continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         if t == "events":
             # ScaleGen tiers carry ts as raw INT64 nanos (the same physical
             # value the engine's read shim consumes); normalize the view to
@@ -50,7 +51,7 @@ def main():
                 con.execute(
                     "CREATE OR REPLACE VIEW events AS SELECT event_id, "
                     "make_timestamp(ts // 1000) AS ts, user_id, event_type, "
-                    f"value, props FROM '{p}/*.parquet'")
+                    f"value, props FROM {src}")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     failures = 0
     names = sorted(d for d in os.listdir(outdir)

@@ -2,15 +2,7 @@
 # Per-query timing loop (graft.Profile). Usage: tools/run_profile.sh [sfdir] [repeats] [name...]
 set -e
 cd /root/repo
-CP="target/scala-2.13/classes:/opt/spark/jars/*"
-ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
-for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
+source tools/_spark_env.sh
 exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" graft.Profile "$@"
