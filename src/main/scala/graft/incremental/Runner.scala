@@ -40,6 +40,10 @@ trait Model {
     * (only batch-touched dates are rewritten; the rest hard-link).
     * None ⇒ whole-snapshot merge (small dimension-like tables only). */
   def partitionDate: Option[Column] = None
+  /** Columns the maintenance OPTIMIZE clusters each compacted file by
+    * (row-group min/max data skipping for readers filtering on them);
+    * defaults to the merge key. Empty ⇒ compaction only. */
+  def clusterBy: Seq[String] = uniqueKey
   def build(ctx: RunContext, existing: Option[DataFrame],
             ref: String => DataFrame): DataFrame
 }
@@ -87,7 +91,7 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
             sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
       SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionDate)
       if (maintenance) {
-        SnapshotStore.optimize(ctx.spark, dir)
+        SnapshotStore.optimize(ctx.spark, dir, clusterBy = m.clusterBy)
         SnapshotStore.vacuum(dir)
       }
       built(m.name) = SnapshotStore.read(ctx.spark, dir).get

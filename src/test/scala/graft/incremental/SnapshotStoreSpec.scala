@@ -139,6 +139,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, root).get.count() == 40)
   }
 
+  test("S8 optimize clusterBy sorts rows inside each compacted file; content unchanged") {
+    val root = tmpRoot()
+    val ids = scala.util.Random.shuffle((1L to 40L).toList)
+    val batch = rows(ids.map(i => (i, f"2026-01-${i % 2 + 1}%02d", s"p$i")))
+      .repartition(8)
+    SnapshotStore.merge(spark, root, batch, Seq("id"), pd)
+    SnapshotStore.optimize(spark, root, filesPerPartition = 1, clusterBy = Seq("id"))
+    // every physical file individually carries ascending ids → parquet
+    // row-group min/max stats on id are disjoint and selective
+    val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
+    val parquetFiles = Files.walk(snap).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    assert(parquetFiles.nonEmpty)
+    parquetFiles.foreach { f =>
+      val fileIds = spark.read.parquet(f.toString)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(fileIds == fileIds.sorted, s"file $f not clustered: $fileIds")
+    }
+    assert(SnapshotStore.read(spark, root).get
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq == (1L to 40L))
+  }
+
   test("S9 vacuum drops superseded snapshots, table stays readable") {
     val root = tmpRoot()
     for (i <- 1 to 4)
