@@ -78,6 +78,14 @@ object RelationalOracles {
       GROUP BY ROLLUP (c_mktsegment, nation_band)
       ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
 
+    "a6_cube" -> """
+      SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+             count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY CUBE (c_mktsegment, nation_band)
+      ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
+
     "a5_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

@@ -636,6 +636,14 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("nation_band").asc_nulls_first)
 
+  /** CUBE hierarchy totals: every subset of (segment, band) including the
+    * band-only margin ROLLUP can't produce. */
+  val a6Cube: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .cube(col("c_mktsegment"), (col("c_nationkey") % 5).as("nation_band"))
+      .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("nation_band").asc_nulls_first)
+
   /** INTERSECT / EXCEPT set semantics (deduplicating, like SQL). */
   val u2SetOps: Q = (spark, dir) => {
     val building = t(spark, dir, "customer")
@@ -737,6 +745,7 @@ object RelationalQueries {
     "w6_sessions" -> w6Sessions,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
+    "a6_cube" -> a6Cube,
     "a5_percentiles" -> a5Percentiles,
     "w4_frames" -> w4Frames,
     "p7_pivot" -> p7Pivot,
