@@ -81,9 +81,12 @@ object GraftFunctions {
     * so `expr("vector_dot(a, b)")` resolves — the per-session equivalent
     * of [[GraftExtensions]] for sessions built without the extensions
     * config (e.g. the driver-contract queries, which receive the session). */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_ids", exprs => ShingleIds(exprs.head), "built-in")
+  }
 }
 
 /** `spark.sql.extensions`-style injection:
@@ -91,10 +94,16 @@ object GraftFunctions {
   * SparkSession.builder().config("spark.sql.extensions", "graft.functions.GraftExtensions")
   * }}} */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VectorDot].getCanonicalName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_ids"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ShingleIds].getCanonicalName, "shingle_ids"),
+      (children: Seq[Expression]) => ShingleIds(children.head)))
+  }
 }

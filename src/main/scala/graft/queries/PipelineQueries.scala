@@ -127,24 +127,24 @@ object PipelineQueries {
 
   // ---- shared shingling ----------------------------------------------------
 
-  /** doc_id + distinct xxhash64 images of the word-3-gram shingles.
+  /** doc_id + distinct xxhash64 images of the word-3-gram shingles, via the
+    * native [[graft.functions.ShingleIds]] expression (one compiled pass
+    * over the text bytes; bit-identical to the composed
+    * split/transform/xxhash64/array_distinct built-ins it replaced, which
+    * being higher-order functions evaluate interpreted per element).
     *
-    * Multi-arg `xxhash64(w[i], w[i+1], w[i+2])` seed-chains the three words,
-    * and words can never contain the split delimiter, so the triple ↔
-    * joined-string mapping is a bijection: hash equality classes equal the
-    * oracles' string-shingle equality (modulo a 64-bit collision inside one
-    * pair's union, ≪1e-15). Producing LONGS instead of strings means the
-    * downstream minhash / prefix / verify stages never pay string
+    * The seed-chained triple hash and single-space split keep hash equality
+    * classes equal to the oracles' string-shingle equality (words can never
+    * contain the delimiter, so triple ↔ joined-string is a bijection;
+    * collisions inside one pair's union ≪1e-15). Longs instead of strings
+    * mean the downstream minhash / prefix / verify stages never pay string
     * allocation, hashing, or comparison — at 100 TB the shingle stream is
     * 8 bytes/element instead of ~25. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     fanOut(spark, t(spark, dir, "documents"))
-      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .select(col("doc_id"),
-        when(size(col("w")) >= 3,
-          array_distinct(expr(
-            "transform(sequence(0, size(w)-3), i -> xxhash64(w[i], w[i+1], w[i+2]))")))
-          .otherwise(array().cast(ArrayType(LongType))).as("ids"))
+      .select(col("doc_id"), expr("shingle_ids(text)").as("ids"))
+  }
 
   // ---- D2: MinHash + banded LSH near-dup ----------------------------------
 
