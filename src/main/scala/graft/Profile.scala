@@ -24,10 +24,13 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    var sawUnknown = false
     names.foreach { n =>
       SparkEntry.queries.get(n) match {
         case None =>
-          // a typo must not abort the names after it
+          // a typo must not abort the names after it — but it must not
+          // exit 0 either, or a scripted perf gate checks nothing
+          sawUnknown = true
           System.err.println(s"$n: unknown query (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
         case Some(q) =>
           val times = (1 to repeats).map { _ =>
@@ -42,5 +45,6 @@ object Profile {
       }
     }
     spark.stop()
+    if (sawUnknown) sys.exit(1)
   }
 }

@@ -79,7 +79,11 @@ object ScaleGen {
       // to avoid
       if (i == 0) shifted
       else shifted.withColumn("text",
-        concat(lit(s"c${i}x"), regexp_replace(col("text"), lit(" "), lit(s" c${i}x"))))
+          concat(lit(s"c${i}x"), regexp_replace(col("text"), lit(" "), lit(s" c${i}x"))))
+        // n_chars must describe the rewritten text, or every query keyed on
+        // it (token estimates, frame counts/offsets) rehearses base-scale
+        // arithmetic against longer documents
+        .withColumn("n_chars", length(col("text")).cast(LongType))
     }
     amplified("embeddings") { (d, i) =>
       // LCG-derived ±1 per (copy, component) — deterministic, literal

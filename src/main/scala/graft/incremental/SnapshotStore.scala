@@ -123,10 +123,18 @@ object SnapshotStore {
     }
     // cluster within the output files so parquet row-group min/max stats
     // become selective on the cluster keys (the reader's pushed predicates
-    // then skip row groups, not just partitions)
+    // then skip row groups, not just partitions). The partition column
+    // leads the sort when partitioned: it satisfies the parquet writer's
+    // required ordering, so Spark does NOT stack its own non-stable sort
+    // on _dt on top — which would both re-sort every row and, on spill,
+    // scramble the clustering this exists to create.
+    val clusterCols =
+      if (clusterBy.isEmpty) Nil
+      else if (partitioned) PartCol +: clusterBy
+      else clusterBy
     val clustered =
-      if (clusterBy.isEmpty) arranged
-      else arranged.sortWithinPartitions(clusterBy.map(col): _*)
+      if (clusterCols.isEmpty) arranged
+      else arranged.sortWithinPartitions(clusterCols.map(col): _*)
     val w = clustered.write.mode(SaveMode.Overwrite)
     (if (partitioned) w.partitionBy(PartCol) else w).parquet(s"$root/$snap")
     snap

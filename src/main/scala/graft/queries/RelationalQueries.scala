@@ -56,10 +56,14 @@ object RelationalQueries {
     * bit-identical to `CAST(sum(CAST(c AS DECIMAL)) AS DOUBLE)`. */
   private def dsum(c: Column): Column = (sum(cents(c)) / lit(100.0)).cast(DoubleType)
   /** Splits a 1e-4-dollar-unit long column into hi (1e2 dollars) / lo
-    * (1e-4 dollars) parts so each group sum stays a pure codegen'd long:
-    * `sum(hi)` overflows past ~8.8e15 rows/group and `sum(lo)` past
-    * ~9.2e12 — both beyond 100 TB — where a single `sum` of the raw
-    * 1e-4 units wraps silently at ~8.8e9 rows/group (a few TB). */
+    * (1e-4 dollars) parts so each group sum stays a pure codegen'd long,
+    * where a single `sum` of the raw 1e-4 units wraps silently at ~8.8e9
+    * rows/group (a few TB). The true envelope of the split form is the
+    * final cents `div` (IntegralDivide returns long): exact to ~8.8e11
+    * max-value rows/group ≈ 70 PB of lineitem — and the double OUTPUT
+    * column itself can only represent cents exactly to 2^53 (~9e13
+    * dollars), so the long div is never the binding constraint for a
+    * value the caller could consume exactly anyway. */
   private def split4(df: DataFrame, src: String, name: String): DataFrame =
     df.withColumn(s"${name}_hi", expr(s"$src div 1000000"))
       .withColumn(s"${name}_lo", expr(s"$src % 1000000"))
@@ -370,9 +374,11 @@ object RelationalQueries {
     * long sum wraps at ~7e7 rows/group ≈ TPC-H sf10) and the 1e-4-unit
     * discount price ≤1.05e9 (~8.8e9 rows/group). Both are therefore
     * hi/lo-split — two long sums each, recombined exactly in
-    * DECIMAL(38,0) on the 6 output rows — extending exactness past
-    * ~9e12 rows per group, beyond 100 TB, while keeping the per-row
-    * path pure long codegen. */
+    * DECIMAL(38,0) on the 6 output rows — while keeping the per-row path
+    * pure long codegen. The recombined form's own limit is the final
+    * cents `div` returning long: ~7.4e11 (charge) / ~8.8e11 (disc)
+    * max-value rows per group, tens of PB — and the double output column
+    * stops representing cents exactly at 2^53 well before that. */
   val q1PricingSummary: Q = (spark, dir) => {
     val epC = cents(col("l_extendedprice"))
     val discH = round(col("l_discount") * 100).cast(LongType) // hundredths
