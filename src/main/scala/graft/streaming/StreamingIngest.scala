@@ -87,6 +87,72 @@ object StreamingIngest {
       }
   }
 
+  /** Streaming near-duplicate detection — the incremental form of the
+    * batch MinHash/LSH operator (d2): each micro-batch of documents is
+    * shingled (native `shingle_ids`), signed, banded, candidate-joined
+    * against the ACCUMULATED band-bucket index, verified by exact Jaccard
+    * against stored shingle sets of bucket-colliding partners only, and
+    * then merged into the index itself.
+    *
+    * Scale shape: signatures are computed once per document ever; a batch
+    * joins only its own bucket keys against the index (an equi-join on
+    * (band, bucket) — never batch × corpus); all three tables (buckets,
+    * shingle sets, discovered pairs) go through the partition-agnostic
+    * merge sink, so redelivered documents re-derive the same rows and the
+    * whole pipeline stays idempotent. Pairs are canonicalized a_id < b_id
+    * and each pair involves ≥1 batch document, so a pair is discovered in
+    * exactly the first batch that completes it. */
+  def nearDupIngest(streamingDocs: DataFrame, root: String,
+                    checkpointDir: String, threshold: Double = 0.5): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => nearDupBatch(batch, root, threshold) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[nearDupIngest]]. */
+  def nearDupBatch(batch: DataFrame, root: String, threshold: Double = 0.5): Unit = {
+    import graft.queries.PipelineQueries._
+    val spark = batch.sparkSession
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val sh = batch
+      .select(col("doc_id"), expr("shingle_ids(text)").as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .localCheckpoint()
+    val ex = sh.select(col("doc_id"), explode(col("ids")).as("sid"))
+      .withColumn("x", expr(s"sid & $MinhashP"))
+    val minAggs = (0 until NumHashes).map(k =>
+      min(pmod(lit(hashA(k)) * col("x") + lit(hashB(k)), lit(MinhashP))).as(s"m$k"))
+    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64(lit(b), col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+        col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
+    val batchBuckets = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bucket").localCheckpoint()
+    val allBuckets = SnapshotStore.read(spark, s"$root/nd_buckets")
+      .map(_.unionByName(batchBuckets)).getOrElse(batchBuckets)
+    val allShingles = SnapshotStore.read(spark, s"$root/nd_shingles")
+      .map(_.unionByName(sh)).getOrElse(sh)
+    // ≥1 side of every pair is in the batch; canonicalize so batch-batch
+    // pairs (matched in both directions) collapse under distinct
+    val cand = allBuckets.as("x").join(batchBuckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
+      .distinct()
+    val a = allShingles.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+    val b = allShingles.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+    val pairs = cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    SnapshotStore.merge(spark, s"$root/nd_pairs", pairs, Seq("a_id", "b_id"))
+    SnapshotStore.merge(spark, s"$root/nd_buckets", batchBuckets, Seq("doc_id", "band"))
+    SnapshotStore.merge(spark, s"$root/nd_shingles", sh, Seq("doc_id"))
+  }
+
   /** Watermarked tumbling daily aggregate over a raw event stream:
     * `sum(value) group by (1-day window, event_type)` with `lateness`
     * allowed out-of-order arrival (§2.9 "window re-aggregation"). */

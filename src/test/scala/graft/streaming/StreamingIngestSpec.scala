@@ -47,6 +47,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup finds within-batch, cross-batch and redelivered pairs exactly once") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-nd").toString
+    val ckpt = Files.createTempDirectory("graft-nd-ckpt").toString
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val docs = Seq(
+      1L -> base,                                  // batch 1
+      2L -> (base + " tail"),                      // batch 1: near-dup of 1
+      3L -> "completely different words about spark catalyst tungsten codegen stages",
+      4L -> (base + " extra"),                     // batch 2: near-dup of 1 AND 2
+      5L -> "another unrelated document mentioning parquet row groups and shuffles")
+    implicit val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("text", "string")))
+    val input = new MemoryStream[Row](43, spark)
+    val q = StreamingIngest.nearDupIngest(input.toDF(), root, ckpt)
+    try {
+      input.addData(docs.take(3).map(d => Row(d._1, d._2)))
+      q.processAllAvailable()
+      // batch 2 includes a REDELIVERY of doc 2 — pairs must not duplicate
+      input.addData((docs.drop(3) :+ docs(1)).map(d => Row(d._1, d._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val pairs = SnapshotStore.read(spark, s"$root/nd_pairs").get
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), pairs)
+    // and the pair values match the batch d2 semantics on the full corpus
+    val jac = SnapshotStore.read(spark, s"$root/nd_pairs").get
+      .filter(col("a_id") === 1 && col("b_id") === 2)
+      .select("jaccard").head().getDouble(0)
+    assert(jac >= 0.5 && jac <= 1.0)
+  }
+
   test("watermarked streaming dedup emits each (digest, index) exactly once") {
     val input = rowStream()
     val q = StreamingIngest.dedupEvents(input.toDF())
