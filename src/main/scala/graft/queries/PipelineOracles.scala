@@ -228,6 +228,69 @@ object PipelineOracles {
                AS frame_md5
       FROM f ORDER BY doc_id, frame_idx""",
 
+    // connected components over the exact all-pairs near-dup graph, via a
+    // recursive reachability closure — min reachable id = canonical
+    "d6_dedup_clusters" -> s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE round(jaccard, 6) >= 0.5),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS (SELECT x AS doc_id, MIN(y) AS canonical_id FROM reach GROUP BY x),
+      sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT lab.doc_id, lab.canonical_id, sz.cluster_size
+      FROM lab JOIN sz USING (canonical_id)
+      ORDER BY doc_id""",
+
+    "t5_chunk" -> s"""
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+                        len(w) AS n,
+                        CAST(CASE WHEN len(w) <= ${ChunkSize} THEN 1
+                             ELSE (len(w) - ${ChunkSize} + ${ChunkStride} - 1)
+                                    // ${ChunkStride} + 1 END AS INT) AS n_chunks
+                 FROM documents),
+      c AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx FROM d)
+      SELECT doc_id, chunk_idx,
+             least(${ChunkSize}, n - chunk_idx * ${ChunkStride}) AS chunk_tokens,
+             md5(array_to_string(
+                   list_slice(w, chunk_idx * ${ChunkStride} + 1,
+                              least(chunk_idx * ${ChunkStride} + ${ChunkSize}, n)), ' '))
+               AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx""",
+
+    "t6_sample_stratified" -> s"""
+      WITH d AS (SELECT doc_id, lang, source,
+                        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h,
+                        CASE ${SampleRatePermille.map { case (l, r) =>
+                          s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+                             ELSE $SampleRateDefault END AS rate
+                 FROM documents)
+      SELECT doc_id, lang, source, round(1000.0 / rate, 6) AS weight
+      FROM d WHERE h % 1000 < rate ORDER BY doc_id""",
+
+    // the NAIVE single-window form — the engine's two-level distributed
+    // prefix sum must reproduce it exactly
+    "t7_pack_shards" -> s"""
+      WITH d AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, est_tokens,
+                   CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM d)
+      SELECT doc_id, est_tokens, cum_tokens,
+             (cum_tokens - est_tokens) // ${ShardBudget} AS shard_id
+      FROM c ORDER BY doc_id""",
+
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

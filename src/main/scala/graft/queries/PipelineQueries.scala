@@ -563,8 +563,160 @@ object PipelineQueries {
         md5(expr("substring(text, frame_off, 32)")).as("frame_md5"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  // ---- D6: dedup cluster assignment (connected components) -----------------
+
+  /** Collapse the near-dup PAIR graph (d2's verified MinHash pairs) into
+    * CLUSTERS: every document in a non-trivial near-dup component gets the
+    * component's minimum doc_id as its canonical representative, plus the
+    * component size — the final step that turns pair mining into an
+    * actionable keep/drop list (docs absent from every pair are implicitly
+    * their own canonical).
+    *
+    * Algorithm: iterative min-label propagation — each round every vertex
+    * takes `min(own label, neighbours' labels)` via one equi-join + one
+    * min-aggregate, converging in ≤ diameter rounds. The driver loop is
+    * over ITERATIONS (each round's convergence check is a scalar count,
+    * the same control shape as GraphX Pregel); all row work is joins and
+    * aggregates on (vertex, label) longs. LSH components are near-cliques
+    * of bounded size, so the diameter — and the round count — is small and
+    * independent of corpus size. (For adversarially long path-shaped
+    * graphs the two-phase large-star/small-star alternation [Kiveris et
+    * al., MR'14] halves diameter per round; same join/agg building blocks,
+    * not needed for dedup graphs.) Each round ends in a `localCheckpoint`
+    * so lineage stays O(1) instead of O(rounds), and superseded label
+    * blocks are released by the ContextCleaner. */
+  val d6DedupClusters: Q = (spark, dir) => {
+    val pairs = d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
+      .toDF("u", "v").localCheckpoint()
+    // both directions are present, so every vertex appears as a `u`
+    var labels = edges.select(col("u").as("v")).distinct()
+      .withColumn("l", col("v")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val nbrMin = edges.join(labels.withColumnRenamed("v", "u"), "u")
+        .groupBy(col("v")).agg(min(col("l")).as("nl"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("l", "prev"), "v")
+        .filter(col("l") =!= col("prev")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "l")
+      .select(col("v").as("doc_id"), col("l").as("canonical_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- T5: fixed-size token chunking with overlap --------------------------
+
+  /** Tokens per training chunk. */
+  val ChunkSize = 64
+  /** Chunk stride (=> [[ChunkSize]]−[[ChunkStride]] tokens of overlap). */
+  val ChunkStride = 48
+
+  /** Training-sample construction: split each document's token stream into
+    * [[ChunkSize]]-token windows every [[ChunkStride]] tokens (the overlap
+    * preserves context across boundaries). Pure generator fan-out inside
+    * the scan stage — the per-row `sequence` explode never crosses a
+    * shuffle, like m2's frame sampler; output rows carry a digest, not the
+    * chunk text, so what does cross the wire is fixed-width. */
+  val t5Chunk: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      // ⌈(n − size)/stride⌉ + 1 in integer arithmetic (a double ceil can
+      // round the wrong way exactly when (n − size) is a stride multiple)
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkSize, lit(1))
+          .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride + 1"))
+          .cast(IntegerType))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkSize), col("n") - col("chunk_idx") * ChunkStride).as("chunk_tokens"),
+        md5(array_join(slice(col("w"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)), " "))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  // ---- T6: deterministic stratified sampling -------------------------------
+
+  /** Per-language keep rates in permille: downsample the dominant language
+    * (en), keep mid-frequency es at half, keep the tail near-fully —
+    * corpus rebalancing for training mixes. */
+  val SampleRatePermille: Map[String, Int] = Map("en" -> 200, "es" -> 500)
+  val SampleRateDefault = 800
+
+  /** Deterministic hash sampling, stratified by `lang`: keep a document iff
+    * `md5(doc_id) mod 1000 < rate(lang)`, emitting the inverse-rate weight
+    * for unbiased downstream statistics. Map-only (no shuffle), and —
+    * unlike `rand()`-based sampling — reproducible across retries,
+    * partitionings and engines: the md5-derived 60-bit key is the same
+    * engine-portable idiom d3 uses, so the DuckDB oracle selects the
+    * identical rows. */
+  val t6SampleStratified: Q = (spark, dir) => {
+    val rate = SampleRatePermille.foldLeft(lit(SampleRateDefault)) {
+      case (e, (l, r)) => when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    t(spark, dir, "documents")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
+      .withColumn("rate", rate)
+      .filter(pmod(col("h"), lit(1000)) < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        round(lit(1000.0) / col("rate"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- T7: token-budget shard packing (distributed prefix sum) -------------
+
+  /** Token budget per training shard. */
+  val ShardBudget = 4096L
+  /** doc_ids per prefix-sum block (tuned tiny for the fixtures; ~1e6 at
+    * production scale so the block-totals table stays metadata-sized). */
+  val PackBlock = 128L
+
+  /** Assign documents (in doc_id order) to training shards of
+    * ~[[ShardBudget]] estimated tokens: shard = ⌊exclusive-prefix-sum /
+    * budget⌋, so a document lands in the shard its first token falls in
+    * and documents are never split.
+    *
+    * The running total is a DISTRIBUTED two-level prefix sum — the naive
+    * `sum() over (order by doc_id)` is a single-partition window that
+    * serializes the whole corpus through one task. Instead: (1) per-block
+    * token subtotals (hash agg, parallel); (2) exclusive block offsets via
+    * a window over the block-totals table, which is corpus/[[PackBlock]]
+    * rows — metadata-sized, and recursively blockable if it ever isn't;
+    * (3) broadcast the offsets back and window only WITHIN each block
+    * (partitionBy block — parallel, bounded memory). Identical result to
+    * the global window, verified by the oracle's native `sum() over`. */
+  val t7PackShards: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+      .withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val offsets = d.groupBy(col("blk")).agg(sum(col("est_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("off"))
+    val inBlock = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.join(broadcast(offsets), "blk")
+      .withColumn("cum_tokens", col("off") + sum(col("est_tokens")).over(inBlock))
+      .select(col("doc_id"), col("est_tokens"), col("cum_tokens"),
+        expr(s"(cum_tokens - est_tokens) div $ShardBudget").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "m2_frame_sample" -> m2FrameSample,
+    "d6_dedup_clusters" -> d6DedupClusters,
+    "t5_chunk" -> t5Chunk,
+    "t6_sample_stratified" -> t6SampleStratified,
+    "t7_pack_shards" -> t7PackShards,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,

@@ -1,0 +1,89 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-3 pipeline additions: dedup cluster
+  * assignment (d6), token chunking (t5), stratified sampling (t6) and
+  * token-budget shard packing (t7). The value-level ground truth lives in
+  * the DuckDB oracles; these pin the structural properties that make the
+  * operators usable downstream.
+  */
+class PipelineBatchOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("d6: clusters are consistent with the pair graph and canonical is the min member") {
+    val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lab = PipelineQueries.d6DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(lab.nonEmpty)
+    // both endpoints of every near-dup pair land in the same cluster
+    pairs.foreach { case (a, b) =>
+      assert(lab(a)._1 == lab(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // canonical is the minimum member id of its cluster, and a member itself
+    lab.groupBy(_._2._1).foreach { case (canon, members) =>
+      assert(members.keys.min == canon)
+      assert(members.contains(canon))
+      // cluster_size agrees with the actual member count
+      assert(members.values.map(_._2).toSet == Set(members.size.toLong))
+    }
+  }
+
+  test("t5: chunks tile each document's token stream with the declared stride") {
+    val n = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = PipelineQueries.t5Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(chunks.keySet == n.keySet) // every doc chunked, none invented
+    chunks.foreach { case (doc, cs) =>
+      val idx = cs.map(_._2).sorted
+      assert(idx.head == 0 && idx.last == idx.length - 1) // contiguous 0..k-1
+      cs.foreach { case (_, i, tok) =>
+        assert(tok >= 1 && tok <= PipelineQueries.ChunkSize)
+        assert(tok == math.min(PipelineQueries.ChunkSize,
+          n(doc) - i * PipelineQueries.ChunkStride))
+      }
+      // the last chunk reaches the final token: start + len == n
+      val (_, li, ltok) = cs.maxBy(_._2)
+      assert(li * PipelineQueries.ChunkStride + ltok == n(doc))
+    }
+  }
+
+  test("t6: sample is the deterministic hash predicate, with inverse-rate weights") {
+    val out = PipelineQueries.t6SampleStratified(spark, dir)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, lang, w) =>
+      val rate = PipelineQueries.SampleRatePermille
+        .getOrElse(lang, PipelineQueries.SampleRateDefault)
+      assert(math.abs(w - 1000.0 / rate) < 1e-9)
+    }
+    // re-running yields the identical sample (no rand() anywhere)
+    assert(PipelineQueries.t6SampleStratified(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == rows.map(_._1).toSeq)
+  }
+
+  test("t7: two-level prefix sum equals the naive global window, and docs never split") {
+    val got = PipelineQueries.t7PackShards(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // naive single-partition global window as local ground truth
+    var running = 0L
+    got.sortBy(_._1).foreach { case (_, tok, cum, shard) =>
+      running += tok
+      assert(cum == running, s"cum mismatch at running=$running")
+      assert(shard == (cum - tok) / PipelineQueries.ShardBudget)
+    }
+    // the executed plan keeps the per-doc window partitioned (parallel):
+    // its window spec must carry the block partition key
+    val plan = PipelineQueries.t7PackShards(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(blk"),
+      s"expected block-partitioned window:\n${plan.take(1200)}")
+  }
+}
