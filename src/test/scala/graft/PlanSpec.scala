@@ -74,4 +74,24 @@ class PlanSpec extends SparkSpec {
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
     }
   }
+
+  test("t5/t6: chunking and sampling stay map-only — no exchange before the output sort") {
+    import graft.queries.PipelineQueries
+    for ((name, q) <- Seq("t5" -> PipelineQueries.t5Chunk,
+                          "t6" -> PipelineQueries.t6SampleStratified)) {
+      val p = planOf(q)
+      // exactly one exchange: the rangepartitioning of the final ORDER BY
+      val exchanges = "Exchange".r.findAllIn(p).length
+      assert(exchanges == 1 && p.contains("rangepartitioning"),
+        s"$name must shuffle only for its output ordering\n${p.take(1200)}")
+    }
+  }
+
+  test("t7: block offsets join back by broadcast; the per-doc window stays block-partitioned") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t7PackShards)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(p.contains("windowspecdefinition(blk"),
+      s"per-doc running sum must be partitioned by block\n${p.take(1200)}")
+  }
 }
