@@ -278,6 +278,19 @@ object PipelineOracles {
       SELECT doc_id, lang, source, round(1000.0 / rate, 6) AS weight
       FROM d WHERE h % 1000 < rate ORDER BY doc_id""",
 
+    "t8_decontaminate" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+${DecontGram - 1}], ' '))
+                           for i in range(1, len(w) - ${DecontGram - 2})]) AS g
+            FROM d WHERE len(w) >= ${DecontGram}),
+      ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % ${DecontMod} = 0),
+      tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % ${DecontMod} != 0)
+      SELECT train_id, eval_id, COUNT(DISTINCT tr.g) AS n_shared
+      FROM tr JOIN ev USING (g)
+      GROUP BY train_id, eval_id
+      ORDER BY train_id, eval_id""",
+
     // the NAIVE single-window form — the engine's two-level distributed
     // prefix sum must reproduce it exactly
     "t7_pack_shards" -> s"""

@@ -672,6 +672,45 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T8: test-set decontamination ----------------------------------------
+
+  /** Contamination n-gram width (GPT-3's filter used 13-grams; 8 suits the
+    * fixture docs' lengths). */
+  val DecontGram = 8
+  /** Stand-in eval-set selector: docs with doc_id ≡ 0 (mod [[DecontMod]])
+    * play the held-out benchmark; everything else is the training corpus.
+    * 7 puts enough of the fixture's planted near-dups across the
+    * train/eval boundary to exercise the filter at every driver scale. */
+  val DecontMod = 7
+
+  /** Test-set decontamination: report every (training doc, eval doc) pair
+    * sharing at least one [[DecontGram]]-word n-gram, with the count of
+    * distinct shared n-grams — the filter run before training to keep
+    * benchmark text out of the training mix.
+    *
+    * Scale shape: the eval side is benchmark-sized (megabytes against a
+    * 100 TB corpus), so its n-gram set BROADCASTS; the training side is a
+    * pure in-stage explode whose grams meet the broadcast hash join in the
+    * scan stage — the corpus itself never shuffles, and only matching
+    * grams (rare) reach the small (train, eval) count aggregate. Grams
+    * travel as md5 digests, not text. */
+  val t8Decontaminate: Q = (spark, dir) => {
+    def grams(df: DataFrame, idAs: String) = df
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= DecontGram)
+      .select(col("doc_id").as(idAs), col("w"),
+        explode(sequence(lit(0), size(col("w")) - DecontGram)).as("i"))
+      .select(col(idAs),
+        md5(concat_ws(" ", (0 until DecontGram).map(k => col("w")(col("i") + k)): _*)).as("g"))
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+    val ev = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
+    val tr = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
+    tr.join(broadcast(ev), "g")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+      .orderBy(col("train_id"), col("eval_id"))
+  }
+
   // ---- T7: token-budget shard packing (distributed prefix sum) -------------
 
   /** Token budget per training shard. */
@@ -717,6 +756,7 @@ object PipelineQueries {
     "t5_chunk" -> t5Chunk,
     "t6_sample_stratified" -> t6SampleStratified,
     "t7_pack_shards" -> t7PackShards,
+    "t8_decontaminate" -> t8Decontaminate,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,

@@ -69,6 +69,23 @@ class PipelineBatchOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == rows.map(_._1).toSeq)
   }
 
+  test("t8: train/eval sides are disjoint and every reported pair truly shares an n-gram") {
+    val out = PipelineQueries.t8Decontaminate(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def gramsOf(id: Long): Set[String] =
+      texts(id).split(" ").sliding(PipelineQueries.DecontGram)
+        .filter(_.length == PipelineQueries.DecontGram).map(_.mkString(" ")).toSet
+    out.foreach { case (train, ev, n) =>
+      assert(train % PipelineQueries.DecontMod != 0 && ev % PipelineQueries.DecontMod == 0)
+      val shared = gramsOf(train).intersect(gramsOf(ev))
+      assert(shared.size == n, s"($train,$ev): reported $n, actual ${shared.size}")
+    }
+  }
+
   test("t7: two-level prefix sum equals the naive global window, and docs never split") {
     val got = PipelineQueries.t7PackShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

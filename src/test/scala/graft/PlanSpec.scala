@@ -87,6 +87,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t8: the eval n-gram set broadcasts — the training corpus never shuffles pre-join") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t8Decontaminate)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"contamination join must not shuffle the corpus side\n${p.take(1200)}")
+  }
+
   test("t7: block offsets join back by broadcast; the per-doc window stays block-partitioned") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.t7PackShards)
