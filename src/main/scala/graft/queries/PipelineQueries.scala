@@ -689,11 +689,12 @@ object PipelineQueries {
     * benchmark text out of the training mix.
     *
     * Scale shape: the eval side is benchmark-sized (megabytes against a
-    * 100 TB corpus), so its n-gram set BROADCASTS; the training side is a
-    * pure in-stage explode whose grams meet the broadcast hash join in the
-    * scan stage — the corpus itself never shuffles, and only matching
-    * grams (rare) reach the small (train, eval) count aggregate. Grams
-    * travel as md5 digests, not text. */
+    * 100 TB corpus), so its n-gram set BROADCASTS; the training side's
+    * gram explode (≈8× the text) happens in the same stage as the
+    * broadcast hash join, so the multiplied gram stream never crosses a
+    * shuffle — only raw document rows cross the pre-explode fan-out
+    * repartition, and only matching grams (rare) reach the small
+    * (train, eval) count aggregate. Grams travel as md5 digests. */
   val t8Decontaminate: Q = (spark, dir) => {
     def grams(df: DataFrame, idAs: String) = df
       .withColumn("w", split(lower(col("text")), " "))
