@@ -164,6 +164,31 @@ object PipelineOracles {
             FROM s)
       SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    "v4_quantized_topk" -> s"""
+      WITH $embCte,
+      q8 AS (SELECT vec_id, v, nrm,
+                    greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS s
+             FROM n),
+      qq AS (SELECT vec_id, v, nrm,
+                    list_transform(v, x -> floor(x / s + 0.5)) AS q
+             FROM q8),
+      m AS (SELECT vec_id, v, nrm, q,
+                   sqrt(list_sum(list_transform(q, x -> x*x))) AS qn
+            FROM qq),
+      qry AS (SELECT vec_id AS q_id, v AS pv, q AS pq, qn AS pqn, nrm AS pn
+              FROM m WHERE vec_id < 5),
+      sc AS (SELECT qry.q_id, m.vec_id,
+                    round(list_sum([m.q[i] * qry.pq[i] for i in range(1, len(m.q)+1)])
+                          / (m.qn * qry.pqn), 6) AS qcosine,
+                    round(list_sum([m.v[i] * qry.pv[i] for i in range(1, len(m.v)+1)])
+                          / (m.nrm * qry.pn), 6) AS cosine
+             FROM m, qry WHERE m.vec_id != qry.q_id),
+      r AS (SELECT q_id, vec_id, qcosine, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY qcosine DESC, vec_id) AS rk
+            FROM sc)
+      SELECT q_id, rk, vec_id, qcosine, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,

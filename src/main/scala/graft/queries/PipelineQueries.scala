@@ -375,6 +375,48 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V4: int8-quantized top-k (bandwidth/storage scale path) -------------
+
+  /** Cosine top-5 over SYMMETRIC-INT8-QUANTIZED vectors, with the exact
+    * cosine alongside for quality inspection. Per-vector quantization:
+    * scale = max|vᵢ|/127, qᵢ = ⌊vᵢ/scale + 0.5⌋ — at 100 TB the index is
+    * 4× smaller than float32 (64 B/vector here), which is the difference
+    * between an in-memory and a spilling ANN corpus; ranking runs entirely
+    * on the quantized codes.
+    *
+    * Determinism: ⌊x+0.5⌋ (not half-even `round`) is bit-identical across
+    * engines; the q values are integer-valued, so their dot products are
+    * EXACT (≤ 64·127² ≪ 2⁵³) — no summation-order sensitivity at all. The
+    * codes are carried as integer-valued doubles so [[graft.functions.VectorDot]]
+    * keeps the dot product codegen'd; a production store would carry
+    * `array<tinyint>` and widen on read. */
+  val v4QuantizedTopk: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      // 1e-12 floor guards the all-zero vector (scale 0 → div-by-zero)
+      .withColumn("s",
+        expr("greatest(array_max(transform(v, x -> abs(x))), cast(1e-12 as double)) / 127.0d"))
+      .withColumn("q", expr("transform(v, x -> cast(floor(x / s + 0.5d) as double))"))
+      .withColumn("qn", expr("sqrt(vector_dot(q, q))"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+      .localCheckpoint() // corpus + query sides share the quantization pass
+    val qry = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("pv"), col("q").as("pq"),
+        col("qn").as("pqn"), col("nrm").as("pn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcosine").desc, col("vec_id"))
+    e.crossJoin(broadcast(qry))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("qcosine",
+        round(expr("vector_dot(q, pq)") / (col("qn") * col("pqn")), 6))
+      .withColumn("cosine",
+        round(expr("vector_dot(v, pv)") / (col("nrm") * col("pn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("qcosine"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
 
   /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
@@ -766,6 +808,7 @@ object PipelineQueries {
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_ann_ivf" -> v3AnnIvf,
+    "v4_quantized_topk" -> v4QuantizedTopk,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

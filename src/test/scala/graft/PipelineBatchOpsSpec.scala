@@ -86,6 +86,16 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v4: quantized cosine tracks the exact cosine within int8 resolution") {
+    val rows = PipelineQueries.v4QuantizedTopk(spark, dir).collect()
+    assert(rows.length == 25) // 5 queries × top-5
+    rows.foreach { r =>
+      val (qcos, cos) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(qcos - cos) < 0.02,
+        s"quantization error ${math.abs(qcos - cos)} too large (q=$qcos exact=$cos)")
+    }
+  }
+
   test("t7: two-level prefix sum equals the naive global window, and docs never split") {
     val got = PipelineQueries.t7PackShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
