@@ -303,6 +303,22 @@ object PipelineOracles {
       SELECT doc_id, lang, source, round(1000.0 / rate, 6) AS weight
       FROM d WHERE h % 1000 < rate ORDER BY doc_id""",
 
+    "t9_tfidf_keywords" -> s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+                   round(CAST(tf.tf AS DOUBLE) * n.n_docs / dft.df, 6) AS score
+            FROM tf JOIN dft USING (term), n),
+      r AS (SELECT doc_id, term, tf, df, score,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, term) AS rk
+            FROM s)
+      SELECT doc_id, rk, term, tf, df, score FROM r
+      WHERE rk <= ${TfidfK} ORDER BY doc_id, rk""",
+
     "t8_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id,

@@ -714,6 +714,42 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T9: TF-IDF keyword extraction ---------------------------------------
+
+  /** Top-[[TfidfK]] salient terms per document by tf·(N/df) — corpus-level
+    * keyword extraction. The idf is the RATIONAL N/df rather than the
+    * textbook log(N/df): log is monotonic, so the per-doc ranking is
+    * identical, and the score stays a single division of exact integers —
+    * engine-portable to the last bit, where `log` (libm, 1-ulp) is not.
+    *
+    * Scale shape: term counting is an explode + hash agg with map-side
+    * combine (shuffle carries (doc, term, count), not the token stream);
+    * the document-frequency table is vocabulary-sized — Zipf-bounded and
+    * orders of magnitude smaller than the corpus — so it broadcasts back;
+    * N arrives via a 1-row broadcast cross join (the watermark-scalar
+    * pattern, kept in-plan). The only per-doc work after the join is the
+    * top-k window. */
+  val TfidfK = 3
+
+  val t9TfidfKeywords: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dft), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast(DoubleType) * col("n_docs") / col("df"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= TfidfK)
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   // ---- T8: test-set decontamination ----------------------------------------
 
   /** Contamination n-gram width (GPT-3's filter used 13-grams; 8 suits the
@@ -800,6 +836,7 @@ object PipelineQueries {
     "t6_sample_stratified" -> t6SampleStratified,
     "t7_pack_shards" -> t7PackShards,
     "t8_decontaminate" -> t8Decontaminate,
+    "t9_tfidf_keywords" -> t9TfidfKeywords,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,

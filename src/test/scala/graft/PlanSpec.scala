@@ -95,6 +95,13 @@ class PlanSpec extends SparkSpec {
       s"contamination join must not shuffle the corpus side\n${p.take(1200)}")
   }
 
+  test("t9: the vocabulary-sized df table broadcasts — term counts never sort-merge") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t9TfidfKeywords)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("t7: block offsets join back by broadcast; the per-doc window stays block-partitioned") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.t7PackShards)
