@@ -635,17 +635,23 @@ object PipelineQueries {
     // both directions are present, so every vertex appears as a `u`
     var labels = edges.select(col("u").as("v")).distinct()
       .withColumn("l", col("v")).localCheckpoint()
+    // labels only ever DECREASE, so Σl strictly decreases iff any label
+    // changed — one aggregate on the label frame is the whole convergence
+    // check (decimal: a bigint Σ of ~1e10 64-bit ids could wrap).
+    def labelSum(): java.math.BigDecimal =
+      labels.agg(sum(col("l").cast(DecimalType(38, 0)))).head().getDecimal(0)
+    var prevSum = labelSum()
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
       val nbrMin = edges.join(labels.withColumnRenamed("v", "u"), "u")
         .groupBy(col("v")).agg(min(col("l")).as("nl"))
-      val next = labels.join(nbrMin, Seq("v"), "left")
+      labels = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("l", "prev"), "v")
-        .filter(col("l") =!= col("prev")).isEmpty
-      labels = next
+      val curSum = labelSum()
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       rounds += 1
     }
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
