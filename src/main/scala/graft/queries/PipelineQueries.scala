@@ -778,7 +778,15 @@ object PipelineQueries {
     * broadcast hash join, so the multiplied gram stream never crosses a
     * shuffle — only raw document rows cross the pre-explode fan-out
     * repartition, and only matching grams (rare) reach the small
-    * (train, eval) count aggregate. Grams travel as md5 digests. */
+    * (train, eval) count aggregate.
+    *
+    * Grams travel as multi-arg xxhash64 LONGS (codegen'd, no per-gram
+    * string assembly, 8 B against md5-hex's 32) — the same
+    * hash-equivalence argument as d2/d4's shingle ids: digests never
+    * reach the output (only distinct-match counts do), word boundaries
+    * make the 8-tuple ↔ joined-gram map a bijection, and a collision
+    * would need ~2⁶⁴ gram pairs to matter, so counting distinct hashes
+    * equals the oracle's count of distinct string grams. */
   val t8Decontaminate: Q = (spark, dir) => {
     def grams(df: DataFrame, idAs: String) = df
       .withColumn("w", split(lower(col("text")), " "))
@@ -786,7 +794,7 @@ object PipelineQueries {
       .select(col("doc_id").as(idAs), col("w"),
         explode(sequence(lit(0), size(col("w")) - DecontGram)).as("i"))
       .select(col(idAs),
-        md5(concat_ws(" ", (0 until DecontGram).map(k => col("w")(col("i") + k)): _*)).as("g"))
+        xxhash64((0 until DecontGram).map(k => col("w")(col("i") + k)): _*).as("g"))
     val docs = fanOut(spark, t(spark, dir, "documents"))
     val ev = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
     val tr = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
