@@ -787,17 +787,21 @@ object PipelineQueries {
     * make the 8-tuple ↔ joined-gram map a bijection, and a collision
     * would need ~2⁶⁴ gram pairs to matter, so counting distinct hashes
     * equals the oracle's count of distinct string grams. */
+  /** (doc, gram-hash) rows for [[t8Decontaminate]] and the streaming
+    * variant: stateless explode + codegen'd multi-arg xxhash64 — works
+    * unchanged on a streaming DataFrame. */
+  def decontGrams(df: DataFrame, idAs: String): DataFrame = df
+    .withColumn("w", split(lower(col("text")), " "))
+    .filter(size(col("w")) >= DecontGram)
+    .select(col("doc_id").as(idAs), col("w"),
+      explode(sequence(lit(0), size(col("w")) - DecontGram)).as("i"))
+    .select(col(idAs),
+      xxhash64((0 until DecontGram).map(k => col("w")(col("i") + k)): _*).as("g"))
+
   val t8Decontaminate: Q = (spark, dir) => {
-    def grams(df: DataFrame, idAs: String) = df
-      .withColumn("w", split(lower(col("text")), " "))
-      .filter(size(col("w")) >= DecontGram)
-      .select(col("doc_id").as(idAs), col("w"),
-        explode(sequence(lit(0), size(col("w")) - DecontGram)).as("i"))
-      .select(col(idAs),
-        xxhash64((0 until DecontGram).map(k => col("w")(col("i") + k)): _*).as("g"))
     val docs = fanOut(spark, t(spark, dir, "documents"))
-    val ev = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
-    val tr = grams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
+    val ev = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
+    val tr = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
     tr.join(broadcast(ev), "g")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(countDistinct(col("g")).as("n_shared"))

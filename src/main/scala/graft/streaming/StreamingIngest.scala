@@ -153,6 +153,24 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/nd_shingles", sh, Seq("doc_id"))
   }
 
+  /** Continuous test-set decontamination — a STREAM-STATIC join: incoming
+    * documents explode to 8-gram hashes (stateless, stays in the stream's
+    * scan stage) and meet the static eval-set gram table as a BROADCAST
+    * hash join inside the continuous query; newly contaminated
+    * (train, eval) pairs are emitted append-only.
+    *
+    * Scale shape: the static side is benchmark-sized, broadcast once per
+    * (re)plan; per-micro-batch work is linear in the batch; the only
+    * streaming state is the dedup over DISCOVERED pairs — bounded by
+    * actual contamination, not the corpus. */
+  def decontaminateStream(streamingDocs: DataFrame, evalDocs: DataFrame): DataFrame = {
+    import graft.queries.PipelineQueries.decontGrams
+    decontGrams(streamingDocs, "train_id")
+      .join(broadcast(decontGrams(evalDocs, "eval_id")), "g")
+      .select(col("train_id"), col("eval_id"))
+      .dropDuplicates("train_id", "eval_id")
+  }
+
   /** Watermarked tumbling daily aggregate over a raw event stream:
     * `sum(value) group by (1-day window, event_type)` with `lateness`
     * allowed out-of-order arrival (§2.9 "window re-aggregation"). */

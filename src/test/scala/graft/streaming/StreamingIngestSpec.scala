@@ -80,6 +80,38 @@ class StreamingIngestSpec extends SparkSpec {
     assert(jac >= 0.5 && jac <= 1.0)
   }
 
+  test("stream-static decontamination flags exactly the docs sharing a gram with the eval set") {
+    val sharedA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val sharedB = "one two three four five six seven eight nine ten eleven"
+    val evalDocs = Seq(100L -> sharedA, 101L -> sharedB)
+    val streamDocs = Seq(
+      1L -> (sharedA + " tail words here"),       // batch 1: contaminated by 100
+      2L -> "clean text with plenty of original words nobody else wrote today",
+      3L -> ("prefix words " + sharedB),          // batch 2: contaminated by 101
+      4L -> "another clean document long enough to produce several grams overall")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+    implicit val enc: ExpressionEncoder[Row] =
+      ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val input = new MemoryStream[Row](44, spark)
+    val evalDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(evalDocs.map(d => Row(d._1, d._2))), schema)
+    val q = StreamingIngest.decontaminateStream(input.toDF(), evalDf)
+      .writeStream.format("memory").queryName("decont")
+      .outputMode("append").start()
+    try {
+      input.addData(streamDocs.take(2).map(d => Row(d._1, d._2)))
+      q.processAllAvailable()
+      // batch 2 REDELIVERS doc 1 — the pair must not be emitted again
+      input.addData((streamDocs.drop(2) :+ streamDocs.head).map(d => Row(d._1, d._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val hits = spark.table("decont").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hits.size == hits.distinct.size, "pair emitted twice")
+    assert(hits.toSet == Set((1L, 100L), (3L, 101L)), hits.toString)
+  }
+
   test("watermarked streaming dedup emits each (digest, index) exactly once") {
     val input = rowStream()
     val q = StreamingIngest.dedupEvents(input.toDF())
