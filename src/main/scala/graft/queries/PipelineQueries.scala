@@ -637,9 +637,11 @@ object PipelineQueries {
       .withColumn("l", col("v")).localCheckpoint()
     // labels only ever DECREASE, so Σl strictly decreases iff any label
     // changed — one aggregate on the label frame is the whole convergence
-    // check (decimal: a bigint Σ of ~1e10 64-bit ids could wrap).
+    // check (decimal: a bigint Σ of ~1e10 64-bit ids could wrap; coalesce:
+    // an empty pair graph sums to NULL, which must read as converged)
     def labelSum(): java.math.BigDecimal =
-      labels.agg(sum(col("l").cast(DecimalType(38, 0)))).head().getDecimal(0)
+      labels.agg(coalesce(sum(col("l").cast(DecimalType(38, 0))),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = labelSum()
     var converged = false
     var rounds = 0

@@ -33,6 +33,20 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("d6: an all-unique corpus (empty pair graph) yields an empty cluster table, not a crash") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d6-empty").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, "alpha beta gamma delta epsilon zeta", "en", "a", 35L),
+      org.apache.spark.sql.Row(2L, "one two three four five six seven", "en", "a", 33L),
+      org.apache.spark.sql.Row(3L, "red green blue yellow purple orange", "en", "b", 35L))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    assert(PipelineQueries.d6DedupClusters(spark, tmp).isEmpty)
+  }
+
   test("t5: chunks tile each document's token stream with the declared stride") {
     val n = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
