@@ -9,8 +9,14 @@ object Verify {
     // optional: further args name specific queries (rehearsal-tier spot
     // checks where a full-surface dump would be wasteful); default is all
     val selected =
-      if (args.length > 2) SparkEntry.queries.view.filterKeys(args.drop(2).toSet).toMap
-      else SparkEntry.queries
+      if (args.length > 2) {
+        val names = args.drop(2).toSet
+        val unknown = names -- SparkEntry.queries.keySet
+        // a typo'd name would otherwise run NOTHING and exit 0 — the
+        // spot-check would vacuously pass without executing the operator
+        require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+        SparkEntry.queries.view.filterKeys(names).toMap
+      } else SparkEntry.queries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -174,7 +174,7 @@ object PipelineOracles {
              FROM q8),
       m AS (SELECT vec_id, v, nrm, q,
                    sqrt(list_sum(list_transform(q, x -> x*x))) AS qn
-            FROM qq),
+            FROM qq WHERE nrm > 0),
       qry AS (SELECT vec_id AS q_id, v AS pv, q AS pq, qn AS pqn, nrm AS pn
               FROM m WHERE vec_id < 5),
       sc AS (SELECT qry.q_id, m.vec_id,

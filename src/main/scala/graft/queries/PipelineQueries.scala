@@ -394,12 +394,16 @@ object PipelineQueries {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     val e = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      // 1e-12 floor guards the all-zero vector (scale 0 → div-by-zero)
+      // the 1e-12 floor only stops the div-by-zero INSIDE quantization; an
+      // all-zero vector still quantizes to all-zero codes with qn = 0, so
+      // its cosine is 0/0 — it has no defined direction and is excluded
+      // from ranking entirely (mirrored in the oracle's nrm > 0)
       .withColumn("s",
         expr("greatest(array_max(transform(v, x -> abs(x))), cast(1e-12 as double)) / 127.0d"))
       .withColumn("q", expr("transform(v, x -> cast(floor(x / s + 0.5d) as double))"))
       .withColumn("qn", expr("sqrt(vector_dot(q, q))"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+      .filter(col("nrm") > 0)
       .localCheckpoint() // corpus + query sides share the quantization pass
     val qry = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("pv"), col("q").as("pq"),
@@ -656,6 +660,12 @@ object PipelineQueries {
       prevSum = curSum
       rounds += 1
     }
+    // a silent cap would emit a component with INCONSISTENT labels — at
+    // the tiers where that could happen the all-pairs oracle is too slow
+    // to catch it, so fail loudly instead (50 ⟹ diameter > 50: not a
+    // dedup graph; switch to large-star/small-star before raising the cap)
+    require(converged,
+      s"d6 label propagation did not converge in $rounds rounds — component diameter exceeds the cap")
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "l")
       .select(col("v").as("doc_id"), col("l").as("canonical_id"), col("cluster_size"))

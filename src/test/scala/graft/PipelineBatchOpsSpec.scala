@@ -1,7 +1,6 @@
 package graft
 
 import graft.queries.PipelineQueries
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Invariant tests for the round-3 pipeline additions: dedup cluster
