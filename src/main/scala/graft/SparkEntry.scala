@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2, plus the
     * training-data-pipeline operators over documents/embeddings. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ PipelineQueries.all ++ DagQueries.all
+    RelationalQueries.all ++ PipelineQueries.all ++ CorpusPrep.all ++ DagQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Sources
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** END-TO-END corpus preparation: the individual operators composed the
+  * way a training-data pipeline actually runs them, as one oracle-gated
+  * query (`pipe_corpus_prep`):
+  *
+  *   1. near-dup DEDUP — drop every document that is not its cluster's
+  *      canonical ([[PipelineQueries.d6DedupClusters]]);
+  *   2. DECONTAMINATE — drop training documents sharing an
+  *      8-gram with the held-out eval slice ([[PipelineQueries.decontGrams]]);
+  *   3. QUALITY-FILTER — keep quality ≥ [[QualityMin]] (t1's blend);
+  *   4. stratified SAMPLE — t6's deterministic per-language keep predicate;
+  *   5. CHUNK — t5's 64-token/48-stride windows over the survivors;
+  *   6. PACK — t7's two-level distributed prefix sum assigns each chunk a
+  *      token-budget shard id, in (doc_id, chunk_idx) order.
+  *
+  * Every stage reuses the exact arithmetic its standalone operator proved
+  * against DuckDB, so the composition hash-matches a single chained-CTE
+  * oracle end to end. Scale properties are inherited: the only quadratic
+  * candidate work is inside the LSH-bucketed dedup, the eval grams
+  * broadcast, the quality/sample stages are map-only, and the pack prefix
+  * sum never serializes the corpus through one task.
+  */
+object CorpusPrep {
+  import PipelineQueries._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Minimum t1-blend quality score a document must reach (keeps ~half of
+    * the fixture corpus — non-degenerate at every driver scale). */
+  val QualityMin = 0.3
+
+  private def inListSql(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
+
+  val pipeCorpusPrep: Q = (spark, dir) => {
+    val docs = Sources.testdata(spark, dir)("documents")
+
+    // 1. docs that lost their cluster election (canonical survives)
+    val nonCanonical = d6DedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+    // 2. training docs sharing any 8-gram with the eval slice
+    val evalGrams = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
+    val contaminated =
+      decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
+        .join(broadcast(evalGrams), "g")
+        .select(col("train_id").as("doc_id")).distinct()
+
+    // 3.–4. quality blend (t1) + deterministic stratified sample (t6);
+    // the quality compare runs on the ROUNDED score — the rounded doubles
+    // are oracle-proven identical, the raw blend is not guaranteed to be
+    val rate = SampleRatePermille.foldLeft(lit(SampleRateDefault)) {
+      case (e, (l, r)) => when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    val survivors = docs
+      .filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0) // eval slice is not training data
+      .join(nonCanonical, Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("lw", split(lower(col("text")), " "))
+      .withColumn("stop_raw",
+        expr(s"size(filter(lw, x -> x in ${inListSql(StopEn)}))").cast(DoubleType) / size(col("lw")))
+      .withColumn("quality",
+        round(least(lit(1.0), size(col("lw")) / 100.0) * 0.5 + col("stop_raw") * 0.5, 6))
+      .filter(col("quality") >= QualityMin)
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
+      .withColumn("keep_rate", rate)
+      .filter(pmod(col("h"), lit(1000)) < col("keep_rate"))
+      .select(col("doc_id"), col("text"))
+
+    // 5. chunk the survivors (t5 arithmetic, original-case text)
+    val chunks = survivors
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n", size(col("w")))
+      .withColumn("n_chunks",
+        when(col("n") <= ChunkSize, lit(1))
+          .otherwise(expr(s"(n - $ChunkSize + $ChunkStride - 1) div $ChunkStride + 1"))
+          .cast(IntegerType))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        least(lit(ChunkSize), col("n") - col("chunk_idx") * ChunkStride).as("chunk_tokens"),
+        md5(array_join(slice(col("w"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)), " "))
+          .as("chunk_md5"))
+
+    // 6. pack chunks into token-budget shards (t7's two-level prefix sum,
+    // ordered by (doc_id, chunk_idx) so a document's chunks stay adjacent)
+    val blocked = chunks.withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val offsets = blocked.groupBy(col("blk"))
+      .agg(sum(col("chunk_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("blk"), col("off"))
+    val inBlock = Window.partitionBy(col("blk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    blocked.join(broadcast(offsets), "blk")
+      .withColumn("cum", col("off") + sum(col("chunk_tokens")).over(inBlock))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_md5"),
+        expr(s"(cum - chunk_tokens) div $ShardBudget").as("shard_id"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val all: Map[String, Q] = Map("pipe_corpus_prep" -> pipeCorpusPrep)
+}

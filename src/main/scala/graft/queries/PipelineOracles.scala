@@ -345,6 +345,69 @@ object PipelineOracles {
              (cum_tokens - est_tokens) // ${ShardBudget} AS shard_id
       FROM c ORDER BY doc_id""",
 
+    // the full corpus-prep composition: dedup-drop → decontaminate →
+    // quality ≥ 0.3 → stratified sample → chunk → pack, one CTE chain
+    "pipe_corpus_prep" -> s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE round(jaccard, 6) >= 0.5),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      noncanon AS (SELECT x AS doc_id FROM reach GROUP BY x HAVING x != MIN(y)),
+      lg AS (SELECT doc_id, string_split(lower(text), ' ') AS lw FROM documents),
+      gg AS (SELECT doc_id,
+                    unnest([array_to_string(lw[i:i+${PipelineQueries.DecontGram - 1}], ' ')
+                            for i in range(1, len(lw) - ${PipelineQueries.DecontGram - 2})]) AS g
+             FROM lg WHERE len(lw) >= ${PipelineQueries.DecontGram}),
+      cont AS (SELECT DISTINCT tr.doc_id
+               FROM gg tr JOIN gg ev ON tr.g = ev.g
+               WHERE tr.doc_id % ${PipelineQueries.DecontMod} != 0
+                 AND ev.doc_id % ${PipelineQueries.DecontMod} = 0),
+      surv AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+        WHERE d.doc_id % ${PipelineQueries.DecontMod} != 0
+          AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+          AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+          AND round(least(1.0, len(lg.lw) / 100.0) * 0.5 +
+                (len(list_filter(lg.lw, x -> x IN ${inList(StopEn)}))::DOUBLE
+                 / len(lg.lw)) * 0.5, 6) >= ${CorpusPrep.QualityMin}
+          AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+              CASE ${SampleRatePermille.map { case (l, r) =>
+                s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")}
+                   ELSE $SampleRateDefault END),
+      cd AS (SELECT doc_id, string_split(text, ' ') AS w,
+                    len(w) AS n,
+                    CAST(CASE WHEN len(w) <= ${ChunkSize} THEN 1
+                         ELSE (len(w) - ${ChunkSize} + ${ChunkStride} - 1)
+                                // ${ChunkStride} + 1 END AS INT) AS n_chunks
+             FROM surv),
+      ch AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx FROM cd),
+      ck AS (SELECT doc_id, chunk_idx,
+                    least(${ChunkSize}, n - chunk_idx * ${ChunkStride}) AS chunk_tokens,
+                    md5(array_to_string(
+                          list_slice(w, chunk_idx * ${ChunkStride} + 1,
+                                     least(chunk_idx * ${ChunkStride} + ${ChunkSize}, n)), ' '))
+                      AS chunk_md5
+             FROM ch),
+      pk AS (SELECT doc_id, chunk_idx, chunk_tokens, chunk_md5,
+                    CAST(SUM(chunk_tokens) OVER (ORDER BY doc_id, chunk_idx
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             FROM ck)
+      SELECT doc_id, chunk_idx, chunk_tokens, chunk_md5,
+             (cum - chunk_tokens) // ${ShardBudget} AS shard_id
+      FROM pk ORDER BY doc_id, chunk_idx""",
+
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -99,6 +99,38 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe: the composed pipeline agrees with its standalone stages") {
+    import graft.queries.CorpusPrep
+    val out = CorpusPrep.pipeCorpusPrep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    val survivors = out.map(_._1).distinct.toSet
+    // nothing the standalone stages exclude may appear
+    val nonCanonical = PipelineQueries.d6DedupClusters(spark, dir).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    val contaminated = PipelineQueries.t8Decontaminate(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(survivors.intersect(nonCanonical).isEmpty, "a dedup loser was chunked")
+    assert(survivors.intersect(contaminated).isEmpty, "a contaminated doc was chunked")
+    assert(survivors.forall(_ % PipelineQueries.DecontMod != 0), "an eval doc was chunked")
+    // surviving docs' chunk digests equal the standalone chunker's
+    val t5 = PipelineQueries.t5Chunk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(3)).toMap
+    out.foreach { case (doc, idx, _, md5v, _) =>
+      assert(t5((doc, idx)) == md5v, s"chunk ($doc,$idx) digest diverged from t5")
+    }
+    // shard ids are non-decreasing in (doc_id, chunk_idx) order and dense
+    val shards = out.sortBy(c => (c._1, c._2)).map(_._5)
+    assert(shards.zip(shards.tail).forall { case (a, b) => b == a || b == a + 1 },
+      "shard ids must advance by at most one per chunk")
+    // no shard except possibly the last overflows budget + one chunk
+    val perShard = out.groupBy(_._5).view.mapValues(_.map(_._3.toLong).sum)
+    perShard.toSeq.sortBy(_._1).dropRight(1).foreach { case (s, tot) =>
+      assert(tot <= PipelineQueries.ShardBudget + PipelineQueries.ChunkSize,
+        s"shard $s holds $tot tokens")
+    }
+  }
+
   test("v4: quantized cosine tracks the exact cosine within int8 resolution") {
     val rows = PipelineQueries.v4QuantizedTopk(spark, dir).collect()
     assert(rows.length == 25) // 5 queries × top-5
