@@ -131,6 +131,19 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("pipe: packed chunks flow through the merge sink idempotently") {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val chunks = graft.queries.CorpusPrep.pipeCorpusPrep(spark, dir)
+    SnapshotStore.merge(spark, root, chunks, Seq("doc_id", "chunk_idx"))
+    SnapshotStore.merge(spark, root, chunks, Seq("doc_id", "chunk_idx")) // redelivery
+    val stored = SnapshotStore.read(spark, root).get
+      .select("doc_id", "chunk_idx", "chunk_tokens", "chunk_md5", "shard_id")
+      .collect().map(_.toSeq).toSet
+    val direct = chunks.collect().map(_.toSeq).toSet
+    assert(stored == direct, "sink round-trip diverged or duplicated")
+  }
+
   test("v4: quantized cosine tracks the exact cosine within int8 resolution") {
     val rows = PipelineQueries.v4QuantizedTopk(spark, dir).collect()
     assert(rows.length == 25) // 5 queries × top-5
