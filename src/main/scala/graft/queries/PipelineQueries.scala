@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
 
 /** Training-data-pipeline operators over the driver's `documents` /
   * `embeddings` tables (builder brief; SURVEY.md §7.6 north star):
-  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity
-  * search (brute-force cosine top-k, LSH-bucketed ANN), text analysis
-  * (stats/quality, language-ID heuristic, regex token counting,
-  * fingerprinting) and multimodal binary-column plumbing.
+  * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine, cluster assignment), similarity search (brute-force
+  * cosine top-k, sign-LSH and IVF ANN, int8-quantized ranking), text
+  * analysis (stats/quality, language-ID heuristic, regex token counting,
+  * fingerprinting, TF-IDF keywords), corpus construction (token chunking,
+  * stratified sampling, token-budget shard packing, test-set
+  * decontamination — composed end-to-end in [[CorpusPrep]]) and
+  * multimodal binary-column plumbing.
   *
   * Every operator is expressed with codegen'd built-ins / higher-order
   * functions (no UDFs except the explicitly-stubbed multimodal decode,
