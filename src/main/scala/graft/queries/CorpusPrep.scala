@@ -90,19 +90,9 @@ object CorpusPrep {
 
     // 6. pack chunks into token-budget shards (t7's two-level prefix sum,
     // ordered by (doc_id, chunk_idx) so a document's chunks stay adjacent)
-    val blocked = chunks.withColumn("blk", expr(s"doc_id div $PackBlock"))
-    val offsets = blocked.groupBy(col("blk"))
-      .agg(sum(col("chunk_tokens")).as("bt"))
-      .withColumn("off", coalesce(sum(col("bt")).over(
-        Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("blk"), col("off"))
-    val inBlock = Window.partitionBy(col("blk"))
-      .orderBy(col("doc_id"), col("chunk_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    blocked.join(broadcast(offsets), "blk")
-      .withColumn("cum", col("off") + sum(col("chunk_tokens")).over(inBlock))
+    distributedCumsum(chunks, "chunk_tokens", Seq(col("doc_id"), col("chunk_idx")))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_md5"),
-        expr(s"(cum - chunk_tokens) div $ShardBudget").as("shard_id"))
+        expr(s"(cum_tokens - chunk_tokens) div $ShardBudget").as("shard_id"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 

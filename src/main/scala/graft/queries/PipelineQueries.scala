@@ -832,32 +832,40 @@ object PipelineQueries {
     * production scale so the block-totals table stays metadata-sized). */
   val PackBlock = 128L
 
-  /** Assign documents (in doc_id order) to training shards of
-    * ~[[ShardBudget]] estimated tokens: shard = ⌊exclusive-prefix-sum /
-    * budget⌋, so a document lands in the shard its first token falls in
-    * and documents are never split.
-    *
-    * The running total is a DISTRIBUTED two-level prefix sum — the naive
-    * `sum() over (order by doc_id)` is a single-partition window that
-    * serializes the whole corpus through one task. Instead: (1) per-block
-    * token subtotals (hash agg, parallel); (2) exclusive block offsets via
-    * a window over the block-totals table, which is corpus/[[PackBlock]]
-    * rows — metadata-sized, and recursively blockable if it ever isn't;
-    * (3) broadcast the offsets back and window only WITHIN each block
-    * (partitionBy block — parallel, bounded memory). Identical result to
-    * the global window, verified by the oracle's native `sum() over`. */
-  val t7PackShards: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
-      .withColumn("blk", expr(s"doc_id div $PackBlock"))
-    val offsets = d.groupBy(col("blk")).agg(sum(col("est_tokens")).as("bt"))
+  /** DISTRIBUTED two-level running sum of `tokenCol` over `orderCols`
+    * (which must sort consistently with doc_id blocks — i.e. lead with
+    * doc_id): the naive `sum() over (order by …)` is a single-partition
+    * window that serializes the whole corpus through one task. Instead:
+    * (1) per-block token subtotals (hash agg, parallel); (2) exclusive
+    * block offsets via a window over the block-totals table, which is
+    * corpus/[[PackBlock]] rows — metadata-sized, and recursively
+    * blockable if it ever isn't; (3) broadcast the offsets back and
+    * window only WITHIN each block (partitionBy block — parallel,
+    * bounded memory). Identical to the global window (oracle-verified in
+    * t7/pipe; property-tested over sparse ids). Adds `cum_tokens`. */
+  def distributedCumsum(df: DataFrame, tokenCol: String,
+                        orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val blocked = df.withColumn("blk", expr(s"doc_id div $PackBlock"))
+    val offsets = blocked.groupBy(col("blk")).agg(sum(col(tokenCol)).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(
         Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("blk"), col("off"))
-    val inBlock = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+    val inBlock = Window.partitionBy(col("blk")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    d.join(broadcast(offsets), "blk")
-      .withColumn("cum_tokens", col("off") + sum(col("est_tokens")).over(inBlock))
+    blocked.join(broadcast(offsets), "blk")
+      .withColumn("cum_tokens", col("off") + sum(col(tokenCol)).over(inBlock))
+      .drop("blk", "off")
+  }
+
+  /** Assign documents (in doc_id order) to training shards of
+    * ~[[ShardBudget]] estimated tokens: shard = ⌊exclusive-prefix-sum /
+    * budget⌋, so a document lands in the shard its first token falls in
+    * and documents are never split. The running total is
+    * [[distributedCumsum]]. */
+  val t7PackShards: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+    distributedCumsum(d, "est_tokens", Seq(col("doc_id")))
       .select(col("doc_id"), col("est_tokens"), col("cum_tokens"),
         expr(s"(cum_tokens - est_tokens) div $ShardBudget").as("shard_id"))
       .orderBy(col("doc_id"))
