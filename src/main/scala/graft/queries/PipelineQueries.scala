@@ -842,10 +842,16 @@ object PipelineQueries {
     * blockable if it ever isn't; (3) broadcast the offsets back and
     * window only WITHIN each block (partitionBy block — parallel,
     * bounded memory). Identical to the global window (oracle-verified in
-    * t7/pipe; property-tested over sparse ids). Adds `cum_tokens`. */
+    * t7/pipe; property-tested over sparse ids). Adds `cum_tokens`.
+    *
+    * The input is checkpointed because it feeds TWO subtrees (the offsets
+    * aggregate and the row-level join): left lazy, Spark would execute the
+    * whole upstream twice — for the composed pipeline that would mean
+    * re-running dedup and decontamination end to end. */
   def distributedCumsum(df: DataFrame, tokenCol: String,
                         orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val blocked = df.withColumn("blk", expr(s"doc_id div $PackBlock"))
+      .localCheckpoint() // GC-released when the result goes out of scope (see d2)
     val offsets = blocked.groupBy(col("blk")).agg(sum(col(tokenCol)).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(
         Window.orderBy(col("blk")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
