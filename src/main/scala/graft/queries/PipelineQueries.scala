@@ -758,6 +758,9 @@ object PipelineQueries {
     val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      // feeds BOTH the df aggregate and the ranking join — left lazy, the
+      // token explode + count would execute twice (see distributedCumsum)
+      .localCheckpoint()
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
