@@ -319,6 +319,21 @@ object PipelineOracles {
       SELECT doc_id, rk, term, tf, df, score FROM r
       WHERE rk <= ${TfidfK} ORDER BY doc_id, rk""",
 
+    "t10_boilerplate" -> s"""
+      WITH lg AS (SELECT doc_id, string_split(lower(text), ' ') AS lw FROM documents),
+      g0 AS (SELECT doc_id,
+                    unnest([array_to_string(lw[i:i+${DecontGram - 1}], ' ')
+                            for i in range(1, len(lw) - ${DecontGram - 2})]) AS g
+             FROM lg WHERE len(lw) >= ${DecontGram}),
+      g AS (SELECT DISTINCT doc_id, g FROM g0),
+      dfq AS (SELECT g, COUNT(*) AS gdf FROM g GROUP BY g)
+      SELECT g.doc_id, COUNT(*) AS n_grams,
+             SUM(CASE WHEN gdf >= ${BoilerK} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+             round(SUM(CASE WHEN gdf >= ${BoilerK} THEN 1 ELSE 0 END)::DOUBLE
+                   / COUNT(*), 6) AS boiler_ratio
+      FROM g JOIN dfq USING (g)
+      GROUP BY g.doc_id ORDER BY g.doc_id""",
+
     "t8_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id,

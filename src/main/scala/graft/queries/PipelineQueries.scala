@@ -827,6 +827,37 @@ object PipelineQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  // ---- T10: boilerplate / repeated-passage ratio ---------------------------
+
+  /** A gram counts as boilerplate once ≥ [[BoilerK]] distinct docs carry it. */
+  val BoilerK = 3
+
+  /** Per-document repeated-passage ratio: the fraction of a doc's distinct
+    * 8-grams that appear in ≥ [[BoilerK]] distinct documents — the
+    * corpus-level boilerplate signal (headers, licence blocks, templated
+    * text) that near-dup pair mining by design does not surface.
+    *
+    * Scale shape: unlike t9's vocabulary-sized term table, the distinct
+    * gram table IS corpus-sized, so the df join cannot broadcast — this is
+    * the engine's one deliberate BIG-BIG shuffle join, and it's safe
+    * because both sides shuffle on the same uniform 64-bit gram hash
+    * (skew-free by construction) and the join output collapses
+    * immediately into the per-doc aggregate. Grams travel as xxhash64
+    * longs (8 B; same bijection argument as t8). */
+  val t10Boilerplate: Q = (spark, dir) => {
+    val dg = decontGrams(fanOut(spark, t(spark, dir, "documents")), "doc_id")
+      .distinct() // per-doc distinct grams, one shuffle on (doc_id, hash)
+      .localCheckpoint() // feeds the df aggregate AND the join (see t9)
+    val gdf = dg.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    dg.join(gdf, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= BoilerK, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        round(col("n_boiler").cast(DoubleType) / col("n_grams"), 6).as("boiler_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T7: token-budget shard packing (distributed prefix sum) -------------
 
   /** Token budget per training shard. */
@@ -888,6 +919,7 @@ object PipelineQueries {
     "t7_pack_shards" -> t7PackShards,
     "t8_decontaminate" -> t8Decontaminate,
     "t9_tfidf_keywords" -> t9TfidfKeywords,
+    "t10_boilerplate" -> t10Boilerplate,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
