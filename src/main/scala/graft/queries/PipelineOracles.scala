@@ -189,6 +189,56 @@ object PipelineOracles {
             FROM sc)
       SELECT q_id, rk, vec_id, qcosine, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // same-cell smaller-id neighbor at rounded cosine ≥ SemThresh ⇒ duplicate
+    "d7_semdedup" -> s"""
+      WITH $embCte,
+      ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
+        c.map(d => BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")} AS cents,
+                    ${PipelineQueries.IvfHalfSq.map(d =>
+        BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]")} AS hs),
+      a AS (SELECT n.vec_id, n.v, n.nrm,
+                   [list_sum(list_transform(range(1, len(n.v)+1),
+                      i -> n.v[i] * cents[k+1][i])) - hs[k+1]
+                    for k in range(0, ${PipelineQueries.IvfCells})] AS s
+            FROM n, ct),
+      c AS (SELECT vec_id, v, nrm, list_position(s, list_max(s)) AS cell FROM a),
+      dup AS (SELECT DISTINCT x.vec_id
+              FROM c x JOIN c y ON x.cell = y.cell AND y.vec_id < x.vec_id
+              WHERE x.nrm > 0 AND y.nrm > 0
+                AND round(list_sum(list_transform(range(1, len(x.v)+1),
+                            i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6)
+                    >= ${PipelineQueries.SemThresh})
+      SELECT c.vec_id, c.cell,
+             CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+      FROM c LEFT JOIN dup USING (vec_id)
+      ORDER BY c.vec_id""",
+
+    // groups by the gram STRING where the engine groups by its xxhash64 —
+    // only counts leave either plan, so they agree (t8/t10 argument)
+    "t11_repetition" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      bg0 AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                                     for i in range(1, len(w))]) AS g
+              FROM d WHERE len(w) >= 2),
+      bg1 AS (SELECT doc_id, g, COUNT(*) AS c FROM bg0 GROUP BY doc_id, g),
+      bg AS (SELECT doc_id, SUM(c)::BIGINT AS n_bigrams, COUNT(*) AS nd2,
+                    MAX(c) AS top_bigram
+             FROM bg1 GROUP BY doc_id),
+      f0 AS (SELECT doc_id,
+                    unnest([array_to_string(w[i:i+${PipelineQueries.RepGram - 1}], ' ')
+                            for i in range(1, len(w) - ${PipelineQueries.RepGram - 2})]) AS g
+             FROM d WHERE len(w) >= ${PipelineQueries.RepGram}),
+      f AS (SELECT doc_id, COUNT(*) AS n_3grams, COUNT(DISTINCT g) AS nd5
+            FROM f0 GROUP BY doc_id)
+      SELECT d.doc_id, len(d.w) AS n_words,
+             round(1.0 - CAST(len(list_distinct(d.w)) AS DOUBLE) / len(d.w), 6)
+               AS dup_word_frac,
+             round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+             round(1.0 - CAST(nd5 AS DOUBLE) / n_3grams, 6) AS dup_3gram_frac
+      FROM d LEFT JOIN bg USING (doc_id) LEFT JOIN f USING (doc_id)
+      ORDER BY d.doc_id""",
+
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,

@@ -9,10 +9,11 @@ import org.apache.spark.sql.types._
 /** Training-data-pipeline operators over the driver's `documents` /
   * `embeddings` tables (builder brief; SURVEY.md §7.6 north star):
   * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
-  * embedding-cosine, cluster assignment), similarity search (brute-force
-  * cosine top-k, sign-LSH and IVF ANN, int8-quantized ranking), text
-  * analysis (stats/quality, language-ID heuristic, regex token counting,
-  * fingerprinting, TF-IDF keywords), corpus construction (token chunking,
+  * embedding-cosine, cluster assignment, SemDeDup-style semantic),
+  * similarity search (brute-force cosine top-k, sign-LSH and IVF ANN,
+  * int8-quantized ranking), text analysis (stats/quality, language-ID
+  * heuristic, regex token counting, fingerprinting, TF-IDF keywords,
+  * boilerplate ratio, repetition signals), corpus construction (token chunking,
   * stratified sampling, token-budget shard packing, test-set
   * decontamination — composed end-to-end in [[CorpusPrep]]) and
   * multimodal binary-column plumbing.
@@ -349,13 +350,17 @@ object PipelineQueries {
     * probe count tunes recall without touching the index. The centroids and
     * the ‖c‖²/2 terms are literals, so cell assignment — and therefore the
     * result — is reproduced exactly by the oracle. */
-  val v3AnnIvf: Q = (spark, dir) => {
+  /** Vectors with their IVF cell: `(vec_id, v, nrm, s, cell)` where `s` is
+    * the per-centroid score array and `cell` the 1-based argmax. Shared by
+    * the v3 index and the d7 semantic dedup; checkpointed because every
+    * caller feeds it to ≥2 subtrees (corpus/query sides, join self-pairs). */
+  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     def centroidSql(k: Int) =
       IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
     val scoreCols = (0 until IvfCells).map(k => expr(
       s"vector_dot(v, cast(${centroidSql(k)} as array<double>)) - ${sqlDouble(IvfHalfSq(k))}"))
-    val e = fanOut(spark, t(spark, dir, "embeddings"))
+    fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
       .withColumn("s", array(scoreCols: _*))
@@ -363,6 +368,10 @@ object PipelineQueries {
       // (array_position / list_position return the first match)
       .withColumn("cell", array_position(col("s"), array_max(col("s"))))
       .localCheckpoint() // shared by corpus/query sides; GC-released (see d2)
+  }
+
+  val v3AnnIvf: Q = (spark, dir) => {
+    val e = ivfAssigned(spark, dir)
     val q = e.filter(col("vec_id") < 5)
       .withColumn("s2",
         expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
@@ -471,6 +480,46 @@ object PipelineQueries {
       .filter(col("cosine") >= 0.3)
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- D7: SemDeDup — semantic dedup inside coarse-quantizer cells ---------
+
+  /** Rounded-cosine threshold above which two same-cell vectors are
+    * semantic duplicates (the fixtures' planted near-dups sit well above
+    * it; the random bulk well below — same corpus shape d5 mines). */
+  val SemThresh = 0.3
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every embedding to its nearest coarse
+    * centroid (the v3 quantizer — argmax of dot(v,c) − ‖c‖²/2 over
+    * [[IvfCells]] literal centroids), then mark a vector a duplicate iff
+    * some SAME-CELL vector with a smaller id has rounded cosine ≥
+    * [[SemThresh]]. Min-id-wins makes the retained set deterministic
+    * without a transitive closure (the paper keeps one exemplar per
+    * over-threshold group within a cluster; id order is our tiebreak).
+    *
+    * Scale shape: the pairwise work is confined to a cell (n²/K per cell,
+    * the published algorithm's actual cost — real deployments grow K with
+    * the corpus so cells stay bounded), expressed as a LEFT SEMI self-join
+    * on the cell id: vectors ride the cell rows, the cosine is evaluated
+    * and thresholded inside the join stage (the d5 fused-verify lesson),
+    * and the semi-join emits each duplicate once — no candidate-pair
+    * stream is ever materialized or de-duplicated. Zero-norm vectors have
+    * no direction and are never duplicates (nrm > 0 on both sides,
+    * mirrored in the oracle). */
+  val d7Semdedup: Q = (spark, dir) => {
+    val e = ivfAssigned(spark, dir)
+    val dup = e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+          col("x.nrm") > 0 && col("y.nrm") > 0 &&
+          round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6)
+            >= SemThresh,
+        "left_semi")
+      .select(col("vec_id"), lit(1).as("dup"))
+    e.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast(IntegerType).as("cell"),
+        coalesce(col("dup"), lit(0)).as("is_dup"))
+      .orderBy(col("vec_id"))
   }
 
   // ---- T1: text statistics + quality score ---------------------------------
@@ -858,6 +907,62 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T11: repetition signals (Gopher-style quality rules) ----------------
+
+  /** Window width of the duplicate-n-gram fraction. */
+  val RepGram = 3
+
+  /** Per-document repetition signals, after the Gopher quality rules
+    * (Rae et al. 2021, arXiv:2112.11446 §A1.1 — "repetitious documents"):
+    *
+    *  - `dup_word_frac`    — 1 − distinct(words)/words (type–token complement);
+    *  - `top_bigram_frac`  — occurrences of the most frequent word 2-gram
+    *    over all 2-gram occurrences (NULL below 2 words);
+    *  - `dup_3gram_frac`   — 1 − distinct/total [[RepGram]]-gram
+    *    occurrences (NULL below [[RepGram]] words).
+    *
+    * Each n-gram family is one explode inside the scan stage (the t4
+    * pattern: the generator's fan-out never crosses the wire) into a
+    * map-side-combined count. Grams shuffle as multi-arg xxhash64 longs —
+    * 8 B keys, uniform and skew-free; only COUNTS leave the plan, so the
+    * oracle may group by the gram string instead and the results agree
+    * unless xxhash64 collides within one document (~1e-19·n² — the t8/t10
+    * argument). The three subtrees share one checkpointed (doc_id, w)
+    * pass so lower+split runs once. */
+  val t11Repetition: Q = (spark, dir) => {
+    val base = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .localCheckpoint() // feeds the word, 2-gram and 5-gram subtrees
+    def gramCounts(n: Int, totalAs: String, distinctAs: String, topAs: Option[String]) = {
+      // post-first-level rows are one-per-distinct-gram: occurrences are
+      // sum(c), distinct grams are count(*)
+      val aggs = Seq(sum(col("c")).as(totalAs), count(lit(1)).as(distinctAs)) ++
+        topAs.map(a => max(col("c")).as(a))
+      base.filter(size(col("w")) >= n)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - n)).as("i"))
+        .select(col("doc_id"),
+          xxhash64((0 until n).map(j => col("w")(col("i") + j)): _*).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    }
+    val bi = gramCounts(2, "n_bigrams", "nd2", Some("top_bigram"))
+    val five = gramCounts(RepGram, "n_3grams", "nd5", None)
+    base
+      .select(col("doc_id"), size(col("w")).as("n_words"),
+        size(array_distinct(col("w"))).as("n_distinct_words"))
+      .join(bi, Seq("doc_id"), "left")
+      .join(five, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(1.0) - col("n_distinct_words").cast(DoubleType) / col("n_words"), 6)
+          .as("dup_word_frac"),
+        round(col("top_bigram").cast(DoubleType) / col("n_bigrams"), 6)
+          .as("top_bigram_frac"),
+        round(lit(1.0) - col("nd5").cast(DoubleType) / col("n_3grams"), 6)
+          .as("dup_3gram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T7: token-budget shard packing (distributed prefix sum) -------------
 
   /** Token budget per training shard. */
@@ -920,7 +1025,9 @@ object PipelineQueries {
     "t8_decontaminate" -> t8Decontaminate,
     "t9_tfidf_keywords" -> t9TfidfKeywords,
     "t10_boilerplate" -> t10Boilerplate,
+    "t11_repetition" -> t11Repetition,
     "d1_exact_dedup" -> d1ExactDedup,
+    "d7_semdedup" -> d7Semdedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,

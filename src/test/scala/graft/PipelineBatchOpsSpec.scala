@@ -154,6 +154,69 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("d7: duplicates are exactly the vectors with a smaller-id same-cell neighbor") {
+    import PipelineQueries.{IvfCentroids, SemThresh}
+    val out = PipelineQueries.d7Semdedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.nonEmpty)
+    assert(out.exists(_._3 == 1) && out.exists(_._3 == 0), "one class is empty")
+    // local ground truth: same argmax cell assignment, brute-force cosines
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val cents = IvfCentroids.map(_.toArray)
+    val halfSq = PipelineQueries.IvfHalfSq
+    def cellOf(v: Array[Double]): Int = {
+      val s = cents.indices.map(k => dot(v, cents(k)) - halfSq(k))
+      s.indexOf(s.max) + 1
+    }
+    out.foreach { case (id, cell, isDup) =>
+      val v = vecs(id)
+      assert(cell == cellOf(v), s"vec $id assigned cell $cell, expected ${cellOf(v)}")
+      val n = math.sqrt(dot(v, v))
+      // boundary-tolerant: exact round-to-6dp behavior is the oracle's job
+      val cosines = vecs.filter { case (oid, ov) =>
+        oid < id && cellOf(ov) == cell && math.sqrt(dot(ov, ov)) > 0 && n > 0
+      }.map { case (_, ov) => dot(v, ov) / (n * math.sqrt(dot(ov, ov))) }
+      if (isDup == 1)
+        assert(cosines.exists(_ >= SemThresh - 1e-6), s"vec $id marked dup with no neighbor")
+      else
+        assert(cosines.forall(_ < SemThresh + 1e-6), s"vec $id kept despite a dup neighbor")
+    }
+  }
+
+  test("t11: repetition fractions match a local word-level recount") {
+    val out = PipelineQueries.t11Repetition(spark, dir).collect()
+    assert(out.nonEmpty)
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    val eps = 5e-7 // both sides round to 6dp; compare against the raw ratio
+    out.foreach { r =>
+      val (id, nWords) = (r.getLong(0), r.getInt(1))
+      // Spark split keeps empty tokens — mirror with split limit -1
+      val w = texts(id).toLowerCase.split(" ", -1).toSeq
+      assert(nWords == w.length)
+      assert(math.abs(r.getDouble(2) - (1.0 - w.distinct.length.toDouble / w.length)) < eps)
+      val bi = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      if (bi.isEmpty) assert(r.isNullAt(3))
+      else {
+        val counts = bi.groupBy(identity).map(_._2.length)
+        assert(math.abs(r.getDouble(3) - counts.max.toDouble / bi.length) < eps)
+      }
+      val tri = w.sliding(PipelineQueries.RepGram)
+        .filter(_.length == PipelineQueries.RepGram).map(_.mkString(" ")).toSeq
+      if (tri.isEmpty) assert(r.isNullAt(4))
+      else assert(math.abs(r.getDouble(4) - (1.0 - tri.distinct.length.toDouble / tri.length)) < eps)
+    }
+  }
+
   test("t7: two-level prefix sum equals the naive global window, and docs never split") {
     val got = PipelineQueries.t7PackShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

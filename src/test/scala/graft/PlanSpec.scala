@@ -68,11 +68,22 @@ class PlanSpec extends SparkSpec {
     for ((name, q) <- Seq("d2" -> PipelineQueries.d2MinhashLsh,
                           "d4" -> PipelineQueries.d4NgramJaccard,
                           "d5" -> PipelineQueries.d5EmbeddingNeardup,
-                          "v3" -> PipelineQueries.v3AnnIvf)) {
+                          "v3" -> PipelineQueries.v3AnnIvf,
+                          "d7" -> PipelineQueries.d7Semdedup)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
     }
+  }
+
+  test("t11: gram counting is explode → partial-agg; only count rows reach the joins") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t11Repetition)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // both gram families must map-side combine before their shuffle
+    assert(p.contains("partial_merge") || p.contains("partial"),
+      s"gram counts must partial-aggregate before the exchange\n${p.take(1200)}")
   }
 
   test("t5/t6: chunking and sampling stay map-only — no exchange before the output sort") {
