@@ -5,9 +5,13 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Tier-agnostic invariant gate for the operators whose DuckDB oracles
-  * embed the all-pairs join (d6, pipe_corpus_prep) and are therefore
-  * infeasible past sf0.01: checks the structural properties that define
-  * them against independently-computed stage outputs at ANY scale.
+  * embed the all-pairs join (d6, pipe_corpus_prep) or grow quadratic
+  * within cells (d7) and are therefore infeasible past sf0.01/sf0.1:
+  * checks the structural properties that define them against
+  * independently-computed stage outputs at ANY scale, plus
+  * differently-shaped distributed recomputes (same arithmetic, different
+  * physical plan) for d7/t11 — a codegen/plan-level cross-check that
+  * stays parallel instead of collecting row data.
   * Prints one OK/FAIL line per property; exits 1 on any failure.
   * Usage: Invariants [sfDir]
   */
@@ -72,6 +76,96 @@ object Invariants {
       out.groupBy(_._5).view.mapValues(_.map(_._3.toLong).sum)
         .toSeq.sortBy(_._1).dropRight(1)
         .forall(_._2 <= PipelineQueries.ShardBudget + PipelineQueries.ChunkSize)
+    }
+
+    // ---- d7: semantic dedup vs a differently-shaped recompute ----
+    // Same arithmetic (vector_dot per literal centroid, rounded cosine,
+    // min-id rule) but a different plan: cells via posexplode + min_by
+    // argmax instead of array_position(array_max), duplicates via an
+    // inner join + distinct instead of the left-semi. Set equality is
+    // asserted with except() — fully distributed, nothing collected.
+    {
+      import graft.queries.PipelineQueries.{IvfCells, IvfCentroids, IvfHalfSq, SemThresh}
+      graft.functions.GraftFunctions.ensureRegistered(spark)
+      val d7 = PipelineQueries.d7Semdedup(spark, sfDir).cache()
+      def sqlD(d: Double) = BigDecimal(d).bigDecimal.toPlainString
+      val centArr = IvfCentroids.map(_.map(sqlD).mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      val hsArr = IvfHalfSq.map(sqlD).mkString("array(", ",", ")")
+      val alt = Sources.testdata(spark, sfDir)("embeddings")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+        .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+        .select(col("vec_id"), col("v"), col("nrm"), posexplode(expr(
+          s"transform(sequence(0, ${IvfCells - 1}), k ->" +
+            s" vector_dot(v, cast($centArr[k] as array<double>)) - cast($hsArr[k] as double))")))
+        .toDF("vec_id", "v", "nrm", "k", "score")
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("nrm")).as("nrm"),
+          min_by(col("k") + 1, struct(negate(col("score")), col("k"))).as("cell"))
+        .localCheckpoint()
+      check("d7: cell assignment survives a posexplode/min_by re-plan") {
+        d7.select(col("vec_id"), col("cell").cast("long").as("cell"))
+          .except(alt.select(col("vec_id"), col("cell"))).isEmpty
+      }
+      val altDup = alt.as("x").join(alt.as("y"),
+          col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
+            col("x.nrm") > 0 && col("y.nrm") > 0)
+        .where(round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6)
+          >= SemThresh)
+        .select(col("x.vec_id").as("vec_id")).distinct()
+      check("d7: duplicate set survives an inner-join/distinct re-plan") {
+        val got = d7.filter(col("is_dup") === 1).select(col("vec_id"))
+        got.except(altDup).isEmpty && altDup.except(got).isEmpty
+      }
+      check("d7: one row per vector, cells within range") {
+        val n = Sources.testdata(spark, sfDir)("embeddings").count()
+        d7.count() == n && d7.select(countDistinct(col("vec_id"))).head.getLong(0) == n &&
+          d7.filter(col("cell") < 1 || col("cell") > IvfCells).isEmpty
+      }
+      d7.unpersist()
+    }
+
+    // ---- t11: repetition signals vs a differently-shaped recompute ----
+    // Words/distinct via explode + countDistinct (vs array_distinct);
+    // the top-bigram numerator via a rank window over the per-gram
+    // counts (vs the two-level max agg).
+    {
+      import graft.queries.PipelineQueries.RepGram
+      val t11 = PipelineQueries.t11Repetition(spark, sfDir).cache()
+      val docs = Sources.testdata(spark, sfDir)("documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      val wordAlt = docs.select(col("doc_id"), explode(col("w")).as("x"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("nd"))
+        .select(col("doc_id"),
+          round(lit(1.0) - col("nd").cast("double") / col("n"), 6).as("dup_word_frac"))
+      check("t11: dup_word_frac survives an explode/countDistinct re-plan") {
+        t11.select(col("doc_id"), col("dup_word_frac")).except(wordAlt).isEmpty
+      }
+      val biCounts = docs.filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(0), size(col("w")) - 2)).as("i"))
+        .select(col("doc_id"), concat_ws(" ", col("w")(col("i")), col("w")(col("i") + 1)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      val biAlt = biCounts
+        .withColumn("rk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("tot"), max(when(col("rk") === 1, col("c"))).as("top"))
+        .select(col("doc_id"),
+          round(col("top").cast("double") / col("tot"), 6).as("top_bigram_frac"))
+      check("t11: top_bigram_frac survives a rank-window re-plan over gram strings") {
+        t11.filter(col("top_bigram_frac").isNotNull)
+          .select(col("doc_id"), col("top_bigram_frac")).except(biAlt).isEmpty
+      }
+      check("t11: one row per document; 3-gram fraction null iff words < RepGram") {
+        val short = docs.filter(size(col("w")) < RepGram).select("doc_id")
+        t11.count() == docs.count() &&
+          t11.filter(col("dup_3gram_frac").isNull).select("doc_id")
+            .except(short).isEmpty &&
+          short.except(t11.filter(col("dup_3gram_frac").isNull).select("doc_id")).isEmpty
+      }
+      t11.unpersist()
     }
 
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
