@@ -239,6 +239,23 @@ object PipelineOracles {
       FROM d LEFT JOIN bg USING (doc_id) LEFT JOIN f USING (doc_id)
       ORDER BY d.doc_id""",
 
+    "t12_mix_rebalance" -> s"""
+      WITH d AS (SELECT doc_id, source, ceil(n_chars / 4.0)::BIGINT AS est_tokens
+                 FROM documents),
+      s AS (SELECT source, SUM(est_tokens)::BIGINT AS src_tokens,
+                   CASE ${PipelineQueries.MixSharePermille.map { case (s, r) =>
+        s"WHEN source = '$s' THEN $r" }.mkString(" ")}
+                        ELSE ${PipelineQueries.MixShareDefault} END AS share_pm
+            FROM d GROUP BY source),
+      b AS (SELECT MIN(src_tokens * 1000 // share_pm) AS budget FROM s),
+      r AS (SELECT source, least(1000, b.budget * share_pm // src_tokens) AS keep_pm
+            FROM s, b)
+      SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
+             round(1000.0 / r.keep_pm, 6) AS weight
+      FROM d JOIN r USING (source)
+      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < r.keep_pm
+      ORDER BY d.doc_id""",
+
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,

@@ -14,9 +14,9 @@ import org.apache.spark.sql.types._
   * int8-quantized ranking), text analysis (stats/quality, language-ID
   * heuristic, regex token counting, fingerprinting, TF-IDF keywords,
   * boilerplate ratio, repetition signals), corpus construction (token chunking,
-  * stratified sampling, token-budget shard packing, test-set
-  * decontamination — composed end-to-end in [[CorpusPrep]]) and
-  * multimodal binary-column plumbing.
+  * stratified sampling, data-mixture rebalancing, token-budget shard
+  * packing, test-set decontamination — composed end-to-end in
+  * [[CorpusPrep]]) and multimodal binary-column plumbing.
   *
   * Every operator is expressed with codegen'd built-ins / higher-order
   * functions (no UDFs except the explicitly-stubbed multimodal decode,
@@ -963,6 +963,49 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T12: data-mixture rebalancing ----------------------------------------
+
+  /** Relative target weights per source (permille-style; they need not sum
+    * to 1000 — the realized mixture is proportional to them). */
+  val MixSharePermille: Seq[(String, Long)] = Seq("src0" -> 150L, "src1" -> 120L, "src2" -> 80L)
+  val MixShareDefault = 35L
+
+  /** Rebalance the corpus to a TARGET SOURCE MIXTURE (the Pile/LLaMA-style
+    * reweighting step): per-source token totals set a feasible corpus
+    * budget B = minₛ ⌊tokensₛ·1000/shareₛ⌋ (the binding source is kept in
+    * full), every other source downsamples to keepₛ = ⌊B·shareₛ/tokensₛ⌋
+    * permille via t6's deterministic md5 predicate, and kept rows carry
+    * the inverse-rate weight. All budget arithmetic is 64-bit integer
+    * (exact, engine-portable; overflows only past ~9e15 corpus tokens —
+    * two orders beyond 100 TB of text).
+    *
+    * Scale shape: one narrow hash agg to the source-count-sized totals
+    * table, a 1-row min for the budget, and a broadcast join back — the
+    * corpus itself never shuffles; the keep predicate is map-side. The
+    * same deterministic-hash argument as t6: reruns, retries and
+    * repartitionings keep the identical sample. */
+  val t12MixRebalance: Q = (spark, dir) => {
+    val share = MixSharePermille.foldLeft(lit(MixShareDefault)) {
+      case (e, (s, r)) => when(col("source") === s, lit(r)).otherwise(e)
+    }
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+    val bySrc = docs.groupBy(col("source")).agg(sum(col("est_tokens")).as("src_tokens"))
+      .withColumn("share_pm", share)
+    val budget = bySrc.agg(min(expr("src_tokens * 1000 div share_pm")).as("budget"))
+    val rates = bySrc.crossJoin(broadcast(budget))
+      .withColumn("keep_pm", least(lit(1000L), expr("budget * share_pm div src_tokens")))
+      .select(col("source"), col("keep_pm"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
+      .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
+      .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
+        round(lit(1000.0) / col("keep_pm"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T7: token-budget shard packing (distributed prefix sum) -------------
 
   /** Token budget per training shard. */
@@ -1026,6 +1069,7 @@ object PipelineQueries {
     "t9_tfidf_keywords" -> t9TfidfKeywords,
     "t10_boilerplate" -> t10Boilerplate,
     "t11_repetition" -> t11Repetition,
+    "t12_mix_rebalance" -> t12MixRebalance,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d2_minhash_lsh" -> d2MinhashLsh,

@@ -217,6 +217,32 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("t12: keep rates are the exact integer budget arithmetic; sample is deterministic") {
+    import PipelineQueries.{MixSharePermille, MixShareDefault}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / 4.0).cast("long").as("est")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val share = MixSharePermille.toMap
+    val srcTokens = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val budget = srcTokens.map { case (s, tok) =>
+      tok * 1000L / share.getOrElse(s, MixShareDefault) }.min
+    val expectedKeep = srcTokens.map { case (s, tok) =>
+      s -> math.min(1000L, budget * share.getOrElse(s, MixShareDefault) / tok) }
+    val out = PipelineQueries.t12MixRebalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, src, keep, w) =>
+      assert(keep == expectedKeep(src), s"$src keep_pm $keep != ${expectedKeep(src)}")
+      assert(math.abs(w - 1000.0 / keep) < 1e-6)
+    }
+    // the binding source is kept (almost) in full; something is downsampled
+    assert(expectedKeep.values.max >= 999L && expectedKeep.values.min < 1000L)
+    // deterministic: a rerun keeps the identical doc set
+    assert(PipelineQueries.t12MixRebalance(spark, dir).collect()
+      .map(_.getLong(0)).toSeq == out.map(_._1).toSeq)
+  }
+
   test("t7: two-level prefix sum equals the naive global window, and docs never split") {
     val got = PipelineQueries.t7PackShards(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -113,6 +113,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1200))
   }
 
+  test("t12: rates join back by broadcast — corpus rows never shuffle") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t12MixRebalance)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the mixture keep predicate must stay map-side\n${p.take(1200)}")
+  }
+
   test("t7: block offsets join back by broadcast; the per-doc window stays block-partitioned") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.t7PackShards)
