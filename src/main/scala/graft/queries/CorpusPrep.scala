@@ -16,16 +16,21 @@ import org.apache.spark.sql.types._
   *      8-gram with the held-out eval slice ([[PipelineQueries.decontGrams]]);
   *   3. QUALITY-FILTER — keep quality ≥ [[QualityMin]] (t1's blend);
   *   4. stratified SAMPLE — t6's deterministic per-language keep predicate;
-  *   5. CHUNK — t5's 64-token/48-stride windows over the survivors;
-  *   6. PACK — t7's two-level distributed prefix sum assigns each chunk a
+  *   5. MIX — t12's source-mixture rebalancing over the surviving corpus
+  *      (its budget and keep rates are computed from the survivors' token
+  *      totals, and its stage-salted hash is independent of stage 4's, so
+  *      both stages' rates stay honest under composition);
+  *   6. CHUNK — t5's 64-token/48-stride windows over the survivors;
+  *   7. PACK — t7's two-level distributed prefix sum assigns each chunk a
   *      token-budget shard id, in (doc_id, chunk_idx) order.
   *
   * Every stage reuses the exact arithmetic its standalone operator proved
   * against DuckDB, so the composition hash-matches a single chained-CTE
   * oracle end to end. Scale properties are inherited: the only quadratic
   * candidate work is inside the LSH-bucketed dedup, the eval grams
-  * broadcast, the quality/sample stages are map-only, and the pack prefix
-  * sum never serializes the corpus through one task.
+  * broadcast, the quality/sample stages are map-only, the mixture stage's
+  * global state is a source-count-sized totals table broadcast back, and
+  * the pack prefix sum never serializes the corpus through one task.
   */
 object CorpusPrep {
   import PipelineQueries._
@@ -71,10 +76,29 @@ object CorpusPrep {
         expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
       .withColumn("keep_rate", rate)
       .filter(pmod(col("h"), lit(1000)) < col("keep_rate"))
+      .select(col("doc_id"), col("text"), col("source"),
+        ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+
+    // 5. rebalance the survivor corpus to the target source mixture (t12
+    // arithmetic over the SURVIVORS' totals — you rebalance what you are
+    // about to train on, not the raw corpus)
+    val mixShare = MixSharePermille.foldLeft(lit(MixShareDefault)) {
+      case (e, (s, r)) => when(col("source") === s, lit(r)).otherwise(e)
+    }
+    val bySrc = survivors.groupBy(col("source")).agg(sum(col("est_tokens")).as("src_tokens"))
+      .withColumn("share_pm", mixShare)
+    val budget = bySrc.agg(min(expr("src_tokens * 1000 div share_pm")).as("budget"))
+    val rates = bySrc.crossJoin(broadcast(budget))
+      .withColumn("keep_pm", least(lit(1000L), expr("budget * share_pm div src_tokens")))
+      .select(col("source"), col("keep_pm"))
+    val mixed = survivors.join(broadcast(rates), "source")
+      .filter(pmod(expr(
+        "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) as bigint)"),
+        lit(1000)) < col("keep_pm"))
       .select(col("doc_id"), col("text"))
 
-    // 5. chunk the survivors (t5 arithmetic, original-case text)
-    val chunks = survivors
+    // 6. chunk the survivors (t5 arithmetic, original-case text)
+    val chunks = mixed
       .withColumn("w", split(col("text"), " "))
       .withColumn("n", size(col("w")))
       .withColumn("n_chunks",
@@ -88,7 +112,7 @@ object CorpusPrep {
         md5(array_join(slice(col("w"), col("chunk_idx") * ChunkStride + 1, lit(ChunkSize)), " "))
           .as("chunk_md5"))
 
-    // 6. pack chunks into token-budget shards (t7's two-level prefix sum,
+    // 7. pack chunks into token-budget shards (t7's two-level prefix sum,
     // ordered by (doc_id, chunk_idx) so a document's chunks stay adjacent)
     distributedCumsum(chunks, "chunk_tokens", Seq(col("doc_id"), col("chunk_idx")))
       .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"), col("chunk_md5"),

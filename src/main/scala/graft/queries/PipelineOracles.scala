@@ -253,7 +253,8 @@ object PipelineOracles {
       SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
              round(1000.0 / r.keep_pm, 6) AS weight
       FROM d JOIN r USING (source)
-      WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 < r.keep_pm
+      WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+            < r.keep_pm
       ORDER BY d.doc_id""",
 
     "t1_text_stats" -> s"""
@@ -456,7 +457,8 @@ object PipelineOracles {
                WHERE tr.doc_id % ${PipelineQueries.DecontMod} != 0
                  AND ev.doc_id % ${PipelineQueries.DecontMod} = 0),
       surv AS (
-        SELECT d.doc_id, d.text
+        SELECT d.doc_id, d.text, d.source,
+               ceil(d.n_chars / 4.0)::BIGINT AS est_tokens
         FROM documents d JOIN lg ON lg.doc_id = d.doc_id
         WHERE d.doc_id % ${PipelineQueries.DecontMod} != 0
           AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
@@ -468,12 +470,24 @@ object PipelineOracles {
               CASE ${SampleRatePermille.map { case (l, r) =>
                 s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")}
                    ELSE $SampleRateDefault END),
+      ms AS (SELECT source, SUM(est_tokens)::BIGINT AS src_tokens,
+                    CASE ${PipelineQueries.MixSharePermille.map { case (s, r) =>
+        s"WHEN source = '$s' THEN $r" }.mkString(" ")}
+                         ELSE ${PipelineQueries.MixShareDefault} END AS share_pm
+             FROM surv GROUP BY source),
+      mb AS (SELECT MIN(src_tokens * 1000 // share_pm) AS budget FROM ms),
+      mr AS (SELECT source, least(1000, mb.budget * share_pm // src_tokens) AS keep_pm
+             FROM ms, mb),
+      mx AS (SELECT surv.doc_id, surv.text
+             FROM surv JOIN mr USING (source)
+             WHERE ('0x' || substr(md5('mix:' || surv.doc_id::VARCHAR), 1, 15))::BIGINT
+                   % 1000 < mr.keep_pm),
       cd AS (SELECT doc_id, string_split(text, ' ') AS w,
                     len(w) AS n,
                     CAST(CASE WHEN len(w) <= ${ChunkSize} THEN 1
                          ELSE (len(w) - ${ChunkSize} + ${ChunkStride} - 1)
                                 // ${ChunkStride} + 1 END AS INT) AS n_chunks
-             FROM surv),
+             FROM mx),
       ch AS (SELECT doc_id, w, n, unnest(range(0, n_chunks)) AS chunk_idx FROM cd),
       ck AS (SELECT doc_id, chunk_idx,
                     least(${ChunkSize}, n - chunk_idx * ${ChunkStride}) AS chunk_tokens,

@@ -998,8 +998,11 @@ object PipelineQueries {
       .withColumn("keep_pm", least(lit(1000L), expr("budget * share_pm div src_tokens")))
       .select(col("source"), col("keep_pm"))
     docs.join(broadcast(rates), "source")
+      // stage-salted hash: independent of t6's unsalted sample predicate,
+      // so composing the two stages (CorpusPrep) keeps each stage's rate
+      // honest — the same hash would collapse two filters to min(rate)
       .withColumn("h",
-        expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
+        expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) as bigint)"))
       .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
       .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
         round(lit(1000.0) / col("keep_pm"), 6).as("weight"))
