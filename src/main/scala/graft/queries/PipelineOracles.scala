@@ -504,6 +504,46 @@ object PipelineOracles {
              (cum - chunk_tokens) // ${ShardBudget} AS shard_id
       FROM pk ORDER BY doc_id, chunk_idx""",
 
+    "t13_pii_redact" -> s"""
+      WITH d AS (SELECT doc_id,
+                        text || ' contact user' || doc_id::VARCHAR
+                             || '@mail' || (doc_id % 7)::VARCHAR
+                             || '.org call 555-'
+                             || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0')
+                             || ' from 10.' || (doc_id % 256)::VARCHAR
+                             || '.' || ((doc_id * 31) % 256)::VARCHAR
+                             || '.' || ((doc_id * 17) % 256)::VARCHAR AS ftext
+                 FROM documents)
+      SELECT doc_id,
+             len(regexp_extract_all(ftext, '${PiiEmail}')) AS n_emails,
+             len(regexp_extract_all(ftext, '${PiiPhone}')) AS n_phones,
+             len(regexp_extract_all(ftext, '${PiiIp}')) AS n_ips,
+             md5(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(ftext, '${PiiEmail}', '<EMAIL>', 'g'),
+                     '${PiiIp}', '<IP>', 'g'),
+                   '${PiiPhone}', '<PHONE>', 'g')) AS redacted_md5
+      FROM d ORDER BY doc_id""",
+
+    "t14_vocab" -> s"""
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT term, doc_id, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      v AS (SELECT term, SUM(c)::BIGINT AS tf, COUNT(*) AS df FROM tf GROUP BY term)
+      SELECT row_number() OVER (ORDER BY tf DESC, term) AS rk, term, tf, df
+      FROM v ORDER BY tf DESC, term LIMIT ${VocabK}""",
+
+    "t15_lm_score" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
+      tot AS (SELECT SUM(ctf)::BIGINT AS tot FROM ct)
+      SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+             round(SUM(c * ln(tot::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+      FROM tf JOIN ct USING (term), tot
+      GROUP BY doc_id ORDER BY doc_id""",
+
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

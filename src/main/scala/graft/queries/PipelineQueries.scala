@@ -1062,6 +1062,113 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T13: PII detection + redaction --------------------------------------
+
+  /** Escape-free regexes (no `\b`/`\.`) so the identical pattern string is
+    * valid and equivalent in both Java regex (Spark) and RE2 (DuckDB). */
+  val PiiEmail = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z]{2,}"
+  val PiiPhone = "[0-9]{3}-[0-9]{4}"
+  val PiiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** PII detection + redaction (the scrubbing pass every public-web corpus
+    * runs before training). The synthetic corpus carries no PII, so the
+    * query PLANTS a deterministic contact footer per document (email,
+    * phone, IPv4 derived from doc_id) and then detects and redacts it —
+    * the operator under test is the regex machinery, which is what runs at
+    * 100 TB: per-doc match counts via `regexp_extract_all` and
+    * chained-`regexp_replace` masking, all map-only inside the scan stage
+    * (no shuffle, nothing but the counts and a digest of the redacted text
+    * leave the plan). Patterns are shared literals with the oracle; both
+    * engines use leftmost-first greedy matching, so counts and redacted
+    * bytes agree exactly. */
+  val t13PiiRedact: Q = (spark, dir) => {
+    val full = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast(StringType),
+      lit("@mail"), pmod(col("doc_id"), lit(7)).cast(StringType),
+      lit(".org call 555-"),
+      lpad(pmod(col("doc_id") * 7919, lit(10000)).cast(StringType), 4, "0"),
+      lit(" from 10."), pmod(col("doc_id"), lit(256)).cast(StringType),
+      lit("."), pmod(col("doc_id") * 31, lit(256)).cast(StringType),
+      lit("."), pmod(col("doc_id") * 17, lit(256)).cast(StringType))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("full"), lit(PiiEmail), lit("<EMAIL>")),
+        lit(PiiIp), lit("<IP>")),
+      lit(PiiPhone), lit("<PHONE>"))
+    t(spark, dir, "documents")
+      .withColumn("full", full)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("full"), lit(PiiEmail), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("full"), lit(PiiPhone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("full"), lit(PiiIp), lit(0))).as("n_ips"),
+        md5(redacted).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- T14: vocabulary construction / heavy hitters ------------------------
+
+  /** Tokens kept in the vocabulary head. */
+  val VocabK = 100
+
+  /** Exact corpus-level heavy hitters: the top-[[VocabK]] tokens by total
+    * frequency with their document frequency — the first step of building
+    * a tokenizer vocabulary or a stopword list.
+    *
+    * Scale shape: explode → two-level hash agg ((term, doc) then term),
+    * both map-side combined, so the shuffle carries one row per distinct
+    * (term, doc) and then one per vocabulary term. The global top-K goes
+    * through `orderBy().limit()` — Spark plans TakeOrderedAndProject
+    * (per-partition heaps + driver-side K-merge), NOT a single-partition
+    * sort, so it survives an arbitrary vocabulary size. The rank column is
+    * windowed over the already-collapsed K-row result (metadata-sized by
+    * construction). */
+  val t14Vocab: Q = (spark, dir) => {
+    val tok = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val top = tok
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("term")).agg(sum(col("c")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("term")).limit(VocabK)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy(col("tf").desc, col("term"))))
+      .select(col("rk"), col("term"), col("tf"), col("df"))
+      .orderBy(col("rk"))
+  }
+
+  // ---- T15: unigram-LM quality score ---------------------------------------
+
+  /** Per-document cross-entropy against the corpus's own unigram
+    * distribution (the cheap stand-in for the KenLM-perplexity quality
+    * filter of CCNet/Gopher): score = Σ tf_doc(t)·ln(N/tf_corpus(t)) / len.
+    * Rare-token-heavy documents score high (surprising), templated ones
+    * low.
+    *
+    * Two passes over the token stream, both narrow: the corpus frequency
+    * table is VOCABULARY-sized, so it broadcasts back to the per-doc term
+    * counts (no corpus-sized shuffle beyond the (term, doc) agg the other
+    * text ops already pay). The 1-row token total rides the same
+    * broadcast. ln() is the one transcendental on the oracle surface —
+    * both engines compute it on the identical double (N and tf are exact
+    * longs), and the final 6-dp round absorbs the ≤1-ulp libm skew. */
+  val t15LmScore: Q = (spark, dir) => {
+    val tf = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // feeds the corpus-frequency agg AND the score join
+    val corpus = tf.groupBy(col("term")).agg(sum(col("c")).as("ctf"))
+    val total = corpus.agg(sum(col("ctf")).as("tot"))
+    tf.join(broadcast(corpus), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("nll",
+        col("c") * log(col("tot").cast(DoubleType) / col("ctf").cast(DoubleType)))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), sum(col("nll")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") / col("n_tokens"), 6).as("lm_xent"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "m2_frame_sample" -> m2FrameSample,
     "d6_dedup_clusters" -> d6DedupClusters,
@@ -1073,6 +1180,9 @@ object PipelineQueries {
     "t10_boilerplate" -> t10Boilerplate,
     "t11_repetition" -> t11Repetition,
     "t12_mix_rebalance" -> t12MixRebalance,
+    "t13_pii_redact" -> t13PiiRedact,
+    "t14_vocab" -> t14Vocab,
+    "t15_lm_score" -> t15LmScore,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d2_minhash_lsh" -> d2MinhashLsh,

@@ -260,4 +260,63 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(blk"),
       s"expected block-partitioned window:\n${plan.take(1200)}")
   }
+
+  test("t13: counts and redacted digest match a local JVM-regex recount") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = PipelineQueries.t13PiiRedact(spark, dir).collect()
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val full = docs(id) + s" contact user$id@mail${id % 7}.org call 555-" +
+        f"${id * 7919 % 10000}%04d from 10.${id % 256}.${id * 31 % 256}.${id * 17 % 256}"
+      def count(p: String) = p.r.findAllIn(full).length
+      assert(r.getInt(1) == count(PipelineQueries.PiiEmail), s"emails of doc $id")
+      assert(r.getInt(2) == count(PipelineQueries.PiiPhone), s"phones of doc $id")
+      assert(r.getInt(3) == count(PipelineQueries.PiiIp), s"ips of doc $id")
+      assert(r.getInt(1) >= 1 && r.getInt(2) >= 1 && r.getInt(3) >= 1) // footer planted
+      val red = full.replaceAll(PipelineQueries.PiiEmail, "<EMAIL>")
+        .replaceAll(PipelineQueries.PiiIp, "<IP>")
+        .replaceAll(PipelineQueries.PiiPhone, "<PHONE>")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(red.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      assert(r.getString(4) == md, s"redacted digest of doc $id")
+      // redaction is complete: nothing PII-shaped survives
+      assert(PipelineQueries.PiiEmail.r.findFirstIn(red).isEmpty)
+    }
+  }
+
+  test("t14: head of the vocabulary matches a local corpus recount") {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1).map(w => (r.getLong(0), w)))
+    val tf = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val df = words.distinct.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val expect = tf.toSeq.sortBy { case (t, n) => (-n, t) }.take(PipelineQueries.VocabK)
+    val got = PipelineQueries.t14Vocab(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == (1 to got.length)) // contiguous ranks
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case ((_, term, gtf, gdf), (eterm, etf)) =>
+      assert(term == eterm && gtf == etf && gdf == df(term), s"term $term")
+    }
+  }
+
+  test("t15: cross-entropy matches a local unigram-LM recount") {
+    val words = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).toLowerCase.split(" ", -1).map(w => (r.getLong(0), w)))
+    val ctf = words.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val tot = words.length.toDouble
+    val byDoc = words.groupBy(_._1)
+    val got = PipelineQueries.t15LmScore(spark, dir).collect()
+    assert(got.length == byDoc.size)
+    got.foreach { r =>
+      val ws = byDoc(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == ws.length.toLong)
+      val xent = ws.map(w => math.log(tot / ctf(w))).sum / ws.length
+      assert(math.abs(r.getDouble(2) - xent) < 1e-5, s"doc ${r.getLong(0)}")
+    }
+  }
 }
