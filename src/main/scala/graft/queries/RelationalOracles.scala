@@ -63,6 +63,26 @@ object RelationalOracles {
       FROM islands GROUP BY user_id, session_id
       ORDER BY user_id, session_start_ms""",
 
+    // one-shot declarative SCD2 over the full log — the Spark side must
+    // reproduce it through two incremental batches + the snapshot merge
+    "s12_scd2" -> """
+      WITH e AS (SELECT user_id, ts, event_id, event_type AS state FROM events),
+      r AS (SELECT user_id, ts, event_id, state,
+                   lag(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS prev
+            FROM e),
+      s AS (SELECT user_id, ts, event_id, state FROM r
+            WHERE prev IS NULL OR prev != state),
+      d AS (SELECT user_id, state, ts,
+                   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS vt,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS version
+            FROM s)
+      SELECT user_id, version, state, epoch_ms(ts) AS valid_from_ms,
+             epoch_ms(vt) AS valid_to_ms
+      FROM d ORDER BY user_id, version""",
+
     "a3_distinct_agg" -> """
       SELECT l_returnflag,
              count(DISTINCT l_partkey) AS n_parts,

@@ -624,6 +624,37 @@ object RelationalQueries {
         col("session_last_ms"), col("n_events"))
       .orderBy(col("user_id"), col("session_start_ms"))
 
+  /** SCD Type-2 dimension history, maintained INCREMENTALLY: the events
+    * log is split at a fixed cutoff into two strictly-ordered batches and
+    * driven through [[graft.incremental.Scd2.mergeBatch]] (open-row
+    * semi-join + run rebuild over `open ∪ batch` + keyed snapshot merge).
+    * The oracle is the one-shot declarative SCD2 (lag-filter + lead/
+    * row_number over the full log), so the hash match proves the
+    * incremental maintenance path — including runs that straddle the
+    * batch boundary — equals the from-scratch recompute. Validity bounds
+    * are emitted as epoch-ms (no raw-timestamp outputs, per the policy
+    * above). */
+  val s12Scd2: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state"))
+    val cutoff = lit("2024-01-16").cast(TimestampType)
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    try {
+      graft.incremental.Scd2.mergeBatch(spark, root,
+        ev.filter(col("ts") < cutoff), "user_id", "ts", "event_id", "state")
+      graft.incremental.Scd2.mergeBatch(spark, root,
+        ev.filter(col("ts") >= cutoff), "user_id", "ts", "event_id", "state")
+      graft.incremental.SnapshotStore.read(spark, root).get
+        .select(col("user_id"), col("version"), col("state"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"))
+        .localCheckpoint() // materialize before the tree is deleted
+        .orderBy(col("user_id"), col("version"))
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(root))
+  }
+
   /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
     * which survives scale (no driver-side distinct). */
   val a3DistinctAgg: Q = (spark, dir) =>
@@ -749,6 +780,7 @@ object RelationalQueries {
     "j7_semi_anti" -> j7SemiAnti,
     "w5_sliding" -> w5Sliding,
     "w6_sessions" -> w6Sessions,
+    "s12_scd2" -> s12Scd2,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a6_cube" -> a6Cube,
