@@ -49,7 +49,10 @@ object Bench {
     // checks (two full DAG runs through the disk-based merge sink — ~14
     // write/read cycles of fixed overhead on tiny fixtures), not queries;
     // they stay in the correctness gate but would only measure sink fsync.
-    val results = (SparkEntry.queries - "dag_fct_incremental" - "dag_fct_maintenance")
+    // s12_scd2 is the same kind of protocol check (two batches through the
+    // disk-based snapshot merge), so it too stays out of the timing set.
+    val results =
+      (SparkEntry.queries - "dag_fct_incremental" - "dag_fct_maintenance" - "s12_scd2")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
