@@ -256,6 +256,24 @@ object SnapshotStore {
         writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy))
     }
 
+  /** Snapshot names present under `root`, oldest → newest. */
+  def snapshots(root: String): Seq[String] =
+    if (!Files.isDirectory(Paths.get(root))) Seq.empty
+    else withList(Paths.get(root))(_.toSeq)
+      .map(_.getFileName.toString).filter(_.startsWith("snap-")).sorted
+
+  /** Time travel: read table contents as of a specific snapshot (every
+    * merge/append/optimize publishes one — [[snapshots]] lists what's
+    * still on disk). Hard-linked carryover means an old snapshot is a
+    * complete, immutable view at O(files) metadata cost, readable until
+    * [[vacuum]] drops it; None once it has been. */
+  def readAt(spark: SparkSession, root: String, snap: String): Option[DataFrame] =
+    if (!Files.isDirectory(Paths.get(root, snap))) None
+    else Some {
+      val df = spark.read.parquet(s"$root/$snap")
+      if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+    }
+
   /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
     * generations. Hard links make deletion safe for newer snapshots. */
   def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>

@@ -153,6 +153,44 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/nd_shingles", sh, Seq("doc_id"))
   }
 
+  /** Continuous SCD2 dimension maintenance: each micro-batch folds into
+    * the type-2 history via [[graft.incremental.Scd2.mergeBatch]]. A
+    * stored high-water mark enforces Scd2's strict-append contract
+    * against what streaming actually delivers: redelivered micro-batches
+    * (failure replay) and rows older than anything ingested are dropped
+    * before the fold — the streaming analog of the watermarked-dedup
+    * guard, persisted so it survives restarts.
+    *
+    * Scale shape: per batch, one metadata-sized high-water-mark read +
+    * 1-row write; the fold itself touches only open rows of batch-touched
+    * keys (see Scd2). */
+  def scd2Ingest(streamingEvents: DataFrame, root: String, checkpointDir: String,
+                 key: String, ts: String, tie: String, state: String): StreamingQuery =
+    streamingEvents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        scd2Batch(batch, root, key, ts, tie, state)
+      }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[scd2Ingest]]. */
+  def scd2Batch(batch: DataFrame, root: String, key: String, ts: String,
+                tie: String, state: String): Unit = {
+    val spark = batch.sparkSession
+    val fresh = (SnapshotStore.read(spark, s"$root/hwm") match {
+      case Some(h) => batch.crossJoin(broadcast(h))
+        .filter(col(ts) > col("__hwm")).drop("__hwm")
+      case None => batch
+    }).localCheckpoint() // feeds the null-check, the fold and the new mark
+    if (!fresh.agg(max(col(ts))).head().isNullAt(0)) {
+      graft.incremental.Scd2.mergeBatch(spark, s"$root/dim", fresh,
+        key, ts, tie, state)
+      SnapshotStore.merge(spark, s"$root/hwm",
+        fresh.agg(max(col(ts)).as("__hwm")).withColumn("__k", lit(1)),
+        Seq("__k"))
+    }
+  }
+
   /** Continuous test-set decontamination — a STREAM-STATIC join: incoming
     * documents explode to 8-gram hashes (stateless, stays in the stream's
     * scan stage) and meet the static eval-set gram table as a BROADCAST

@@ -173,6 +173,26 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readAll(root).size == 4)
   }
 
+  test("time travel: readAt serves each published snapshot until vacuum drops it") {
+    val root = Files.createTempDirectory("graft-tt").toString
+    (1 to 3).foreach { i =>
+      SnapshotStore.merge(spark, root,
+        rows(Seq((1L, "2026-01-01", s"v$i"))), Seq("id"))
+    }
+    assert(SnapshotStore.snapshots(root) ==
+      Seq("snap-0000001", "snap-0000002", "snap-0000003"))
+    // each snapshot is the table as of that merge
+    (1 to 3).foreach { i =>
+      val df = SnapshotStore.readAt(spark, root, f"snap-$i%07d").get
+      assert(df.collect().map(_.getString(2)).toSeq == Seq(s"v$i"), s"snap $i")
+    }
+    SnapshotStore.vacuum(root, keep = 1)
+    assert(SnapshotStore.readAt(spark, root, "snap-0000001").isEmpty) // vacuumed
+    assert(SnapshotStore.readAt(spark, root, "snap-0000002").get
+      .collect().map(_.getString(2)).toSeq == Seq("v2")) // kept generation
+    assert(SnapshotStore.snapshots(root) == Seq("snap-0000002", "snap-0000003"))
+  }
+
   test("S10 target schema naming follows the get_custom_schema macro") {
     def dir(t: Target) = new Runner("/w", Nil, target = Some(t)).tableDir("fct")
     // prod → team schema verbatim

@@ -47,6 +47,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming scd2: redeliveries and too-late rows drop; result equals the one-shot build") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-scd2stream").toString
+    def batch(rows: Seq[(Long, Long, Long, String)]) =
+      StreamingIngest.scd2Batch(rows.toDF("k", "ts", "eid", "st"),
+        root, "k", "ts", "eid", "st")
+    batch(Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b")))
+    // replay of (1,20,b), a too-late (1,5) and genuinely new rows
+    batch(Seq((1L, 20L, 1L, "b"), (1L, 5L, 9L, "z"),
+      (2L, 30L, 2L, "x"), (1L, 40L, 3L, "c")))
+    // an entire redelivered micro-batch must be a no-op
+    batch(Seq((2L, 30L, 2L, "x"), (1L, 40L, 3L, "c")))
+    val got = SnapshotStore.read(spark, s"$root/dim").get
+      .as[(Long, Int, String, Long, Option[Long])].collect().toSet
+    val oneShot = graft.incremental.Scd2.build(
+      Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"), (2L, 30L, 2L, "x"),
+        (1L, 40L, 3L, "c")).toDF("k", "ts", "eid", "st"), "k", "ts", "eid", "st")
+      .as[(Long, Int, String, Long, Option[Long])].collect().toSet
+    assert(got == oneShot)
+    assert(got == Set((1L, 1, "a", 10L, Some(20L)), (1L, 2, "b", 20L, Some(40L)),
+      (1L, 3, "c", 40L, None), (2L, 1, "x", 30L, None)))
+  }
+
   test("streaming near-dup finds within-batch, cross-batch and redelivered pairs exactly once") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-nd").toString
