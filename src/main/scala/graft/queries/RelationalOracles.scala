@@ -106,6 +106,27 @@ object RelationalOracles {
       GROUP BY CUBE (c_mktsegment, nation_band)
       ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
 
+    "a7_grouping_sets" -> """
+      SELECT c_mktsegment, c_nationkey % 5 AS nation_band,
+             GROUPING(c_mktsegment) AS g_seg,
+             GROUPING(c_nationkey % 5) AS g_band,
+             count(*) AS n_customers,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      FROM customer
+      GROUP BY GROUPING SETS ((c_mktsegment), (nation_band))
+      ORDER BY c_mktsegment ASC NULLS FIRST, nation_band ASC NULLS FIRST""",
+
+    "w7_analytic" -> """
+      SELECT user_id, event_id,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS) OVER w AS last_known_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, event_id""",
+
     "a5_percentiles" -> """
       SELECT l_returnflag,
              round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,

@@ -681,6 +681,62 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
       .orderBy(col("c_mktsegment").asc_nulls_first, col("nation_band").asc_nulls_first)
 
+  /** Sketch aggregation (the approximate layer a 100 TB engine runs BEFORE
+    * committing to exact work): Datasketches HLL distinct counts and
+    * quantile-summary medians per event_type, emitted NEXT TO their exact
+    * ground truth so the error is part of the result. Sketches merge
+    * associatively — fixed memory per group at any scale, and partial
+    * (per-partition / per-day) sketches union into the global answer
+    * without rescanning (SketchSpec pins that merge identity). No DuckDB
+    * oracle (sketch internals are engine-specific — the driver's
+    * rows-only check applies); the error-bound and mergeability gates
+    * live in SketchSpec. */
+  val k1Sketches: Q = (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n_hll"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
+        round(expr("percentile_approx(value, 0.5, 10000)"), 6).as("p50_approx"))
+      .withColumn("hll_rel_err",
+        round(abs(col("n_hll") - col("n_exact")).cast(DoubleType) / col("n_exact"), 6))
+      .orderBy(col("event_type"))
+
+  /** GROUPING SETS with explicit set membership flags — the third grouping
+    * analytics shape next to ROLLUP (a4) and CUBE (a6): only the declared
+    * combinations aggregate (here per-segment and per-band subtotals, no
+    * cross or grand total), and `grouping()` disambiguates a NULL group
+    * value from a rolled-up column. Same expand + two-phase agg plan as
+    * cube/rollup — scale-safe. */
+  val a7GroupingSets: Q = (spark, dir) =>
+    t(spark, dir, "customer")
+      .withColumn("nation_band", col("c_nationkey") % 5)
+      .groupingSets(Seq(Seq(col("c_mktsegment")), Seq(col("nation_band"))),
+        col("c_mktsegment"), col("nation_band"))
+      .agg(grouping(col("c_mktsegment")).as("g_seg"),
+        grouping(col("nation_band")).as("g_band"),
+        count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("c_mktsegment").asc_nulls_first, col("nation_band").asc_nulls_first)
+
+  /** The analytic window quartet the aggregation surface was missing:
+    * ntile bucketing, percent_rank / cume_dist relative positions, and
+    * IGNORE NULLS last-known-value carry-forward (the gap-filling idiom
+    * time-series consumers use). Per-user windows — parallel across
+    * users, no global sort. */
+  val w7Analytic: Q = (spark, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("v",
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+      .select(col("user_id"), col("event_id"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        last(col("v"), ignoreNulls = true).over(w).as("last_known_value"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** INTERSECT / EXCEPT set semantics (deduplicating, like SQL). */
   val u2SetOps: Q = (spark, dir) => {
     val building = t(spark, dir, "customer")
@@ -784,6 +840,9 @@ object RelationalQueries {
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a6_cube" -> a6Cube,
+    "a7_grouping_sets" -> a7GroupingSets,
+    "k1_sketches" -> k1Sketches,
+    "w7_analytic" -> w7Analytic,
     "a5_percentiles" -> a5Percentiles,
     "w4_frames" -> w4Frames,
     "p7_pivot" -> p7Pivot,
