@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
   * embedding-cosine, cluster assignment, SemDeDup-style semantic),
   * similarity search (brute-force cosine top-k, sign-LSH and IVF ANN,
-  * int8-quantized ranking), text analysis (stats/quality, language-ID
+  * int8-quantized ranking), clustering (deterministic distributed Lloyd
+  * k-means — the primitive behind semantic curation), text analysis
+  * (stats/quality, language-ID
   * heuristic, regex token counting, fingerprinting, TF-IDF keywords,
   * boilerplate ratio, repetition signals), corpus construction (token chunking,
   * stratified sampling, data-mixture rebalancing, token-budget shard
@@ -432,6 +434,80 @@ object PipelineQueries {
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("qcosine"), col("cosine"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
+
+  /** K-means over the embedding corpus — the clustering primitive behind
+    * semantic curation (SemDeDup's cells, diversity sampling, topic
+    * balancing). Two Lloyd iterations from the [[IvfCentroids]] literal
+    * seeds; per cluster: member count, how many vectors switched cells in
+    * the second assignment, and the inertia (Σ‖v−c‖²) in exact 1e-6 units.
+    *
+    * Distributed shape (the textbook scalable Lloyd): each iteration is one
+    * map-side-combined aggregation — vectors score K centroids in-stage
+    * (map-only), the update groups micro-unit integer sums by (cell, dim),
+    * and only the K×64 centroid table ever reaches the driver, exactly the
+    * broadcast every cluster k-means performs per iteration. Nothing
+    * driver-side scales with the corpus.
+    *
+    * Determinism (why an oracle can hash-match an iterative float
+    * algorithm): centroid updates are summed as 1e-6 fixed-point BIGINTs —
+    * order-independent and exact (|Σ| < 2⁵³ through ~10¹² rows) — and the
+    * mean is one double division s/(1e6·n) both engines perform on
+    * identical integers. Scores and inertia use the same sequential-fold
+    * dot product on both sides ([[graft.functions.VectorDot]] ≡ DuckDB
+    * `list_sum(list_transform(...))`, the equivalence v1-v4 pin), ties
+    * break to the lowest cell id, and half-unit rounding is `floor(x+0.5)`
+    * (unambiguous in both engines, unlike HALF_EVEN `round`). */
+  val v5Kmeans: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    def c0Sql(k: Int) = IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
+    val score0 = (0 until IvfCells).map(k => expr(
+      s"vector_dot(v, cast(${c0Sql(k)} as array<double>)) - ${sqlDouble(IvfHalfSq(k))}"))
+    val a0 = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("s", array(score0: _*))
+      .withColumn("cell0", array_position(col("s"), array_max(col("s"))).cast(IntegerType))
+      .drop("s")
+      .localCheckpoint() // update pass + second assignment share it; GC-released
+    // Lloyd update: exact integer micro-unit sums per (cell, dim). The
+    // collect is the per-iteration centroid broadcast — ≤ cells×dims rows.
+    val upd = a0
+      .select(col("cell0"),
+        posexplode(expr("transform(v, x -> cast(floor(x * 1e6 + 0.5d) as bigint))")).as(Seq("i", "u")))
+      .groupBy(col("cell0"), col("i"))
+      .agg(sum(col("u")).as("su"), count(lit(1)).as("n"))
+      .collect()
+    val byCell: Seq[(Int, Array[Double])] = upd.groupBy(_.getInt(0)).toSeq.map {
+      case (cell, rows) =>
+        val n = rows.head.getLong(3)
+        val cent = new Array[Double](64)
+        rows.foreach(r => cent(r.getInt(1)) = r.getLong(2).toDouble / (1e6 * n))
+        (cell, cent)
+    }.sortBy(_._1) // ascending cells: first-max tie-break = lowest cell id
+    def cLit(c: Array[Double]) =
+      c.map(sqlDouble).mkString("cast(array(", ",", ") as array<double>)")
+    // ‖c‖²/2 via the same runtime dot both engines use — no Scala-side sum
+    // whose addition order could differ from the oracle's list_sum
+    val score1 = byCell.map { case (_, cent) =>
+      val c = cLit(cent)
+      expr(s"vector_dot(v, $c) - vector_dot($c, $c) / 2")
+    }
+    val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
+    val centArr = expr(byCell.map { case (_, c) => cLit(c) }.mkString("array(", ",", ")"))
+    a0.withColumn("s1", array(score1: _*))
+      .withColumn("p", array_position(col("s1"), array_max(col("s1"))).cast(IntegerType))
+      .withColumn("cell1", element_at(cellIds, col("p")))
+      .withColumn("cent", element_at(centArr, col("p")))
+      .withColumn("d2u", expr(
+        "cast(floor((vector_dot(v, v) - 2 * vector_dot(v, cent) + vector_dot(cent, cent)) * 1e6 + 0.5d) as bigint)"))
+      .groupBy(col("cell1").as("cell"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(when(col("cell1") =!= col("cell0"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("d2u")).as("inertia_u"))
+      .orderBy(col("cell"))
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -1193,6 +1269,7 @@ object PipelineQueries {
     "v2_ann_lsh" -> v2AnnLsh,
     "v3_ann_ivf" -> v3AnnIvf,
     "v4_quantized_topk" -> v4QuantizedTopk,
+    "v5_kmeans" -> v5Kmeans,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

@@ -319,4 +319,38 @@ class PipelineBatchOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(2) - xent) < 1e-5, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("v5: clusters partition the corpus and Lloyd strictly does not increase inertia") {
+    import org.apache.spark.sql.functions.{expr => e}
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val out = PipelineQueries.v5Kmeans(spark, dir).collect()
+    assert(out.nonEmpty)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(out.map(_.getLong(1)).sum == nVecs, "clusters must partition the corpus")
+    out.foreach { r =>
+      val (cell, n, moved, inertia) =
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cell >= 1 && cell <= PipelineQueries.IvfCells)
+      assert(moved >= 0 && moved <= n)
+      assert(inertia >= 0, s"cell $cell inertia negative")
+    }
+    // J(c1, a1) ≤ J(c0, a0): the update step can only lower the objective.
+    // Recompute the SEED-assignment inertia independently of the operator.
+    def pd(d: Double) = BigDecimal(d).bigDecimal.toPlainString
+    val scores = (0 until PipelineQueries.IvfCells).map { k =>
+      val c = PipelineQueries.IvfCentroids(k).map(pd).mkString("cast(array(", ",", ") as array<double>)")
+      e(s"vector_dot(v, $c) - ${pd(PipelineQueries.IvfHalfSq(k))}")
+    }
+    val cents = PipelineQueries.IvfCentroids.map(c =>
+      c.map(pd).mkString("cast(array(", ",", ") as array<double>)")).mkString("array(", ",", ")")
+    val j0 = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(e("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("s", array(scores: _*))
+      .withColumn("p", array_position(col("s"), array_max(col("s"))).cast("int"))
+      .withColumn("c", element_at(e(cents), col("p")))
+      .select(e("cast(floor((vector_dot(v, v) - 2 * vector_dot(v, c) + vector_dot(c, c)) * 1e6 + 0.5d) as bigint)").as("d2u"))
+      .agg(sum(col("d2u"))).head().getLong(0)
+    val j2 = out.map(_.getLong(3)).sum
+    assert(j2 <= j0, s"Lloyd increased inertia: $j2 > $j0")
+  }
 }
