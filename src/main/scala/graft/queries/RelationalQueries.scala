@@ -691,17 +691,32 @@ object RelationalQueries {
     * oracle (sketch internals are engine-specific — the driver's
     * rows-only check applies); the error-bound and mergeability gates
     * live in SketchSpec. */
-  val k1Sketches: Q = (spark, dir) =>
-    t(spark, dir, "events")
-      .groupBy(col("event_type"))
+  val k1Sketches: Q = (spark, dir) => {
+    val ev = t(spark, dir, "events")
+    // DISTINCT aggregation and imperative sketch aggregates in ONE groupBy
+    // force the whole aggregation through expand + a sort-based fallback —
+    // measured 10× the cost of running them apart (3.4 s vs 0.3 s on 100 k
+    // rows warm). Each shape gets its own scan + agg (the scans are cheap;
+    // the group-key results are tiny) and a join stitches them.
+    val distincts = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val sketches = ev.groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("n_exact"),
         expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n_hll"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50_exact"),
         round(expr("percentile_approx(value, 0.5, 10000)"), 6).as("p50_approx"))
+    // exact ground truth via the codegen'd rank-location path (a5's
+    // exactPctls) — percentile()'s ObjectHashAggregate buffer is the one
+    // interpreted aggregate this query doesn't need to pay for
+    distincts
+      .join(sketches, "event_type")
+      .join(exactPctls(ev, "event_type", "value", Seq(0.5 -> "p50_exact"), scale = 6),
+        "event_type")
       .withColumn("hll_rel_err",
         round(abs(col("n_hll") - col("n_exact")).cast(DoubleType) / col("n_exact"), 6))
+      .select(col("event_type"), col("n_exact"), col("n_hll"),
+        col("p50_exact"), col("p50_approx"), col("hll_rel_err"))
       .orderBy(col("event_type"))
+  }
 
   /** GROUPING SETS with explicit set membership flags — the third grouping
     * analytics shape next to ROLLUP (a4) and CUBE (a6): only the declared
@@ -760,7 +775,8 @@ object RelationalQueries {
     * slower per row and holds every distinct value in one buffer. At scale
     * the window sees distinct values per key, not rows. */
   private[graft] def exactPctls(df: DataFrame, key: String, v: String,
-                                ps: Seq[(Double, String)]): DataFrame = {
+                                ps: Seq[(Double, String)],
+                                scale: Int = 4): DataFrame = {
     // NULL values are ignored, as percentile()/quantile_cont do. (A group
     // whose values are ALL null is omitted entirely — a caller that must
     // keep such groups outer-joins this result.)
@@ -785,7 +801,7 @@ object RelationalQueries {
       // top-rank pos has frac 0 and no hi value; coalesce keeps NULL×0 out
       round(col(s"${name}_lo") +
         frac * (coalesce(col(s"${name}_hi"), col(s"${name}_lo")) - col(s"${name}_lo")),
-        4).as(name)
+        scale).as(name)
     }
     c.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
       .select(col(key) +: out: _*)
