@@ -128,4 +128,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("windowspecdefinition(blk"),
       s"per-doc running sum must be partitioned by block\n${p.take(1200)}")
   }
+
+  test("k2: NDVs are two-phase hash aggs — no valueSet buffers, no expand") {
+    val p = planOf(RelationalQueries.k2TableStats)
+    // (the keyless string-min/max base agg may be a SortAggregate: with no
+    // grouping key it sorts nothing — only valueSet/expand would be a cliff)
+    assert(!p.contains("valueSet"),
+      s"distinct values must never accumulate in per-group buffers\n${p.take(1200)}")
+    assert(!p.contains("Expand"), p.take(1200))
+    assert("HashAggregate".r.findAllIn(p).length >= 10,
+      s"each NDV should be its own partial+final hash agg\n${p.take(1200)}")
+  }
+
+  test("k1: distinct agg and sketch aggs stay in separate subtrees — no expand-driven fallback") {
+    val p = planOf(RelationalQueries.k1Sketches)
+    assert(!p.contains("SortAggregate"),
+      s"split aggregations must keep hash-based paths\n${p.take(1200)}")
+    assert(!p.contains("Expand"),
+      s"single countDistinct needs no expand\n${p.take(1200)}")
+  }
+
+  test("v5: centroid update partially aggregates before its exchange; no nested-loop joins") {
+    import graft.queries.PipelineQueries
+    val p = PipelineQueries.v5Kmeans(spark, sf).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"k-means is aggregation-only — no join may appear\n${p.take(1200)}")
+    assert(!p.contains("SortAggregate"), p.take(1200))
+  }
 }
