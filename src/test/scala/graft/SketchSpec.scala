@@ -39,4 +39,33 @@ class SketchSpec extends SparkSpec {
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))")).head.getLong(0)
     assert(direct == again)
   }
+
+  test("k2: null counts, NDVs and min/max renderings on a fixture WITH nulls") {
+    // the driver testdata has no NULLs, so the profile's null path needs
+    // its own fixture
+    val tmp = java.nio.file.Files.createTempDirectory("graft-k2-nulls").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("o_orderkey", "long").add("o_custkey", "long")
+      .add("o_orderstatus", "string").add("o_totalprice", "double")
+      .add("o_orderdate", "timestamp").add("o_orderpriority", "string")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, 10L, "O", 100.5, ts("2024-01-01"), "1-URGENT"),
+      org.apache.spark.sql.Row(2L, null, "F", null, ts("2024-01-02"), null),
+      org.apache.spark.sql.Row(3L, 10L, "O", 200.25, ts("2024-01-02"), "2-HIGH"),
+      org.apache.spark.sql.Row(4L, 20L, null, 50.0, ts("2024-01-03"), "1-URGENT"))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = RelationalQueries.k2TableStats(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5)))
+      .toMap
+    assert(got.keySet == Set("o_custkey", "o_orderdate", "o_orderpriority",
+      "o_orderstatus", "o_totalprice"))
+    assert(got("o_custkey") == ((4L, 1L, 2L, "10", "20")))
+    assert(got("o_orderdate") == ((4L, 0L, 3L, "2024-01-01", "2024-01-03")))
+    assert(got("o_orderpriority") == ((4L, 1L, 2L, "1-URGENT", "2-HIGH")))
+    assert(got("o_orderstatus") == ((4L, 1L, 2L, "F", "O")))
+    assert(got("o_totalprice") == ((4L, 1L, 3L, "50.00", "200.25")))
+  }
 }
