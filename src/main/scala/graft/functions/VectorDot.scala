@@ -23,8 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * also yield null — the same detectable signal the
   * `aggregate(zip_with(...))` fold produces (zip_with pads with null),
   * rather than a plausible-looking truncated dot product.
+  *
+  * `nullAware = true` additionally yields null when any ELEMENT is null —
+  * the exact semantics of the `aggregate(zip_with(a,b,(x,y)->x*y), 0D,
+  * (acc,x)->acc+x)` fold over `containsNull` arrays. [[VectorDotRewrite]]
+  * emits this variant when it replaces that fold, so the rewrite is
+  * safe on any schema; the dense default keeps the hot embedding path
+  * branch-free.
   */
-case class VectorDot(left: Expression, right: Expression)
+case class VectorDot(left: Expression, right: Expression,
+                     nullAware: Boolean = false)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -47,7 +55,11 @@ case class VectorDot(left: Expression, right: Expression)
     else {
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        if (nullAware && (x.isNullAt(i) || y.isNullAt(i))) return null
+        s += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
       s
     }
   }
@@ -57,6 +69,10 @@ case class VectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      val elemNullCheck =
+        if (nullAware)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -64,6 +80,7 @@ case class VectorDot(left: Expression, right: Expression)
          |} else {
          |  double $s = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullCheck
          |    $s += $a.getDouble($i) * $b.getDouble($i);
          |  }
          |  ${ev.value} = $s;
@@ -95,6 +112,7 @@ object GraftFunctions {
   * }}} */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => VectorDotRewrite)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
