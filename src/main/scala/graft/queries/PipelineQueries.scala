@@ -217,8 +217,10 @@ object PipelineQueries {
   val d3Simhash: Q = (spark, dir) => {
     // explode words, then 60 codegen'd conditional-sum aggregates (one per
     // bit) — partial aggregation combines map-side, so the shuffle carries
-    // 60 longs per doc, not the token stream
-    val ex = t(spark, dir, "documents")
+    // 60 longs per doc, not the token stream. fanOut first: the md5-per-word
+    // explode is CPU-dense, and a single-row-group input file would
+    // otherwise cap it at one task
+    val ex = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
       .withColumn("h", expr("cast(conv(substring(md5(word),1,15),16,10) as bigint)"))
     val bitAggs = (0 until 60).map(j =>
@@ -623,7 +625,9 @@ object PipelineQueries {
   /** Stopword-hit n-gram heuristic: count hits per language list, argmax
     * with a fixed precedence (en > es > de > fr). */
   val t2LangId: Q = (spark, dir) =>
-    t(spark, dir, "documents")
+    // fanOut: four interpreted stopword-membership lambdas per row are
+    // CPU-dense enough that #input-files tasks is the bottleneck
+    fanOut(spark, t(spark, dir, "documents"))
       .withColumn("w", split(lower(col("text")), " "))
       .select(
         col("doc_id"),
