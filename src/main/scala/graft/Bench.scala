@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // localCheckpoint blocks (the pipeline queries' shared-scan seams) are
+      // only dropped by the ContextCleaner after their DataFrames are GC'd;
+      // the 30-minute default periodicGC lets ~40 min of bench queries pile
+      // blocks up until eviction + GC thrash distorts every later timing
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def materialize(name: String): Double = {
@@ -37,6 +42,7 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache() // drop per-query caches between runs
+        System.gc() // lets the ContextCleaner reap dead localCheckpoints NOW
         sec
       }
       times.sorted.apply(times.size / 2)

@@ -20,6 +20,9 @@ object Profile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same checkpoint-reaping hygiene as Bench: without it, dead
+      // localCheckpoint blocks pile up for the 30-min default periodicGC
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -38,6 +41,7 @@ object Profile {
             q(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             spark.sqlContext.clearCache()
+            System.gc() // reap dead localCheckpoints between runs
             sec
           }
           val med = times.sorted.apply(times.size / 2)
