@@ -24,6 +24,9 @@ object Invariants {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // reap dead localCheckpoint blocks promptly (see Bench): the d6/pipe
+      // recomputes checkpoint large frames back-to-back in one session
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var failures = 0
