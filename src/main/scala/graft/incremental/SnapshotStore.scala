@@ -115,6 +115,15 @@ object SnapshotStore {
                             clusterBy: Seq[String] = Nil): String = {
     val snap = nextSnapshotName(root)
     val arranged = (partitioned, compactTo) match {
+      // clustered compaction RANGE-partitions on the cluster keys so each
+      // output file covers a disjoint key interval — that is what makes
+      // file-level min/max stats (FileSkipping) selective; a round-robin
+      // repartition would interleave every key into every file and min/max
+      // would span the whole domain
+      case (true, Some(n)) if clusterBy.nonEmpty =>
+        df.repartitionByRange(n, (PartCol +: clusterBy).map(col): _*)
+      case (false, Some(n)) if clusterBy.nonEmpty =>
+        df.repartitionByRange(n, clusterBy.map(col): _*)
       // shuffle by partition value so each _dt dir gets few, large files
       case (true, Some(n))  => df.repartition(n, col(PartCol))
       case (true, None)     => df
@@ -252,8 +261,67 @@ object SnapshotStore {
     currentSnapshot(root).foreach { c =>
       val partitioned = partitionDirs(Paths.get(root, c)).nonEmpty
       val df = spark.read.parquet(s"$root/$c")
-      publish(root,
-        writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy))
+      val snap =
+        writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy)
+      // file-level min/max sidecar for the cluster keys, from footers only
+      // (O(files) metadata); written BEFORE the pointer swap so a published
+      // snapshot is never observed without its stats
+      if (clusterBy.nonEmpty)
+        FileSkipping.writeSidecar(Paths.get(root, snap),
+          FileSkipping.collectStats(
+            spark.sparkContext.hadoopConfiguration, Paths.get(root, snap),
+            clusterBy.toSet))
+      publish(root, snap)
+    }
+
+  /** ANALYZE-style stats refresh: (re)collect the file-level min/max/null
+    * sidecar of the LIVE snapshot for `columns` — footer reads only, no
+    * data bytes. Readers via [[readSkipping]] prune immediately after. */
+  def analyze(spark: SparkSession, root: String, columns: Seq[String]): Unit =
+    currentSnapshot(root).foreach { c =>
+      val snapDir = Paths.get(root, c)
+      FileSkipping.writeSidecar(snapDir,
+        FileSkipping.collectStats(
+          spark.sparkContext.hadoopConfiguration, snapDir, columns.toSet))
+    }
+
+  /** Live table contents through the file-skipping reader: pushed data
+    * filters prune whole FILES against the `_graft_stats.json` sidecar
+    * before any parquet footer is opened (partition pruning on `_dt` still
+    * happens first, as with [[read]]). Falls back to the plain read when
+    * no sidecar exists. Returns the DataFrame and the index, whose
+    * `lastKept`/`lastSkipped` counters expose the most recent scan's
+    * pruning decision for audits. */
+  def readSkipping(spark: SparkSession, root: String)
+      : Option[(DataFrame, Option[FileSkipping.SkippingFileIndex])] =
+    currentSnapshot(root).map { c =>
+      val snapDir = Paths.get(root, c)
+      FileSkipping.readSidecar(snapDir) match {
+        case None => (read(spark, root).get, None)
+        case Some(stats) =>
+          import org.apache.spark.sql.execution.datasources._
+          import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+          // NB: Path(URI) keeps a directory URI's trailing slash, and a
+          // trailing-slash root lists no leaf files — build from the
+          // slash-stripped string form
+          val path = new org.apache.hadoop.fs.Path(
+            snapDir.toUri.toString.stripSuffix("/"))
+          val inner = new InMemoryFileIndex(
+            spark, Seq(path), Map.empty[String, String], None,
+            FileStatusCache.getOrCreate(spark), None, None)
+          val probe = spark.read.parquet(snapDir.toString)
+          val partCols = inner.partitionSchema.fieldNames.toSet
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            probe.schema.fields.filterNot(f => partCols.contains(f.name)))
+          val idx = new FileSkipping.SkippingFileIndex(
+            inner, spark, stats, dataSchema, snapDir.toUri)
+          val relation = HadoopFsRelation(
+            idx, inner.partitionSchema, dataSchema, None,
+            new ParquetFileFormat, Map.empty[String, String])(spark)
+          val df = spark.baseRelationToDataFrame(relation)
+          val out = if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+          (out, Some(idx))
+      }
     }
 
   /** Snapshot names present under `root`, oldest → newest. */
