@@ -58,7 +58,8 @@ object Bench {
     // s12_scd2 is the same kind of protocol check (two batches through the
     // disk-based snapshot merge), so it too stays out of the timing set.
     val results =
-      (SparkEntry.queries - "dag_fct_incremental" - "dag_fct_maintenance" - "s12_scd2")
+      (SparkEntry.queries - "dag_fct_incremental" - "dag_fct_maintenance"
+        - "dag_fct_skipread" - "s12_scd2")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -230,5 +230,11 @@ object DagOracles {
         "dag_fct_incremental" -> fctOracle(includeLags = false),
         // same oracle with maintenance (OPTIMIZE+VACUUM) post-hooks on:
         // compaction/retention must be invisible to readers
-        "dag_fct_maintenance" -> fctOracle(includeLags = false))
+        "dag_fct_maintenance" -> fctOracle(includeLags = false),
+        // the data-skipping reader under a pushed date filter: file-level
+        // stats pruning must be invisible too
+        "dag_fct_skipread" ->
+          s"""SELECT * FROM (${fctOracle(includeLags = false)})
+             |WHERE snapshot_date >= DATE '2026-01-05'
+             |ORDER BY snapshot_date, margin_pool_id""".stripMargin)
 }

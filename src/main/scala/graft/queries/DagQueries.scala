@@ -61,7 +61,8 @@ object DagQueries {
     * PoolDailyFct scaladoc + IncrementalEquivSpec); everything else must
     * match the full-refresh result exactly. Puts the merge protocol
     * itself inside the driver's correctness gate. */
-  private def incrementalQ(maintenance: Boolean): Q = (spark, _) => {
+  private def incrementalQ(maintenance: Boolean, skipRead: Boolean = false): Q =
+    (spark, _) => {
     val full = DeepbookFixtures.ensureWritten(spark)
     val cutoffMs = java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
     val slice = Sources { name =>
@@ -78,7 +79,18 @@ object DagQueries {
       val runner = DeepbookPipeline.runner(root, maintenance)
       runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
       runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))
-      SnapshotStore.read(spark, s"$root/${PoolDailyFct.name}").get
+      val table = s"$root/${PoolDailyFct.name}"
+      val base =
+        if (skipRead) {
+          // the data-skipping reader over the maintenance run's sidecar;
+          // the snapshot_date filter is a pushed data filter resolved
+          // against per-file min/max stats, not just _dt partition pruning
+          val (df, idx) = SnapshotStore.readSkipping(spark, table).get
+          require(idx.nonEmpty,
+            "maintenance run must have produced a stats sidecar")
+          df.filter(col("snapshot_date") >= lit(java.sql.Date.valueOf("2026-01-05")))
+        } else SnapshotStore.read(spark, table).get
+      base
         .drop("updated_at",
           "daily_supply_change", "daily_borrow_change", "daily_utilization_change")
         .localCheckpoint()
@@ -97,6 +109,14 @@ object DagQueries {
     * never corrupt what readers see. */
   val fctMaintenanceQ: Q = incrementalQ(maintenance = true)
 
+  /** The data-skipping reader (`SnapshotStore.readSkipping` +
+    * `_graft_stats.json` sidecar + `SkippingFileIndex`) inside the hard
+    * gate: the maintenance run's table is read back through the pruning
+    * index under a pushed `snapshot_date` filter and must hash-match the
+    * declaratively recomputed oracle with the same WHERE — proof the
+    * file-level pruning layer never changes what readers see. */
+  val fctSkipReadQ: Q = incrementalQ(maintenance = true, skipRead = true)
+
   private def shortName(full: String): String =
     full.stripPrefix("deepbook_margin_")
 
@@ -104,5 +124,6 @@ object DagQueries {
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
         "dag_fct_incremental" -> fctIncrementalQ,
-        "dag_fct_maintenance" -> fctMaintenanceQ)
+        "dag_fct_maintenance" -> fctMaintenanceQ,
+        "dag_fct_skipread" -> fctSkipReadQ)
 }
