@@ -228,7 +228,9 @@ object FileSkipping {
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => rangeHas(a, v.asInstanceOf[Literal], fs))
       case InSet(a: AttributeReference, vs) =>
-        vs.exists(v => rangeHas(a, Literal.create(v, a.dataType), fs))
+        // InSet carries INTERNAL values (UTF8String, Long, ...) — wrap with
+        // the internal-value Literal constructor, not Literal.create
+        vs.exists(v => rangeHas(a, Literal(v, a.dataType), fs))
       case IsNull(a: AttributeReference) =>
         colStats(a, fs).forall(_.nulls > 0)
       case IsNotNull(a: AttributeReference) =>
