@@ -252,14 +252,24 @@ object PipelineQueries {
       .select(col("source"), col("doc_id"), col("ids"), size(col("ids")).as("n"))
       .localCheckpoint() // shared by dfreq/prefix/verify; GC-released (see d2)
     val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("ids")).as("sid"))
+    // the df table is distinct-shingle-sized (≪ corpus) — broadcast it so
+    // the exploded shingle stream never shuffles for this join
     val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
     // prefix length n − ⌈t·n⌉ + 1 in integer arithmetic: ⌈3n/10⌉ = (3n+9) div 10
     // (a double ceil(n*0.3) can round the wrong way exactly when 3n/10 is whole)
-    val prefix = ex.join(dfreq, "sid")
+    // localCheckpoint: prefix feeds BOTH sides of the candidate self-join;
+    // without it each side re-runs explode → df-agg → window (no exchange
+    // reuse across the self-join), turning a ~12 s plan into ~78 s at the
+    // 10× rehearsal tier. (A repartition-on-join-key before the checkpoint
+    // would not help: LogicalRDD reports UnknownPartitioning under AQE, so
+    // the self-join re-shuffles its checkpointed inputs regardless — two
+    // exchanges of narrow uniform-key rows, exactly what a cluster wants.)
+    val prefix = ex.join(broadcast(dfreq), "sid")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
       .filter(col("rk") <= col("n") - expr("(3 * n + 9) div 10") + 1)
       .select(col("source"), col("doc_id"), col("sid"), col("rk"), col("n"))
+      .localCheckpoint()
     // candidate join with PPJoin's two extra lossless prunes (both exact):
     //  - length filter: J ≥ t ⟹ t·nb ≤ na ∧ t·na ≤ nb  (3·nb ≤ 10·na …)
     //  - positional filter: a shared token at ranks (rx, ry) bounds the
