@@ -186,8 +186,12 @@ object PipelineQueries {
     val bandCols = (0 until Bands).map(b =>
       xxhash64(lit(b), col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
         col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
+    // localCheckpoint: buckets feeds BOTH sides of the band self-join, and
+    // without it each side re-runs the explode + 64-min-agg signature pass
+    // (a self-join never reuses its own exchange — the d4 lesson)
     val buckets = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "bucket")
+      .localCheckpoint()
     // keep the pre-verify distinct: a true near-dup pair collides in ~10 of
     // 16 bands, so dedup here shrinks the verify input ~10×
     val cand = buckets.as("x").join(buckets.as("y"),
