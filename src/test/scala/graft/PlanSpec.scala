@@ -155,4 +155,21 @@ class PlanSpec extends SparkSpec {
       s"k-means is aggregation-only — no join may appear\n${p.take(1200)}")
     assert(!p.contains("SortAggregate"), p.take(1200))
   }
+
+  test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
+    import graft.queries.PipelineQueries
+    // A self-join never reuses its own exchange (the two sides canonicalize
+    // differently), so the frame feeding both sides must be materialized by
+    // a localCheckpoint; if it leaks back in, Generate (explode) and Window
+    // nodes reappear in the final plan and the whole signature/prefix
+    // lineage runs once per side (~6x the query at the rehearsal tier).
+    for ((name, q) <- Seq("d2" -> PipelineQueries.d2MinhashLsh,
+                          "d4" -> PipelineQueries.d4NgramJaccard)) {
+      val p = planOf(q)
+      assert(!p.contains("Generate"),
+        s"$name: shingle explode must stay behind the checkpoint\n${p.take(1200)}")
+      assert(!p.contains("Window"),
+        s"$name: ranking windows must stay behind the checkpoint\n${p.take(1200)}")
+    }
+  }
 }
