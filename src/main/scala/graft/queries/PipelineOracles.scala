@@ -189,49 +189,45 @@ object PipelineOracles {
             FROM sc)
       SELECT q_id, rk, vec_id, qcosine, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
-    // two Lloyd iterations from the IVF literal seeds: argmin-L2 assignment
-    // (argmax dot − ‖c‖²/2), exact micro-unit integer centroid update, second
-    // assignment, then per-cluster count / moved / inertia in 1e-6 units
+    // two FIXED-POINT Lloyd iterations from the IVF literal seeds: vectors
+    // quantized once to shifted 1e-6 integer units (per-element single IEEE
+    // ops — bit-identical in any engine), then argmin-L2 assignment, HALF_UP
+    // integer centroid update ((2s+n) // 2n, all-positive), re-assignment and
+    // 1e-6-unit inertia all in exact integer arithmetic — no float summation
+    // anywhere, so no engine/version rounding policy can enter the hash
     "v5_kmeans" -> s"""
       WITH $embCte,
+      q AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                                          + ${PipelineQueries.KmOff}) AS u
+            FROM e),
       ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
-        c.map(d => BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]"))
-        .mkString("[", ",", "]")} AS cents,
-                    ${PipelineQueries.IvfHalfSq.map(d =>
-        BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]")} AS hs),
-      a0 AS (SELECT vec_id, v,
-                    CAST(list_position(s, list_max(s)) AS INTEGER) AS cell0
-             FROM (SELECT e.vec_id, e.v,
-                     [list_sum(list_transform(range(1, len(e.v)+1),
-                        i -> e.v[i] * cents[k+1][i])) - hs[k+1]
+        c.map(d => (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
+          .mkString("[", ",", "]")).mkString("[", ",", "]")} AS cq),
+      a0 AS (SELECT vec_id, u,
+                    CAST(list_position(s, list_min(s)) AS INTEGER) AS cell0
+             FROM (SELECT q.vec_id, q.u,
+                     [list_sum(list_transform(range(1, 65),
+                        i -> (u[i] - cq[k+1][i]) * (u[i] - cq[k+1][i])))
                       for k in range(0, ${PipelineQueries.IvfCells})] AS s
-                   FROM e, ct) t0),
-      upd AS (SELECT cell0 AS cell, g.i,
-                     sum(CAST(floor(v[g.i] * 1e6 + 0.5) AS BIGINT)) AS su,
-                     count(*) AS n
+                   FROM q, ct) t0),
+      upd AS (SELECT cell0 AS cell, g.i, sum(u[g.i]) AS su, count(*) AS n
               FROM a0, generate_series(1, 64) g(i)
               GROUP BY 1, 2),
-      cent1 AS (SELECT cell, list(su / (1e6 * n) ORDER BY i) AS cent
+      cent1 AS (SELECT cell, list(CAST((2*su + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
                 FROM upd GROUP BY cell, n),
-      s1 AS (SELECT a0.vec_id, a0.v, a0.cell0, c.cell, c.cent,
-                    list_sum(list_transform(range(1, len(a0.v)+1),
-                      i -> a0.v[i] * c.cent[i]))
-                    - list_sum(list_transform(range(1, len(c.cent)+1),
-                        i -> c.cent[i] * c.cent[i])) / 2 AS score
+      s1 AS (SELECT a0.vec_id, a0.cell0, c.cell,
+                    list_sum(list_transform(range(1, 65),
+                      i -> (a0.u[i] - c.cent[i]) * (a0.u[i] - c.cent[i]))) AS dist
              FROM a0, cent1 c),
-      a1 AS (SELECT vec_id, v, cell0, cell AS cell1, cent
+      a1 AS (SELECT vec_id, cell0, cell AS cell1,
+                    CAST((dist + 500000) // 1000000 AS BIGINT) AS d2u
              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                             ORDER BY score DESC, cell) AS rn FROM s1)
+                             ORDER BY dist ASC, cell) AS rn FROM s1)
              WHERE rn = 1)
       SELECT cell1 AS cell, count(*) AS n_members,
-             sum(CASE WHEN cell1 <> cell0 THEN 1 ELSE 0 END) AS n_moved,
-             sum(CAST(floor((list_sum(list_transform(range(1, len(v)+1),
-                               i -> v[i] * v[i]))
-                             - 2 * list_sum(list_transform(range(1, len(v)+1),
-                                 i -> v[i] * cent[i]))
-                             + list_sum(list_transform(range(1, len(cent)+1),
-                                 i -> cent[i] * cent[i]))) * 1e6 + 0.5)
-                  AS BIGINT)) AS inertia_u
+             CAST(sum(CASE WHEN cell1 <> cell0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(sum(d2u) AS BIGINT) AS inertia_u
       FROM a1 GROUP BY 1 ORDER BY 1""",
 
     // same-cell smaller-id neighbor at rounded cosine ≥ SemThresh ⇒ duplicate

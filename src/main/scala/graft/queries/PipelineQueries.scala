@@ -97,6 +97,14 @@ object PipelineQueries {
     * argmax. */
   val IvfHalfSq: Seq[Double] = IvfCentroids.map(c => 0.5 * c.map(x => x * x).sum)
 
+  /** Fixed-point k-means (v5) quantization shift: added to every 1e-6-unit
+    * vector/centroid component so all sums stay non-negative and floor vs
+    * truncating integer division can never disagree between engines.
+    * Distances subtract components pairwise, so the shift cancels. 1e6
+    * covers any |x| < 1 input with 40%+ headroom (embeddings are unit-ish,
+    * components observed in (−0.58, 0.52); centroid literals in ±0.5). */
+  val KmOff = 1000000L
+
   /** 4 independent LSH tables × 6 hyperplanes for the near-dup pair miner
     * (multiple small tables trade bucket selectivity for recall). */
   val NdTables = 4
@@ -467,57 +475,55 @@ object PipelineQueries {
     * broadcast every cluster k-means performs per iteration. Nothing
     * driver-side scales with the corpus.
     *
-    * Determinism (why an oracle can hash-match an iterative float
-    * algorithm): centroid updates are summed as 1e-6 fixed-point BIGINTs —
-    * order-independent and exact (|Σ| < 2⁵³ through ~10¹² rows) — and the
-    * mean is one double division s/(1e6·n) both engines perform on
-    * identical integers. Scores and inertia use the same sequential-fold
-    * dot product on both sides ([[graft.functions.VectorDot]] ≡ DuckDB
-    * `list_sum(list_transform(...))`, the equivalence v1-v4 pin), ties
-    * break to the lowest cell id, and half-unit rounding is `floor(x+0.5)`
-    * (unambiguous in both engines, unlike HALF_EVEN `round`). */
+    * Determinism (why an oracle can hash-match an iterative algorithm):
+    * this is FIXED-POINT k-means. Each vector is quantized ONCE to 1e-6
+    * integer units (`floor(x·1e6 + 0.5)` — per-element single IEEE ops,
+    * bit-identical in any engine) plus a +[[KmOff]] shift that keeps every
+    * quantity non-negative so floor/truncating integer division agree
+    * everywhere; distances are translation-invariant so the shift never
+    * shows. From there EVERYTHING — assignment distances, the Lloyd
+    * centroid update (HALF_UP integer mean `(2s+n) div 2n`), re-assignment,
+    * and the 1e-6-unit inertia — is pure integer arithmetic, immune to any
+    * engine's float-summation order or rounding policy. Ties break to the
+    * lowest cell id. */
   val v5Kmeans: Q = (spark, dir) => {
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    def c0Sql(k: Int) = IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
-    val score0 = (0 until IvfCells).map(k => expr(
-      s"vector_dot(v, cast(${c0Sql(k)} as array<double>)) - ${sqlDouble(IvfHalfSq(k))}"))
+    def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong + KmOff
+    def cLit(c: Seq[Long]) = c.mkString("cast(array(", ",", ") as array<bigint>)")
+    def distExpr(c: Seq[Long]) = expr(
+      s"aggregate(zip_with(u, ${cLit(c)}, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    val cq0 = IvfCentroids.map(_.map(quant))
     val a0 = fanOut(spark, t(spark, dir, "embeddings"))
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("s", array(score0: _*))
-      .withColumn("cell0", array_position(col("s"), array_max(col("s"))).cast(IntegerType))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .withColumn("s", array(cq0.map(distExpr): _*))
+      // first-min position = lowest cell id on ties
+      .withColumn("cell0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
       .drop("s")
       .localCheckpoint() // update pass + second assignment share it; GC-released
-    // Lloyd update: exact integer micro-unit sums per (cell, dim). The
-    // collect is the per-iteration centroid broadcast — ≤ cells×dims rows.
+    // Lloyd update: exact integer unit sums per (cell, dim). The collect is
+    // the per-iteration centroid broadcast — ≤ cells×dims rows.
     val upd = a0
-      .select(col("cell0"),
-        posexplode(expr("transform(v, x -> cast(floor(x * 1e6 + 0.5d) as bigint))")).as(Seq("i", "u")))
+      .select(col("cell0"), posexplode(col("u")).as(Seq("i", "uv")))
       .groupBy(col("cell0"), col("i"))
-      .agg(sum(col("u")).as("su"), count(lit(1)).as("n"))
+      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
       .collect()
-    val byCell: Seq[(Int, Array[Double])] = upd.groupBy(_.getInt(0)).toSeq.map {
+    val byCell: Seq[(Int, Seq[Long])] = upd.groupBy(_.getInt(0)).toSeq.map {
       case (cell, rows) =>
         val n = rows.head.getLong(3)
-        val cent = new Array[Double](64)
-        rows.foreach(r => cent(r.getInt(1)) = r.getLong(2).toDouble / (1e6 * n))
-        (cell, cent)
-    }.sortBy(_._1) // ascending cells: first-max tie-break = lowest cell id
-    def cLit(c: Array[Double]) =
-      c.map(sqlDouble).mkString("cast(array(", ",", ") as array<double>)")
-    // ‖c‖²/2 via the same runtime dot both engines use — no Scala-side sum
-    // whose addition order could differ from the oracle's list_sum
-    val score1 = byCell.map { case (_, cent) =>
-      val c = cLit(cent)
-      expr(s"vector_dot(v, $c) - vector_dot($c, $c) / 2")
-    }
+        val cent = new Array[Long](64)
+        // all-positive s, n ⇒ truncating div == floor == HALF_UP of s/n
+        rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
+        (cell, cent.toSeq)
+    }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell id
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
     val centArr = expr(byCell.map { case (_, c) => cLit(c) }.mkString("array(", ",", ")"))
-    a0.withColumn("s1", array(score1: _*))
-      .withColumn("p", array_position(col("s1"), array_max(col("s1"))).cast(IntegerType))
+    a0.withColumn("s1", array(byCell.map { case (_, c) => distExpr(c) }: _*))
+      .withColumn("p", array_position(col("s1"), array_min(col("s1"))).cast(IntegerType))
       .withColumn("cell1", element_at(cellIds, col("p")))
       .withColumn("cent", element_at(centArr, col("p")))
+      // 1e-12-unit squared distance → 1e-6 units, floor(x+0.5) per vector
       .withColumn("d2u", expr(
-        "cast(floor((vector_dot(v, v) - 2 * vector_dot(v, cent) + vector_dot(cent, cent)) * 1e6 + 0.5d) as bigint)"))
+        "(aggregate(zip_with(u, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) + 500000L) div 1000000L"))
       .groupBy(col("cell1").as("cell"))
       .agg(
         count(lit(1)).as("n_members"),

@@ -381,24 +381,37 @@ object RelationalOracles {
       FROM (SELECT event_id, epoch_ms(ts) AS ms FROM events) x
       ORDER BY event_id""",
 
+    // All money math mirrored in the exact integer domain (cents /
+    // hundredths / 1e-4 / 1e-6 units, HALF_UP via (x+half) // unit) so the
+    // compare never depends on any engine's float- or decimal-rounding
+    // policy — sum(BIGINT) is exact HUGEINT in DuckDB, hi/lo-split long in
+    // Spark, and both divide the same integer by the same power of ten.
     "q1_pricing_summary" -> """
+      WITH c AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+               CAST(round(l_discount * 100) AS BIGINT) AS disc_h,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_h
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
-             round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
-             round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_price,
-             round(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*), 4) AS avg_disc,
+             CAST(sum(qty_c) AS DOUBLE) / 100.0 AS sum_qty,
+             CAST(sum(ep_c) AS DOUBLE) / 100.0 AS sum_base_price,
+             CAST((sum(ep_c * (100 - disc_h)) + 50) // 100 AS DOUBLE) / 100.0 AS sum_disc_price,
+             CAST((sum(ep_c * (100 - disc_h) * (100 + tax_h)) + 5000) // 10000 AS DOUBLE) / 100.0 AS sum_charge,
+             CAST((2 * sum(qty_c) + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_qty,
+             CAST((2 * sum(ep_c) + count(*)) // (2 * count(*)) AS DOUBLE) / 100.0 AS avg_price,
+             CAST((2 * sum(disc_h) * 100 + count(*)) // (2 * count(*)) AS DOUBLE) / 10000.0 AS avg_disc,
              count(*) AS count_order
-      FROM lineitem
-      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      FROM c
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus""",
 
     "q3_shipping_priority" -> """
       SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS orderdate, o.o_orderpriority,
-             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+             CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -411,7 +424,8 @@ object RelationalOracles {
 
     "q5_region_revenue" -> """
       SELECT n.n_name,
-             CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+             CAST((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) + 50) // 100 AS DOUBLE) / 100.0 AS revenue
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey

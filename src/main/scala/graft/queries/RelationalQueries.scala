@@ -400,9 +400,12 @@ object RelationalQueries {
         sum4ToDollars("disc").as("sum_disc_price"),
         expr("""((cast(sum(charge_hi) as decimal(38,0)) * 1000000 + sum(charge_lo)
                |  + 5000) div 10000) / 100.0""".stripMargin).as("sum_charge"),
-        round((sum(col("qty_c")) / lit(100.0)) / count(lit(1)), 2).as("avg_qty"),
-        round((sum(col("ep_c")) / lit(100.0)) / count(lit(1)), 2).as("avg_price"),
-        round((sum(col("disc_h")) / lit(100.0)) / count(lit(1)), 4).as("avg_disc"),
+        // averages rounded in the integer domain too — `(2·sum + n) div 2n`
+        // is HALF_UP of sum/n at the target scale, so neither engine's
+        // double-rounding policy ever touches the compared digits
+        expr("((2 * sum(qty_c) + count(1)) div (2 * count(1))) / 100.0").as("avg_qty"),
+        expr("((2 * sum(ep_c) + count(1)) div (2 * count(1))) / 100.0").as("avg_price"),
+        expr("((2 * sum(disc_h) * 100 + count(1)) div (2 * count(1))) / 10000.0").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
