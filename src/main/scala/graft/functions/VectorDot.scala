@@ -24,16 +24,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `aggregate(zip_with(...))` fold produces (zip_with pads with null),
   * rather than a plausible-looking truncated dot product.
   *
-  * `nullAware = true` additionally yields null when any ELEMENT is null —
-  * the exact semantics of the `aggregate(zip_with(a,b,(x,y)->x*y), 0D,
-  * (acc,x)->acc+x)` fold over `containsNull` arrays. [[VectorDotRewrite]]
-  * emits this variant when it replaces that fold, so the rewrite is
-  * safe on any schema; the dense default keeps the hot embedding path
-  * branch-free.
+  * When either input's element type admits nulls the evaluation is
+  * additionally null-aware — any null ELEMENT yields null, the exact
+  * semantics of the `aggregate(zip_with(a,b,(x,y)->x*y), 0D,
+  * (acc,x)->acc+x)` fold over `containsNull` arrays. This is derived
+  * from the RESOLVED INPUT TYPES (not a constructor flag) so every
+  * construction path — the [[VectorDotRewrite]] optimizer rule, the SQL
+  * registry, the extension injection — gets the same semantics for the
+  * same schema; dense `containsNull=false` schemas keep the hot
+  * embedding path branch-free.
   */
-case class VectorDot(left: Expression, right: Expression,
-                     nullAware: Boolean = false)
+case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Null elements possible ⇒ per-element checks; resolved-schema-derived. */
+  lazy val nullAware: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {

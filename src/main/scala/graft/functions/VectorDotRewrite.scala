@@ -48,11 +48,6 @@ object VectorDotRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def admitsNullElements(e: Expression): Boolean = e.dataType match {
-    case ArrayType(_, containsNull) => containsNull
-    case _ => true
-  }
-
   /** Foldable zero literal of the accumulator (`0D`, `CAST(0 AS DOUBLE)`
     * pre-folding, ...). */
   private def isZeroD(e: Expression): Boolean =
@@ -84,7 +79,6 @@ object VectorDotRewrite extends Rule[LogicalPlan] {
       if isDoubleArray(l) && isDoubleArray(r) && isZeroD(zero) &&
         usesBothVars(mx, my, xv, yv) && usesBothVars(al, ar, acc, el) &&
         fin.exprId == fv.exprId =>
-      VectorDot(l, r,
-        nullAware = admitsNullElements(l) || admitsNullElements(r))
+      VectorDot(l, r) // null-awareness is schema-derived inside VectorDot
   }
 }

@@ -131,10 +131,23 @@ object FileSkipping {
       }.mkString(",")
       s"${jq(f)}:{\"rows\":${fs.rows},\"cols\":{$cols}}"
     }.mkString("{", ",", "}")
-    Files.writeString(snapDir.resolve(SidecarName), body)
+    // temp file + ATOMIC_MOVE (same protocol as SnapshotStore.publish): a
+    // crash mid-write or a concurrent analyze must never leave a torn
+    // sidecar that readers then choke on
+    val tmp = snapDir.resolve(SidecarName + ".tmp." + java.util.UUID.randomUUID)
+    Files.writeString(tmp, body)
+    Files.move(tmp, snapDir.resolve(SidecarName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def readSidecar(snapDir: Path): Option[Map[String, FileStats]] = {
+  def readSidecar(snapDir: Path): Option[Map[String, FileStats]] =
+    // a malformed/truncated sidecar degrades to the plain (no-skipping) read
+    // rather than failing the scan — skipping is an optimization, never a
+    // correctness dependency
+    scala.util.Try(readSidecarUnsafe(snapDir)).toOption.flatten
+
+  private def readSidecarUnsafe(snapDir: Path): Option[Map[String, FileStats]] = {
     val p = snapDir.resolve(SidecarName)
     if (!Files.exists(p)) None
     else {
@@ -273,6 +286,12 @@ object FileSkipping {
           }
         case DoubleType | FloatType =>
           lit match {
+            // NaN literal: Spark's ordering puts NaN above every real and
+            // NaN = NaN is TRUE, but parquet min/max only describe the
+            // real-valued rows — a chunk holding NaN rows still reports
+            // real min/max, so no range test can prove NaN-absence. Keep
+            // the file.
+            case n: Number if java.lang.Double.isNaN(n.doubleValue()) => None
             case n: Number => Some(java.lang.Double.compare(stat.toDouble, n.doubleValue()))
             case _ => None
           }

@@ -236,5 +236,14 @@ object DagOracles {
         "dag_fct_skipread" ->
           s"""SELECT * FROM (${fctOracle(includeLags = false)})
              |WHERE snapshot_date >= DATE '2026-01-05'
-             |ORDER BY snapshot_date, margin_pool_id""".stripMargin)
+             |ORDER BY snapshot_date, margin_pool_id""".stripMargin,
+        // S7 blind append: two overlapping batches, so the overlap appears
+        // TWICE — append must never dedup, and batch-1 files must survive
+        // the second snapshot's hard-link
+        "dag_append_log" ->
+          s"""${eventBody(EventModels.loanBorrowed)}
+             |      UNION ALL
+             |      SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b1
+             |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
+             |      ORDER BY transaction_digest, event_index""".stripMargin)
 }

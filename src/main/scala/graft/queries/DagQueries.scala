@@ -100,6 +100,36 @@ object DagQueries {
 
   val fctIncrementalQ: Q = incrementalQ(maintenance = false)
 
+  /** Watermark the two append batches split on (shared with the oracle). */
+  private[queries] val AppendCutoffMs =
+    java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
+
+  /** S7 inside the hard gate: the blind-append sink
+    * (`incremental_strategy='append'`, `DEVELOPMENT.md:134-142`). Two
+    * OVERLAPPING batches of the loan_borrowed event model are appended into
+    * a date-partitioned log table — batch 1 is the pre-cutoff slice, batch
+    * 2 the full model — and the read-back must contain the overlap TWICE:
+    * append never dedups (that's merge's job), and every batch-1 file must
+    * survive the second append via the snapshot hard-link. Oracle = the
+    * model UNION ALL its pre-cutoff slice. */
+  val appendLogQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagappend").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      SnapshotStore.append(spark, s"$root/log",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), Some(pd))
+      SnapshotStore.append(spark, s"$root/log", model, Some(pd))
+      SnapshotStore.read(spark, s"$root/log").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** S7/S8/S9 inside the hard gate: the same two-batch incremental run,
     * but with the prod target's maintenance post-hooks on — OPTIMIZE file
     * compaction + VACUUM retention after every model build
@@ -125,5 +155,6 @@ object DagQueries {
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
         "dag_fct_incremental" -> fctIncrementalQ,
         "dag_fct_maintenance" -> fctMaintenanceQ,
-        "dag_fct_skipread" -> fctSkipReadQ)
+        "dag_fct_skipread" -> fctSkipReadQ,
+        "dag_append_log" -> appendLogQ)
 }

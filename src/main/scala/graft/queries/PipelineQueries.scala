@@ -260,13 +260,27 @@ object PipelineQueries {
   val d4NgramJaccard: Q = (spark, dir) => {
     val thr = 0.3 // as a rational 3/10 — the pruning math below is integer-exact
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    // NOT checkpointed: shingle_ids is one compiled map-only pass over the
+    // scan, so letting dfreq/prefix/verify each re-derive it costs ~4 cheap
+    // scans — strictly less than eagerly serializing the whole per-doc
+    // shingle-array frame and reading it back three times (the r03 shape,
+    // which tripled d4's wall time at sf0.1). The expensive lineage —
+    // explode → df join → window — is what must not re-run per self-join
+    // side, and THAT is what the `prefix` checkpoint below pins.
     val sh = shingled(spark, dir).join(docs, "doc_id")
       .select(col("source"), col("doc_id"), col("ids"), size(col("ids")).as("n"))
-      .localCheckpoint() // shared by dfreq/prefix/verify; GC-released (see d2)
     val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("ids")).as("sid"))
-    // the df table is distinct-shingle-sized (≪ corpus) — broadcast it so
-    // the exploded shingle stream never shuffles for this join
-    val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+    // the df table is distinct-shingle-sized — usually ≪ corpus, but that
+    // is data-dependent, so the broadcast is GATED on the measured row
+    // count (the frame is checkpointed anyway for the count, so the gate
+    // is one metadata-cheap action): under the cap the exploded shingle
+    // stream never shuffles for this join (AQE's own estimate of a
+    // freshly-checkpointed agg is too conservative to rely on); above it
+    // the join degrades to a shuffle join instead of failing the driver
+    // at the 8 GB broadcast / heap limit — at 100 TB the df table is
+    // ~(distinct shingles × 16 B) and CAN outgrow any single executor.
+    val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df")).localCheckpoint()
+    val dfreqBroadcastable = dfreq.count() * 16L <= (256L << 20) // 256 MB of (sid, df)
     // prefix length n − ⌈t·n⌉ + 1 in integer arithmetic: ⌈3n/10⌉ = (3n+9) div 10
     // (a double ceil(n*0.3) can round the wrong way exactly when 3n/10 is whole)
     // localCheckpoint: prefix feeds BOTH sides of the candidate self-join;
@@ -276,7 +290,7 @@ object PipelineQueries {
     // would not help: LogicalRDD reports UnknownPartitioning under AQE, so
     // the self-join re-shuffles its checkpointed inputs regardless — two
     // exchanges of narrow uniform-key rows, exactly what a cluster wants.)
-    val prefix = ex.join(broadcast(dfreq), "sid")
+    val prefix = ex.join(if (dfreqBroadcastable) broadcast(dfreq) else dfreq, "sid")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
       .filter(col("rk") <= col("n") - expr("(3 * n + 9) div 10") + 1)

@@ -134,6 +134,20 @@ object RelationalOracles {
              round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // deterministic ground truth hashed exactly; the sketch estimates enter
+    // only as bounded-error booleans whose oracle twin asserts TRUE — a
+    // sketch drifting outside its published envelope flips the boolean and
+    // fails the hash, without the hash ever depending on estimate digits
+    "k1_sketches" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_exact,
+             round(quantile_cont(value, 0.5), 6) AS p50_exact,
+             TRUE AS hll_within_2pct,
+             TRUE AS p50_within_eps
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type""",
+
     "k2_table_stats" -> """
       WITH o AS (SELECT o_custkey, o_orderstatus,
                         CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice,

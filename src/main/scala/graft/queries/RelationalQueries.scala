@@ -690,11 +690,17 @@ object RelationalQueries {
     * ground truth so the error is part of the result. Sketches merge
     * associatively — fixed memory per group at any scale, and partial
     * (per-partition / per-day) sketches union into the global answer
-    * without rescanning (SketchSpec pins that merge identity). No DuckDB
-    * oracle (sketch internals are engine-specific — the driver's
-    * rows-only check applies); the error-bound and mergeability gates
-    * live in SketchSpec. */
-  val k1Sketches: Q = (spark, dir) => {
+    * without rescanning (SketchSpec pins that merge identity).
+    *
+    * Oracle strategy: sketch INTERNALS are engine-specific, so the gated
+    * [[k1Sketches]] projects this full result down to its deterministic
+    * columns (`n_exact`, `p50_exact`) plus BOUNDED-ERROR BOOLEANS
+    * (`hll_within_2pct`, `p50_within_eps`) whose DuckDB twin asserts TRUE —
+    * the hash gate then proves both the exact ground truth and that the
+    * sketch estimates sit inside their published error envelopes, without
+    * ever hashing an estimate digit. SketchSpec additionally pins the raw
+    * estimates' error and the merge identity on this full frame. */
+  private[graft] val k1SketchesFull: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
     // DISTINCT aggregation and imperative sketch aggregates in ONE groupBy
     // force the whole aggregation through expand + a sort-based fallback —
@@ -720,6 +726,18 @@ object RelationalQueries {
         col("p50_exact"), col("p50_approx"), col("hll_rel_err"))
       .orderBy(col("event_type"))
   }
+
+  /** The oracle-gated k1 surface: deterministic ground truth + error-bound
+    * booleans (see [[k1SketchesFull]]'s scaladoc for why estimates
+    * themselves can't be hashed). lgK=14 HLL is ~0.8% RSE, so 2% is a
+    * stable envelope; the approx-median bound matches SketchSpec's. */
+  val k1Sketches: Q = (spark, dir) =>
+    k1SketchesFull(spark, dir)
+      .select(col("event_type"), col("n_exact"), col("p50_exact"),
+        (col("hll_rel_err") <= 0.02).as("hll_within_2pct"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          lit(0.02) * greatest(lit(1.0), abs(col("p50_exact")))).as("p50_within_eps"))
+      .orderBy(col("event_type"))
 
   /** GROUPING SETS with explicit set membership flags — the third grouping
     * analytics shape next to ROLLUP (a4) and CUBE (a6): only the declared

@@ -13,7 +13,7 @@ class SketchSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
   test("k1: HLL estimates within 5% of exact; approx median within 2% of exact") {
-    val rows = RelationalQueries.k1Sketches(spark, dir).collect()
+    val rows = RelationalQueries.k1SketchesFull(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (exact, est) = (r.getLong(1), r.getLong(2))
