@@ -260,15 +260,16 @@ object PipelineQueries {
   val d4NgramJaccard: Q = (spark, dir) => {
     val thr = 0.3 // as a rational 3/10 — the pruning math below is integer-exact
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
-    // NOT checkpointed: shingle_ids is one compiled map-only pass over the
-    // scan, so letting dfreq/prefix/verify each re-derive it costs ~4 cheap
-    // scans — strictly less than eagerly serializing the whole per-doc
-    // shingle-array frame and reading it back three times (the r03 shape,
-    // which tripled d4's wall time at sf0.1). The expensive lineage —
-    // explode → df join → window — is what must not re-run per self-join
-    // side, and THAT is what the `prefix` checkpoint below pins.
+    // checkpointed: the verify stage joins TWO derivations of this frame
+    // (a ⋈ b below is a self-join, which never reuses its own exchange),
+    // and dfreq/prefix re-derive it too — without the checkpoint the
+    // shingle pass re-runs ~4× and d4 went 19→58 s at the sf1 rehearsal
+    // tier. (A round-3 bench read the checkpoint as a 3× sf0.1 regression;
+    // that number was box contention — quiet-box medians are ~3.2 s at
+    // sf0.1 with or without it, so the sf1 win decides.)
     val sh = shingled(spark, dir).join(docs, "doc_id")
       .select(col("source"), col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .localCheckpoint() // shared by dfreq/prefix/verify; GC-released (see d2)
     val ex = sh.select(col("source"), col("doc_id"), col("n"), explode(col("ids")).as("sid"))
     // the df table is distinct-shingle-sized — usually ≪ corpus, but that
     // is data-dependent, so the broadcast is GATED on the measured row
@@ -1035,38 +1036,45 @@ object PipelineQueries {
     *  - `dup_3gram_frac`   — 1 − distinct/total [[RepGram]]-gram
     *    occurrences (NULL below [[RepGram]] words).
     *
-    * Each n-gram family is one explode inside the scan stage (the t4
-    * pattern: the generator's fan-out never crosses the wire) into a
-    * map-side-combined count. Grams shuffle as multi-arg xxhash64 longs —
-    * 8 B keys, uniform and skew-free; only COUNTS leave the plan, so the
-    * oracle may group by the gram string instead and the results agree
-    * unless xxhash64 collides within one document (~1e-19·n² — the t8/t10
-    * argument). The three subtrees share one checkpointed (doc_id, w)
-    * pass so lower+split runs once. */
+    * BOTH n-gram families ride ONE fused explode inside the scan stage
+    * (the t4 pattern: the generator's fan-out never crosses the wire):
+    * each position emits a (gram_size, hash) struct, so the corpus is
+    * tokenized once, exploded once, and shuffled once into a single
+    * two-level map-side-combined count keyed by (doc, gram_size, hash) —
+    * round 3 ran the families as three separate explode subtrees off a
+    * shared checkpoint, paying the explode and the shuffle per family.
+    * Grams shuffle as multi-arg xxhash64 longs — 8 B keys, uniform and
+    * skew-free; only COUNTS leave the plan, so the oracle may group by
+    * the gram string instead and the results agree unless xxhash64
+    * collides within one document (~1e-19·n² — the t8/t10 argument). */
   val t11Repetition: Q = (spark, dir) => {
     val base = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
-      .localCheckpoint() // feeds the word, 2-gram and 5-gram subtrees
-    def gramCounts(n: Int, totalAs: String, distinctAs: String, topAs: Option[String]) = {
-      // post-first-level rows are one-per-distinct-gram: occurrences are
-      // sum(c), distinct grams are count(*)
-      val aggs = Seq(sum(col("c")).as(totalAs), count(lit(1)).as(distinctAs)) ++
-        topAs.map(a => max(col("c")).as(a))
-      base.filter(size(col("w")) >= n)
-        .select(col("doc_id"), col("w"),
-          explode(sequence(lit(0), size(col("w")) - n)).as("i"))
-        .select(col("doc_id"),
-          xxhash64((0 until n).map(j => col("w")(col("i") + j)): _*).as("g"))
-        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-    }
-    val bi = gramCounts(2, "n_bigrams", "nd2", Some("top_bigram"))
-    val five = gramCounts(RepGram, "n_3grams", "nd5", None)
+      .localCheckpoint() // feeds the word-stats pass and the fused gram pass
+    def gramStructs(n: Int) =
+      s"""CASE WHEN size(w) >= $n
+         |     THEN transform(sequence(0, size(w) - $n),
+         |            i -> struct(${n}L AS gn, xxhash64(${
+        (0 until n).map(j => s"w[i + $j]").mkString(", ")}) AS g))
+         |     ELSE cast(array() as array<struct<gn: bigint, g: bigint>>)
+         |END""".stripMargin
+    val grams = base
+      .select(col("doc_id"),
+        explode(expr(s"concat(${gramStructs(2)}, ${gramStructs(RepGram)})")).as("x"))
+      .select(col("doc_id"), col("x.gn").as("gn"), col("x.g").as("g"))
+      // two-level: per-(doc, family, gram) occurrence counts collapse
+      // map-side; the second level folds both families' totals/distincts/
+      // max into one row per doc with conditional aggregates
+      .groupBy(col("doc_id"), col("gn"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(
+        sum(when(col("gn") === 2, col("c"))).as("n_bigrams"),
+        max(when(col("gn") === 2, col("c"))).as("top_bigram"),
+        sum(when(col("gn") === RepGram, col("c"))).as("n_3grams"),
+        count(when(col("gn") === RepGram, lit(1))).as("nd5"))
     base
       .select(col("doc_id"), size(col("w")).as("n_words"),
         size(array_distinct(col("w"))).as("n_distinct_words"))
-      .join(bi, Seq("doc_id"), "left")
-      .join(five, Seq("doc_id"), "left")
+      .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
         round(lit(1.0) - col("n_distinct_words").cast(DoubleType) / col("n_words"), 6)
           .as("dup_word_frac"),
