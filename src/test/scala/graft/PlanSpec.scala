@@ -156,6 +156,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p.take(1200))
   }
 
+  test("t11: both gram families ride ONE fused explode — a second Generate is a regression") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t11Repetition)
+    val generates = "Generate explode".r.findAllIn(p).length
+    assert(generates == 1,
+      s"t11 must explode once, emitting (gram_size, hash) structs for both families; got $generates\n${p.take(1200)}")
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
