@@ -189,6 +189,39 @@ object PipelineOracles {
             FROM sc)
       SELECT q_id, rk, vec_id, qcosine, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // product quantization, all in 1e-6 fixed-point integers: encode every
+    // vector as first-min sub-centroid indices per subspace, rank by the
+    // query's exact code-distance table summed at the db vector's codes
+    // (asymmetric distance) — integer-exact at any engine version
+    "v6_pq_topk" -> s"""
+      WITH $embCte,
+      q0 AS (SELECT vec_id,
+                    list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS u
+             FROM e),
+      cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(m =>
+        m.map(k => k.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")} AS cq),
+      dd AS (SELECT vec_id,
+               [${(0 until PipelineQueries.PqSub).map(m =>
+        s"""[list_sum(list_transform(range(1, ${PipelineQueries.PqDim + 1}),
+           |    j -> (u[${m * PipelineQueries.PqDim} + j] - cq[${m + 1}][k+1][j])
+           |         * (u[${m * PipelineQueries.PqDim} + j] - cq[${m + 1}][k+1][j])))
+           |  for k in range(0, ${PipelineQueries.PqK})]""".stripMargin).mkString(",\n                ")}] AS dl
+             FROM q0, cb),
+      enc AS (SELECT vec_id, dl,
+                     list_transform(dl, l -> list_position(l, list_min(l)) - 1) AS code
+              FROM dd),
+      qe AS (SELECT vec_id AS q_id, dl AS dq FROM enc WHERE vec_id < 5),
+      sc AS (SELECT e2.vec_id, q.q_id,
+                    CAST(list_sum(list_transform(range(1, ${PipelineQueries.PqSub + 1}),
+                      m -> q.dq[m][e2.code[m] + 1])) AS BIGINT) AS adc_dist
+             FROM enc e2, qe q WHERE e2.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, vec_id) AS rk
+            FROM sc)
+      SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
     // two FIXED-POINT Lloyd iterations from the IVF literal seeds: vectors
     // quantized once to shifted 1e-6 integer units (per-element single IEEE
     // ops — bit-identical in any engine), then argmin-L2 assignment, HALF_UP

@@ -475,6 +475,66 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V6: product-quantized ANN (asymmetric distance, 4-bit codes) --------
+
+  /** PQ geometry: [[PqSub]] subspaces × [[PqDim]] dims each, [[PqK]]
+    * sub-centroids per subspace ⇒ a 64-dim float32 vector compresses to 8
+    * four-bit codes (4 B — 64× smaller). Codebook components are 6-dp
+    * literals (the same engine-portability rule as the planes/centroids). */
+  val PqSub = 8
+  val PqDim = 8
+  val PqK = 16
+  val PqCodebook: Seq[Seq[Seq[Double]]] =
+    (0 until PqSub).map(m => (0 until PqK).map(k =>
+      lcg(0xB00C0DEL + m * 1024 + k, PqDim).map(v => ((v % 1000001L) - 500000L) / 1e6)))
+  /** The codebook in 1e-6 integer units — every v6 distance lives in this
+    * exact domain (v5's fixed-point argument; no division anywhere, so no
+    * offset is even needed: squared differences are sign-safe). */
+  private[graft] val PqCodebookQ: Seq[Seq[Seq[Long]]] =
+    PqCodebook.map(_.map(_.map(d => math.floor(d * 1e6 + 0.5).toLong)))
+
+  /** Product-quantization top-5 (Jégou et al., PAMI 2011): encode every
+    * vector as [[PqSub]] sub-centroid indices, rank by ASYMMETRIC DISTANCE
+    * — the query's exact per-(subspace, centroid) distance table is summed
+    * at the db vector's codes, so ranking touches only the 4-bit codes.
+    * At 100 TB this is the memory-bound ANN tier below v4's int8: the
+    * scan side carries 4 B/vector + the tiny code-distance table, and the
+    * ADC lookup is pure in-stage integer arithmetic.
+    *
+    * Determinism: vectors quantize once to 1e-6 integer units (single IEEE
+    * ops per element), the codebook is an integer literal, and encode /
+    * ADC / ranking are all exact integer sums — the oracle reproduces the
+    * hash at any engine version. Ties: first-min sub-centroid, then
+    * (adc, vec_id) ranking order. */
+  val v6PqTopk: Q = (spark, dir) => {
+    def subDist(m: Int, k: Int) =
+      s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
+         |  cast(array(${PqCodebookQ(m)(k).mkString(",")}) as array<bigint>),
+         |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
+    val distLists = (0 until PqSub).map(m =>
+      (0 until PqK).map(k => subDist(m, k)).mkString("array(", ",", ")"))
+    val enc = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint))").as("u"))
+      .withColumn("dl", expr(distLists.mkString("array(", ",", ")")))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .drop("u")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    // the query side keeps its full distance table: that IS the ADC lookup
+    // table PQ broadcasts (PqSub × PqK longs per query)
+    val q = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.drop("dl").crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -1316,6 +1376,7 @@ object PipelineQueries {
     "v3_ann_ivf" -> v3AnnIvf,
     "v4_quantized_topk" -> v4QuantizedTopk,
     "v5_kmeans" -> v5Kmeans,
+    "v6_pq_topk" -> v6PqTopk,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

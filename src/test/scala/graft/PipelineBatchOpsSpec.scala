@@ -154,6 +154,41 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v6: PQ codes and ADC ranking match an independent driver-side recomputation") {
+    import PipelineQueries.{PqSub, PqDim, PqK, PqCodebookQ}
+    val got = PipelineQueries.v6PqTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 25) // 5 queries × top-5
+    // ground truth: quantize, encode, ADC — plain Scala, no Spark
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5).toLong).toArray)
+      .toMap
+    def subDist(u: Array[Long], m: Int, k: Int): Long = {
+      var s = 0L; var j = 0
+      while (j < PqDim) {
+        val d = u(m * PqDim + j) - PqCodebookQ(m)(k)(j); s += d * d; j += 1
+      }
+      s
+    }
+    def distTable(u: Array[Long]): Array[Array[Long]] =
+      Array.tabulate(PqSub, PqK)((m, k) => subDist(u, m, k))
+    def codes(u: Array[Long]): Array[Int] =
+      distTable(u).map(l => l.indexOf(l.min)) // first-min = lowest code on ties
+    val enc = vecs.map { case (id, u) => id -> codes(u) }
+    for (qId <- vecs.keys.filter(_ < 5)) {
+      val dq = distTable(vecs(qId))
+      val want = enc.toSeq.filter(_._1 != qId)
+        .map { case (id, c) =>
+          (id, (0 until PqSub).map(m => dq(m)(c(m))).sum) }
+        .sortBy { case (id, adc) => (adc, id) }.take(5)
+      val gotQ = got.filter(_._1 == qId).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(gotQ == want, s"query $qId: got $gotQ, want $want")
+    }
+  }
+
   test("d7: duplicates are exactly the vectors with a smaller-id same-cell neighbor") {
     import PipelineQueries.{IvfCentroids, SemThresh}
     val out = PipelineQueries.d7Semdedup(spark, dir).collect()
