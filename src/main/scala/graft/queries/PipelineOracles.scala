@@ -489,6 +489,30 @@ object PipelineOracles {
       GROUP BY train_id, eval_id
       ORDER BY train_id, eval_id""",
 
+    // t8's gram machinery graded per training doc; the fraction and its
+    // risk bucket round/compare in the exact integer domain
+    "t16_contam_score" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+${DecontGram - 1}], ' '))
+                           for i in range(1, len(w) - ${DecontGram - 2})]) AS g
+            FROM d WHERE len(w) >= ${DecontGram}),
+      dg AS (SELECT DISTINCT doc_id, g FROM g),
+      ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % ${DecontMod} = 0),
+      agg AS (SELECT tr.doc_id, count(*) AS n_grams,
+                     sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+              FROM (SELECT doc_id, g FROM dg WHERE doc_id % ${DecontMod} != 0) tr
+              LEFT JOIN ev ON tr.g = ev.g
+              GROUP BY tr.doc_id)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(n_hit AS BIGINT) AS n_hit,
+             CAST((2 * n_hit * 1000000 + n_grams) // (2 * n_grams) AS DOUBLE)
+               / 1000000.0 AS contam_frac,
+             CASE WHEN n_hit = 0 THEN 'clean'
+                  WHEN (2 * n_hit * 1000000 + n_grams) // (2 * n_grams) < 100000 THEN 'low'
+                  ELSE 'high' END AS risk
+      FROM agg ORDER BY doc_id""",
+
     // the NAIVE single-window form — the engine's two-level distributed
     // prefix sum must reproduce it exactly
     "t7_pack_shards" -> s"""

@@ -1051,6 +1051,40 @@ object PipelineQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  // ---- T16: graded contamination score (t8's filter, as a fraction) --------
+
+  /** Per-training-doc contamination FRACTION: of the doc's distinct
+    * [[DecontGram]]-grams, how many appear anywhere in the held-out eval
+    * slice — t8 reports the offending pairs (a filter); this grades every
+    * doc for threshold-based policies (GPT-3 appendix C measured overlap
+    * the same way before choosing what to drop). `risk` buckets on the
+    * 1e-6-rounded fraction: clean (0) / low (< 0.1) / high.
+    *
+    * Scale shape: identical to t8 — the eval gram set is benchmark-sized
+    * and BROADCASTS; training grams make one distinct shuffle on uniform
+    * (doc, hash) keys, the membership join is map-side, and only per-doc
+    * counts aggregate. The fraction rounds in the INTEGER domain
+    * (`(2·hit·10⁶ + n) div 2n`, all-positive) and the bucket compares the
+    * integer — no engine's double-rounding policy can flip a digit or a
+    * bucket (the q1/v5 lesson). */
+  val t16ContamScore: Q = (spark, dir) => {
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+    val evg = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    val trg = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "doc_id")
+      .distinct()
+    trg.join(broadcast(evg), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("frac6u", expr("(2 * n_hit * 1000000 + n_grams) div (2 * n_grams)"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        (col("frac6u") / lit(1000000.0)).as("contam_frac"),
+        when(col("n_hit") === 0, "clean")
+          .when(col("frac6u") < 100000, "low")
+          .otherwise("high").as("risk"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T10: boilerplate / repeated-passage ratio ---------------------------
 
   /** A gram counts as boilerplate once ≥ [[BoilerK]] distinct docs carry it. */
@@ -1358,6 +1392,7 @@ object PipelineQueries {
     "t6_sample_stratified" -> t6SampleStratified,
     "t7_pack_shards" -> t7PackShards,
     "t8_decontaminate" -> t8Decontaminate,
+    "t16_contam_score" -> t16ContamScore,
     "t9_tfidf_keywords" -> t9TfidfKeywords,
     "t10_boilerplate" -> t10Boilerplate,
     "t11_repetition" -> t11Repetition,
