@@ -222,6 +222,54 @@ object PipelineOracles {
             FROM sc)
       SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // IVF-PQ: v3's literal-centroid cell assignment + probe selection prunes
+    // candidates; v6's integer code distances rank them (asymmetric distance)
+    "v7_ivfpq" -> s"""
+      WITH $embCte,
+      ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
+        c.map(d => BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")} AS cents,
+                    ${PipelineQueries.IvfHalfSq.map(d =>
+        BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]")} AS hs),
+      a AS (SELECT n.vec_id, n.v,
+                   [list_sum(list_transform(range(1, len(n.v)+1),
+                      i -> n.v[i] * cents[k+1][i])) - hs[k+1]
+                    for k in range(0, ${PipelineQueries.IvfCells})] AS s
+            FROM n, ct),
+      c AS (SELECT vec_id, v, s, list_position(s, list_max(s)) AS cell FROM a),
+      cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(m =>
+        m.map(k => k.mkString("[", ",", "]")).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")} AS cq),
+      dd AS (SELECT c2.vec_id, c2.cell, c2.s,
+               [${(0 until PipelineQueries.PqSub).map(m =>
+        s"""[list_sum(list_transform(range(1, ${PipelineQueries.PqDim + 1}),
+           |    j -> (u[${m * PipelineQueries.PqDim} + j] - cq[${m + 1}][k+1][j])
+           |         * (u[${m * PipelineQueries.PqDim} + j] - cq[${m + 1}][k+1][j])))
+           |  for k in range(0, ${PipelineQueries.PqK})]""".stripMargin)
+        .mkString(",\n                ")}] AS dl
+             FROM (SELECT vec_id, cell, s,
+                     list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS u
+                   FROM c) c2, cb),
+      enc AS (SELECT vec_id, cell, s, dl,
+                     list_transform(dl, l -> list_position(l, list_min(l)) - 1) AS code
+              FROM dd),
+      q0 AS (SELECT vec_id AS q_id, dl AS dq, cell,
+                    [CASE WHEN i = cell THEN -1e18 ELSE s[i] END
+                     for i in range(1, ${PipelineQueries.IvfCells + 1})] AS s2
+             FROM enc WHERE vec_id < 5),
+      q AS (SELECT q_id, dq,
+                   unnest([cell, list_position(s2, list_max(s2))]) AS probe
+            FROM q0),
+      sc AS (SELECT q.q_id, e2.vec_id,
+                    CAST(list_sum(list_transform(range(1, ${PipelineQueries.PqSub + 1}),
+                      m -> q.dq[m][e2.code[m] + 1])) AS BIGINT) AS adc_dist
+             FROM enc e2 JOIN q ON e2.cell = q.probe AND e2.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, vec_id) AS rk
+            FROM sc)
+      SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+
     // two FIXED-POINT Lloyd iterations from the IVF literal seeds: vectors
     // quantized once to shifted 1e-6 integer units (per-element single IEEE
     // ops — bit-identical in any engine), then argmin-L2 assignment, HALF_UP

@@ -506,17 +506,24 @@ object PipelineQueries {
     * ADC / ranking are all exact integer sums — the oracle reproduces the
     * hash at any engine version. Ties: first-min sub-centroid, then
     * (adc, vec_id) ranking order. */
-  val v6PqTopk: Q = (spark, dir) => {
+  /** The per-(subspace, sub-centroid) squared-distance table of a 1e-6-unit
+    * quantized vector column `u` — the expression both v6 and v7 score
+    * with (and the ADC lookup table when kept on the query side). */
+  private lazy val pqDistListsSql: String = {
     def subDist(m: Int, k: Int) =
       s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
          |  cast(array(${PqCodebookQ(m)(k).mkString(",")}) as array<bigint>),
          |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
-    val distLists = (0 until PqSub).map(m =>
+    (0 until PqSub).map(m =>
       (0 until PqK).map(k => subDist(m, k)).mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+  }
+
+  val v6PqTopk: Q = (spark, dir) => {
     val enc = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint))").as("u"))
-      .withColumn("dl", expr(distLists.mkString("array(", ",", ")")))
+      .withColumn("dl", expr(pqDistListsSql))
       .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
       .drop("u")
       .localCheckpoint() // corpus + query sides (self-join — see d2)
@@ -527,6 +534,45 @@ object PipelineQueries {
     val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
     enc.drop("dl").crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- V7: IVF-PQ ANN (probed cells, code-ranked candidates) ---------------
+
+  /** The FAISS-IVFPQ composition that closes the ANN ladder: v3's inverted
+    * file prunes the corpus to each query's [[IvfProbe]] best cells, v6's
+    * 4-bit codes rank the survivors by asymmetric distance. This is the
+    * deployed billion-vector shape: the serving index holds a cell id plus
+    * 4 B of codes per vector (RAM-resident at 10⁹ vectors), scans touch
+    * only probed cells (≈ probe/cells of the corpus), and the only
+    * full-precision work anywhere is the query's own distance table.
+    *
+    * Determinism: cell assignment/probing reuse v3's literal-centroid
+    * float scoring (oracle-proven portable — single-expression folds over
+    * literals); everything PQ is v6's exact integer domain. Candidates
+    * appear once (cells partition the corpus; the two probes are distinct
+    * by construction). */
+  val v7IvfPq: Q = (spark, dir) => {
+    val enc = ivfAssigned(spark, dir)
+      .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+      .withColumn("dl", expr(pqDistListsSql))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .drop("u", "v", "nrm")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    val q = enc.filter(col("vec_id") < 5)
+      .withColumn("s2",
+        expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+      .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.select(col("vec_id"), col("cell"), col("code"))
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
         s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
       .withColumn("rk", row_number().over(w))
@@ -1412,6 +1458,7 @@ object PipelineQueries {
     "v4_quantized_topk" -> v4QuantizedTopk,
     "v5_kmeans" -> v5Kmeans,
     "v6_pq_topk" -> v6PqTopk,
+    "v7_ivfpq" -> v7IvfPq,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,
