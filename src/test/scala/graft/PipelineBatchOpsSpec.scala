@@ -189,6 +189,50 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v7: probed-cell ADC ranking matches an independent driver-side recomputation") {
+    import PipelineQueries.{PqSub, PqDim, PqK, PqCodebookQ, IvfCentroids, IvfHalfSq}
+    val got = PipelineQueries.v7IvfPq(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 25)
+    val raw = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    // v3's float cell scores (same left-to-right fold), v6's integer ADC
+    def scores(v: Array[Double]): Array[Double] =
+      IvfCentroids.indices.map { k =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { s += v(i) * IvfCentroids(k)(i); i += 1 }
+        s - IvfHalfSq(k)
+      }.toArray
+    def cellOf(s: Array[Double]): Int = s.indexOf(s.max) + 1 // 1-based, first-max
+    val quant = raw.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e6 + 0.5).toLong) }
+    def distTable(u: Array[Long]): Array[Array[Long]] =
+      Array.tabulate(PqSub, PqK) { (m, k) =>
+        var s = 0L; var j = 0
+        while (j < PqDim) {
+          val d = u(m * PqDim + j) - PqCodebookQ(m)(k)(j); s += d * d; j += 1
+        }
+        s
+      }
+    val cells = raw.map { case (id, v) => id -> scores(v) }
+    val codes = quant.map { case (id, u) => id -> distTable(u).map(l => l.indexOf(l.min)) }
+    for (qId <- raw.keys.filter(_ < 5)) {
+      val s = cells(qId)
+      val c1 = cellOf(s)
+      val s2 = s.clone(); s2(c1 - 1) = -1e18
+      val probes = Set(c1, cellOf(s2))
+      val dq = distTable(quant(qId))
+      val want = cells.toSeq
+        .filter { case (id, sc) => id != qId && probes(cellOf(sc)) }
+        .map { case (id, _) =>
+          (id, (0 until PqSub).map(m => dq(m)(codes(id)(m))).sum) }
+        .sortBy { case (id, adc) => (adc, id) }.take(5)
+      val gotQ = got.filter(_._1 == qId).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(gotQ == want, s"query $qId: got $gotQ, want $want")
+    }
+  }
+
   test("d7: duplicates are exactly the vectors with a smaller-id same-cell neighbor") {
     import PipelineQueries.{IvfCentroids, SemThresh}
     val out = PipelineQueries.d7Semdedup(spark, dir).collect()
