@@ -690,6 +690,29 @@ object PipelineOracles {
       FROM tf JOIN ct USING (term), tot
       GROUP BY doc_id ORDER BY doc_id""",
 
+    // the naive global-window form of the score-ordered token cumsum; the
+    // engine's range-partitioned two-level prefix sum must reproduce it
+    "t17_ppl_buckets" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
+      tot0 AS (SELECT SUM(ctf)::BIGINT AS tot0 FROM ct),
+      sc AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+                    round(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+             FROM tf JOIN ct USING (term), tot0
+             GROUP BY doc_id),
+      cw AS (SELECT doc_id, n_tokens, lm_xent,
+                    SUM(n_tokens) OVER (ORDER BY lm_xent, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                    SUM(n_tokens) OVER () AS tot
+             FROM sc)
+      SELECT doc_id, n_tokens, lm_xent,
+             CASE WHEN 3 * (cum - n_tokens) < tot THEN 'head'
+                  WHEN 3 * (cum - n_tokens) < 2 * tot THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM cw ORDER BY doc_id""",
+
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1431,8 +1431,48 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T17: perplexity bucketing (CCNet head/middle/tail curation) ---------
+
+  /** The CCNet curation split (Wenzek et al. 2020 §4.3): order the corpus
+    * by the t15 LM score and cut it into head/middle/tail at equal
+    * TOKEN-MASS terciles — head is the most fluent third of tokens, the
+    * slice CCNet keeps for training; tail is what gets dropped or
+    * re-filtered.
+    *
+    * Scale shape: the score pass is t15's (vocabulary-sized broadcast
+    * only); the score-ordered token prefix sum runs as a RANGE-PARTITIONED
+    * two-level cumsum — per-range subtotals → a partition-count-sized
+    * offset table broadcast back → in-partition windows — t7's trick
+    * generalized to an arbitrary sort key, so no global single-partition
+    * sort ever materializes. The prefix sum is defined by the total order
+    * (lm_xent, doc_id), not by where the range boundaries fall, so any
+    * partitioning yields the identical result; bucket edges compare in
+    * integer arithmetic (3·cum_before vs tot). */
+  val t17PplBuckets: Q = (spark, dir) => {
+    val parts = t15LmScore(spark, dir)
+      .repartitionByRange(32, col("lm_xent"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // feeds the offsets agg AND the row-level join
+    val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("bt"))
+      .withColumn("off", coalesce(sum(col("bt")).over(
+        Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val tot = parts.agg(sum(col("n_tokens")).as("tot"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("lm_xent"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offsets), "pid")
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_tokens"), col("lm_xent"),
+        when(lit(3) * (col("cum") - col("n_tokens")) < col("tot"), "head")
+          .when(lit(3) * (col("cum") - col("n_tokens")) < lit(2) * col("tot"), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "m2_frame_sample" -> m2FrameSample,
+    "t17_ppl_buckets" -> t17PplBuckets,
     "d6_dedup_clusters" -> d6DedupClusters,
     "t5_chunk" -> t5Chunk,
     "t6_sample_stratified" -> t6SampleStratified,
