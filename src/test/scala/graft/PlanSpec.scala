@@ -164,6 +164,23 @@ class PlanSpec extends SparkSpec {
       s"t11 must explode once, emitting (gram_size, hash) structs for both families; got $generates\n${p.take(1200)}")
   }
 
+  test("v7: probed candidates join by broadcast hash on the cell key — never a shuffle or nested loop") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v7IvfPq)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"the cell = probe equi-join must broadcast the 10-row query side\n${p.take(1200)}")
+  }
+
+  test("t17: the score-ordered cumsum range-partitions — windows only within partitions") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t17PplBuckets)
+    assert(p.contains("rangepartitioning"),
+      s"the prefix sum must range-partition on (lm_xent, doc_id)\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"offsets and totals must broadcast back, never shuffle the corpus\n${p.take(1200)}")
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
