@@ -120,5 +120,44 @@ object CorpusPrep {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
-  val all: Map[String, Q] = Map("pipe_corpus_prep" -> pipeCorpusPrep)
+  /** SECOND composed pipeline — the round-4 curation stages chained the
+    * way a measured-curation run uses them (`pipe2_curation`):
+    *
+    *   1. CONTAMINATION GATE — t16's graded score over the training slice;
+    *      only `risk = 'clean'` documents survive (docs too short to score
+    *      are dropped with them — unscorable ⇒ unkeepable);
+    *   2. PERPLEXITY CURATION — t15's LM score recomputed over the
+    *      SURVIVORS (you score against the corpus you kept), then t17's
+    *      token-mass terciles; the `tail` third is dropped (CCNet keeps
+    *      head, re-filters middle — we keep both to stay measurable);
+    *   3. PACK — t7's two-level prefix sum assigns byte-estimated token
+    *      budgets to shards in doc_id order.
+    *
+    * Like [[pipeCorpusPrep]], every stage reuses the exact arithmetic its
+    * standalone operator proved against DuckDB, so the composition
+    * hash-matches one chained-CTE oracle — the gate that catches stage
+    * INTERACTIONS (filtered-corpus distributions, join key drift) that
+    * per-operator gates cannot. */
+  val pipe2Curation: Q = (spark, dir) => {
+    val docs = Sources.testdata(spark, dir)("documents")
+    val clean = PipelineQueries.contamScores(docs)
+      .filter(col("risk") === "clean").select("doc_id")
+    val survivors = docs
+      .filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+      .join(clean, Seq("doc_id")) // inner: unscored (short) docs drop too
+    val kept = PipelineQueries.pplBuckets(PipelineQueries.lmScores(survivors))
+      .filter(col("ppl_bucket") =!= "tail")
+    val sized = survivors
+      .join(kept.select(col("doc_id"), col("lm_xent"), col("ppl_bucket")), "doc_id")
+      .select(col("doc_id"), col("lm_xent"), col("ppl_bucket"),
+        ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+    distributedCumsum(sized, "est_tokens", Seq(col("doc_id")))
+      .select(col("doc_id"), col("lm_xent"), col("ppl_bucket"), col("est_tokens"),
+        expr(s"(cum_tokens - est_tokens) div $ShardBudget").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "pipe_corpus_prep" -> pipeCorpusPrep,
+    "pipe2_curation" -> pipe2Curation)
 }

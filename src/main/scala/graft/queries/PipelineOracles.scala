@@ -576,6 +576,56 @@ object PipelineOracles {
 
     // the full corpus-prep composition: dedup-drop → decontaminate →
     // quality ≥ 0.3 → stratified sample → chunk → pack, one CTE chain
+    // the round-4 curation chain: t16 clean-gate → t15 scores over the
+    // survivors → t17 terciles (tail dropped) → t7 packing; one chained
+    // oracle so stage interactions are gated, not just stages
+    "pipe2_curation" -> s"""
+      WITH d0 AS (SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS w
+                  FROM documents),
+      g AS (SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+${DecontGram - 1}], ' '))
+                           for i in range(1, len(w) - ${DecontGram - 2})]) AS g
+            FROM d0 WHERE len(w) >= ${DecontGram}),
+      dg AS (SELECT DISTINCT doc_id, g FROM g),
+      ev AS (SELECT DISTINCT g FROM dg WHERE doc_id % ${DecontMod} = 0),
+      agg AS (SELECT tr.doc_id,
+                     sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+              FROM (SELECT doc_id, g FROM dg WHERE doc_id % ${DecontMod} != 0) tr
+              LEFT JOIN ev ON tr.g = ev.g
+              GROUP BY tr.doc_id),
+      surv AS (SELECT d0.doc_id, d0.text, d0.n_chars
+               FROM d0 JOIN (SELECT doc_id FROM agg WHERE n_hit = 0) c USING (doc_id)
+               WHERE d0.doc_id % ${DecontMod} != 0),
+      tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM surv),
+      tf AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
+      tot0 AS (SELECT SUM(ctf)::BIGINT AS tot0 FROM ct),
+      sc AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
+                    round(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+             FROM tf JOIN ct USING (term), tot0
+             GROUP BY doc_id),
+      cw AS (SELECT doc_id, n_tokens, lm_xent,
+                    SUM(n_tokens) OVER (ORDER BY lm_xent, doc_id
+                                        ROWS UNBOUNDED PRECEDING) AS cum,
+                    SUM(n_tokens) OVER () AS tot
+             FROM sc),
+      keepb AS (SELECT doc_id, lm_xent,
+                       CASE WHEN 3 * (cum - n_tokens) < tot THEN 'head'
+                            WHEN 3 * (cum - n_tokens) < 2 * tot THEN 'middle'
+                            ELSE 'tail' END AS ppl_bucket
+                FROM cw),
+      sized AS (SELECT s.doc_id, k.lm_xent, k.ppl_bucket,
+                       CAST(ceil(s.n_chars / 4.0) AS BIGINT) AS est_tokens
+                FROM surv s JOIN keepb k USING (doc_id)
+                WHERE k.ppl_bucket != 'tail'),
+      c2 AS (SELECT doc_id, lm_xent, ppl_bucket, est_tokens,
+                    SUM(est_tokens) OVER (ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+             FROM sized)
+      SELECT doc_id, lm_xent, ppl_bucket, est_tokens,
+             CAST((cum - est_tokens) // ${PipelineQueries.ShardBudget} AS BIGINT) AS shard_id
+      FROM c2 ORDER BY doc_id""",
+
     "pipe_corpus_prep" -> s"""
       WITH RECURSIVE $shingleCte,
       pairs AS (

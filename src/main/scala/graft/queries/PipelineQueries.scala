@@ -1113,8 +1113,8 @@ object PipelineQueries {
     * (`(2·hit·10⁶ + n) div 2n`, all-positive) and the bucket compares the
     * integer — no engine's double-rounding policy can flip a digit or a
     * bucket (the q1/v5 lesson). */
-  val t16ContamScore: Q = (spark, dir) => {
-    val docs = fanOut(spark, t(spark, dir, "documents"))
+  /** t16 body over an arbitrary documents frame (shared with pipe2). */
+  private[queries] def contamScores(docs: DataFrame): DataFrame = {
     val evg = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
       .select(col("g")).distinct().withColumn("hit", lit(1L))
     val trg = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "doc_id")
@@ -1128,8 +1128,10 @@ object PipelineQueries {
         when(col("n_hit") === 0, "clean")
           .when(col("frac6u") < 100000, "low")
           .otherwise("high").as("risk"))
-      .orderBy(col("doc_id"))
   }
+
+  val t16ContamScore: Q = (spark, dir) =>
+    contamScores(fanOut(spark, t(spark, dir, "documents"))).orderBy(col("doc_id"))
 
   // ---- T10: boilerplate / repeated-passage ratio ---------------------------
 
@@ -1413,8 +1415,11 @@ object PipelineQueries {
     * broadcast. ln() is the one transcendental on the oracle surface —
     * both engines compute it on the identical double (N and tf are exact
     * longs), and the final 6-dp round absorbs the ≤1-ulp libm skew. */
-  val t15LmScore: Q = (spark, dir) => {
-    val tf = fanOut(spark, t(spark, dir, "documents"))
+  /** t15 body over an arbitrary documents frame (shared with pipe2 — the
+    * unigram distribution is computed over exactly the frame given, so a
+    * filtered corpus scores against its own retained distribution). */
+  private[queries] def lmScores(docs: DataFrame): DataFrame = {
+    val tf = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
       .localCheckpoint() // feeds the corpus-frequency agg AND the score join
@@ -1428,8 +1433,10 @@ object PipelineQueries {
       .agg(sum(col("c")).as("n_tokens"), sum(col("nll")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("s") / col("n_tokens"), 6).as("lm_xent"))
-      .orderBy(col("doc_id"))
   }
+
+  val t15LmScore: Q = (spark, dir) =>
+    lmScores(fanOut(spark, t(spark, dir, "documents"))).orderBy(col("doc_id"))
 
   // ---- T17: perplexity bucketing (CCNet head/middle/tail curation) ---------
 
@@ -1448,8 +1455,10 @@ object PipelineQueries {
     * (lm_xent, doc_id), not by where the range boundaries fall, so any
     * partitioning yields the identical result; bucket edges compare in
     * integer arithmetic (3·cum_before vs tot). */
-  val t17PplBuckets: Q = (spark, dir) => {
-    val parts = t15LmScore(spark, dir)
+  /** t17 body over an arbitrary scored frame `(doc_id, n_tokens, lm_xent)`
+    * (shared with pipe2). */
+  private[queries] def pplBuckets(scored: DataFrame): DataFrame = {
+    val parts = scored
       .repartitionByRange(32, col("lm_xent"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // feeds the offsets agg AND the row-level join
@@ -1467,8 +1476,11 @@ object PipelineQueries {
         when(lit(3) * (col("cum") - col("n_tokens")) < col("tot"), "head")
           .when(lit(3) * (col("cum") - col("n_tokens")) < lit(2) * col("tot"), "middle")
           .otherwise("tail").as("ppl_bucket"))
-      .orderBy(col("doc_id"))
   }
+
+  val t17PplBuckets: Q = (spark, dir) =>
+    pplBuckets(lmScores(fanOut(spark, t(spark, dir, "documents"))))
+      .orderBy(col("doc_id"))
 
   val all: Map[String, Q] = Map(
     "m2_frame_sample" -> m2FrameSample,
