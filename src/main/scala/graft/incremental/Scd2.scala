@@ -20,10 +20,15 @@ import org.apache.spark.sql.functions._
   * open rows of keys present in the batch (a semi-join against the
   * batch's key set), re-runs the run computation over `open ∪ batch` —
   * batch-sized, not history-sized — and upserts through
-  * [[SnapshotStore.merge]] keyed `(key, valid_from)`, so closed history
-  * is never read or rewritten. Batches must arrive strictly after all
-  * previously ingested events (the same append-log contract the
-  * watermarked fact models use); within a batch, order is free.
+  * [[SnapshotStore.merge]] keyed `(key, version)`, so closed history
+  * is never read or rewritten. Version numbers are stable under the
+  * strict-append contract (closed runs never renumber; the rebuilt slice
+  * offsets by the open run's version), which makes `(key, version)` the
+  * unique row identity — `valid_from` is NOT unique: two same-`ts`
+  * events with different states are distinct tie-broken runs sharing a
+  * `valid_from`. Batches must arrive strictly after all previously
+  * ingested events (the same append-log contract the watermarked fact
+  * models use); within a batch, order is free.
   */
 object Scd2 {
 
@@ -67,6 +72,6 @@ object Scd2 {
           .withColumn("version", col("version") + coalesce(col("__base"), lit(0)))
           .drop("__base")
     }
-    SnapshotStore.merge(spark, root, out, Seq(key, "valid_from"))
+    SnapshotStore.merge(spark, root, out, Seq(key, "version"))
   }
 }

@@ -245,5 +245,32 @@ object DagOracles {
              |      UNION ALL
              |      SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b1
              |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
-             |      ORDER BY transaction_digest, event_index""".stripMargin)
+             |      ORDER BY transaction_digest, event_index""".stripMargin,
+        // §2.9 streaming: three MemoryStream micro-batches (overlap
+        // redelivered) through the foreachBatch merge sink must converge
+        // to the same declarative model recomputation as the batch path
+        "dag_stream_ingest" -> eventOracle(EventModels.loanBorrowed),
+        // streaming SCD2 fold (hwm-guarded micro-batches) vs the one-shot
+        // declarative type-2 history over the whole fixture event log;
+        // the tiebreaker eid is derived from the unique event identity
+        // the same way on both sides
+        "dag_stream_scd2" ->
+          s"""WITH e AS (
+             |        SELECT sender AS k, timestamp_ms AS ts,
+             |               row_number() OVER (ORDER BY transaction_digest, event_index)
+             |                 AS eid,
+             |               event_type AS st
+             |        FROM $eventsSrc),
+             |      r AS (SELECT k, ts, eid, st,
+             |                   lag(st) OVER (PARTITION BY k ORDER BY ts, eid) AS prev
+             |            FROM e),
+             |      s AS (SELECT k, ts, eid, st FROM r
+             |            WHERE prev IS NULL OR prev != st),
+             |      d AS (SELECT k, st, ts,
+             |                   lead(ts) OVER (PARTITION BY k ORDER BY ts, eid) AS vt,
+             |                   row_number() OVER (PARTITION BY k ORDER BY ts, eid)
+             |                     AS version
+             |            FROM s)
+             |      SELECT k, version, st, ts AS valid_from_ms, vt AS valid_to_ms
+             |      FROM d ORDER BY k, version""".stripMargin)
 }

@@ -150,11 +150,125 @@ object DagQueries {
   private def shortName(full: String): String =
     full.stripPrefix("deepbook_margin_")
 
+  /** §2.9's Structured Streaming ingest inside the hard gate: the fixture
+    * event stream replays as THREE MemoryStream micro-batches — with a
+    * redelivered overlap between batches 1 and 2 — through
+    * [[graft.streaming.StreamingIngest.ingest]] (`readStream` → the batch
+    * model's projection → `foreachBatch` → [[SnapshotStore.merge]]), and
+    * the final snapshot must hash-match the DuckDB recomputation of the
+    * model from the raw fixture parquet: the streaming sink converges to
+    * the declarative batch result, and redelivery is invisible. The
+    * driver-side collect feeds the stream source only (fixture-sized, the
+    * MemoryStream seam); all processing runs through the engine. */
+  val streamIngestQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft-dagstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagstream-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](60, spark)
+      // the 30-day cold-start bound the batch `build` applies, expressed on
+      // the stream itself (a stateless filter in the continuous plan)
+      val bounded = input.toDF().filter(col("timestamp_ms") >=
+        graft.TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30))
+      val q = graft.streaming.StreamingIngest.ingest(
+        EventModels.loanBorrowed, bounded, s"$root/tbl", ckpt,
+        DeepbookFixtures.now)
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        // batch 2 REDELIVERS the tail of batch 1 — merge must dedup
+        input.addData(rows.slice(third - 10, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.read(spark, s"$root/tbl").get
+        .drop("updated_at")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  /** Streaming SCD2 maintenance inside the hard gate: the fixture events
+    * fold through [[graft.streaming.StreamingIngest.scd2Ingest]] as three
+    * time-ordered micro-batches (key = sender, state = event_type), with
+    * batch 2 REDELIVERING the tail of batch 1 — the persisted high-water
+    * mark must drop the replay — and the resulting dimension history must
+    * hash-match DuckDB's one-shot declarative SCD2 (lag-filter +
+    * lead/row_number over the whole log). The order tiebreaker is
+    * `row_number() OVER (ORDER BY transaction_digest, event_index)`,
+    * derived identically on both sides from the unique event identity, so
+    * same-timestamp events order deterministically in either engine. */
+  val streamScd2Q: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.types._
+    val feedSchema = StructType(Seq(
+      StructField("k", StringType), StructField("ts", LongType),
+      StructField("eid", LongType), StructField("st", StringType)))
+    val feed = DeepbookFixtures.events(spark)
+      .withColumn("eid", row_number().over(
+        W.orderBy(col("transaction_digest"), col("event_index"))).cast(LongType))
+      .select(col("sender").as("k"), col("timestamp_ms").as("ts"),
+        col("eid"), col("event_type").as("st"))
+      .collect().toSeq
+      .sortBy(r => (r.getLong(1), r.getLong(2)))
+    // strict ts boundaries: scd2's high-water guard drops ts <= hwm, so a
+    // batch may only carry timestamps strictly above the previous batch's
+    val cut1 = dayStartOf(6); val cut2 = dayStartOf(10)
+    val b1 = feed.filter(_.getLong(1) <= cut1)
+    val b2 = feed.filter(r => r.getLong(1) > cut1 && r.getLong(1) <= cut2)
+    val b3 = feed.filter(_.getLong(1) > cut2)
+    val root = java.nio.file.Files.createTempDirectory("graft-dagscd2s").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagscd2s-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(feedSchema))
+      val input = new MemoryStream[Row](61, spark)
+      val q = graft.streaming.StreamingIngest.scd2Ingest(
+        input.toDF(), root, ckpt, "k", "ts", "eid", "st")
+      try {
+        input.addData(b1)
+        q.processAllAvailable()
+        // replay the tail of batch 1 — the persisted hwm must drop it
+        input.addData(b1.takeRight(10) ++ b2)
+        q.processAllAvailable()
+        input.addData(b3)
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.read(spark, s"$root/dim").get
+        .select(col("k"), col("version"), col("state").as("st"),
+          col("valid_from").as("valid_from_ms"), col("valid_to").as("valid_to_ms"))
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("k"), col("version"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
+  /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
+  private def dayStartOf(d: Int): Long =
+    java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
+
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
         "dag_fct_incremental" -> fctIncrementalQ,
         "dag_fct_maintenance" -> fctMaintenanceQ,
         "dag_fct_skipread" -> fctSkipReadQ,
-        "dag_append_log" -> appendLogQ)
+        "dag_append_log" -> appendLogQ,
+        "dag_stream_ingest" -> streamIngestQ,
+        "dag_stream_scd2" -> streamScd2Q)
 }

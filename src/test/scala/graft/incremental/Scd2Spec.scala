@@ -61,6 +61,20 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("two same-ts events with different states survive as distinct tie-broken versions") {
+    // regression: merge used to key rows by (key, valid_from), so the two
+    // runs born at the same timestamp collapsed to one on disk — (key,
+    // version) is the unique row identity (found by dag_stream_scd2)
+    val root = Files.createTempDirectory("graft-scd2tie").toString
+    val b1 = Seq((1L, 10L, 0L, "a"), (1L, 10L, 1L, "b"), (1L, 20L, 2L, "c"))
+    Scd2.mergeBatch(spark, root, b1.toDF("k", "ts", "eid", "st"), "k", "ts", "eid", "st")
+    val got = SnapshotStore.read(spark, root).get
+      .as[(Long, Int, String, Long, Option[Long])].collect().toSet
+    assert(got == Set((1L, 1, "a", 10L, Some(10L)), (1L, 2, "b", 10L, Some(20L)),
+      (1L, 3, "c", 20L, None)))
+    assert(got == fold(b1), "merge must equal the local run fold")
+  }
+
   test("re-merging a batch whose states all continue the open runs adds no rows") {
     val root = Files.createTempDirectory("graft-scd2same").toString
     val b1 = Seq((1L, 10L, 0L, "a"), (1L, 20L, 1L, "b"), (2L, 15L, 2L, "x"))
