@@ -763,12 +763,15 @@ object PipelineOracles {
                   ELSE 'tail' END AS ppl_bucket
       FROM cw ORDER BY doc_id""",
 
+    // the Spark side PARSES planted PNG headers byte-for-byte; this twin
+    // recomputes the planted formulas, so hash equality proves the binary
+    // decode inverted the plant exactly (33 = 8 sig + 25 IHDR chunk bytes)
     "m1_multimodal_meta" -> """
       SELECT doc_id,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(33 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS sha256_hex,
-             320 + CAST(octet_length(encode(text)) AS BIGINT) % 320 AS width,
-             240 + CAST(octet_length(encode(text)) AS BIGINT) % 240 AS height,
-             1 + CAST(octet_length(encode(text)) AS BIGINT) % 16 AS n_frames
+             'png/rgba8' AS codec,
+             CAST(1 + n_chars % 1024 AS BIGINT) AS width,
+             CAST(1 + doc_id % 768 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")
 }

@@ -833,32 +833,64 @@ object PipelineQueries {
   // ---- M1: multimodal binary-column plumbing -------------------------------
 
   final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256_hex: String,
-                             width: Long, height: Long, n_frames: Long)
+                             codec: String, width: Long, height: Long)
 
-  /** Opaque-binary media pipeline: payload as a `binary` column, metadata
-    * extracted batch-wise in mapPartitions (genuine per-partition imperative
-    * logic — the place a real image/audio decode would run). The decode is
-    * STUBBED deterministically (this container ships no codec libraries);
-    * the Spark-side plumbing — binary schema, typed Dataset, partition
-    * batching, output shape — is real and oracle-checked.
+  /** Opaque-binary media pipeline with a REAL header decode: each payload
+    * is a valid PNG prefix — 8-byte signature + IHDR chunk (big-endian
+    * width/height planted from per-doc formulas, bit depth 8, color type
+    * RGBA) + zero CRC + the text bytes as stand-in pixel data — built as a
+    * codegen'd binary `concat`, and the mapPartitions seam then PARSES the
+    * actual bytes: signature check, chunk-type check, big-endian reads at
+    * the IHDR offsets, color-type decode. The oracle recomputes the
+    * planted formulas, so a hash match proves `parse ∘ plant ≡ id`
+    * through genuine binary decoding (no codec libraries ship in this
+    * container, so the "pixels" stay synthetic — but every byte the
+    * decoder touches is a real container header it did not compute from).
     *
-    * The content digest stays a codegen'd `sha2` COLUMN (hashing is
-    * expressible relational work — doing it per-row inside the imperative
-    * seam would pay interpreter + hex-formatting cost for nothing); only
-    * the stubbed decode (width/height/frames from the payload bytes) runs
-    * in the partition iterator. */
+    * The content digest stays a codegen'd `sha2` COLUMN over the content
+    * bytes (hashing is expressible relational work — doing it per-row
+    * inside the imperative seam would pay interpreter + hex-formatting
+    * cost for nothing); only the byte-level header parse runs in the
+    * partition iterator. */
   val m1MultimodalMeta: Q = (spark, dir) => {
     import spark.implicits._
+    val w = (lit(1) + pmod(col("n_chars"), lit(1024))).cast(LongType)
+    val h = (lit(1) + pmod(col("doc_id"), lit(768))).cast(LongType)
+    val payload = concat(
+      unhex(lit("89504E470D0A1A0A0000000D49484452")), // signature + len(13) + "IHDR"
+      unhex(lpad(hex(w), 8, "0")),                    // width, big-endian
+      unhex(lpad(hex(h), 8, "0")),                    // height, big-endian
+      unhex(lit("080600000000000000")),               // depth 8, RGBA, flags, CRC(0)
+      encode(col("text"), "UTF-8"))
     t(spark, dir, "documents")
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .withColumn("sha256_hex", sha2(col("payload"), 256))
+      .select(col("doc_id"), payload.as("payload"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
-        // per-partition batch shape a real decoder (decode → resize →
-        // frame-sample) would follow; bytes are in hand, stub is arithmetic
+        def be32(b: Array[Byte], off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
         it.map { case (id, bytes, hex) =>
-          val n = bytes.length.toLong
-          MediaMeta(id, n, hex, 320 + n % 320, 240 + n % 240, 1 + n % 16)
+          val isPng = bytes.length >= 33 &&
+            bytes.take(8).sameElements(pngSig) &&
+            new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR"
+          val codec =
+            if (!isPng) "unknown"
+            else {
+              val depth = bytes(24) & 0xff
+              (bytes(25) & 0xff) match {
+                case 0 => s"png/gray$depth"
+                case 2 => s"png/rgb$depth"
+                case 3 => s"png/indexed$depth"
+                case 4 => s"png/graya$depth"
+                case 6 => s"png/rgba$depth"
+                case c => s"png/ct$c"
+              }
+            }
+          if (isPng) MediaMeta(id, bytes.length.toLong, hex, codec,
+            be32(bytes, 16), be32(bytes, 20))
+          else MediaMeta(id, bytes.length.toLong, hex, codec, 0L, 0L)
         }
       }
       .toDF()
