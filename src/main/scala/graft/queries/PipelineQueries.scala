@@ -1488,10 +1488,13 @@ object PipelineQueries {
     * partitioning yields the identical result; bucket edges compare in
     * integer arithmetic (3·cum_before vs tot). */
   /** t17 body over an arbitrary scored frame `(doc_id, n_tokens, lm_xent)`
-    * (shared with pipe2). */
-  private[queries] def pplBuckets(scored: DataFrame): DataFrame = {
+    * (shared with pipe2). `numRanges` sizes the range partitioning only —
+    * the result is defined by the (lm_xent, doc_id) total order and must
+    * be identical for ANY partition count (T17PartitionInvarianceSpec
+    * pins exactly that). */
+  private[graft] def pplBuckets(scored: DataFrame, numRanges: Int = 32): DataFrame = {
     val parts = scored
-      .repartitionByRange(32, col("lm_xent"), col("doc_id"))
+      .repartitionByRange(numRanges, col("lm_xent"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // feeds the offsets agg AND the row-level join
     val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("bt"))

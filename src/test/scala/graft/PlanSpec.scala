@@ -183,6 +183,26 @@ class PlanSpec extends SparkSpec {
       s"offsets and totals must broadcast back, never shuffle the corpus\n${p.take(1200)}")
   }
 
+  test("t16: the eval-gram membership set broadcasts — the training grams never sort-merge") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t16ContamScore)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the contamination membership join must broadcast the eval side\n${p.take(1200)}")
+  }
+
+  test("pipe2: the composed curation keeps every stage's scale shape — broadcast gates, range-partitioned cumsums, no SMJ") {
+    import graft.queries.CorpusPrep
+    val p = planOf(CorpusPrep.pipe2Curation)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"pipe2's gate/rescore/pack joins must all stay broadcast\n${p.take(1600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1600))
+    assert(p.contains("rangepartitioning"),
+      s"the tercile + packing prefix sums must range-partition, never a global window\n${p.take(1600)}")
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
