@@ -135,10 +135,15 @@ object FileSkipping {
     // crash mid-write or a concurrent analyze must never leave a torn
     // sidecar that readers then choke on
     val tmp = snapDir.resolve(SidecarName + ".tmp." + java.util.UUID.randomUUID)
-    Files.writeString(tmp, body)
-    Files.move(tmp, snapDir.resolve(SidecarName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try {
+      Files.writeString(tmp, body)
+      Files.move(tmp, snapDir.resolve(SidecarName),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } finally
+      // a failed write/move must not leak the temp file into the snapshot
+      // dir, where later hard-link compaction passes would propagate it
+      Files.deleteIfExists(tmp)
   }
 
   def readSidecar(snapDir: Path): Option[Map[String, FileStats]] =

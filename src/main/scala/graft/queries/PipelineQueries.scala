@@ -281,7 +281,11 @@ object PipelineQueries {
     // at the 8 GB broadcast / heap limit — at 100 TB the df table is
     // ~(distinct shingles × 16 B) and CAN outgrow any single executor.
     val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df")).localCheckpoint()
-    val dfreqBroadcastable = dfreq.count() * 16L <= (256L << 20) // 256 MB of (sid, df)
+    // priced at ~64 B/row, not the 16 B raw payload: a broadcast hash
+    // relation carries UnsafeRow + hash-table overhead of several × the
+    // column bytes, so a raw-bytes gate would admit a near-1 GB broadcast
+    // under a 256 MB budget
+    val dfreqBroadcastable = dfreq.count() * 64L <= (256L << 20) // ≈4 M (sid, df) rows
     // prefix length n − ⌈t·n⌉ + 1 in integer arithmetic: ⌈3n/10⌉ = (3n+9) div 10
     // (a double ceil(n*0.3) can round the wrong way exactly when 3n/10 is whole)
     // localCheckpoint: prefix feeds BOTH sides of the candidate self-join;

@@ -142,7 +142,7 @@ object RelationalOracles {
       SELECT event_type,
              count(DISTINCT user_id) AS n_exact,
              round(quantile_cont(value, 0.5), 6) AS p50_exact,
-             TRUE AS hll_within_2pct,
+             TRUE AS hll_within_5pct,
              TRUE AS p50_within_eps
       FROM events
       GROUP BY event_type

@@ -756,7 +756,7 @@ object RelationalQueries {
     * Oracle strategy: sketch INTERNALS are engine-specific, so the gated
     * [[k1Sketches]] projects this full result down to its deterministic
     * columns (`n_exact`, `p50_exact`) plus BOUNDED-ERROR BOOLEANS
-    * (`hll_within_2pct`, `p50_within_eps`) whose DuckDB twin asserts TRUE —
+    * (`hll_within_5pct`, `p50_within_eps`) whose DuckDB twin asserts TRUE —
     * the hash gate then proves both the exact ground truth and that the
     * sketch estimates sit inside their published error envelopes, without
     * ever hashing an estimate digit. SketchSpec additionally pins the raw
@@ -790,14 +790,19 @@ object RelationalQueries {
 
   /** The oracle-gated k1 surface: deterministic ground truth + error-bound
     * booleans (see [[k1SketchesFull]]'s scaladoc for why estimates
-    * themselves can't be hashed). lgK=14 HLL is ~0.8% RSE, so 2% is a
-    * stable envelope; the approx-median bound matches SketchSpec's. */
+    * themselves can't be hashed). The gated envelopes MATCH SketchSpec's
+    * (5% HLL, 5% median): lgK=14 HLL is ~0.8% RSE and percentile_approx
+    * is merge-order-sensitive, so a tighter gate could flip on a
+    * regenerated data tier or a partitioning change with no engine bug.
+    * Triage note: if this hash gate ever goes red, read the raw estimates
+    * in [[k1SketchesFull]] first — a bound barely exceeded on one group
+    * is sketch noise, not a regression. */
   val k1Sketches: Q = (spark, dir) =>
     k1SketchesFull(spark, dir)
       .select(col("event_type"), col("n_exact"), col("p50_exact"),
-        (col("hll_rel_err") <= 0.02).as("hll_within_2pct"),
+        (col("hll_rel_err") <= 0.05).as("hll_within_5pct"),
         (abs(col("p50_approx") - col("p50_exact")) <=
-          lit(0.02) * greatest(lit(1.0), abs(col("p50_exact")))).as("p50_within_eps"))
+          lit(0.05) * greatest(lit(1.0), abs(col("p50_exact")))).as("p50_within_eps"))
       .orderBy(col("event_type"))
 
   /** GROUPING SETS with explicit set membership flags — the third grouping
