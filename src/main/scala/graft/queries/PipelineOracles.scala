@@ -270,6 +270,41 @@ object PipelineOracles {
             FROM sc)
       SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
+    // BM25 in exact fixed-point integer arithmetic: rational idf surrogate
+    // (2N−2df+1)/(2df+1) and fraction-cleared tf normalization (k1=6/5,
+    // b=3/4, avgdl=T/N) — every operation an integer multiply/divide, so
+    // score AND ranking are bit-identical to Spark's under any engine policy
+    "v8_bm25" -> s"""
+      WITH tok AS (SELECT doc_id,
+                          CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                          unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+             FROM tok GROUP BY doc_id, dl, term),
+      dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      nt AS (SELECT COUNT(*) AS n_docs,
+                    SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS t_tokens
+             FROM documents),
+      qt AS (SELECT * FROM (VALUES ${Bm25Queries.flatMap { case (q, ts) =>
+        ts.map(tm => s"($q, '$tm')") }.mkString(", ")}) AS v(query_id, term)),
+      s AS (SELECT qt.query_id, tf.doc_id, tf.tf, tf.dl, dft.df,
+                   nt.n_docs, nt.t_tokens
+            FROM tf JOIN qt USING (term) JOIN dft USING (term), nt),
+      c AS (SELECT query_id, doc_id,
+                   ((2 * n_docs - 2 * df + 1) * 1000000) // (2 * df + 1) AS idf6,
+                   (44 * tf * t_tokens * 1000000)
+                     // (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs) AS tfn6
+            FROM s),
+      g AS (SELECT query_id, doc_id, COUNT(*) AS n_hit,
+                   CAST(SUM((idf6 * tfn6) // 1000000) AS BIGINT) AS score6
+            FROM c GROUP BY query_id, doc_id),
+      r AS (SELECT query_id, doc_id, n_hit, score6,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score6 DESC, doc_id) AS rk
+            FROM g)
+      SELECT query_id, rk, doc_id, n_hit, score6
+      FROM r WHERE rk <= ${Bm25K} ORDER BY query_id, rk""",
+
     // two FIXED-POINT Lloyd iterations from the IVF literal seeds: vectors
     // quantized once to shifted 1e-6 integer units (per-element single IEEE
     // ops — bit-identical in any engine), then argmin-L2 assignment, HALF_UP

@@ -585,6 +585,89 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V8: BM25 lexical retrieval (the ANN family's sparse twin) -----------
+
+  /** Literal retrieval queries: a handful of multi-term bags over the
+    * corpus vocabulary — the fixed query side every lexical-retrieval
+    * benchmark broadcasts. Shared with the DuckDB oracle verbatim. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "join", "merge"),
+    2 -> Seq("window", "sort", "order"),
+    3 -> Seq("stream", "batch", "spark"))
+  val Bm25K = 5
+
+  /** BM25 top-[[Bm25K]] document retrieval for [[Bm25Queries]] — the
+    * sparse/lexical twin of the v1–v7 dense-retrieval ladder (a curation
+    * stack needs both: ANN for semantic near-neighbors, BM25 for keyword
+    * recall and hard-negative mining).
+    *
+    * Scoring is textbook BM25 (k1=1.2, b=0.75) carried out ENTIRELY in
+    * fixed-point integer arithmetic so the ranking — and the hashed score
+    * itself — is bit-identical in any engine:
+    *  - idf surrogate: the rational (N−df+½)/(df+½) = (2N−2df+1)/(2df+1)
+    *    WITHOUT the textbook log — same determinism-driven swap as t9's
+    *    N/df (log is 1-ulp libm territory; the rational is exact). Scaled
+    *    to 1e6: `idf6 = (2N−2df+1)·1e6 div (2df+1)`.
+    *  - tf normalization with k1=6/5, b=3/4 and avgdl=T/N cleared of all
+    *    fractions: tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) =
+    *    44·tf·T / (20·tf·T + 6·T + 18·dl·N), scaled to 1e6 by integer
+    *    division (its exact value is ≤ 2.2e6).
+    *  - per-term contribution `(idf6 · tfn6) div 1e6`, summed as longs —
+    *    exact and order-independent under distributed aggregation.
+    *    Overflow envelope: idf6 ≤ (2N+1)·1e6 and tfn6 ≤ 2.2e6 keep the
+    *    product under 2^63 while N < 4e9; the tfn6 numerator 44·tf·T·1e6
+    *    needs tf·T < 2e11 (at larger corpora drop the scale to 1e3 or lift
+    *    these four expressions to DECIMAL(38,0) — same arithmetic).
+    *
+    * Scale shape: tokenize+count is one explode into a map-side-combined
+    * hash agg (the shuffle carries (doc, term, tf), never the token
+    * stream), with dl riding the group key (functionally dependent on
+    * doc_id, so it adds no grouping cost). The query side prunes FIRST —
+    * a broadcast inner join on the literal term set cuts the posting
+    * table to the query terms' postings before anything else touches it;
+    * df arrives by a vocabulary-sized (Zipf-bounded) broadcast and N/T by
+    * a 1-row broadcast cross join, so the only other shuffle is the final
+    * per-(query, doc) agg over matched postings. Ranking is a window over
+    * ≤ |queries|·|matched docs| rows. At 100 TB: postings shard by term
+    * hash, every join stays broadcast, nothing driver-side scales with
+    * the corpus. */
+  val v8Bm25: Q = (spark, dir) => {
+    import spark.implicits._
+    val S = 1000000L
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast(LongType))
+    // (N, T) in one pass; 1-row broadcast cross join (the watermark-scalar
+    // pattern) keeps the corpus constants in-plan
+    val nt = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tokens"))
+    val qterms = Bm25Queries
+      .flatMap { case (q, ts) => ts.map(tm => (q, tm)) }
+      .toDF("query_id", "term")
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      // feeds BOTH df and the retrieval join — see t9 (and distributedCumsum)
+      .localCheckpoint()
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score6").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "term") // prune to query-term postings first
+      .join(broadcast(dft), "term")
+      .crossJoin(broadcast(nt))
+      .withColumn("idf6",
+        expr(s"((2 * n_docs - 2 * df + 1) * ${S}L) div (2 * df + 1)"))
+      .withColumn("tfn6",
+        expr(s"(44 * tf * t_tokens * ${S}L) div (20 * tf * t_tokens + 6 * t_tokens + 18 * dl * n_docs)"))
+      .withColumn("contrib6", expr(s"(idf6 * tfn6) div ${S}L"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("contrib6")).as("score6"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= Bm25K)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("n_hit"), col("score6"))
+      .orderBy(col("query_id"), col("rk"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -1550,6 +1633,7 @@ object PipelineQueries {
     "v5_kmeans" -> v5Kmeans,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
+    "v8_bm25" -> v8Bm25,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

@@ -191,6 +191,20 @@ class PlanSpec extends SparkSpec {
       s"the contamination membership join must broadcast the eval side\n${p.take(1200)}")
   }
 
+  test("v8: the query-term and df joins broadcast — the posting table never sort-merges") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v8Bm25)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"query-term prune and df lookup must both broadcast\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-sized posting table must never reach a sort-merge join\n${p.take(1200)}")
+    // exactly ONE nested-loop node is by design: the 1-row (N, T) constants
+    // broadcast cross join (the watermark-scalar pattern) — anything more
+    // means a real join degenerated
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1 && !p.contains("CartesianProduct"),
+      p.take(1200))
+  }
+
   test("pipe2: the composed curation keeps every stage's scale shape — broadcast gates, range-partitioned cumsums, no SMJ") {
     import graft.queries.CorpusPrep
     val p = planOf(CorpusPrep.pipe2Curation)
