@@ -559,6 +559,36 @@ object PipelineOracles {
       FROM g JOIN dfq USING (g)
       GROUP BY g.doc_id ORDER BY g.doc_id""",
 
+    // repeated-substring spans: mark every L-gram start occurring >= 2
+    // times corpus-wide, union the [i, i+L) intervals per doc with the
+    // sorted running-max sweep — all integer arithmetic, windows only
+    // within a doc, so the hash matches Spark's at any tier
+    "d8_substring_dedup" -> s"""
+      WITH lg AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      ex AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                    unnest(range(0, len(w) - ${DupSpanGram} + 1)) AS i, w
+             FROM lg WHERE len(w) >= ${DupSpanGram}),
+      g AS (SELECT doc_id, n_words, i,
+                   array_to_string(w[i + 1:i + ${DupSpanGram}], ' ') AS gram
+            FROM ex),
+      occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      mk AS (SELECT g.doc_id, g.n_words, g.i FROM g JOIN occ USING (gram)),
+      sp AS (SELECT doc_id, n_words, i,
+                    max(i + ${DupSpanGram}) OVER (
+                      PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+             FROM mk),
+      c AS (SELECT doc_id, n_words,
+                   (i + ${DupSpanGram}) - greatest(i, coalesce(prev_end, 0)) AS covered
+            FROM sp)
+      SELECT doc_id, (n_words - ${DupSpanGram} + 1) AS n_grams,
+             COUNT(*) AS n_dup_grams,
+             CAST(SUM(CASE WHEN covered = ${DupSpanGram} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_spans,
+             CAST(SUM(covered) AS BIGINT) AS dup_tokens,
+             round(CAST(SUM(covered) AS DOUBLE) / n_words, 6) AS dup_ratio
+      FROM c GROUP BY doc_id, n_words ORDER BY doc_id""",
+
     "t8_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id,
@@ -763,6 +793,25 @@ object PipelineOracles {
       v AS (SELECT term, SUM(c)::BIGINT AS tf, COUNT(*) AS df FROM tf GROUP BY term)
       SELECT row_number() OVER (ORDER BY tf DESC, term) AS rk, term, tf, df
       FROM v ORDER BY tf DESC, term LIMIT ${VocabK}""",
+
+    // BPE first iteration against the word histogram: pair frequency =
+    // Σ over word types of freq × occurrences-in-word; all integer
+    "t18_bpe_pairs" -> s"""
+      WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      wf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+      p AS (SELECT term, freq, unnest(range(1, length(term))) AS i
+            FROM wf WHERE length(term) >= 2),
+      pp AS (SELECT term, freq,
+                    substring(term, CAST(i AS INT), 1) AS c1,
+                    substring(term, CAST(i AS INT) + 1, 1) AS c2
+             FROM p),
+      agg AS (SELECT c1, c2, CAST(SUM(freq) AS BIGINT) AS pf,
+                     COUNT(DISTINCT term) AS n_types
+              FROM pp GROUP BY c1, c2)
+      SELECT row_number() OVER (ORDER BY pf DESC, c1, c2) AS rk,
+             c1, c2, pf, n_types
+      FROM agg ORDER BY pf DESC, c1, c2 LIMIT ${BpeK}""",
 
     "t15_lm_score" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term

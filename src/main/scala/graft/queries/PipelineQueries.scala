@@ -1283,6 +1283,65 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- D8: exact repeated-substring spans (distributed suffix-array dedup) -
+
+  /** A repeat must span at least this many words to be marked (Lee et al.
+    * 2022, arXiv:2107.06499, use ≥50 BPE tokens; 8 suits the fixture
+    * docs' lengths — same width as [[DecontGram]]). */
+  val DupSpanGram = 8
+
+  /** EXACT repeated-substring spans — the distributed re-expression of
+    * suffix-array dedup (Lee et al. 2022: delete every substring ≥ L that
+    * repeats anywhere in the corpus). A suffix array is inherently
+    * sequential; the equivalent marked-span set falls out of relational
+    * ops: a word position is covered by a repeated substring of length
+    * ≥ L iff some L-gram through it occurs ≥ 2 times corpus-wide (any
+    * longer repeat contains a repeated L-gram at every offset), so
+    * marking repeated L-gram starts and unioning their [i, i+L) intervals
+    * per doc yields exactly the tokens suffix-array dedup would cut.
+    * Output per affected doc: gram/span counts, covered-token count, and
+    * the covered fraction of the doc (within-doc self-repeats count,
+    * matching the suffix-array semantics).
+    *
+    * Scale shape: gram explode in the scan stage (t8's fan-out), corpus
+    * occurrence counting by map-side-combined hash agg, then t10's
+    * deliberate BIG-BIG shuffle join back on the uniform 8-B gram hash
+    * (skew split by AQE; output collapses straight into the per-doc
+    * window + agg). The interval union is a per-doc running-max window —
+    * partition-confined, never global. Grams travel as xxhash64 longs
+    * (t8's bijection-at-word-boundaries argument; digests never reach
+    * the output). */
+  val d8SubstringDedup: Q = (spark, dir) => {
+    val ex = fanOut(spark, t(spark, dir, "documents"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= DupSpanGram)
+      .select(col("doc_id"), size(col("w")).cast(LongType).as("n_words"),
+        explode(sequence(lit(0), size(col("w")) - DupSpanGram)).as("i"),
+        col("w"))
+      .select(col("doc_id"), col("n_words"), col("i").cast(LongType).as("i"),
+        xxhash64((0 until DupSpanGram).map(k => col("w")(col("i") + k)): _*).as("g"))
+      .localCheckpoint() // feeds the occurrence count AND the mark join (see t9)
+    val rep = ex.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    // running max of span ends within the doc = the classic sorted
+    // interval-union sweep; each marked start contributes the part of
+    // [i, i+L) past everything already covered
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ex.join(rep.select(col("g")), "g")
+      .withColumn("prev_end", max(col("i") + DupSpanGram).over(wPrev))
+      .withColumn("covered",
+        (col("i") + DupSpanGram) - greatest(col("i"), coalesce(col("prev_end"), lit(0L))))
+      .groupBy(col("doc_id"), col("n_words"))
+      .agg(count(lit(1)).as("n_dup_grams"),
+        sum(when(col("covered") === DupSpanGram, 1L).otherwise(0L)).as("n_spans"),
+        sum(col("covered")).as("dup_tokens"))
+      .select(col("doc_id"), (col("n_words") - DupSpanGram + 1).as("n_grams"),
+        col("n_dup_grams"), col("n_spans"), col("dup_tokens"),
+        round(col("dup_tokens").cast(DoubleType) / col("n_words"), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T11: repetition signals (Gopher-style quality rules) ----------------
 
   /** Window width of the duplicate-n-gram fraction. */
@@ -1519,6 +1578,44 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
+  // ---- T18: BPE merge-pair statistics (tokenizer induction, 1st iteration) -
+
+  /** Candidate merge pairs kept in the head. */
+  val BpeK = 50
+
+  /** The first iteration of byte-pair-encoding tokenizer training
+    * (Sennrich et al. 2016, arXiv:1508.07909): adjacent CHARACTER-pair
+    * frequencies over the corpus, computed the way real BPE trainers do —
+    * against the word HISTOGRAM, not the token stream. `pf` is the
+    * corpus-wide pair frequency (Σ over word types of word_freq ×
+    * occurrences-in-word — the argmax of this column IS the first BPE
+    * merge), `n_types` the distinct word shapes carrying the pair.
+    *
+    * Scale shape: this is why BPE training is tractable at 100 TB — the
+    * only corpus-sized pass is the map-side-combined word count; the
+    * character-pair explode runs over the DISTINCT-WORD table (Zipf-
+    * bounded vocabulary, orders of magnitude smaller than the corpus)
+    * with frequencies carried as weights. The global top-K is
+    * TakeOrderedAndProject (per-partition heaps), never a 1-partition
+    * sort, and the rank window sees only K rows (t14's pattern). */
+  val t18BpePairs: Q = (spark, dir) => {
+    val wf = fanOut(spark, t(spark, dir, "documents"))
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val top = wf
+      .filter(length(col("term")) >= 2)
+      .select(col("term"), col("freq"), explode(expr(
+        "transform(sequence(1, length(term) - 1)," +
+          " i -> struct(substring(term, i, 1) as a, substring(term, i + 1, 1) as b))")).as("p"))
+      .groupBy(col("p.a").as("c1"), col("p.b").as("c2"))
+      .agg(sum(col("freq")).as("pf"), countDistinct(col("term")).as("n_types"))
+      .orderBy(col("pf").desc, col("c1"), col("c2")).limit(BpeK)
+    top
+      .withColumn("rk", row_number().over(Window.orderBy(col("pf").desc, col("c1"), col("c2"))))
+      .select(col("rk"), col("c1"), col("c2"), col("pf"), col("n_types"))
+      .orderBy(col("rk"))
+  }
+
   // ---- T15: unigram-LM quality score ---------------------------------------
 
   /** Per-document cross-entropy against the corpus's own unigram
@@ -1620,8 +1717,10 @@ object PipelineQueries {
     "t13_pii_redact" -> t13PiiRedact,
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
+    "t18_bpe_pairs" -> t18BpePairs,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
+    "d8_substring_dedup" -> d8SubstringDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
