@@ -1,0 +1,80 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.StructType
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** d8's semantics against a sequential reference, under varied shuffle
+  * partitioning: mark every [[PipelineQueries.DupSpanGram]]-gram start
+  * occurring ≥ 2 times corpus-wide, union the per-doc intervals with a
+  * sorted sweep. The DuckDB oracle pins the values at the driver tiers;
+  * this pins the SEMANTICS on adversarial seeded corpora (shared phrases
+  * across docs, self-repeats within a doc, overlap chains) and that the
+  * result is identical under 1 / 7 / 32 shuffle partitions — the window
+  * is per-doc, so no partition boundary may show through. */
+class D8SequentialReferenceSpec extends SparkSpec {
+
+  private val G = PipelineQueries.DupSpanGram
+
+  // corpora built from a small phrase pool so cross-doc and within-doc
+  // G-gram repeats (and overlapping marked spans) occur at every draw
+  private val phrases: Vector[Vector[String]] = Vector(
+    "a b c d e f g h i j".split(' ').toVector,
+    "k l m n o p q r s t".split(' ').toVector,
+    "u v w x y z aa bb cc dd".split(' ').toVector)
+  private val corpus: Gen[List[(Long, Vector[String])]] = Gen.nonEmptyListOf(for {
+    id <- Gen.choose(0L, 60L)
+    k <- Gen.choose(1, 3)
+    ps <- Gen.listOfN(k, Gen.choose(0, phrases.size - 1))
+    extra <- Gen.listOf(Gen.oneOf("x1", "x2", "x3", "x4", "x5", "x6", "x7", "x8"))
+  } yield (id, ps.flatMap(phrases).toVector ++ extra.toVector))
+    .map(_.groupMapReduce(_._1)(identity)((a, _) => a).values.toList)
+
+  private def reference(docs: Seq[(Long, Vector[String])]): Map[Long, (Long, Long, Long, Long)] = {
+    val grams = docs.flatMap { case (id, w) =>
+      if (w.size < G) Nil
+      else (0 to w.size - G).map(i => (id, i, w.slice(i, i + G).mkString(" ")))
+    }
+    val occ = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+    grams.filter(g => occ(g._3)).groupBy(_._1).map { case (id, ms) =>
+      val starts = ms.map(_._2).sorted
+      var prevEnd = 0L; var spans = 0L; var covered = 0L
+      starts.foreach { i =>
+        val c = (i + G) - math.max(i, prevEnd)
+        if (c == G) spans += 1
+        covered += c
+        prevEnd = math.max(prevEnd, i + G)
+      }
+      val nWords = docs.find(_._1 == id).get._2.size.toLong
+      id -> (nWords - G + 1, starts.size.toLong, spans, covered)
+    }
+  }
+
+  test("d8 ≡ sequential sweep, identical under 1 / 7 / 32 shuffle partitions (5 seeded cases)") {
+    val schema = new StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try (1 to 5).foreach { i =>
+      val docs = corpus(Gen.Parameters.default, Seed(800L + i)).get
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d8-prop").toString
+      val rows = docs.map { case (id, w) =>
+        Row(id, w.mkString(" "), "en", "s0", w.mkString(" ").length.toLong)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val expected = reference(docs)
+      assert(expected.nonEmpty, s"case $i drew a corpus with no repeats — not an interesting case")
+      for (parts <- Seq("1", "7", "32")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val got = PipelineQueries.d8SubstringDedup(spark, tmp).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .toMap
+        assert(got == expected,
+          s"case $i, $parts partitions: marked spans diverged from the sequential sweep")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+}
