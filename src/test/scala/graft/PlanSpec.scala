@@ -192,6 +192,16 @@ class PlanSpec extends SparkSpec {
       s"the contamination membership join must broadcast the eval side\n${p.take(1200)}")
   }
 
+  test("t14/t18: the global top-K runs as TakeOrderedAndProject heaps, never a one-partition sort") {
+    import graft.queries.PipelineQueries
+    for ((name, q) <- Seq("t14" -> PipelineQueries.t14Vocab,
+                          "t18" -> PipelineQueries.t18BpePairs)) {
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$name's top-K must plan per-partition heaps + driver K-merge\n${p.take(1200)}")
+    }
+  }
+
   test("v8: the query-term and df joins broadcast — the posting table never sort-merges") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.v8Bm25)
