@@ -589,6 +589,22 @@ object PipelineOracles {
              round(CAST(SUM(covered) AS DOUBLE) / n_words, 6) AS dup_ratio
       FROM c GROUP BY doc_id, n_words ORDER BY doc_id""",
 
+    // incremental dedup: the Bloom prefilter is invisible here by design —
+    // the admitted set equals the plain within-batch-dedup + anti-join,
+    // for any filter contents (no false negatives; positives get an exact
+    // confirm join). Text equality stands in for Spark's sha-256 digest
+    // equality, the d1 precedent.
+    "d9_incremental_dedup" -> s"""
+      WITH b AS (SELECT doc_id, lang, source, n_chars, text,
+                        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                 FROM documents WHERE doc_id % ${PipelineQueries.D9Mod} = 0),
+      bd AS (SELECT doc_id, lang, source, n_chars, text FROM b WHERE rn = 1)
+      SELECT doc_id, lang, source, n_chars FROM bd
+      WHERE NOT EXISTS (SELECT 1 FROM documents c
+                        WHERE c.doc_id % ${PipelineQueries.D9Mod} <> 0
+                          AND c.text = bd.text)
+      ORDER BY doc_id""",
+
     "t8_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id,

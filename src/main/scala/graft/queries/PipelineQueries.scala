@@ -1342,6 +1342,81 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- D9: incremental batch-vs-corpus dedup (Bloom-prefiltered) -----------
+
+  /** Batch stripe: docs with `doc_id % D9Mod == 0` play "today's crawl";
+    * the other six sevenths play the accumulated corpus. Shared with the
+    * oracle verbatim. */
+  val D9Mod = 7L
+
+  /** Incremental ingestion dedup: admit only the batch documents whose
+    * content is not already in the accumulated corpus (after within-batch
+    * exact dedup, d1's digest shape). This is what exact dedup becomes
+    * once the corpus is 100 TB and grows daily — d1's full-corpus groupBy
+    * re-shuffles the world on every ingest, while the incremental form
+    * touches the corpus through exactly two shuffle-free scans: one feeds
+    * a Bloom-filter build (distributed aggregation; only the filter
+    * reaches the driver), the other is semi-joined against a BROADCAST of
+    * the Bloom-surviving candidate digests. The corpus itself never
+    * shuffles and is never re-deduplicated.
+    *
+    * The Bloom filter is a PREFILTER, never the authority: might-contain
+    * = false proves absence (a Bloom filter has no false negatives), so
+    * those rows pass outright; might-contain = true goes to an exact
+    * sha-256 confirm join. The admitted set is therefore bit-identical to
+    * a plain anti-join for ANY filter contents — fpp moves candidate
+    * volume, never results (PipelineBatchOpsSpec pins d9 ≡ the direct
+    * anti-join).
+    *
+    * Plumbing: the filter is built by `stat.bloomFilter`'s distributed
+    * aggregation over xxhash64 keys and re-enters the plan as a binary
+    * literal inside Catalyst's own codegen'd `BloomFilterMightContain`
+    * (the engine's runtime-filter expression — zero UDFs, the probe stays
+    * inside WholeStageCodegen). Envelope: ~7.3 bloom bits/key at fpp 3%
+    * ⇒ ~0.9 GB per 1e9 corpus docs; past driver comfort, shard the build
+    * by digest range or raise fpp — only confirm-join volume moves, the
+    * output cannot. */
+  val d9IncrementalDedup: Q = (spark, dir) => {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val docs = t(spark, dir, "documents")
+    val batch = docs.filter(col("doc_id") % D9Mod === 0)
+    val corpus = docs.filter(col("doc_id") % D9Mod =!= 0)
+    // k = xxhash64(text) is constant within a digest group (same text),
+    // so adding it to the grouping key changes nothing but carries the
+    // Bloom probe key through — the digest stays the dedup authority
+    val batchDedup = batch
+      .groupBy(sha2(col("text"), 256).as("digest"), xxhash64(col("text")).as("k"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+        col("doc_id")).as("keep"))
+      .localCheckpoint() // feeds the pass-through AND the candidate branch
+    val nCorpus = math.max(corpus.count(), 1L) // 1-row action, like d6's Σlabel
+    val bloom = corpus.select(xxhash64(col("text")).as("k"))
+      .stat.bloomFilter("k", nCorpus, 0.03)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    // the filter bytes enter the plan as a closed-over binary Literal via
+    // a per-build temp function — never through the SQL parser, so the
+    // probe column is just `graft_bloom_probe(k)` however large the filter
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_probe",
+      exprs => BloomFilterMightContain(Literal.create(bloomBytes, BinaryType), exprs.head),
+      "built-in")
+    val might = expr("graft_bloom_probe(k)")
+    val cand = batchDedup.filter(might)
+    // candidates broadcast INTO the corpus scan; only matched digests
+    // (true-dup volume) ever shuffle, for the distinct
+    val hits = corpus.select(sha2(col("text"), 256).as("digest"))
+      .join(broadcast(cand.select(col("digest"))), Seq("digest"), "left_semi")
+      .distinct()
+    val fresh = cand.join(broadcast(hits), Seq("digest"), "left_anti")
+    batchDedup.filter(!might).unionByName(fresh)
+      .select(col("keep.doc_id"), col("keep.lang"), col("keep.source"), col("keep.n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T11: repetition signals (Gopher-style quality rules) ----------------
 
   /** Window width of the duplicate-n-gram fraction. */
@@ -1721,6 +1796,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
+    "d9_incremental_dedup" -> d9IncrementalDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,

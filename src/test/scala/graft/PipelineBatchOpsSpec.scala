@@ -432,4 +432,22 @@ class PipelineBatchOpsSpec extends SparkSpec {
     val j2 = out.map(_.getLong(3)).sum
     assert(j2 <= j0, s"Lloyd increased inertia: $j2 > $j0")
   }
+
+  test("d9: the Bloom prefilter is invisible — output equals the direct exact anti-join") {
+    import graft.queries.PipelineQueries.D9Mod
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // ground truth with no Bloom anywhere: within-batch dedup, then drop
+    // everything whose text exists in the corpus stripe
+    val expected = docs.filter(col("doc_id") % D9Mod === 0)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(docs.filter(col("doc_id") % D9Mod =!= 0).select(col("text")),
+        Seq("text"), "left_anti")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val got = PipelineQueries.d9IncrementalDedup(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    assert(got.nonEmpty, "fixture batch stripe produced no admitted docs")
+  }
 }

@@ -202,6 +202,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d9: Bloom probe in-plan, corpus joins broadcast, one shuffle (the matched-digest distinct)") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.d9IncrementalDedup)
+    assert(p.contains("might_contain"),
+      s"the Bloom prefilter must run as the codegen'd might_contain expression\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate digests broadcast into the corpus scan — never a sort-merge\n${p.take(1200)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"only the matched-digest distinct may shuffle, got $shuffles\n${p.take(1200)}")
+  }
+
   test("v8: the query-term and df joins broadcast — the posting table never sort-merges") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.v8Bm25)
