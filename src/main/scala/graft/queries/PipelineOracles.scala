@@ -305,6 +305,31 @@ object PipelineOracles {
       SELECT query_id, rk, doc_id, n_hit, score6
       FROM r WHERE rk <= ${Bm25K} ORDER BY query_id, rk""",
 
+    // MaxSim late interaction over the PqSub×PqDim sub-vector bags: every
+    // component quantized once to 1e-3 integer units, then dots / maxes /
+    // sums in exact integer arithmetic — DuckDB's 1-based list indexing
+    // (k in 1..D) lands on the same positions as Spark's 0-based
+    // (k in 0..D-1) because both walk i*D + k over their own base
+    "v9_maxsim_rerank" -> s"""
+      WITH $embCte,
+      q0 AS (SELECT vec_id,
+                    list_transform(v, x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS u
+             FROM e),
+      qs AS (SELECT vec_id AS q_id, u AS qu FROM q0 WHERE vec_id < 3),
+      sc AS (SELECT qs.q_id, q0.vec_id,
+                    CAST(list_sum([list_max([list_sum([qu[i * ${PipelineQueries.PqDim} + k]
+                                                       * u[j * ${PipelineQueries.PqDim} + k]
+                                    for k in range(1, ${PipelineQueries.PqDim + 1})])
+                                  for j in range(0, ${PipelineQueries.PqSub})])
+                      for i in range(0, ${PipelineQueries.PqSub})]) AS BIGINT) AS maxsim6
+             FROM q0, qs WHERE q0.vec_id != qs.q_id),
+      r AS (SELECT q_id, vec_id, maxsim6,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY maxsim6 DESC, vec_id) AS rk
+            FROM sc)
+      SELECT q_id, rk, vec_id, maxsim6 FROM r WHERE rk <= ${PipelineQueries.MaxSimK}
+      ORDER BY q_id, rk""",
+
     // two FIXED-POINT Lloyd iterations from the IVF literal seeds: vectors
     // quantized once to shifted 1e-6 integer units (per-element single IEEE
     // ops — bit-identical in any engine), then argmin-L2 assignment, HALF_UP

@@ -668,6 +668,53 @@ object PipelineQueries {
       .orderBy(col("query_id"), col("rk"))
   }
 
+  // ---- V9: multi-vector MaxSim late interaction (ColBERT-style) ------------
+
+  val MaxSimK = 5
+
+  /** ColBERT-style late interaction (Khattab & Zaharia 2020,
+    * arXiv:2004.12832): query and document are BAGS of sub-vectors and
+    * relevance is Σ_i max_j ⟨q_i, d_j⟩ — each query part matches its best
+    * document part, which is what distinguishes reranking from the v1–v7
+    * single-vector ladder. Here every 64-d embedding is read as its
+    * [[PqSub]]×[[PqDim]] sub-vector bag (the v6 geometry), queries are
+    * `vec_id < 3`, and each component is quantized once to 1e-3 integer
+    * units (`floor(x·1000 + 0.5)` — a single IEEE multiply+floor, the
+    * v4/v5/v6 pattern), so every dot, max and sum after that is exact
+    * long arithmetic in 1e-6 units: no engine's float-summation order can
+    * perturb the ranking or the hashed score.
+    *
+    * Scale shape: the 3×64 quantized query bag broadcasts; the corpus is
+    * scanned once, scored in place (512 integer multiplies per pair, all
+    * inside the scan stage) and reduced by the o2 two-phase top-k window.
+    * In a serving stack this is the RERANK tier — it composes behind
+    * v2/v3/v7's candidate generation exactly as d5's verify step does —
+    * but the operator itself is the exact full-scan ground truth, v1's
+    * role in the dense ladder. */
+  val v9MaxsimRerank: Q = (spark, dir) => {
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(cast(x as double) * 1000.0 + 0.5) as bigint))")
+          .as("u"))
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("u").as("qu"))
+    val S = PqSub
+    val D = PqDim
+    val score = expr(
+      s"""aggregate(sequence(0, ${S - 1}), 0L, (acc, i) -> acc +
+         |  array_max(transform(sequence(0, ${S - 1}), j ->
+         |    aggregate(sequence(0, ${D - 1}), 0L,
+         |      (a, k) -> a + qu[i * $D + k] * u[j * $D + k]))))""".stripMargin)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("maxsim6").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("maxsim6", score)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxSimK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("maxsim6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -1809,6 +1856,7 @@ object PipelineQueries {
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v8_bm25" -> v8Bm25,
+    "v9_maxsim_rerank" -> v9MaxsimRerank,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

@@ -214,6 +214,16 @@ class PlanSpec extends SparkSpec {
       s"only the matched-digest distinct may shuffle, got $shuffles\n${p.take(1200)}")
   }
 
+  test("v9: query bag broadcasts and the top-k pre-limits before the rank shuffle") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v9MaxsimRerank)
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"the 3-row query bag must be the broadcast build side\n${p.take(1200)}")
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits == 2,
+      s"two-phase top-k: partial WindowGroupLimit before the shuffle + final, got $limits\n${p.take(1200)}")
+  }
+
   test("v8: the query-term and df joins broadcast — the posting table never sort-merges") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.v8Bm25)
