@@ -614,6 +614,36 @@ object PipelineOracles {
              round(CAST(SUM(covered) AS DOUBLE) / n_words, 6) AS dup_ratio
       FROM c GROUP BY doc_id, n_words ORDER BY doc_id""",
 
+    // linear quality model in exact integer arithmetic: every division has
+    // a non-negative numerator, so DuckDB's floor-div `//` agrees with
+    // Spark's trunc-div; the 'g' flag makes regexp_replace global like
+    // Spark's default
+    "t19_quality_model" -> s"""
+      WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len_c,
+                        string_split(lower(text), ' ') AS w
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   len(list_filter(w, x -> x IN ${inList(PipelineQueries.StopEn)}))
+                     * 1000000 // len(w) AS f_stop6,
+                   (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+                     * 1000000 // greatest(len_c, 1) AS f_sym6
+            FROM d),
+      g AS (SELECT *, ${PipelineQueries.T19WStop} * f_stop6
+                      - (abs(f_meanlen6 - ${PipelineQueries.T19MeanTarget})
+                         // ${PipelineQueries.T19MeanDiv})
+                      - ${PipelineQueries.T19WSym} * f_sym6
+                      + ${PipelineQueries.T19WLen}
+                        * least(n_words, ${PipelineQueries.T19LenCap})
+                      - ${PipelineQueries.T19Intercept} AS logit6
+            FROM f)
+      SELECT doc_id, n_words, f_stop6, f_meanlen6, f_sym6, logit6,
+             logit6 > 0 AS keep,
+             CASE WHEN logit6 >= ${PipelineQueries.T19HiThresh} THEN 'hi'
+                  WHEN logit6 >= 0 THEN 'mid' ELSE 'lo' END AS bucket
+      FROM g ORDER BY doc_id""",
+
     // incremental dedup: the Bloom prefilter is invisible here by design —
     // the admitted set equals the plain within-batch-dedup + anti-join,
     // for any filter contents (no false negatives; positives get an exact

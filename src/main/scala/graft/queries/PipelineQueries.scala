@@ -1389,6 +1389,62 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T19: fixed-weight quality classifier (model-based filtering) --------
+
+  /** t19 model constants, shared with the oracle verbatim: integer weights
+    * over 1e-6 fixed-point features. The VALUES are stand-ins for a
+    * trained model's (fastText-style quality filters — CCNet, Gopher,
+    * RedPajama — ship learned weights; the engine's job is the
+    * featurization + scoring shape, and literal weights keep the oracle
+    * exact). Calibrated so the fixture corpus splits into all three
+    * buckets. */
+  val T19WStop = 4L
+  val T19MeanTarget = 4500000L
+  val T19MeanDiv = 4L
+  val T19WSym = 2L
+  val T19WLen = 8000L
+  val T19LenCap = 50L
+  val T19Intercept = 300000L
+  val T19HiThresh = 300000L
+
+  /** Model-based quality scoring — the learned-filter stage of a curation
+    * stack (CCNet's fastText LM filter, RedPajama's quality classifier),
+    * distinct from t1's hand-rule score: featurize each document into
+    * 1e-6 fixed-point ratios (stopword density, mean word length,
+    * symbol density, capped length) and apply a literal linear model
+    * ENTIRELY in integer arithmetic — logit, keep decision and hi/mid/lo
+    * bucket are exact in any engine (every division has a non-negative
+    * numerator, so trunc-div ≡ floor-div and Spark's `div` agrees with
+    * DuckDB's `//`).
+    *
+    * Scale shape: map-only — one projection in the scan stage, no
+    * shuffle but the output sort; the stopword-membership lambda is the
+    * one interpreted piece (t1/t2's trade-off), behind [[fanOut]] so
+    * parallelism is never capped by input file count. Swapping in real
+    * trained weights changes the literals, not the plan. */
+  val t19QualityModel: Q = (spark, dir) =>
+    fanOut(spark, t(spark, dir, "documents"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("len_c", length(col("text")).cast(LongType))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("f_stop6",
+        expr(s"size(filter(w, x -> x in ${inList(StopEn)})) * 1000000L div n_words"))
+      .withColumn("f_meanlen6", expr("(len_c - (n_words - 1)) * 1000000L div n_words"))
+      .withColumn("f_sym6",
+        expr("length(regexp_replace(text, '[A-Za-z0-9 ]', '')) * 1000000L div greatest(len_c, 1L)"))
+      .withColumn("logit6",
+        expr(s"""$T19WStop * f_stop6 - (abs(f_meanlen6 - ${T19MeanTarget}L) div $T19MeanDiv)
+                | - $T19WSym * f_sym6 + $T19WLen * least(n_words, $T19LenCap)
+                | - $T19Intercept""".stripMargin))
+      .withColumn("keep", col("logit6") > 0)
+      .withColumn("bucket",
+        when(col("logit6") >= T19HiThresh, lit("hi"))
+          .when(col("logit6") >= 0, lit("mid"))
+          .otherwise(lit("lo")))
+      .select(col("doc_id"), col("n_words"), col("f_stop6"), col("f_meanlen6"),
+        col("f_sym6"), col("logit6"), col("keep"), col("bucket"))
+      .orderBy(col("doc_id"))
+
   // ---- D9: incremental batch-vs-corpus dedup (Bloom-prefiltered) -----------
 
   /** Batch stripe: docs with `doc_id % D9Mod == 0` play "today's crawl";
@@ -1840,6 +1896,7 @@ object PipelineQueries {
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
     "t18_bpe_pairs" -> t18BpePairs,
+    "t19_quality_model" -> t19QualityModel,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,

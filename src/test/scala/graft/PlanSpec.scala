@@ -214,6 +214,14 @@ class PlanSpec extends SparkSpec {
       s"only the matched-digest distinct may shuffle, got $shuffles\n${p.take(1200)}")
   }
 
+  test("t19: the quality model is map-only — no shuffle ahead of the output sort") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t19QualityModel)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"featurize+score must stay in the scan stage, got $shuffles shuffles\n${p.take(1200)}")
+  }
+
   test("v9: query bag broadcasts and the top-k pre-limits before the rank shuffle") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.v9MaxsimRerank)
