@@ -72,11 +72,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (worstName, worst) = results.maxBy(_._2)
-    // headline numbers FIRST: the driver's artifact clips long stdout tails,
-    // so total/worst must sit at the head of the line to always survive
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
     println(line)
+    // The driver's artifact keeps the END of stdout and clips the head, so
+    // a long line loses whatever is printed first (BENCH_r05's tail started
+    // mid-map and parsed as null). Print a SECOND, short summary line after
+    // the full one: short enough to always sit inside the preserved tail,
+    // and last so a line-oriented parser picks it up. Top slowest queries
+    // ride along; the complete per-query map lives in the full line above
+    // and in target/bench.json.
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$slowest}""")
     // persist the full line so every per-query number survives the round
     // (BENCH_r03 lost its first 10 alphabetical entries to a 2000-char cut)
     try {

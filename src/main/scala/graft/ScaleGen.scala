@@ -46,12 +46,12 @@ object ScaleGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // events ships a TIMESTAMP(NANOS) parquet column Spark can't read as
-    // TimestampType — read the physical INT64 through the same raw schema
-    // the engine's shim uses; the copy keeps nanos
+    // events' physical ts type has varied across driver data drops (INT64
+    // nanos vs timestamp[us]) — go through the engine's type-aware shim so
+    // the tier is generated from correct timestamps either way; the copy
+    // is written as timestamp[us], which the same shim reads back directly
     def read(t: String) =
-      if (t == "events")
-        spark.read.schema(Sources.eventsRawSchema).parquet(s"$in/$t.parquet")
+      if (t == "events") Sources.readEvents(spark, s"$in/$t.parquet")
       else spark.read.parquet(s"$in/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$out/$t.parquet")

@@ -52,9 +52,9 @@ object Sources {
     StructField("timestamp", TimestampType),
     StructField("price", DoubleType)))
 
-  /** `events` ships with a nanosecond parquet timestamp, which Spark's
-    * TimestampType (µs) cannot read directly; read the physical INT64 and
-    * truncate ns → µs (exact for every comparison at ms/date granularity). */
+  /** Raw shape of `events` when the file carries ts as a physical INT64 of
+    * nanoseconds since epoch (a TIMESTAMP(NANOS) parquet column Spark's
+    * µs TimestampType cannot read directly). */
   private[graft] val eventsRawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // nanos since epoch
@@ -63,14 +63,35 @@ object Sources {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Type-aware `events` reader. The driver's testdata has shipped ts as
+    * both INT64 nanos (rounds 1-4) and timestamp[us] (round 5+); forcing
+    * either shape onto the other silently corrupts every timestamp (µs
+    * values re-divided by 1000 collapse into Jan 1970). Branch on the
+    * parquet footer's physical type — never guess:
+    *  - INT64            → read raw, truncate ns → µs (exact at ms grain);
+    *  - timestamp[us/ns-adjusted] → read directly, cast to TimestampType
+    *    (identity under the UTC session timezone whether the footer is
+    *    inferred as TIMESTAMP or TIMESTAMP_NTZ). */
+  private[graft] def readEvents(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val footer = spark.read.parquet(path).schema
+    footer("ts").dataType match {
+      case LongType =>
+        spark.read.schema(eventsRawSchema).parquet(path)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampType | _: TimestampNTZType =>
+        spark.read.schema(footer).parquet(path)
+          .withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        sys.error(s"events.ts has unsupported physical type $other at $path")
+    }
+  }
+
   /** Driver stand-in tables: `<dir>/<name>.parquet`. */
   def testdata(spark: SparkSession, dir: String): Sources =
     Sources {
-      case "events" =>
-        import org.apache.spark.sql.functions._
-        spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case name => spark.read.parquet(s"$dir/$name.parquet")
+      case "events" => readEvents(spark, s"$dir/events.parquet")
+      case name     => spark.read.parquet(s"$dir/$name.parquet")
     }
 
   /** DeepBook-shaped sources rooted at `dir`, schema-enforced. */
