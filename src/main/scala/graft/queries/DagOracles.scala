@@ -272,5 +272,14 @@ object DagOracles {
              |                     AS version
              |            FROM s)
              |      SELECT k, version, st, ts AS valid_from_ms, vt AS valid_to_ms
-             |      FROM d ORDER BY k, version""".stripMargin)
+             |      FROM d ORDER BY k, version""".stripMargin,
+        // streaming watermarked dropDuplicates vs the raw fixture log: the
+        // fixture events are unique on (transaction_digest, event_index),
+        // so exactly-once emission under redelivery means the sink equals
+        // the log itself — one extra or missing row breaks the hash
+        "dag_stream_dedup" ->
+          s"""SELECT transaction_digest, event_index, timestamp_ms, sender,
+             |       event_type, event_json
+             |FROM $eventsSrc
+             |ORDER BY transaction_digest, event_index""".stripMargin)
 }

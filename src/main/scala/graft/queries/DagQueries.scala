@@ -258,6 +258,58 @@ object DagQueries {
     }
   }
 
+  /** Watermarked streaming dedup inside the hard gate: the fixture events
+    * replay time-ordered as three MemoryStream micro-batches — batch 2
+    * REDELIVERS the tail of batch 1 — through
+    * [[graft.streaming.StreamingIngest.dedupEvents]] (event-time watermark
+    * + stateful `dropDuplicates` on the event key) into Spark's native
+    * parquet streaming file sink. The sink output must contain every
+    * fixture event EXACTLY once: the redelivered rows sit inside the
+    * 1-day lateness horizon, so the dedup state drops them before they
+    * reach the sink. This gates the state-store dedup surface itself —
+    * unlike dag_stream_ingest, no downstream merge is there to absorb a
+    * duplicate the operator lets through. */
+  val streamDedupQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // time-ordered feed: the watermark advances monotonically across
+    // batches, so the only rows behind it are the deliberate redeliveries
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-dagdedup").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagdedup-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](62, spark)
+      val q = graft.streaming.StreamingIngest.dedupEvents(input.toDF())
+        .drop("event_time")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/log")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        // batch 2 redelivers the tail of batch 1 — the dedup state, not a
+        // sink merge, must swallow the duplicates
+        input.addData(rows.slice(third - 10, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.schema(Sources.suiEventsSchema).parquet(s"$root/log")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
@@ -270,5 +322,6 @@ object DagQueries {
         "dag_fct_skipread" -> fctSkipReadQ,
         "dag_append_log" -> appendLogQ,
         "dag_stream_ingest" -> streamIngestQ,
-        "dag_stream_scd2" -> streamScd2Q)
+        "dag_stream_scd2" -> streamScd2Q,
+        "dag_stream_dedup" -> streamDedupQ)
 }

@@ -660,6 +660,79 @@ object PipelineOracles {
                           AND c.text = bd.text)
       ORDER BY doc_id""",
 
+    // Gopher hard rules: every ratio is 1e-6 fixed-point with non-negative
+    // numerators, so DuckDB's floor-div `//` agrees with Spark's trunc-div
+    // and each boolean flag compares exactly
+    "t20_gopher_rules" -> s"""
+      WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len_c,
+                        string_split(lower(text), ' ') AS w
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                   len(list_distinct(w)) * 1000000 // len(w) AS ttr6,
+                   CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS BIGINT)
+                     AS n_stop
+            FROM d),
+      g AS (SELECT *,
+                   n_words >= ${T20MinWords} AND n_words <= ${T20MaxWords}
+                     AS r_wordcount,
+                   f_meanlen6 >= ${T20MeanLo} AND f_meanlen6 <= ${T20MeanHi}
+                     AS r_meanlen,
+                   ttr6 >= ${T20TtrMin} AS r_ttr,
+                   n_stop >= ${T20MinStop} AS r_stop
+            FROM f)
+      SELECT doc_id, n_words, f_meanlen6, ttr6, n_stop,
+             r_wordcount, r_meanlen, r_ttr, r_stop,
+             r_wordcount AND r_meanlen AND r_ttr AND r_stop AS pass
+      FROM g ORDER BY doc_id""",
+
+    // per-source quota: the cap is integer arithmetic over the source's
+    // own count, the rank a deterministic (n_chars desc, doc_id) order
+    "d10_source_quota" -> s"""
+      WITH c AS (SELECT source, count(*) AS n_docs,
+                        greatest(${D10CapMin}, count(*) * ${D10CapPct} // 100)
+                          AS cap
+                 FROM documents GROUP BY source),
+      r AS (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM documents)
+      SELECT r.source, r.doc_id, r.n_chars, r.rk, c.n_docs, c.cap
+      FROM r JOIN c USING (source)
+      WHERE r.rk <= c.cap
+      ORDER BY r.source, r.rk""",
+
+    // Matryoshka two-stage retrieval: the prefix shortlist and the
+    // full-precision rerank are both recomputed exactly; the v1 rounding
+    // convention (6 dp) absorbs summation-order ULPs on both scores
+    "v10_matryoshka" -> s"""
+      WITH $embCte,
+      p AS (SELECT vec_id, v[1:${MatDims}] AS p,
+                   sqrt(list_sum(list_transform(v[1:${MatDims}], x -> x*x))) AS pn
+            FROM n),
+      q AS (SELECT vec_id AS q_id, p AS qp, pn AS qpn FROM p WHERE vec_id < 5),
+      s AS (SELECT q.q_id, p.vec_id,
+                   round(list_sum(list_transform(range(1, ${MatDims} + 1),
+                           i -> p.p[i] * q.qp[i])) / (p.pn * q.qpn), 6) AS pcos
+            FROM p, q WHERE p.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, pcos,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY pcos DESC, vec_id) AS prk
+            FROM s),
+      sh AS (SELECT q_id, vec_id, pcos FROM r WHERE prk <= ${MatShortlist}),
+      f AS (SELECT sh.q_id, sh.vec_id, sh.pcos,
+                   round(list_sum(list_transform(range(1, len(d.v) + 1),
+                           i -> d.v[i] * qn.v[i])) / (d.nrm * qn.nrm), 6) AS cosine
+            FROM sh JOIN n d ON d.vec_id = sh.vec_id
+                    JOIN n qn ON qn.vec_id = sh.q_id),
+      rr AS (SELECT q_id, vec_id, pcos, cosine,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM f)
+      SELECT q_id, rk, vec_id, pcos, cosine FROM rr
+      WHERE rk <= ${MatK} ORDER BY q_id, rk""",
+
     "t8_decontaminate" -> s"""
       WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       g AS (SELECT doc_id,

@@ -715,6 +715,63 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V10: Matryoshka two-stage retrieval (prefix filter + full rerank) ---
+
+  /** Leading dims scored in the cheap first pass. */
+  val MatDims = 16
+  /** Shortlist size the full-precision rerank receives per query. */
+  val MatShortlist = 20
+  /** Final neighbours returned per query. */
+  val MatK = 5
+
+  /** Two-stage dense retrieval over nested ("Matryoshka", Kusupati et al.
+    * 2022, arXiv:2205.13147) representations: stage 1 ranks the corpus by
+    * cosine over only the first [[MatDims]] of 64 dimensions and keeps a
+    * [[MatShortlist]]-deep shortlist per query; stage 2 re-scores JUST the
+    * shortlist with the full vector and returns the top [[MatK]]. The
+    * operator emits both scores, so the output exhibits the re-ordering
+    * the full-precision pass exists to correct.
+    *
+    * Scale shape — the point is WHERE the bytes live: the stage-1 frame
+    * carries a 4×-narrower prefix projection (at 100 TB the prefix tier is
+    * its own column/index file; here column pruning inside the same scan),
+    * so the corpus-sized cross-score touches a quarter of the vector
+    * bytes. Full 64-d vectors are read only by the shortlist fetch — a
+    * broadcast semi-equi-join of |queries|×[[MatShortlist]] ids INTO the
+    * corpus scan — so full-precision work is shortlist-sized, never
+    * corpus-sized. Both rank stages are the o2 two-phase top-k (partial
+    * WindowGroupLimit heaps before any shuffle). The same plan serves
+    * 1000 executors: broadcast query side, broadcast shortlist, no
+    * corpus shuffle except the two bounded rank exchanges. */
+  val v10MatryoshkaRerank: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val full = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+    val prefix = full
+      .select(col("vec_id"), expr(s"slice(v, 1, $MatDims)").as("p"))
+      .withColumn("pn", expr("sqrt(vector_dot(p, p))"))
+    val qp = prefix.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pn").as("qpn"))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id"))
+    val shortlist = prefix.crossJoin(broadcast(qp))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("pcos", round(expr("vector_dot(p, qp)") / (col("pn") * col("qpn")), 6))
+      .withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= MatShortlist)
+      .select(col("q_id"), col("vec_id"), col("pcos"))
+    val qf = full.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wFull = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    full.join(broadcast(shortlist), "vec_id") // full vectors: shortlist rows only
+      .join(broadcast(qf), "q_id")
+      .withColumn("cosine", round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(wFull))
+      .filter(col("rk") <= MatK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("pcos"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -1445,6 +1502,97 @@ object PipelineQueries {
         col("f_sym6"), col("logit6"), col("keep"), col("bucket"))
       .orderBy(col("doc_id"))
 
+  // ---- T20: Gopher rule filter (hard document-quality gates) ---------------
+
+  /** t20 rule thresholds, shared with the oracle verbatim. Word-count
+    * bounds, a mean-word-length band and a type–token-ratio floor in 1e-6
+    * fixed point, and a minimum stopword count — each calibrated so the
+    * fixture corpus genuinely splits on every rule (word counts span
+    * 10–99, mean lengths 3.7–5.3, TTR 0.28–1.0). */
+  val T20MinWords = 30L
+  val T20MaxWords = 90L
+  val T20MeanLo = 4000000L
+  val T20MeanHi = 5000000L
+  val T20TtrMin = 400000L
+  val T20MinStop = 2L
+
+  /** Gopher-style RULE filtering (Rae et al. 2021, arXiv:2112.11446 §A1.1)
+    * — the hard-gate sibling of t19's learned model: each document gets a
+    * named boolean per rule (word count in [[[T20MinWords]],[[T20MaxWords]]],
+    * mean word length in the [[[T20MeanLo]],[[T20MeanHi]]] band,
+    * type–token ratio ≥ [[T20TtrMin]], ≥ [[T20MinStop]] stopword
+    * occurrences) plus the conjunction `pass`. Emitting the per-rule flags
+    * — not just the verdict — is the operator's point: corpus curation
+    * audits WHICH rule rejected a document. All ratios are 1e-6
+    * fixed-point with non-negative numerators, so trunc-div ≡ floor-div
+    * and no engine rounding policy can flip a flag.
+    *
+    * Scale shape: map-only — featurize and gate in the scan stage, no
+    * shuffle before the output sort; the stopword-membership and distinct
+    * lambdas stay per-row (t19's trade-off) behind [[fanOut]]. */
+  val t20GopherRules: Q = (spark, dir) =>
+    fanOut(spark, t(spark, dir, "documents"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .withColumn("len_c", length(col("text")).cast(LongType))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .withColumn("f_meanlen6", expr("(len_c - (n_words - 1)) * 1000000L div n_words"))
+      .withColumn("ttr6",
+        expr("size(array_distinct(w)) * 1000000L div n_words"))
+      .withColumn("n_stop",
+        expr(s"size(filter(w, x -> x in ${inList(StopEn)}))").cast(LongType))
+      .withColumn("r_wordcount",
+        col("n_words") >= T20MinWords && col("n_words") <= T20MaxWords)
+      .withColumn("r_meanlen",
+        col("f_meanlen6") >= T20MeanLo && col("f_meanlen6") <= T20MeanHi)
+      .withColumn("r_ttr", col("ttr6") >= T20TtrMin)
+      .withColumn("r_stop", col("n_stop") >= T20MinStop)
+      .withColumn("pass",
+        col("r_wordcount") && col("r_meanlen") && col("r_ttr") && col("r_stop"))
+      .select(col("doc_id"), col("n_words"), col("f_meanlen6"), col("ttr6"),
+        col("n_stop"), col("r_wordcount"), col("r_meanlen"), col("r_ttr"),
+        col("r_stop"), col("pass"))
+      .orderBy(col("doc_id"))
+
+  // ---- D10: per-source quota curation (domain balancing) -------------------
+
+  /** Quota policy, shared with the oracle verbatim: a source keeps at most
+    * `max(D10CapMin, n_docs × D10CapPct ÷ 100)` documents. */
+  val D10CapPct = 20L
+  val D10CapMin = 5L
+
+  /** Per-source document quotas — the domain-balancing step of web-corpus
+    * curation (C4 / RefinedWeb cap per-domain contributions so no host
+    * dominates the mixture): rank each source's documents by a
+    * deterministic preference (longest first, doc_id tiebreak) and keep
+    * rank ≤ cap, where the cap is data-dependent (a floor of [[D10CapMin]]
+    * or [[D10CapPct]] % of the source's volume, integer arithmetic).
+    *
+    * Scale shape: the cap table is |sources|-sized (domains, not
+    * documents) — one map-side-combined count, broadcast back, so the
+    * keep predicate is evaluated in the corpus scan's stage after the
+    * per-source rank. The rank itself is the one real shuffle (hash by
+    * source). A mega-domain skewing that window is the known failure mode
+    * at 100 TB; the o2 salted two-phase top-k is the drop-in mitigation
+    * once a cap ≪ domain size — kept out of this plan because quota
+    * caps are PERCENTAGE-of-volume here, so every row of the skewed
+    * domain survives ranking anyway and salting would only add a second
+    * shuffle of the same rows. */
+  val d10SourceQuota: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val caps = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap",
+        greatest(lit(D10CapMin), expr(s"n_docs * $D10CapPct div 100")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(caps), "source")
+      .filter(col("rk") <= col("cap"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
+        col("n_docs"), col("cap"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   // ---- D9: incremental batch-vs-corpus dedup (Bloom-prefiltered) -----------
 
   /** Batch stripe: docs with `doc_id % D9Mod == 0` play "today's crawl";
@@ -1897,6 +2045,8 @@ object PipelineQueries {
     "t15_lm_score" -> t15LmScore,
     "t18_bpe_pairs" -> t18BpePairs,
     "t19_quality_model" -> t19QualityModel,
+    "t20_gopher_rules" -> t20GopherRules,
+    "d10_source_quota" -> d10SourceQuota,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
@@ -1914,6 +2064,7 @@ object PipelineQueries {
     "v7_ivfpq" -> v7IvfPq,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
+    "v10_matryoshka" -> v10MatryoshkaRerank,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

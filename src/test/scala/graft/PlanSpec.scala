@@ -258,6 +258,38 @@ class PlanSpec extends SparkSpec {
       s"the tercile + packing prefix sums must range-partition, never a global window\n${p.take(1600)}")
   }
 
+  test("v10: one broadcast cross for stage 1; shortlist and queries broadcast-hash into stage 2; both top-ks pre-limit") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v10MatryoshkaRerank)
+    // exactly ONE nested-loop node: the stage-1 query-side broadcast cross
+    // (v1's pattern). A second would mean the shortlist fetch degenerated.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1 &&
+      !p.contains("CartesianProduct"), p.take(1200))
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2,
+      s"shortlist ids and full query vectors must broadcast into the fetch\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+    assert("WindowGroupLimit".r.findAllIn(p).length == 4,
+      s"both rank stages must run the two-phase top-k (partial + final limits)\n${p.take(1200)}")
+  }
+
+  test("d10: the |sources|-sized cap table broadcasts back — corpus rows shuffle only for the rank") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.d10SourceQuota)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the quota join must never shuffle the corpus side\n${p.take(1200)}")
+    assert(p.contains("windowspecdefinition(source"),
+      s"the rank must partition by source\n${p.take(1200)}")
+  }
+
+  test("t20: the rule gate is map-only — no shuffle ahead of the output sort") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t20GopherRules)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 0,
+      s"featurize+gate must stay in the scan stage, got $shuffles shuffles\n${p.take(1200)}")
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
