@@ -703,6 +703,29 @@ object PipelineOracles {
       WHERE r.rk <= c.cap
       ORDER BY r.source, r.rk""",
 
+    // filtered ANN: exact recomputation over the label-filtered candidate
+    // sets; the target label is the same (q + 3) % 10 literal rule
+    "v11_filtered_ann" -> s"""
+      WITH e AS (SELECT vec_id, label,
+                        list_transform(embedding, x -> x::DOUBLE) AS v
+                 FROM embeddings),
+      n AS (SELECT vec_id, label, v,
+                   sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+            FROM e),
+      q AS (SELECT vec_id AS q_id, (vec_id + 3) % 10 AS want,
+                   v AS qv, nrm AS qn
+            FROM n WHERE vec_id < 5),
+      s AS (SELECT q.q_id, n.vec_id, n.label,
+                   round(list_sum(list_transform(range(1, len(n.v) + 1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+            FROM n JOIN q ON n.label = q.want AND n.vec_id != q.q_id),
+      r AS (SELECT q_id, vec_id, label, cosine,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cosine DESC, vec_id) AS rk
+            FROM s)
+      SELECT q_id, rk, vec_id, label, cosine FROM r
+      WHERE rk <= ${FannK} ORDER BY q_id, rk""",
+
     // Matryoshka two-stage retrieval: the prefix shortlist and the
     // full-precision rerank are both recomputed exactly; the v1 rounding
     // convention (6 dp) absorbs summation-order ULPs on both scores

@@ -772,6 +772,53 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V11: filtered ANN (metadata predicate + similarity, pre-filtered) ---
+
+  /** Neighbours returned per filtered query. */
+  val FannK = 5
+  /** Target label per query id q: `(q + 3) % 10` — deterministic, shared
+    * with the oracle; the resulting literal label set prunes the scan. */
+  val FannLabels: Seq[Int] = (0 until 5).map(q => (q + 3) % 10)
+
+  /** Metadata-FILTERED similarity search — the operator every vector
+    * store grows next (pgvector/FAISS+filter/Milvus "filtered search"):
+    * each query wants its top-[[FannK]] neighbours AMONG vectors carrying
+    * a target label only. This is the PRE-filter strategy: the label
+    * predicate applies before any scoring, so recall over the filtered
+    * set is exact — post-filtering an unfiltered ANN top-k instead can
+    * return < k or miss qualifying neighbours entirely when the filter is
+    * selective.
+    *
+    * Scale shape: the literal label set pushes into the parquet scan
+    * (PushedFilters — row groups without matching labels never
+    * decompress; plan-pinned), and the query side joins on `label =
+    * want`, an EQUI-join, so each query scores exactly its own label's
+    * candidates — there is no query × corpus cross stage at all, unlike
+    * v1's deliberate baseline cross. Broadcast query side, two-phase
+    * top-k, one bounded rank shuffle: the filtered path is structurally
+    * CHEAPER than unfiltered brute force, as it should be. */
+  val v11FilteredAnn: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val full = t(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+    val q = full.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        ((col("vec_id") + 3) % 10).as("want"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    full
+      .filter(col("label").isin(FannLabels: _*)) // pushed to the scan
+      .join(broadcast(q), col("label") === col("want"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cosine", round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= FannK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cosine"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -2065,6 +2112,7 @@ object PipelineQueries {
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
     "v10_matryoshka" -> v10MatryoshkaRerank,
+    "v11_filtered_ann" -> v11FilteredAnn,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

@@ -272,6 +272,18 @@ class PlanSpec extends SparkSpec {
       s"both rank stages must run the two-phase top-k (partial + final limits)\n${p.take(1200)}")
   }
 
+  test("v11: the label filter pushes to the scan; scoring is a label equi-join — no cross stage") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v11FilteredAnn)
+    assert(p.contains("In(label, [3,4,5,6,7])"),
+      s"the literal label set must reach the parquet scan as a pushed filter\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pre-filtered search must never cross the corpus with the query side\n${p.take(1200)}")
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2,
+      s"the rank must pre-limit before its shuffle\n${p.take(1200)}")
+  }
+
   test("d10: the |sources|-sized cap table broadcasts back — corpus rows shuffle only for the rank") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.d10SourceQuota)
