@@ -281,5 +281,17 @@ object DagOracles {
           s"""SELECT transaction_digest, event_index, timestamp_ms, sender,
              |       event_type, event_json
              |FROM $eventsSrc
-             |ORDER BY transaction_digest, event_index""".stripMargin)
+             |ORDER BY transaction_digest, event_index""".stripMargin,
+        // watermarked tumbling-window streaming agg vs the one-shot batch
+        // aggregation of the raw log: every real window must have flushed
+        // (the sentinel advanced the watermark past them), and fixture
+        // numerics are integer-valued so the double sums are exact
+        "dag_stream_daily" ->
+          s"""SELECT ${msToDate("timestamp_ms")} AS snapshot_date, event_type,
+             |       sum(coalesce(TRY_CAST(json_extract_string(event_json,
+             |             '$$.supply_amount') AS DOUBLE), 0.0)) AS volume,
+             |       count(*) AS n_events
+             |FROM $eventsSrc
+             |GROUP BY 1, 2
+             |ORDER BY snapshot_date, event_type""".stripMargin)
 }

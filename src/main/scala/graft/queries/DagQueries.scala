@@ -310,6 +310,65 @@ object DagQueries {
     }
   }
 
+  /** The `volume` expression [[streamDailyQ]] aggregates — integer-valued
+    * in the fixtures, so double sums are exact in any engine (the
+    * DagOracles rule). Events without the field contribute 0. */
+  private val dailyValueExpr =
+    "coalesce(try_cast(get_json_object(event_json, '$.supply_amount') as double), 0.0d)"
+
+  /** Watermarked tumbling-window aggregation inside the hard gate: the
+    * fixture events replay time-ordered as three micro-batches through
+    * [[graft.streaming.StreamingIngest.dailyVolumes]] (event-time
+    * watermark, 1-day windows, append mode into the parquet file sink).
+    * Append mode only emits a window once the watermark passes its end —
+    * the part no batch query exercises — so a fourth, single-row SENTINEL
+    * batch (far-future timestamp, synthetic event_type) advances the
+    * watermark past every real window's end + lateness; the sentinel's
+    * own window can never flush (the watermark never passes it), so it
+    * is absent from the sink by the operator's own semantics, not by a
+    * filter. The flushed windows must hash-match DuckDB's one-shot
+    * day × event_type aggregation of the raw fixture log. */
+  val streamDailyQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val sentinel = Row("graft-watermark-sentinel", 0L,
+      rows.map(_.getLong(2)).max + 10L * 24 * 3600 * 1000,
+      "sentinel", "graft_sentinel", "{}")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagdaily").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagdaily-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](63, spark)
+      val q = graft.streaming.StreamingIngest.dailyVolumes(input.toDF(), dailyValueExpr)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/daily")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        input.addData(rows.slice(third, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+        input.addData(Seq(sentinel)) // advances the watermark; never flushes
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/daily")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("snapshot_date", "event_type")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
@@ -323,5 +382,6 @@ object DagQueries {
         "dag_append_log" -> appendLogQ,
         "dag_stream_ingest" -> streamIngestQ,
         "dag_stream_scd2" -> streamScd2Q,
-        "dag_stream_dedup" -> streamDedupQ)
+        "dag_stream_dedup" -> streamDedupQ,
+        "dag_stream_daily" -> streamDailyQ)
 }

@@ -703,6 +703,26 @@ object PipelineOracles {
       WHERE r.rk <= c.cap
       ORDER BY r.source, r.rk""",
 
+    // per-source drift: the L1 runs over the FULL source×lang grid (absent
+    // languages contribute the corpus share); non-negative numerators keep
+    // DuckDB's floor-div identical to Spark's trunc-div
+    "k3_source_drift" -> """
+      WITH sl AS (SELECT source, lang, count(*) AS n_sl
+                  FROM documents GROUP BY source, lang),
+      s AS (SELECT source, sum(n_sl) AS n_src FROM sl GROUP BY source),
+      l AS (SELECT lang, sum(n_sl) AS n_lang FROM sl GROUP BY lang),
+      t AS (SELECT sum(n_sl) AS n_total FROM sl),
+      x AS (SELECT s.source, s.n_src, l.lang, l.n_lang,
+                   coalesce(sl.n_sl, 0) AS n_sl0
+            FROM s CROSS JOIN l
+            LEFT JOIN sl ON sl.source = s.source AND sl.lang = l.lang)
+      SELECT source, CAST(n_src AS BIGINT) AS n_src,
+             CAST(sum(abs(n_sl0 * 1000000 // n_src
+                          - n_lang * 1000000 // (SELECT n_total FROM t)))
+               AS BIGINT) AS l1_drift6,
+             count(*) AS n_langs
+      FROM x GROUP BY source, n_src ORDER BY source""",
+
     // filtered ANN: exact recomputation over the label-filtered candidate
     // sets; the target label is the same (q + 3) % 10 literal rule
     "v11_filtered_ann" -> s"""

@@ -1640,6 +1640,43 @@ object PipelineQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  // ---- K3: per-source distribution drift (mixture monitoring) --------------
+
+  /** Per-source language-mix drift vs the whole corpus — the monitoring
+    * stat a production mixture pipeline alarms on (a crawl source whose
+    * language distribution shifts is the first sign its content changed):
+    * for every source, the L1 distance Σ_l |p(l|source) − p(l)| over the
+    * FULL language domain (languages absent from a source contribute
+    * their corpus share — skipping them understates drift), each share in
+    * 1e-6 fixed point with non-negative numerators so trunc-div ≡
+    * floor-div and the distance is exact in any engine.
+    *
+    * Scale shape: ONE corpus-sized pass — the map-side-combined
+    * (source, lang) count — after which every frame is DOMAIN-sized
+    * (|sources|, |langs|, |sources×langs|): the source and language
+    * marginals re-aggregate the checkpointed count table, the full
+    * source×lang grid is a cross of two aggregated tables, and the joins
+    * broadcast. At 100 TB the corpus still shuffles once, on uniform
+    * (source, lang) keys. */
+  val k3SourceDrift: Q = (spark, dir) => {
+    val sl = t(spark, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+      .localCheckpoint() // domain-sized; feeds four branches below
+    val bySrc = sl.groupBy(col("source")).agg(sum(col("n_sl")).as("n_src"))
+    val byLang = sl.groupBy(col("lang")).agg(sum(col("n_sl")).as("n_lang"))
+    val total = sl.agg(sum(col("n_sl")).as("n_total"))
+    bySrc.crossJoin(broadcast(byLang)) // the full domain grid, |S|×|L| rows
+      .join(broadcast(sl), Seq("source", "lang"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("n_sl0", coalesce(col("n_sl"), lit(0L)))
+      .withColumn("p6", expr("n_sl0 * 1000000L div n_src"))
+      .withColumn("q6", expr("n_lang * 1000000L div n_total"))
+      .groupBy(col("source"), col("n_src"))
+      .agg(sum(abs(col("p6") - col("q6"))).as("l1_drift6"),
+        count(lit(1)).as("n_langs"))
+      .orderBy(col("source"))
+  }
+
   // ---- D9: incremental batch-vs-corpus dedup (Bloom-prefiltered) -----------
 
   /** Batch stripe: docs with `doc_id % D9Mod == 0` play "today's crawl";
@@ -2094,6 +2131,7 @@ object PipelineQueries {
     "t19_quality_model" -> t19QualityModel,
     "t20_gopher_rules" -> t20GopherRules,
     "d10_source_quota" -> d10SourceQuota,
+    "k3_source_drift" -> k3SourceDrift,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
