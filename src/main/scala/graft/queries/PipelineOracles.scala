@@ -746,6 +746,45 @@ object PipelineOracles {
       SELECT q_id, rk, vec_id, label, cosine FROM r
       WHERE rk <= ${FannK} ORDER BY q_id, rk""",
 
+    // recall@5 of the v2 ANN vs the v1 exact baseline: both retrieval
+    // paths are recomputed verbatim (same CTE bodies, renamed), then the
+    // overlap counts and the fixed-point recall compare exactly
+    "v12_recall_eval" -> s"""
+      WITH $embCte,
+      qx AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      sx AS (SELECT qx.q_id, n.vec_id,
+                    round(list_sum(list_transform(range(1, len(n.v)+1),
+                            i -> n.v[i] * qx.qv[i])) / (n.nrm * qx.qn), 6) AS cosine
+             FROM n, qx WHERE n.vec_id != qx.q_id),
+      rx AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM sx),
+      ex AS (SELECT q_id, vec_id FROM rx WHERE rk <= 5),
+      pl AS (SELECT $duckPlanes AS planes),
+      b AS (SELECT vec_id, v, nrm,
+                   list_sum([CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                               i -> v[i] * planes[j+1][i])) > 0
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                             for j in range(0, 8)])::BIGINT AS bucket
+            FROM n, pl),
+      qa AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+             FROM b WHERE vec_id < 5),
+      sa AS (SELECT qa.q_id, b.vec_id,
+                    round(list_sum(list_transform(range(1, len(b.v)+1),
+                            i -> b.v[i] * qa.qv[i])) / (b.nrm * qa.qn), 6) AS cosine
+             FROM b JOIN qa ON b.bucket = qa.q_bucket AND b.vec_id != qa.q_id),
+      ra AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM sa),
+      aa AS (SELECT q_id, vec_id, 1 AS hit FROM ra WHERE rk <= 5)
+      SELECT ex.q_id, count(*) AS k_exact,
+             CAST(count(aa.hit) AS BIGINT) AS n_hit,
+             count(aa.hit) * 1000000 // count(*) AS recall6
+      FROM ex LEFT JOIN aa ON aa.q_id = ex.q_id AND aa.vec_id = ex.vec_id
+      GROUP BY ex.q_id ORDER BY ex.q_id""",
+
     // Matryoshka two-stage retrieval: the prefix shortlist and the
     // full-precision rerank are both recomputed exactly; the v1 rounding
     // convention (6 dp) absorbs summation-order ULPs on both scores

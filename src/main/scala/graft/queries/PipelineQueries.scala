@@ -819,6 +819,34 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V12: ANN recall evaluation (index-quality monitoring) ---------------
+
+  /** Recall@5 of the sign-LSH ANN (v2) against the exact brute-force
+    * baseline (v1), per query — the evaluation operator an ANN deployment
+    * runs continuously (FAISS/ScaNN benchmarks report exactly this):
+    * recall = |ANN top-k ∩ exact top-k| / k, in 1e-6 fixed point. The
+    * operator COMPOSES the two proven retrieval operators rather than
+    * re-deriving either, so the measured number is the recall of the
+    * actual serving path, not of a reimplementation.
+    *
+    * Scale shape: both inputs are top-k outputs — |queries| × k rows —
+    * so everything past the component scans is broadcast-join-sized. In
+    * production the query set is a sample; the evaluation cost is the two
+    * retrieval passes, and the verdict (per-query + aggregate recall)
+    * is what decides nprobe/band re-tuning before anyone ships an
+    * index. */
+  val v12RecallEval: Q = (spark, dir) => {
+    val exact = v1CosineTopk(spark, dir).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ann = v2AnnLsh(spark, dir)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact.join(broadcast(ann), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall6", expr("n_hit * 1000000L div k_exact"))
+      .orderBy(col("q_id"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -2151,6 +2179,7 @@ object PipelineQueries {
     "v9_maxsim_rerank" -> v9MaxsimRerank,
     "v10_matryoshka" -> v10MatryoshkaRerank,
     "v11_filtered_ann" -> v11FilteredAnn,
+    "v12_recall_eval" -> v12RecallEval,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,
