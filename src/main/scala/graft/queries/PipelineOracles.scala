@@ -703,6 +703,39 @@ object PipelineOracles {
       WHERE r.rk <= c.cap
       ORDER BY r.source, r.rk""",
 
+    // cluster-aware split: the d6 recursive-CTE closure supplies the
+    // canonical ids; the bucket is t6's md5 idiom over the group key, so
+    // split membership is exact on both sides
+    "t21_split_leakfree" -> s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE round(jaccard, 6) >= 0.5),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS (SELECT x AS doc_id, MIN(y) AS canonical_id FROM reach GROUP BY x),
+      g AS (SELECT d.doc_id, d.lang,
+                   coalesce(lab.canonical_id, d.doc_id) AS group_key
+            FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+      h AS (SELECT doc_id, lang, group_key,
+                   ('0x' || substr(md5(group_key::VARCHAR), 1, 15))::BIGINT % 100
+                     AS bucket
+            FROM g)
+      SELECT doc_id, lang, group_key, bucket,
+             CASE WHEN bucket < ${T21TrainPct} THEN 'train'
+                  WHEN bucket < ${T21ValPct} THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM h ORDER BY doc_id""",
+
     // per-source drift: the L1 runs over the FULL source×lang grid (absent
     // languages contribute the corpus share); non-negative numerators keep
     // DuckDB's floor-div identical to Spark's trunc-div

@@ -1668,6 +1668,44 @@ object PipelineQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  // ---- T21: leakage-free train/val/test split (cluster-aware) --------------
+
+  /** Split fractions: bucket < 90 → train, < 95 → valid, else test. */
+  val T21TrainPct = 90L
+  val T21ValPct = 95L
+
+  /** Dedup-cluster-aware dataset splitting — the step that makes a
+    * held-out set actually held out: hashing DOCUMENTS into splits leaks
+    * near-duplicates across the train/test boundary (the d2 graph has
+    * hundreds of such pairs in this corpus alone), so the split key is
+    * the document's d6 CANONICAL cluster id (its own id when unclustered).
+    * Every near-dup cluster lands in one split BY CONSTRUCTION — no
+    * post-hoc leakage scan needed — and membership is a deterministic md5
+    * bucket of the key (t6's idiom), so the split is reproducible and
+    * ratio drift is bounded by cluster-size variance, not randomness.
+    *
+    * Scale shape: d6's label table is dup-graph-sized; the join back to
+    * the corpus is a plain equi-join on doc_id (AQE broadcasts it when
+    * small, shuffles when a pathological corpus makes it big); the hash,
+    * bucket and split label are map-side expressions. */
+  val t21SplitLeakfree: Q = (spark, dir) => {
+    val clusters = d6DedupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    t(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("group_key", coalesce(col("canonical_id"), col("doc_id")))
+      .withColumn("bucket", pmod(
+        expr("cast(conv(substring(md5(cast(group_key as string)),1,15),16,10) as bigint)"),
+        lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < T21TrainPct, lit("train"))
+          .when(col("bucket") < T21ValPct, lit("valid"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("lang"), col("group_key"), col("bucket"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- K3: per-source distribution drift (mixture monitoring) --------------
 
   /** Per-source language-mix drift vs the whole corpus — the monitoring
@@ -2160,6 +2198,7 @@ object PipelineQueries {
     "t20_gopher_rules" -> t20GopherRules,
     "d10_source_quota" -> d10SourceQuota,
     "k3_source_drift" -> k3SourceDrift,
+    "t21_split_leakfree" -> t21SplitLeakfree,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
