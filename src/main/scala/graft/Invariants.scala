@@ -53,6 +53,32 @@ object Invariants {
       members.forall { case (_, m) => m.values.map(_._2).toSet == Set(m.size.toLong) }
     }
 
+    // ---- t21: cluster-aware split vs the pair graph ----
+    // (oracle embeds the same all-pairs closure as d6, so past sf0.01 the
+    // leakage guarantee is gated here instead)
+    {
+      val t21 = PipelineQueries.t21SplitLeakfree(spark, sfDir).cache()
+      val splitOf = t21.select(col("doc_id"), col("split")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      check("t21: no near-dup pair straddles a split boundary") {
+        pairs.forall { case (a, b) => splitOf(a) == splitOf(b) }
+      }
+      check("t21: every document is assigned exactly one split") {
+        val n = Sources.testdata(spark, sfDir)("documents").count()
+        t21.count() == n &&
+          t21.select(countDistinct(col("doc_id"))).head.getLong(0) == n
+      }
+      check("t21: split label always matches the bucket arithmetic") {
+        import graft.queries.PipelineQueries.{T21TrainPct, T21ValPct}
+        t21.filter(
+          (col("bucket") < T21TrainPct && col("split") =!= "train") ||
+          (col("bucket") >= T21TrainPct && col("bucket") < T21ValPct
+            && col("split") =!= "valid") ||
+          (col("bucket") >= T21ValPct && col("split") =!= "test")).isEmpty
+      }
+      t21.unpersist()
+    }
+
     // ---- pipe: composition vs standalone stages ----
     val out = CorpusPrep.pipeCorpusPrep(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4)))
