@@ -157,7 +157,40 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** THIRD composed pipeline — hard gates then domain balancing, the
+    * order a web-corpus curation run applies them (`pipe3_gated_quota`):
+    *
+    *   1. RULE GATE — t20's Gopher rules; only `pass` documents survive;
+    *   2. QUOTA — d10's per-source caps recomputed over the SURVIVORS:
+    *      each source's cap is a percentage of its post-gate volume, so a
+    *      source whose documents fail the rules loses quota with them —
+    *      exactly the interaction a per-operator gate cannot see (d10's
+    *      standalone caps come from raw counts).
+    *
+    * Both stages reuse their standalone operators' proven arithmetic, so
+    * the composition hash-matches one chained-CTE oracle. Scale shape is
+    * inherited: the gate is map-only, the cap table is domain-sized and
+    * broadcast, the rank is the one corpus shuffle. */
+  val pipe3GatedQuota: Q = (spark, dir) => {
+    val docs = Sources.testdata(spark, dir)("documents")
+    val pass = t20GopherRules(spark, dir).filter(col("pass")).select("doc_id")
+    val survivors = docs.join(pass, Seq("doc_id"))
+    val caps = survivors.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("cap",
+        greatest(lit(D10CapMin), expr(s"n_docs * $D10CapPct div 100")))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    survivors
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .join(broadcast(caps), "source")
+      .filter(col("rk") <= col("cap"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
+        col("n_docs"), col("cap"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_corpus_prep" -> pipeCorpusPrep,
-    "pipe2_curation" -> pipe2Curation)
+    "pipe2_curation" -> pipe2Curation,
+    "pipe3_gated_quota" -> pipe3GatedQuota)
 }

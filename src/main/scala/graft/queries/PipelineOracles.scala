@@ -903,6 +903,37 @@ object PipelineOracles {
     // the round-4 curation chain: t16 clean-gate → t15 scores over the
     // survivors → t17 terciles (tail dropped) → t7 packing; one chained
     // oracle so stage interactions are gated, not just stages
+    // pipe3: t20's rule CTEs feed d10's quota CTEs, with the caps computed
+    // over the gate's survivors — the stage interaction under test
+    "pipe3_gated_quota" -> s"""
+      WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len_c,
+                        string_split(lower(text), ' ') AS w
+                 FROM documents),
+      f AS (SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                   len(list_distinct(w)) * 1000000 // len(w) AS ttr6,
+                   CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS BIGINT)
+                     AS n_stop
+            FROM d),
+      pass AS (SELECT doc_id FROM f
+               WHERE n_words >= ${T20MinWords} AND n_words <= ${T20MaxWords}
+                 AND f_meanlen6 >= ${T20MeanLo} AND f_meanlen6 <= ${T20MeanHi}
+                 AND ttr6 >= ${T20TtrMin} AND n_stop >= ${T20MinStop}),
+      sv AS (SELECT dd.doc_id, dd.source, dd.n_chars
+             FROM documents dd JOIN pass USING (doc_id)),
+      c AS (SELECT source, count(*) AS n_docs,
+                   greatest(${D10CapMin}, count(*) * ${D10CapPct} // 100) AS cap
+            FROM sv GROUP BY source),
+      r AS (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id) AS rk
+            FROM sv)
+      SELECT r.source, r.doc_id, r.n_chars, r.rk, c.n_docs, c.cap
+      FROM r JOIN c USING (source)
+      WHERE r.rk <= c.cap
+      ORDER BY r.source, r.rk""",
+
     "pipe2_curation" -> s"""
       WITH d0 AS (SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS w
                   FROM documents),

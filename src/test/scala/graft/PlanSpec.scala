@@ -302,6 +302,16 @@ class PlanSpec extends SparkSpec {
       s"featurize+gate must stay in the scan stage, got $shuffles shuffles\n${p.take(1200)}")
   }
 
+  test("pipe3: the gate stays map-side and the quota caps broadcast — no SMJ, no cross stage") {
+    import graft.queries.CorpusPrep
+    val p = planOf(CorpusPrep.pipe3GatedQuota)
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the survivor join and cap join must both broadcast\n${p.take(1600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1600))
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
