@@ -293,5 +293,23 @@ object DagOracles {
              |       count(*) AS n_events
              |FROM $eventsSrc
              |GROUP BY 1, 2
-             |ORDER BY snapshot_date, event_type""".stripMargin)
+             |ORDER BY snapshot_date, event_type""".stripMargin,
+        // flatMapGroupsWithState running position vs the one-shot per-pool
+        // fold: last emitted state per pool == total fold; fixture amounts
+        // are integer-valued so the double sum is exact
+        "dag_stream_position" ->
+          s"""WITH x AS (
+             |        SELECT json_extract_string(event_json, '$$.margin_pool_id')
+             |                 AS margin_pool_id,
+             |               CASE WHEN event_type = '$pkg::margin_pool::AssetSupplied'
+             |                    THEN TRY_CAST(json_extract_string(event_json,
+             |                           '$$.supply_amount') AS DOUBLE)
+             |                    ELSE -TRY_CAST(json_extract_string(event_json,
+             |                           '$$.withdraw_amount') AS DOUBLE) END AS delta
+             |        FROM $eventsSrc
+             |        WHERE event_type IN ('$pkg::margin_pool::AssetSupplied',
+             |                             '$pkg::margin_pool::AssetWithdrawn'))
+             |SELECT margin_pool_id, sum(delta) AS net_supplied,
+             |       count(*) AS n_events
+             |FROM x GROUP BY margin_pool_id ORDER BY margin_pool_id""".stripMargin)
 }

@@ -369,6 +369,57 @@ object DagQueries {
     }
   }
 
+  /** Arbitrary-stateful streaming inside the hard gate: the fixture events
+    * replay time-ordered as three micro-batches through
+    * [[graft.streaming.StreamingIngest.runningNetPosition]]
+    * (`flatMapGroupsWithState`, one (sum, count) state per margin pool,
+    * Update mode) with each batch's emissions UPSERTED into the snapshot
+    * sink keyed by pool — so the final table is the LAST emitted state per
+    * pool, which must hash-match DuckDB's one-shot per-pool fold of the
+    * whole log. Gates the custom-state surface itself: a state dropped,
+    * double-applied or emitted stale between micro-batches shifts a pool's
+    * cumulative sum and breaks the hash. */
+  val streamPositionQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-dagpos").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagpos-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](64, spark)
+      val q = graft.streaming.StreamingIngest.runningNetPosition(input.toDF())
+        .toDF()
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SnapshotStore.merge(batch.sparkSession, s"$root/pos", batch,
+            Seq("margin_pool_id"))
+        }
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        input.addData(rows.slice(third, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.read(spark, s"$root/pos").get
+        .drop("updated_at")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("margin_pool_id")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
@@ -383,5 +434,6 @@ object DagQueries {
         "dag_stream_ingest" -> streamIngestQ,
         "dag_stream_scd2" -> streamScd2Q,
         "dag_stream_dedup" -> streamDedupQ,
-        "dag_stream_daily" -> streamDailyQ)
+        "dag_stream_daily" -> streamDailyQ,
+        "dag_stream_position" -> streamPositionQ)
 }
