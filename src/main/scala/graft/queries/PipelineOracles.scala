@@ -1140,11 +1140,16 @@ object PipelineOracles {
     // the Spark side PARSES planted PNG headers byte-for-byte; this twin
     // recomputes the planted formulas, so hash equality proves the binary
     // decode inverted the plant exactly (33 = 8 sig + 25 IHDR chunk bytes)
+    // even docs: 33-byte PNG header; odd docs: 39-byte JPEG SOI+APP0+SOF0.
+    // A hash match proves the seam's signature dispatch + marker scan
+    // recover exactly the planted formulas from either container.
     "m1_multimodal_meta" -> """
       SELECT doc_id,
-             CAST(33 + octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END
+                  + octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS sha256_hex,
-             'png/rgba8' AS codec,
+             CASE WHEN doc_id % 2 = 0 THEN 'png/rgba8'
+                  ELSE 'jpeg/baseline8' END AS codec,
              CAST(1 + n_chars % 1024 AS BIGINT) AS width,
              CAST(1 + doc_id % 768 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")

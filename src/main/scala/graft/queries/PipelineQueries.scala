@@ -1101,17 +1101,22 @@ object PipelineQueries {
   final case class MediaMeta(doc_id: Long, n_bytes: Long, sha256_hex: String,
                              codec: String, width: Long, height: Long)
 
-  /** Opaque-binary media pipeline with a REAL header decode: each payload
-    * is a valid PNG prefix — 8-byte signature + IHDR chunk (big-endian
-    * width/height planted from per-doc formulas, bit depth 8, color type
-    * RGBA) + zero CRC + the text bytes as stand-in pixel data — built as a
-    * codegen'd binary `concat`, and the mapPartitions seam then PARSES the
-    * actual bytes: signature check, chunk-type check, big-endian reads at
-    * the IHDR offsets, color-type decode. The oracle recomputes the
-    * planted formulas, so a hash match proves `parse ∘ plant ≡ id`
-    * through genuine binary decoding (no codec libraries ship in this
-    * container, so the "pixels" stay synthetic — but every byte the
-    * decoder touches is a real container header it did not compute from).
+  /** Opaque-binary media pipeline with a REAL multi-codec header decode:
+    * even docs carry a valid PNG prefix (8-byte signature + IHDR chunk,
+    * big-endian width/height planted from per-doc formulas, depth 8,
+    * RGBA), odd docs a valid JPEG prefix (SOI + 16-byte JFIF APP0 + a
+    * baseline SOF0 frame header carrying the same planted height/width),
+    * each followed by the text bytes as stand-in pixel data — built as a
+    * codegen'd binary `concat`. The mapPartitions seam then DISPATCHES on
+    * the actual bytes: PNG goes through signature/chunk-type checks and
+    * fixed-offset big-endian reads; JPEG goes through a real MARKER SCAN
+    * (walk segments by their length fields until SOF0) — the decoder does
+    * not know which docs are which, or at what offset a JPEG's frame
+    * header sits. The oracle recomputes the planted formulas, so a hash
+    * match proves `parse ∘ plant ≡ id` through genuine binary decoding of
+    * two container formats (no codec libraries ship in this container, so
+    * the "pixels" stay synthetic — but every byte the decoder touches is
+    * a real header it did not compute from).
     *
     * The content digest stays a codegen'd `sha2` COLUMN over the content
     * bytes (hashing is expressible relational work — doing it per-row
@@ -1122,11 +1127,20 @@ object PipelineQueries {
     import spark.implicits._
     val w = (lit(1) + pmod(col("n_chars"), lit(1024))).cast(LongType)
     val h = (lit(1) + pmod(col("doc_id"), lit(768))).cast(LongType)
-    val payload = concat(
+    val pngHeader = concat(
       unhex(lit("89504E470D0A1A0A0000000D49484452")), // signature + len(13) + "IHDR"
       unhex(lpad(hex(w), 8, "0")),                    // width, big-endian
       unhex(lpad(hex(h), 8, "0")),                    // height, big-endian
-      unhex(lit("080600000000000000")),               // depth 8, RGBA, flags, CRC(0)
+      unhex(lit("080600000000000000")))               // depth 8, RGBA, flags, CRC(0)
+    val jpegHeader = concat(
+      unhex(lit("FFD8")),                             // SOI
+      unhex(lit("FFE000104A46494600010100004800480000")), // APP0 "JFIF", 16 B
+      unhex(lit("FFC0001108")),                       // SOF0, len 17, depth 8
+      unhex(lpad(hex(h), 4, "0")),                    // height, big-endian 16-bit
+      unhex(lpad(hex(w), 4, "0")),                    // width, big-endian 16-bit
+      unhex(lit("03011100021101031101")))             // 3 components
+    val payload = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, pngHeader).otherwise(jpegHeader),
       encode(col("text"), "UTF-8"))
     t(spark, dir, "documents")
       .select(col("doc_id"), payload.as("payload"),
@@ -1136,27 +1150,43 @@ object PipelineQueries {
         def be32(b: Array[Byte], off: Int): Long =
           ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
             ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        def be16(b: Array[Byte], off: Int): Long =
+          ((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL)
         val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
         it.map { case (id, bytes, hex) =>
-          val isPng = bytes.length >= 33 &&
-            bytes.take(8).sameElements(pngSig) &&
-            new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR"
-          val codec =
-            if (!isPng) "unknown"
-            else {
-              val depth = bytes(24) & 0xff
-              (bytes(25) & 0xff) match {
-                case 0 => s"png/gray$depth"
-                case 2 => s"png/rgb$depth"
-                case 3 => s"png/indexed$depth"
-                case 4 => s"png/graya$depth"
-                case 6 => s"png/rgba$depth"
-                case c => s"png/ct$c"
-              }
+          if (bytes.length >= 33 && bytes.take(8).sameElements(pngSig) &&
+            new String(bytes, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR") {
+            val depth = bytes(24) & 0xff
+            val codec = (bytes(25) & 0xff) match {
+              case 0 => s"png/gray$depth"
+              case 2 => s"png/rgb$depth"
+              case 3 => s"png/indexed$depth"
+              case 4 => s"png/graya$depth"
+              case 6 => s"png/rgba$depth"
+              case c => s"png/ct$c"
             }
-          if (isPng) MediaMeta(id, bytes.length.toLong, hex, codec,
-            be32(bytes, 16), be32(bytes, 20))
-          else MediaMeta(id, bytes.length.toLong, hex, codec, 0L, 0L)
+            MediaMeta(id, bytes.length.toLong, hex, codec, be32(bytes, 16), be32(bytes, 20))
+          } else if (bytes.length >= 4 &&
+            (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) {
+            // JPEG marker scan: walk segments by length until a frame header
+            var pos = 2
+            var meta: MediaMeta = null
+            while (meta == null && pos + 4 <= bytes.length &&
+              (bytes(pos) & 0xff) == 0xff) {
+              val marker = bytes(pos + 1) & 0xff
+              val segLen = be16(bytes, pos + 2).toInt
+              if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+                marker != 0xc8 && marker != 0xcc) { // SOFn
+                val depth = bytes(pos + 4) & 0xff
+                val kind = if (marker == 0xc0) "baseline"
+                  else if (marker == 0xc2) "progressive" else f"sof$marker%02x"
+                meta = MediaMeta(id, bytes.length.toLong, hex, s"jpeg/$kind$depth",
+                  be16(bytes, pos + 7), be16(bytes, pos + 5))
+              } else pos += 2 + segLen
+            }
+            if (meta != null) meta
+            else MediaMeta(id, bytes.length.toLong, hex, "jpeg/noframe", 0L, 0L)
+          } else MediaMeta(id, bytes.length.toLong, hex, "unknown", 0L, 0L)
         }
       }
       .toDF()
