@@ -703,6 +703,41 @@ object PipelineOracles {
       WHERE r.rk <= c.cap
       ORDER BY r.source, r.rk""",
 
+    // held-out Stupid Backoff: train counts from doc_id % 7 != 0, eval
+    // scoring on % 7 = 0; 0.4 enters as the rational 2/5 and every score
+    // is fixed-point with non-negative numerators, so // ≡ trunc-div
+    "t22_bigram_score" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                 FROM documents
+                 WHERE len(string_split(lower(text), ' ')) >= 2),
+      bb AS (SELECT doc_id,
+                    unnest([w[i] for i in range(1, len(w))]) AS prev,
+                    unnest([w[i+1] for i in range(1, len(w))]) AS cur
+             FROM d),
+      c2 AS (SELECT prev, cur, count(*) AS c2 FROM bb
+             WHERE doc_id % ${DecontMod} != 0 GROUP BY prev, cur),
+      c1 AS (SELECT t, count(*) AS c1
+             FROM (SELECT doc_id, unnest(w) AS t FROM d)
+             WHERE doc_id % ${DecontMod} != 0 GROUP BY t),
+      nt AS (SELECT sum(c1) AS n_tot FROM c1),
+      ev AS (SELECT bb.doc_id, c2.c2, p.c1 AS c1_prev, c.c1 AS c1_cur
+             FROM bb LEFT JOIN c2 USING (prev, cur)
+                     LEFT JOIN c1 p ON p.t = bb.prev
+                     LEFT JOIN c1 c ON c.t = bb.cur
+             WHERE bb.doc_id % ${DecontMod} = 0),
+      s AS (SELECT doc_id,
+                   CASE WHEN c2 IS NOT NULL AND c1_prev IS NOT NULL
+                        THEN c2 * 1000000 // c1_prev
+                        ELSE (${T22BackNum} * coalesce(c1_cur, 0) * 1000000)
+                             // (${T22BackDen} * (SELECT n_tot FROM nt)) END AS s6,
+                   CASE WHEN c2 IS NULL THEN 1 ELSE 0 END AS bk
+            FROM ev)
+      SELECT doc_id, count(*) AS n_bigrams,
+             CAST(sum(bk) AS BIGINT) AS n_backoff,
+             CAST(sum(s6) AS BIGINT) AS sum_s6,
+             CAST(sum(s6) // count(*) AS BIGINT) AS mean_s6
+      FROM s GROUP BY doc_id ORDER BY doc_id""",
+
     // cluster-aware split: the d6 recursive-CTE closure supplies the
     // canonical ids; the bucket is t6's md5 idiom over the group key, so
     // split membership is exact on both sides

@@ -2160,6 +2160,70 @@ object PipelineQueries {
   val t15LmScore: Q = (spark, dir) =>
     lmScores(fanOut(spark, t(spark, dir, "documents"))).orderBy(col("doc_id"))
 
+  // ---- T22: held-out bigram LM scoring (Stupid Backoff) --------------------
+
+  /** Backoff weight 0.4 as the exact rational 2/5. */
+  val T22BackNum = 2L
+  val T22BackDen = 5L
+
+  /** Held-out bigram language-model scoring with Stupid Backoff (Brants
+    * et al. 2007, "Large Language Models in Machine Translation" — the
+    * web-scale LM that skips normalization for exactly the
+    * distributed-counting reasons this engine cares about): the TRAINING
+    * slice (`doc_id % DecontMod != 0`) builds bigram and unigram count
+    * tables, the EVAL slice is scored token-by-token —
+    * `c2(prev,cur)/c1(prev)` when the bigram was seen in training,
+    * `0.4 · c1(cur)/N` when not — so backoff genuinely fires (an
+    * in-corpus score would always find its own bigrams). Every per-token
+    * score is 1e-6 fixed point with non-negative numerators (0.4 enters
+    * as ×[[T22BackNum]]/÷[[T22BackDen]]), summed and averaged as exact
+    * longs: no float, no log, no engine-order sensitivity.
+    *
+    * Scale shape: the bigram table is CORPUS-scale (Zipf helps but it
+    * does not fit a broadcast at 100 TB), so the score lookup is the
+    * deliberate big-big shuffle join on the (prev, cur) key — t10's
+    * pattern, uniform gram keys; the unigram table is vocabulary-sized
+    * and broadcasts twice (prev and cur lookups); the token total rides a
+    * 1-row cross join. Exactly how a sharded distributed LM serves
+    * lookups. */
+  val t22BigramScore: Q = (spark, dir) => {
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+    val bi = docs.select(col("doc_id"),
+        explode(expr("""transform(sequence(1, size(w) - 1),
+          i -> struct(element_at(w, i) as prev, element_at(w, i + 1) as cur))"""))
+          .as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .localCheckpoint() // feeds the train counts AND the eval score join
+    val trainBi = bi.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+    val c2 = trainBi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c2"))
+    val toks = docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+      .select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c1"))
+      .localCheckpoint() // vocab-sized; joined twice below
+    val nTot = toks.agg(sum(col("c1")).as("n_tot"))
+    bi.filter(pmod(col("doc_id"), lit(DecontMod)) === 0)
+      .join(c2, Seq("prev", "cur"), "left") // the big-big gram-key shuffle
+      .join(broadcast(toks.withColumnRenamed("t", "prev")
+        .withColumnRenamed("c1", "c1_prev")), Seq("prev"), "left")
+      .join(broadcast(toks.withColumnRenamed("t", "cur")
+        .withColumnRenamed("c1", "c1_cur")), Seq("cur"), "left")
+      .crossJoin(broadcast(nTot))
+      .withColumn("s6",
+        when(col("c2").isNotNull && col("c1_prev").isNotNull,
+          expr("c2 * 1000000L div c1_prev"))
+          .otherwise(expr(
+            s"($T22BackNum * coalesce(c1_cur, 0L) * 1000000L) div ($T22BackDen * n_tot)")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s6")).as("sum_s6"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_backoff"))
+      .withColumn("mean_s6", expr("sum_s6 div n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_backoff"),
+        col("sum_s6"), col("mean_s6"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T17: perplexity bucketing (CCNet head/middle/tail curation) ---------
 
   /** The CCNet curation split (Wenzek et al. 2020 §4.3): order the corpus
@@ -2229,6 +2293,7 @@ object PipelineQueries {
     "d10_source_quota" -> d10SourceQuota,
     "k3_source_drift" -> k3SourceDrift,
     "t21_split_leakfree" -> t21SplitLeakfree,
+    "t22_bigram_score" -> t22BigramScore,
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
