@@ -55,7 +55,10 @@ object SnapshotStore {
   /** Live table contents (partition column stripped). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentSnapshot(root).map { s =>
-      val df = spark.read.parquet(s"$root/$s")
+      // mergeSchema: after an additive schema evolution, files written
+      // before the new column appeared lack it; the union schema (with
+      // NULL fill) is the correct read, and a single-footer guess is not
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$s")
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
 
@@ -173,9 +176,13 @@ object SnapshotStore {
       case (Some(c), None) =>
         // Unpartitioned fallback: whole-table rewrite (only sensible for
         // small dimension-like tables; every DAG model declares a date).
-        val prev = spark.read.parquet(s"$root/$c")
+        val prev = spark.read.option("mergeSchema", "true").parquet(s"$root/$c")
         val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
-        val merged = newDf.unionByName(survivors.select(newDf.columns.map(col): _*))
+        // additive schema evolution (dbt on_schema_change=append_new_columns):
+        // the output schema is the UNION of batch and snapshot columns, with
+        // NULL fill on whichever side lacks one — a widened batch must not
+        // throw, and a narrowed batch must not silently drop history
+        val merged = newDf.unionByName(survivors, allowMissingColumns = true)
         publish(root, writeSnapshot(root, merged, partitioned = false, compactTo))
 
       case (Some(c), Some(pd)) =>
@@ -188,10 +195,10 @@ object SnapshotStore {
           // row — instead fall back to one whole-table rewrite that
           // PRODUCES the partitioned layout; subsequent merges are
           // partition-scoped.
-          val prev = spark.read.parquet(snapDir.toString)
+          val prev = spark.read.option("mergeSchema", "true").parquet(snapDir.toString)
           val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
             .withColumn(PartCol, pd.cast(StringType))
-          val merged = batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
+          val merged = batchP.unionByName(survivors, allowMissingColumns = true)
           publish(root, writeSnapshot(root, merged, partitioned = true, compactTo))
         } else {
           // The touched-partition list is tiny (bounded by the lookback /
@@ -206,12 +213,12 @@ object SnapshotStore {
           val affectedOld = affectedDirs.map { case (v, p) =>
             val dtVal = if (v == NullPart) lit(null).cast(StringType) else lit(v)
             spark.read.parquet(p.toString).withColumn(PartCol, dtVal)
-          }.reduceOption(_ unionByName _)
+          }.reduceOption(_.unionByName(_, allowMissingColumns = true))
           val out = affectedOld match {
             case None => batchP
             case Some(old) =>
               val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
-              batchP.unionByName(survivors.select(batchP.columns.map(col): _*))
+              batchP.unionByName(survivors, allowMissingColumns = true)
           }
           val snap = writeSnapshot(root, out, partitioned = true, compactTo)
           untouchedDirs.foreach { case (v, p) =>
@@ -260,7 +267,7 @@ object SnapshotStore {
                clusterBy: Seq[String] = Nil): Unit =
     currentSnapshot(root).foreach { c =>
       val partitioned = partitionDirs(Paths.get(root, c)).nonEmpty
-      val df = spark.read.parquet(s"$root/$c")
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$c")
       val snap =
         writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy)
       // file-level min/max sidecar for the cluster keys, from footers only
@@ -338,7 +345,7 @@ object SnapshotStore {
   def readAt(spark: SparkSession, root: String, snap: String): Option[DataFrame] =
     if (!Files.isDirectory(Paths.get(root, snap))) None
     else Some {
-      val df = spark.read.parquet(s"$root/$snap")
+      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$snap")
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
 

@@ -311,5 +311,15 @@ object DagOracles {
              |                             '$pkg::margin_pool::AssetWithdrawn'))
              |SELECT margin_pool_id, sum(delta) AS net_supplied,
              |       count(*) AS n_events
-             |FROM x GROUP BY margin_pool_id ORDER BY margin_pool_id""".stripMargin)
+             |FROM x GROUP BY margin_pool_id ORDER BY margin_pool_id""".stripMargin,
+        // additive schema evolution: rows merged before the event_type
+        // column existed read back as NULL; later rows carry it
+        "dag_schema_evolve" -> {
+          val cut = java.time.Instant.parse("2026-01-08T00:00:00Z").toEpochMilli
+          s"""SELECT transaction_digest, event_index, timestamp_ms, sender,
+             |       CASE WHEN timestamp_ms > $cut THEN event_type
+             |            ELSE NULL END AS event_type
+             |FROM $eventsSrc
+             |ORDER BY transaction_digest, event_index""".stripMargin
+        })
 }

@@ -420,6 +420,38 @@ object DagQueries {
     }
   }
 
+  /** Additive schema evolution through the merge sink inside the hard
+    * gate (dbt `on_schema_change='append_new_columns'`): batch 1 merges
+    * the early fixture events under the BASE projection, batch 2 merges
+    * the later events with a NEW `event_type` column — the sink must
+    * widen the table (union schema, NULL fill for pre-evolution rows)
+    * rather than throw or drop history, and the mergeSchema read must
+    * present the union even though early files physically lack the
+    * column. Oracle: the raw log with `event_type` nulled before the
+    * evolution point. */
+  val schemaEvolveQ: Q = (spark, _) => {
+    val events = DeepbookFixtures.events(spark)
+    val cut = dayStartOf(8)
+    val root = java.nio.file.Files.createTempDirectory("graft-dagevolve").toString
+    try {
+      SnapshotStore.merge(spark, s"$root/tbl",
+        events.filter(col("timestamp_ms") <= cut)
+          .select(col("transaction_digest"), col("event_index"),
+            col("timestamp_ms"), col("sender")),
+        Seq("transaction_digest", "event_index"))
+      SnapshotStore.merge(spark, s"$root/tbl",
+        events.filter(col("timestamp_ms") > cut)
+          .select(col("transaction_digest"), col("event_index"),
+            col("timestamp_ms"), col("sender"), col("event_type")),
+        Seq("transaction_digest", "event_index"))
+      SnapshotStore.read(spark, s"$root/tbl").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
@@ -435,5 +467,6 @@ object DagQueries {
         "dag_stream_scd2" -> streamScd2Q,
         "dag_stream_dedup" -> streamDedupQ,
         "dag_stream_daily" -> streamDailyQ,
-        "dag_stream_position" -> streamPositionQ)
+        "dag_stream_position" -> streamPositionQ,
+        "dag_schema_evolve" -> schemaEvolveQ)
 }
