@@ -73,8 +73,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (worstName, worst) = results.maxBy(_._2)
+    // metric "total_full" (not "total"): only ONE line may carry the
+    // canonical metric name, or a parser that sums/collects every metric
+    // line would double-count the run. The short summary line below is the
+    // canonical "total"; this full line is the complete per-query record.
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
     println(line)
     // The driver's artifact keeps the END of stdout and clips the head, so
     // a long line loses whatever is printed first (BENCH_r05's tail started

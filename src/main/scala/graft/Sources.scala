@@ -71,10 +71,20 @@ object Sources {
     *  - INT64            → read raw, truncate ns → µs (exact at ms grain);
     *  - timestamp[us/ns-adjusted] → read directly, cast to TimestampType
     *    (identity under the UTC session timezone whether the footer is
-    *    inferred as TIMESTAMP or TIMESTAMP_NTZ). */
+    *    inferred as TIMESTAMP or TIMESTAMP_NTZ).
+    *
+    * A third vintage exists in the wild: INT64 *annotated* TIMESTAMP(NANOS).
+    * Spark's schema inference rejects that footer outright ("Illegal Parquet
+    * type") before any branch here runs, so inference failure itself is the
+    * signal: fall back to the raw INT64-nanos read, which ignores the
+    * logical annotation and goes through the same ns → µs truncation. */
   private[graft] def readEvents(spark: SparkSession, path: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val footer = spark.read.parquet(path).schema
+    val footer =
+      try spark.read.parquet(path).schema
+      catch {
+        case _: Exception => eventsRawSchema // annotated-nanos vintage
+      }
     footer("ts").dataType match {
       case LongType =>
         spark.read.schema(eventsRawSchema).parquet(path)

@@ -114,22 +114,51 @@ object FileSkipping {
 
   // ---- sidecar IO ---------------------------------------------------------
 
-  private def jq(s: String): String = "\"" + s.flatMap {
+  private[incremental] def jq(s: String): String = "\"" + s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
 
+  /** `"rows":N,"cols":{...}` — the stats body shared by the legacy sidecar
+    * and the per-file entries of [[Manifest]] (which absorbed it). */
+  private[incremental] def statsBodyJson(fs: FileStats): String = {
+    val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      s"${jq(c)}:{" +
+        cs.min.map(m => s""""min":${jq(m)},""").getOrElse("") +
+        cs.max.map(m => s""""max":${jq(m)},""").getOrElse("") +
+        s""""nulls":${cs.nulls}}"""
+    }.mkString(",")
+    s""""rows":${fs.rows},"cols":{$cols}"""
+  }
+
+  /** Parse a `{"rows":..,"cols":{..}}`-shaped JValue (also the shape of a
+    * manifest file entry, which carries the same keys inline); None when
+    * the node has no stats. */
+  private[incremental] def parseFileStats(v: org.json4s.JValue): Option[FileStats] = {
+    import org.json4s._
+    def asLong(x: JValue): Long = x match {
+      case JInt(n) => n.toLong
+      case JLong(n) => n
+      case _ => 0L
+    }
+    (v \ "cols") match {
+      case JObject(obj) =>
+        val cols = obj.map { case (c, cv) =>
+          def str(k: String): Option[String] = cv \ k match {
+            case JString(s) => Some(s); case _ => None
+          }
+          c -> ColStats(str("min"), str("max"), asLong(cv \ "nulls"))
+        }.toMap
+        Some(FileStats(asLong(v \ "rows"), cols))
+      case _ => None
+    }
+  }
+
   def writeSidecar(snapDir: Path, stats: Map[String, FileStats]): Unit = {
     val body = stats.toSeq.sortBy(_._1).map { case (f, fs) =>
-      val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-        s"${jq(c)}:{" +
-          cs.min.map(m => s""""min":${jq(m)},""").getOrElse("") +
-          cs.max.map(m => s""""max":${jq(m)},""").getOrElse("") +
-          s""""nulls":${cs.nulls}}"""
-      }.mkString(",")
-      s"${jq(f)}:{\"rows\":${fs.rows},\"cols\":{$cols}}"
+      s"${jq(f)}:{${statsBodyJson(fs)}}"
     }.mkString("{", ",", "}")
     // temp file + ATOMIC_MOVE (same protocol as SnapshotStore.publish): a
     // crash mid-write or a concurrent analyze must never leave a torn

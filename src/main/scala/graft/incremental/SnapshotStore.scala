@@ -2,9 +2,37 @@ package graft.incremental
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.catalyst.expressions.Cast
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 import scala.jdk.CollectionConverters._
+
+/** How a merge reacts when the batch's schema drifts from the live table's
+  * — dbt's `on_schema_change` semantics
+  * (`deepbook_margin_loan_borrowed.sql:1-8` relies on the dbt default).
+  * All modes refuse lossy type changes; widenings (int→long, float→double,
+  * anything `Cast.canUpCast` proves lossless) are applied by casting the
+  * narrow side up. */
+sealed trait OnSchemaChange
+object OnSchemaChange {
+  /** dbt's default: the live schema wins. Batch-only columns are dropped
+    * (with a warning); a batch MISSING a live column is a hard error —
+    * accidental drift fails fast instead of being NULL-absorbed. */
+  case object Ignore extends OnSchemaChange
+  /** Any drift is a hard [[SchemaDriftException]]. */
+  case object Fail extends OnSchemaChange
+  /** dbt `append_new_columns`: new batch columns join the table (NULL for
+    * pre-evolution rows); columns the batch dropped survive (NULL for new
+    * rows); common columns may widen losslessly. */
+  case object AppendNewColumns extends OnSchemaChange
+  /** dbt `sync_all_columns`: the batch schema becomes the table schema —
+    * adds and REMOVES columns; common columns may widen but never narrow
+    * (a long history is not truncated back to int). */
+  case object SyncAllColumns extends OnSchemaChange
+}
+
+/** Typed refusal for schema drift a mode does not permit. */
+final class SchemaDriftException(msg: String) extends RuntimeException(msg)
 
 /** S6: the incremental MERGE sink — dbt `incremental_strategy='merge'` on a
   * composite `unique_key` (`deepbook_margin_loan_borrowed.sql:1-8`,
@@ -14,6 +42,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   <root>/_CURRENT                       // pointer: name of live snapshot
   *   <root>/snap-0000001/                  // immutable snapshot
+  *     _graft_manifest.json                // file list + schema + stats
   *     _dt=2026-01-07/part-*.parquet       // partitioned models (daily dirs)
   *     part-*.parquet                      // unpartitioned models (flat)
   * }}}
@@ -33,6 +62,14 @@ import scala.jdk.CollectionConverters._
   * carry a fixed timestamp, the fct key contains snapshot_date itself),
   * which is the same contract Delta's replaceWhere/partition-merge uses.
   *
+  * Metadata is manifest-routed ([[Manifest]]): every publish writes the
+  * snapshot's file list + schema + file stats into one JSON object, and
+  * reads (plain, time-travel, skipping, and the merge's own
+  * touched-partition reads) are served from it — no directory listing, no
+  * `mergeSchema` footer sweep. Directory walks remain only on the WRITE
+  * path (enumerating just-written output) and as a fallback for
+  * pre-manifest snapshots.
+  *
   * S7 (append, `DEVELOPMENT.md:134-142`) = [[append]]: batch written next
   * to hard-linked prior files, no key semantics. S8 (OPTIMIZE,
   * `macros/dune_dbt_overrides/optimize_table.sql:1-5`) = [[optimize]]:
@@ -41,6 +78,8 @@ import scala.jdk.CollectionConverters._
   * deleting an old dir never invalidates files shared with newer ones).
   */
 object SnapshotStore {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Hidden partition column materialized from a model's `partitionDate`. */
   val PartCol = "_dt"
@@ -55,11 +94,32 @@ object SnapshotStore {
   /** Live table contents (partition column stripped). */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentSnapshot(root).map { s =>
-      // mergeSchema: after an additive schema evolution, files written
-      // before the new column appeared lack it; the union schema (with
-      // NULL fill) is the correct read, and a single-footer guess is not
-      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$s")
+      val df = snapshotDf(spark, Paths.get(root, s))._1
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+    }
+
+  /** The snapshot's DataFrame (partition column KEPT) + whether it is
+    * partitioned. Manifest-routed (no listing, no footer sweep); falls
+    * back to the legacy `mergeSchema` listing read for pre-manifest
+    * snapshots. */
+  private def snapshotDf(spark: SparkSession, snapDir: Path): (DataFrame, Boolean) =
+    Manifest.read(snapDir) match {
+      case Some(m) =>
+        (Manifest.toDataFrame(spark, snapDir, m, skipping = false)._1, m.partitioned)
+      case None =>
+        // mergeSchema: after an additive schema evolution, files written
+        // before the new column appeared lack it; the union schema (with
+        // NULL fill) is the correct read, and a single-footer guess is not
+        val df = spark.read.option("mergeSchema", "true").parquet(snapDir.toString)
+        (df, df.columns.contains(PartCol))
+    }
+
+  /** Live table schema (PartCol forced to its logical StringType). */
+  private def liveSchema(spark: SparkSession, snapDir: Path): StructType =
+    Manifest.read(snapDir).map(_.schema).getOrElse {
+      val s = spark.read.option("mergeSchema", "true").parquet(snapDir.toString).schema
+      StructType(s.fields.map(f =>
+        if (f.name == PartCol) StructField(PartCol, StringType) else f))
     }
 
   private def nextSnapshotName(root: String): String = {
@@ -76,6 +136,29 @@ object SnapshotStore {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Manifest-then-pointer commit: enumerate the just-written snapshot
+    * (write-side walk — O(new files), once per commit), attach fresh stats
+    * and stats carried from the prior manifest (hard-linked carryover
+    * keeps relative paths AND contents stable, so old entries stay valid;
+    * rewritten files get fresh part-file names, so stale hits are
+    * impossible), write the manifest, swap the pointer. A published
+    * snapshot is therefore never observed without its manifest. */
+  private def commit(root: String, snap: String, schema: StructType,
+                     partitioned: Boolean,
+                     freshStats: Map[String, FileSkipping.FileStats] = Map.empty): Unit = {
+    val snapDir = Paths.get(root, snap)
+    val carried: Map[String, FileSkipping.FileStats] =
+      currentSnapshot(root) // still the PRIOR pointer — not yet swapped
+        .flatMap(c => Manifest.read(Paths.get(root, c))).map(_.statsMap)
+        .getOrElse(Map.empty)
+    val files = Manifest.collectFiles(snapDir).map { case (rel, size, mtime) =>
+      Manifest.FileEntry(rel, size, mtime,
+        freshStats.get(rel).orElse(carried.get(rel)))
+    }
+    Manifest.write(snapDir, schema, partitioned, files)
+    publish(root, snap)
+  }
+
   /** Directory value Spark uses for a null partition key. */
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
 
@@ -84,13 +167,19 @@ object SnapshotStore {
     try f(s.iterator().asScala) finally s.close()
   }
 
-  /** `_dt=<value>` partition directories of a snapshot. */
+  /** `_dt=<value>` partition directories of a snapshot (legacy listing —
+    * used only for pre-manifest snapshots and append's layout check). */
   private def partitionDirs(snapDir: Path): Seq[(String, Path)] =
     if (!Files.isDirectory(snapDir)) Seq.empty
     else withList(snapDir)(_.toSeq)
       .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(s"$PartCol="))
       .map(p => (p.getFileName.toString.stripPrefix(s"$PartCol="), p))
       .sortBy(_._1)
+
+  /** Whether the live snapshot is partitioned — manifest-first. */
+  private def isPartitioned(snapDir: Path): Boolean =
+    Manifest.read(snapDir).map(_.partitioned)
+      .getOrElse(partitionDirs(snapDir).nonEmpty)
 
   /** Hard-link every data file under `src` into the same relative location
     * under `dst` — carries immutable parquet between snapshots with
@@ -112,6 +201,18 @@ object SnapshotStore {
       }
     finally walk.close()
   }
+
+  /** Hard-link exactly the manifest-listed files of the partitions in
+    * `values` from `src` into `dst` — the listing-free carryover (an
+    * object store would issue per-file copy/link metadata ops from the
+    * same list). */
+  private def linkFromManifest(m: Manifest.TableManifest, values: Set[String],
+                               src: Path, dst: Path): Unit =
+    m.files.filter(_.partitionValue.exists(values)).foreach { f =>
+      val target = dst.resolve(f.path)
+      Files.createDirectories(target.getParent)
+      Files.createLink(target, src.resolve(f.path))
+    }
 
   private def writeSnapshot(root: String, df: DataFrame, partitioned: Boolean,
                             compactTo: Option[Int],
@@ -152,81 +253,207 @@ object SnapshotStore {
     snap
   }
 
+  // ---- schema evolution ---------------------------------------------------
+
+  /** The output schema a merge must produce, given the batch's and the
+    * live table's schemas and the drift policy. Equal shapes (names +
+    * types, order-insensitive) short-circuit to the live schema; any
+    * drift is logged, then resolved or refused per `mode`. */
+  private[incremental] def resolveTarget(batch: StructType, live: StructType,
+                                         mode: OnSchemaChange): StructType = {
+    val b = batch.fields.map(f => f.name -> f.dataType).toMap
+    val l = live.fields.map(f => f.name -> f.dataType).toMap
+    if (b == l) return live
+    val added = batch.fieldNames.filterNot(l.contains)
+    val removed = live.fieldNames.filterNot(b.contains)
+    val retyped = live.fields.collect {
+      case f if b.get(f.name).exists(_ != f.dataType) =>
+        s"${f.name}: ${f.dataType.simpleString}->${b(f.name).simpleString}"
+    }
+    val drift = s"schema drift vs live table (mode=$mode): " +
+      s"added=[${added.mkString(",")}] removed=[${removed.mkString(",")}] " +
+      s"retyped=[${retyped.mkString(", ")}]"
+    log.warn(drift)
+    // lossless resolution of a common column's type: equal, or widen the
+    // narrow side up (int->long, float->double, ... — whatever canUpCast
+    // proves). History is never narrowed.
+    def widened(name: String, liveT: DataType, batchT: DataType): DataType =
+      if (liveT == batchT) liveT
+      else if (Cast.canUpCast(liveT, batchT)) batchT
+      else if (Cast.canUpCast(batchT, liveT)) liveT
+      else throw new SchemaDriftException(
+        s"column '$name' cannot evolve ${liveT.simpleString} -> " +
+          s"${batchT.simpleString} losslessly; $drift")
+    // Every drift-path target is fully nullable: evolution means SOME file
+    // lacks SOME column, and the vectorized parquet reader refuses to
+    // NULL-fill a missing column declared non-nullable.
+    def nullable(s: StructType): StructType =
+      StructType(s.fields.map(_.copy(nullable = true)))
+    mode match {
+      case OnSchemaChange.Fail => throw new SchemaDriftException(drift)
+      case OnSchemaChange.Ignore =>
+        if (removed.nonEmpty) throw new SchemaDriftException(
+          s"batch lacks live column(s) [${removed.mkString(",")}] and " +
+            s"on_schema_change=ignore refuses to NULL-absorb the gap; $drift")
+        // batch-side types must fit the live schema (upcast on write only)
+        live.fields.foreach { f =>
+          b.get(f.name).foreach { bt =>
+            if (bt != f.dataType && !Cast.canUpCast(bt, f.dataType))
+              throw new SchemaDriftException(
+                s"column '${f.name}' batch type ${bt.simpleString} does not " +
+                  s"fit live ${f.dataType.simpleString} under ignore; $drift")
+          }
+        }
+        live // added columns silently dropped (dbt parity) — warned above
+      case OnSchemaChange.AppendNewColumns =>
+        nullable(StructType(live.fields.map { f =>
+          b.get(f.name) match {
+            case Some(bt) => StructField(f.name, widened(f.name, f.dataType, bt))
+            case None     => f // dropped by batch: survives, NULL for new rows
+          }
+        } ++ batch.fields.filterNot(f => l.contains(f.name))))
+      case OnSchemaChange.SyncAllColumns =>
+        nullable(StructType(batch.fields.map { f =>
+          l.get(f.name) match {
+            case Some(lt) => StructField(f.name, widened(f.name, lt, f.dataType))
+            case None     => f
+          }
+        })) // live-only columns dropped — sync means the batch schema wins
+    }
+  }
+
+  /** Project `df` onto `target`: present columns cast (lossless by
+    * construction — [[resolveTarget]] refused anything else), missing
+    * columns NULL-filled. */
+  private def conform(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    df.select(target.fields.toSeq.map { f =>
+      if (present(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  // ---- merge --------------------------------------------------------------
+
   /** Upsert `batch` into the table at `root` on composite key `keys`.
     *
     * In-batch duplicate keys are collapsed (last-write-wins is undefined in
     * Trino MERGE; we keep one arbitrary row, matching dbt's assumption that
     * the model SELECT is already key-unique). With `partitionDate`, only
     * batch-touched date partitions are read/rewritten; the rest hard-link.
+    * `onSchemaChange` governs schema drift (default mirrors dbt's
+    * `ignore`: live schema wins, missing columns fail fast — intended
+    * evolution passes [[OnSchemaChange.AppendNewColumns]] or
+    * [[OnSchemaChange.SyncAllColumns]] explicitly).
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keys: Seq[String], partitionDate: Option[Column] = None,
-            compactTo: Option[Int] = None): Unit = {
+            compactTo: Option[Int] = None,
+            onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
     Files.createDirectories(Paths.get(root))
     val newDf = batch.dropDuplicates(keys)
     val cur = currentSnapshot(root)
     (cur, partitionDate) match {
       case (None, None) =>
-        publish(root, writeSnapshot(root, newDf, partitioned = false, compactTo))
+        val snap = writeSnapshot(root, newDf, partitioned = false, compactTo)
+        commit(root, snap, newDf.schema, partitioned = false)
 
       case (None, Some(pd)) =>
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
-        publish(root, writeSnapshot(root, batchP, partitioned = true, compactTo))
+        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo)
+        commit(root, snap, batchP.schema, partitioned = true)
 
       case (Some(c), None) =>
         // Unpartitioned fallback: whole-table rewrite (only sensible for
         // small dimension-like tables; every DAG model declares a date).
-        val prev = spark.read.option("mergeSchema", "true").parquet(s"$root/$c")
+        val snapDir = Paths.get(root, c)
+        val prev = snapshotDf(spark, snapDir)._1
+        val target = resolveTarget(newDf.schema, liveSchema(spark, snapDir),
+          onSchemaChange)
         val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
-        // additive schema evolution (dbt on_schema_change=append_new_columns):
-        // the output schema is the UNION of batch and snapshot columns, with
-        // NULL fill on whichever side lacks one — a widened batch must not
-        // throw, and a narrowed batch must not silently drop history
-        val merged = newDf.unionByName(survivors, allowMissingColumns = true)
-        publish(root, writeSnapshot(root, merged, partitioned = false, compactTo))
+        val merged = conform(newDf, target).unionByName(conform(survivors, target))
+        val snap = writeSnapshot(root, merged, partitioned = false, compactTo)
+        commit(root, snap, target, partitioned = false)
 
       case (Some(c), Some(pd)) =>
         val snapDir = Paths.get(root, c)
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
-        if (partitionDirs(snapDir).isEmpty) {
+        val manifestOpt = Manifest.read(snapDir).filter(_.partitioned)
+        val partVals: Seq[String] = manifestOpt match {
+          case Some(m) => m.partitionValues
+          case None    => partitionDirs(snapDir).map(_._1)
+        }
+        if (partVals.isEmpty) {
           // Migration path: the live snapshot is unpartitioned (e.g.
           // bootstrapped without a partitionDate). A dir-scoped merge
           // would see zero `_dt=` dirs and silently drop every prior
           // row — instead fall back to one whole-table rewrite that
           // PRODUCES the partitioned layout; subsequent merges are
           // partition-scoped.
-          val prev = spark.read.option("mergeSchema", "true").parquet(snapDir.toString)
+          val prev = snapshotDf(spark, snapDir)._1
+          val target = resolveTarget(batchP.schema,
+            liveSchema(spark, snapDir).add(StructField(PartCol, StringType)),
+            onSchemaChange)
           val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
             .withColumn(PartCol, pd.cast(StringType))
-          val merged = batchP.unionByName(survivors, allowMissingColumns = true)
-          publish(root, writeSnapshot(root, merged, partitioned = true, compactTo))
+          val merged = conform(batchP, target).unionByName(conform(survivors, target))
+          val snap = writeSnapshot(root, merged, partitioned = true, compactTo)
+          commit(root, snap, target, partitioned = true)
         } else {
+          val target = resolveTarget(batchP.schema, liveSchema(spark, snapDir),
+            onSchemaChange)
           // The touched-partition list is tiny (bounded by the lookback /
           // backfill window — days, not rows); collecting it to the driver
           // is the same metadata-sized step a table format's commit log
           // does. A null date lands in Spark's null-partition dir.
           val touched = batchP.select(PartCol).distinct().collect()
             .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
-          val (affectedDirs, untouchedDirs) =
-            partitionDirs(snapDir).partition { case (v, _) => touched(v) }
-          // Read ONLY touched partitions (explicit file-level pruning).
-          val affectedOld = affectedDirs.map { case (v, p) =>
+          val (affectedVals, untouchedVals) = partVals.partition(touched)
+          // Read ONLY touched partitions — explicit manifest file lists
+          // (zero listing) when available, per-dir reads otherwise.
+          val affectedOld = affectedVals.map { v =>
             val dtVal = if (v == NullPart) lit(null).cast(StringType) else lit(v)
-            spark.read.parquet(p.toString).withColumn(PartCol, dtVal)
+            val df = manifestOpt match {
+              case Some(m) =>
+                val dataSchema = StructType(
+                  m.schema.fields.filterNot(_.name == PartCol))
+                val paths = m.filesOfPartition(v)
+                  .map(f => snapDir.resolve(f.path).toString)
+                spark.read.schema(dataSchema).parquet(paths: _*)
+              case None =>
+                spark.read.parquet(snapDir.resolve(s"$PartCol=$v").toString)
+            }
+            df.withColumn(PartCol, dtVal)
           }.reduceOption(_.unionByName(_, allowMissingColumns = true))
           val out = affectedOld match {
-            case None => batchP
+            case None => conform(batchP, target)
             case Some(old) =>
               val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
-              batchP.unionByName(survivors, allowMissingColumns = true)
+              conform(batchP, target).unionByName(conform(survivors, target))
           }
           val snap = writeSnapshot(root, out, partitioned = true, compactTo)
-          untouchedDirs.foreach { case (v, p) =>
-            linkInto(p, Paths.get(root, snap, s"$PartCol=$v"))
+          manifestOpt match {
+            case Some(m) =>
+              linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
+            case None =>
+              untouchedVals.foreach { v =>
+                linkInto(snapDir.resolve(s"$PartCol=$v"),
+                  Paths.get(root, snap, s"$PartCol=$v"))
+              }
           }
-          publish(root, snap)
+          commit(root, snap, target, partitioned = true)
         }
     }
+  }
+
+  /** Union of two schemas by name — `b` wins on type, `a`-only fields keep
+    * their place (append's manifest must keep hard-linked pre-existing
+    * columns readable). */
+  private def schemaUnion(a: StructType, b: StructType): StructType = {
+    val bByName = b.fields.map(f => f.name -> f).toMap
+    val aNames = a.fieldNames.toSet
+    StructType(a.fields.map(f => bByName.getOrElse(f.name, f)) ++
+      b.fields.filterNot(f => aNames(f.name)))
   }
 
   /** S7: `incremental_strategy='append'` (`DEVELOPMENT.md:134-142`) — blind
@@ -241,7 +468,7 @@ object SnapshotStore {
     // `_dt=` dirs ⇒ "conflicting directory structures"), and writing flat
     // into a partitioned table would partitionBy a missing column — fail
     // fast instead of corrupting the table.
-    val curPartitioned = cur.exists(c => partitionDirs(Paths.get(root, c)).nonEmpty)
+    val curPartitioned = cur.exists(c => isPartitioned(Paths.get(root, c)))
     require(cur.isEmpty || curPartitioned == partitionDate.isDefined,
       s"append layout mismatch at $root: table is " +
         s"${if (curPartitioned) "partitioned" else "flat"} but partitionDate is " +
@@ -252,7 +479,9 @@ object SnapshotStore {
     }
     val snap = writeSnapshot(root, out, partitionDate.isDefined, compactTo)
     cur.foreach(c => linkInto(Paths.get(root, c), Paths.get(root, snap)))
-    publish(root, snap)
+    val schema = cur.map(c => schemaUnion(liveSchema(spark, Paths.get(root, c)),
+      out.schema)).getOrElse(out.schema)
+    commit(root, snap, schema, partitionDate.isDefined)
   }
 
   /** S8: OPTIMIZE — compact the live snapshot's small files into
@@ -266,72 +495,92 @@ object SnapshotStore {
   def optimize(spark: SparkSession, root: String, filesPerPartition: Int = 1,
                clusterBy: Seq[String] = Nil): Unit =
     currentSnapshot(root).foreach { c =>
-      val partitioned = partitionDirs(Paths.get(root, c)).nonEmpty
-      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$c")
+      val snapDir = Paths.get(root, c)
+      val (df, partitioned) = snapshotDf(spark, snapDir)
       val snap =
         writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy)
-      // file-level min/max sidecar for the cluster keys, from footers only
-      // (O(files) metadata); written BEFORE the pointer swap so a published
-      // snapshot is never observed without its stats
-      if (clusterBy.nonEmpty)
-        FileSkipping.writeSidecar(Paths.get(root, snap),
-          FileSkipping.collectStats(
-            spark.sparkContext.hadoopConfiguration, Paths.get(root, snap),
-            clusterBy.toSet))
-      publish(root, snap)
+      // file-level min/max stats for the cluster keys, from footers only
+      // (O(files) metadata), straight into the new snapshot's manifest
+      val fresh =
+        if (clusterBy.isEmpty) Map.empty[String, FileSkipping.FileStats]
+        else FileSkipping.collectStats(
+          spark.sparkContext.hadoopConfiguration, Paths.get(root, snap),
+          clusterBy.toSet)
+      commit(root, snap, df.schema, partitioned, fresh)
     }
 
   /** ANALYZE-style stats refresh: (re)collect the file-level min/max/null
-    * sidecar of the LIVE snapshot for `columns` — footer reads only, no
-    * data bytes. Readers via [[readSkipping]] prune immediately after. */
+    * stats of the LIVE snapshot for `columns` — footer reads only, no
+    * data bytes — into its manifest (or the legacy sidecar for
+    * pre-manifest snapshots). Readers via [[readSkipping]] prune
+    * immediately after. */
   def analyze(spark: SparkSession, root: String, columns: Seq[String]): Unit =
     currentSnapshot(root).foreach { c =>
       val snapDir = Paths.get(root, c)
-      FileSkipping.writeSidecar(snapDir,
-        FileSkipping.collectStats(
-          spark.sparkContext.hadoopConfiguration, snapDir, columns.toSet))
+      val fresh = FileSkipping.collectStats(
+        spark.sparkContext.hadoopConfiguration, snapDir, columns.toSet)
+      Manifest.read(snapDir) match {
+        case Some(m) =>
+          Manifest.write(snapDir, m.schema, m.partitioned,
+            m.files.map(f => f.copy(stats = fresh.get(f.path).orElse(f.stats))))
+        case None =>
+          FileSkipping.writeSidecar(snapDir, fresh)
+      }
     }
 
   /** Live table contents through the file-skipping reader: pushed data
-    * filters prune whole FILES against the `_graft_stats.json` sidecar
+    * filters prune whole FILES against the manifest's per-file stats
     * before any parquet footer is opened (partition pruning on `_dt` still
     * happens first, as with [[read]]). Falls back to the plain read when
-    * no sidecar exists. Returns the DataFrame and the index, whose
+    * no stats exist. Returns the DataFrame and the index, whose
     * `lastKept`/`lastSkipped` counters expose the most recent scan's
     * pruning decision for audits. */
   def readSkipping(spark: SparkSession, root: String)
       : Option[(DataFrame, Option[FileSkipping.SkippingFileIndex])] =
     currentSnapshot(root).map { c =>
       val snapDir = Paths.get(root, c)
-      FileSkipping.readSidecar(snapDir) match {
-        case None => (read(spark, root).get, None)
-        case Some(stats) =>
-          import org.apache.spark.sql.execution.datasources._
-          import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-          // NB: Path(URI) keeps a directory URI's trailing slash, and a
-          // trailing-slash root lists no leaf files — build from the
-          // slash-stripped string form
-          val path = new org.apache.hadoop.fs.Path(
-            snapDir.toUri.toString.stripSuffix("/"))
-          val inner = new InMemoryFileIndex(
-            spark, Seq(path), Map.empty[String, String], None,
-            FileStatusCache.getOrCreate(spark), None, None)
-          val probe = spark.read.parquet(snapDir.toString)
-          val partCols = inner.partitionSchema.fieldNames.toSet
-          val dataSchema = org.apache.spark.sql.types.StructType(
-            probe.schema.fields.filterNot(f => partCols.contains(f.name)))
-          val idx = new FileSkipping.SkippingFileIndex(
-            inner, spark, stats, dataSchema, snapDir.toUri)
-          val relation = HadoopFsRelation(
-            idx, inner.partitionSchema, dataSchema, None,
-            new ParquetFileFormat, Map.empty[String, String])(spark)
-          val df = spark.baseRelationToDataFrame(relation)
+      Manifest.read(snapDir) match {
+        case Some(m) =>
+          val (df, idx) = Manifest.toDataFrame(spark, snapDir, m, skipping = true)
           val out = if (df.columns.contains(PartCol)) df.drop(PartCol) else df
-          (out, Some(idx))
+          (out, idx)
+        case None => legacyReadSkipping(spark, root, snapDir)
       }
     }
 
-  /** Snapshot names present under `root`, oldest → newest. */
+  /** Pre-manifest snapshots: sidecar stats + a listing file index. */
+  private def legacyReadSkipping(spark: SparkSession, root: String, snapDir: Path)
+      : (DataFrame, Option[FileSkipping.SkippingFileIndex]) =
+    FileSkipping.readSidecar(snapDir) match {
+      case None => (read(spark, root).get, None)
+      case Some(stats) =>
+        import org.apache.spark.sql.execution.datasources._
+        import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        // NB: Path(URI) keeps a directory URI's trailing slash, and a
+        // trailing-slash root lists no leaf files — build from the
+        // slash-stripped string form
+        val path = new org.apache.hadoop.fs.Path(
+          snapDir.toUri.toString.stripSuffix("/"))
+        val inner = new InMemoryFileIndex(
+          spark, Seq(path), Map.empty[String, String], None,
+          FileStatusCache.getOrCreate(spark), None, None)
+        val probe = spark.read.parquet(snapDir.toString)
+        val partCols = inner.partitionSchema.fieldNames.toSet
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          probe.schema.fields.filterNot(f => partCols.contains(f.name)))
+        val idx = new FileSkipping.SkippingFileIndex(
+          inner, spark, stats, dataSchema, snapDir.toUri)
+        val relation = HadoopFsRelation(
+          idx, inner.partitionSchema, dataSchema, None,
+          new ParquetFileFormat, Map.empty[String, String])(spark)
+        val df = spark.baseRelationToDataFrame(relation)
+        val out = if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+        (out, Some(idx))
+    }
+
+  /** Snapshot names present under `root`, oldest → newest. (The root dir
+    * is the commit log — enumerating snapshots lists it, the same way
+    * Delta lists `_delta_log/`; data files are never listed.) */
   def snapshots(root: String): Seq[String] =
     if (!Files.isDirectory(Paths.get(root))) Seq.empty
     else withList(Paths.get(root))(_.toSeq)
@@ -345,18 +594,25 @@ object SnapshotStore {
   def readAt(spark: SparkSession, root: String, snap: String): Option[DataFrame] =
     if (!Files.isDirectory(Paths.get(root, snap))) None
     else Some {
-      val df = spark.read.option("mergeSchema", "true").parquet(s"$root/$snap")
+      val df = snapshotDf(spark, Paths.get(root, snap))._1
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
 
   /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
-    * generations. Hard links make deletion safe for newer snapshots. */
+    * generations. Hard links make deletion safe for newer snapshots.
+    * Manifest-listed files are deleted first (on an object store that
+    * list IS the delete batch); the recursive sweep afterwards is local-FS
+    * hygiene for empty dirs, pre-manifest snapshots and stray files. */
   def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>
     val curN = cur.stripPrefix("snap-").toLong
     withList(Paths.get(root))(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("snap-"))
       .filter(p => p.getFileName.toString.stripPrefix("snap-").toLong <= curN - keep - 1)
-      .foreach(deleteRecursively)
+      .foreach { p =>
+        Manifest.read(p).foreach(_.files.foreach(f =>
+          Files.deleteIfExists(p.resolve(f.path))))
+        deleteRecursively(p)
+      }
   }
 
   private def deleteRecursively(p: Path): Unit = {

@@ -291,12 +291,18 @@ object DagQueries {
         .option("checkpointLocation", ckpt)
         .start()
       try {
+        // below 30 events the redelivery overlap degenerates (negative
+        // slice start clamps to 0, or third == 0 empties it) and the gate
+        // would pass without ever exercising the dedup state — fail loudly
+        // instead of testing nothing
+        require(rows.size >= 30,
+          s"stream-dedup gate needs >= 30 fixture events, got ${rows.size}")
         val third = rows.size / 3
         input.addData(rows.take(third))
         q.processAllAvailable()
         // batch 2 redelivers the tail of batch 1 — the dedup state, not a
         // sink merge, must swallow the duplicates
-        input.addData(rows.slice(third - 10, 2 * third))
+        input.addData(rows.slice(math.max(0, third - 10), 2 * third))
         q.processAllAvailable()
         input.addData(rows.drop(2 * third))
         q.processAllAvailable()
@@ -443,7 +449,8 @@ object DagQueries {
         events.filter(col("timestamp_ms") > cut)
           .select(col("transaction_digest"), col("event_index"),
             col("timestamp_ms"), col("sender"), col("event_type")),
-        Seq("transaction_digest", "event_index"))
+        Seq("transaction_digest", "event_index"),
+        onSchemaChange = graft.incremental.OnSchemaChange.AppendNewColumns)
       SnapshotStore.read(spark, s"$root/tbl").get
         .localCheckpoint() // materialized before the temp tree is deleted
         .orderBy("transaction_digest", "event_index")

@@ -30,15 +30,21 @@ import java.time.Instant
   */
 object StreamingIngest {
 
-  /** Continuous ingest of one event model into its snapshot table. */
+  /** Continuous ingest of one event model into its snapshot table.
+    * `onSchemaChange` flows through to the per-micro-batch merge, so a
+    * mid-stream projection evolution (a model gaining a column) follows
+    * the same dbt `on_schema_change` policy the batch path uses. */
   def ingest(model: EventModel, streamingEvents: DataFrame, root: String,
-             checkpointDir: String, now: Instant): StreamingQuery =
+             checkpointDir: String, now: Instant,
+             onSchemaChange: graft.incremental.OnSchemaChange =
+               graft.incremental.OnSchemaChange.Ignore): StreamingQuery =
     model.project(streamingEvents, now)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         SnapshotStore.merge(batch.sparkSession, root, batch,
-          model.uniqueKey, model.partitionDate)
+          model.uniqueKey, model.partitionDate,
+          onSchemaChange = onSchemaChange)
       }
       .start()
 

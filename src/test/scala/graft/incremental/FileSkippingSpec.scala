@@ -21,12 +21,12 @@ class FileSkippingSpec extends SparkSpec {
       .withColumn("maybe", when(col("id") <= 300, col("id") * 2))
       .withColumn("day", when(col("id") <= 200, "2026-01-01").otherwise("2026-01-02"))
 
-  test("optimize(clusterBy) writes a sidecar with sound per-file ranges") {
+  test("optimize(clusterBy) records sound per-file ranges in the manifest") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, table(), Seq("id"))
     SnapshotStore.optimize(spark, root, filesPerPartition = 8, clusterBy = Seq("id"))
     val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
-    val stats = FileSkipping.readSidecar(snap).get
+    val stats = Manifest.read(snap).get.statsMap
     assert(stats.nonEmpty)
     // every file's id range is present, and ranges are pairwise disjoint
     // (the repartitionByRange layout — what makes skipping selective)
@@ -113,7 +113,7 @@ class FileSkippingSpec extends SparkSpec {
     SnapshotStore.optimize(spark, root, filesPerPartition = 8, clusterBy = Seq("id"))
     SnapshotStore.analyze(spark, root, Seq("id", "label", "maybe"))
     val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
-    val stats = FileSkipping.readSidecar(snap).get
+    val stats = Manifest.read(snap).get.statsMap
     assert(stats.values.forall(_.cols.keySet == Set("id", "label", "maybe")))
     // all-null files for `maybe` are skippable under equality but kept
     // under isNull

@@ -193,6 +193,114 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.snapshots(root) == Seq("snap-0000002", "snap-0000003"))
   }
 
+  test("reads are manifest-committed: a file on disk but not in the manifest is invisible") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd)
+    // plant a rogue parquet file inside the live snapshot dir — a
+    // listing-based read would absorb its rows; the manifest read must not
+    val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
+    val rogueDir = snap.resolve("_dt=2026-01-09")
+    rows(Seq((99L, "2026-01-09", "rogue"))).drop("dt")
+      .write.parquet(rogueDir.resolve("tmp").toString)
+    Files.list(rogueDir.resolve("tmp")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.move(p, rogueDir.resolve("rogue.parquet")))
+    assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
+    assert(SnapshotStore.readSkipping(spark, root).get._1.count() == 2)
+  }
+
+  test("manifest carries file stats across merges for hard-linked untouched partitions") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd)
+    SnapshotStore.optimize(spark, root, filesPerPartition = 1, clusterBy = Seq("id"))
+    // touch only 2026-01-02: the untouched partition's files (and their
+    // stats, keyed by stable relative path) must survive into the new
+    // manifest, so skipping keeps working without a re-analyze
+    SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b2"))), Seq("id"), pd)
+    val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
+    val m = Manifest.read(snap).get
+    val carried = m.files.filter(_.partitionValue.contains("2026-01-01"))
+    assert(carried.nonEmpty && carried.forall(_.stats.isDefined))
+    // rewritten partition: fresh files, no (stale) stats
+    val rewritten = m.files.filter(_.partitionValue.contains("2026-01-02"))
+    assert(rewritten.nonEmpty && rewritten.forall(_.stats.isEmpty))
+  }
+
+  test("schema drift: default (ignore) fails fast on a missing column, drops extras") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
+    // batch WITHOUT `payload` — accidental drift must be loud, not NULL-fill
+    intercept[SchemaDriftException] {
+      SnapshotStore.merge(spark, root,
+        Seq((2L, "2026-01-02")).toDF("id", "dt"), Seq("id"), pd)
+    }
+    // batch with an extra column: dropped silently (dbt ignore parity)
+    SnapshotStore.merge(spark, root,
+      Seq((2L, "2026-01-02", "b", "x")).toDF("id", "dt", "payload", "extra"),
+      Seq("id"), pd)
+    assert(SnapshotStore.read(spark, root).get.columns.sorted.toSeq ==
+      Seq("dt", "id", "payload"))
+  }
+
+  test("schema drift: Fail refuses any change; non-widenable retype refuses everywhere") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
+    intercept[SchemaDriftException] {
+      SnapshotStore.merge(spark, root,
+        Seq((2L, "2026-01-02", "b", "x")).toDF("id", "dt", "payload", "extra"),
+        Seq("id"), pd, onSchemaChange = OnSchemaChange.Fail)
+    }
+    // a retype with no lossless direction (long vs boolean — note string
+    // absorbs atomics under Spark's up-cast rules, so it can't refuse):
+    // refuse even under the permissive evolution mode
+    val root2 = tmpRoot()
+    SnapshotStore.merge(spark, root2,
+      Seq((1L, "2026-01-01", 7L)).toDF("id", "dt", "n"), Seq("id"), pd)
+    intercept[SchemaDriftException] {
+      SnapshotStore.merge(spark, root2,
+        Seq((2L, "2026-01-02", true)).toDF("id", "dt", "n"),
+        Seq("id"), pd, onSchemaChange = OnSchemaChange.AppendNewColumns)
+    }
+  }
+
+  test("type widening: int->long and float->double merge through AppendNewColumns") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root,
+      Seq((1, "2026-01-01", 1.5f), (2, "2026-01-02", 2.5f))
+        .toDF("id", "dt", "v"), Seq("id"), pd)
+    // batch arrives widened; only 2026-01-02 is touched, so 2026-01-01's
+    // int/float files are hard-linked UNREAD and must widen at scan time
+    SnapshotStore.merge(spark, root,
+      Seq((2L, "2026-01-02", 9.5d), (3L, "2026-01-03", 3.5d))
+        .toDF("id", "dt", "v"), Seq("id"), pd,
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    val df = SnapshotStore.read(spark, root).get
+    assert(df.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(df.select("id", "v").as[(Long, Double)].collect().toSet ==
+      Set((1L, 1.5), (2L, 9.5), (3L, 3.5)))
+    // narrower batch after widening: upcast on write, table stays wide
+    SnapshotStore.merge(spark, root,
+      Seq((4, "2026-01-04", 4.5f)).toDF("id", "dt", "v"), Seq("id"), pd,
+      onSchemaChange = OnSchemaChange.AppendNewColumns)
+    val df2 = SnapshotStore.read(spark, root).get
+    assert(df2.schema("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(df2.filter(col("id") === 4).select("v").as[Double].head() == 4.5)
+  }
+
+  test("SyncAllColumns: batch schema wins — removed column dropped, new added") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root,
+      Seq((2L, "2026-01-02", 7L)).toDF("id", "dt", "n"), Seq("id"), pd,
+      onSchemaChange = OnSchemaChange.SyncAllColumns)
+    val df = SnapshotStore.read(spark, root).get
+    assert(df.columns.sorted.toSeq == Seq("dt", "id", "n"))
+    assert(df.filter(col("id") === 1).select("n").head().isNullAt(0))
+  }
+
   test("S10 target schema naming follows the get_custom_schema macro") {
     def dir(t: Target) = new Runner("/w", Nil, target = Some(t)).tableDir("fct")
     // prod → team schema verbatim
