@@ -44,6 +44,12 @@ trait Model {
     * (row-group min/max data skipping for readers filtering on them);
     * defaults to the merge key. Empty ⇒ compaction only. */
   def clusterBy: Seq[String] = uniqueKey
+  /** Upstream model names this build `ref()`s — the DAG edges dbt derives
+    * by parsing `ref()` calls, declared here. Drives the concurrent
+    * scheduler: a model starts once every listed upstream (that is part
+    * of the run) has finished. Names not in the run resolve from their
+    * on-disk materialization, as before. */
+  def refs: Seq[String] = Nil
   def build(ctx: RunContext, existing: Option[DataFrame],
             ref: String => DataFrame): DataFrame
 }
@@ -59,17 +65,29 @@ final case class Target(name: String, schema: String, devSuffix: String = "") {
     if (name == "prod") schema else s"${schema}__tmp_${devSuffix.trim}"
 }
 
-/** E1: the dbt DAG runner. Models run in the given (topological) order;
-  * each output is merged into its table via [[SnapshotStore]] and becomes
-  * available to downstream models through `ref` — exactly dbt's
-  * `ref()`/`source()` contract (`SURVEY.md §3 E1`).
+/** E1: the dbt DAG runner. Each model's output is merged into its table
+  * via [[SnapshotStore]] and becomes available to downstream models
+  * through `ref` — exactly dbt's `ref()`/`source()` contract
+  * (`SURVEY.md §3 E1`).
+  *
+  * Independent models build CONCURRENTLY on `threads` worker threads —
+  * the reference runs dbt with `threads: 4` (`profiles.yml:14,29`), and
+  * the 5 event extractors + object staging are mutually independent
+  * roots, so a backfill builds them 4-at-a-time. Safe because: each model
+  * owns its table directory (snapshot writes never collide), the pointer
+  * swap is atomic, a model starts only after every declared [[Model.refs]]
+  * upstream completes, and Spark explicitly supports concurrent job
+  * submission from multiple threads within one application. `threads = 1`
+  * degenerates to the old strictly-sequential walk; outputs are
+  * identical either way (RunnerSpec pins this).
   *
   * `maintenance = true` reproduces the prod post-hooks: S8 OPTIMIZE
   * (file compaction, `macros/dune_dbt_overrides/optimize_table.sql:1-5`)
   * and S9 VACUUM (retention, `vacuum_table.sql:1-5`) after each model
   * build — off by default like the reference's dev target. */
 final class Runner(root: String, models: Seq[Model], maintenance: Boolean = false,
-                   target: Option[Target] = None) {
+                   target: Option[Target] = None, threads: Int = 4) {
+  require(threads >= 1, s"threads must be >= 1, got $threads")
 
   /** Tables live under the target-resolved schema namespace when a
     * [[Target]] is set (dev and prod runs of the same DAG never collide —
@@ -78,24 +96,70 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
   def tableDir(name: String): String =
     target.fold(s"$root/$name")(t => s"$root/${t.resolvedSchema}/$name")
 
+  /** Build one model: read prior state, run the model function, merge,
+    * optional maintenance, publish into `built`. */
+  private def buildOne(ctx: RunContext, m: Model,
+                       built: java.util.concurrent.ConcurrentMap[String, DataFrame]): DataFrame = {
+    val dir = tableDir(m.name)
+    val existing = SnapshotStore.read(ctx.spark, dir)
+    val mode = if (existing.isDefined) ctx.mode else RunMode.FullRefresh
+    val out = m.build(ctx.copy(mode = mode), existing,
+      name => Option(built.get(name)).getOrElse(
+        SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
+          sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
+    SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionDate)
+    if (maintenance) {
+      SnapshotStore.optimize(ctx.spark, dir, clusterBy = m.clusterBy)
+      SnapshotStore.vacuum(dir)
+    }
+    val res = SnapshotStore.read(ctx.spark, dir).get
+    built.put(m.name, res)
+    res
+  }
+
   /** Runs the full DAG once; returns each model's post-merge table. */
   def run(ctx: RunContext): Map[String, DataFrame] = {
-    val built = scala.collection.mutable.Map[String, DataFrame]()
-    models.foreach { m =>
-      val dir = tableDir(m.name)
-      val existing = SnapshotStore.read(ctx.spark, dir)
-      val mode = if (existing.isDefined) ctx.mode else RunMode.FullRefresh
-      val out = m.build(ctx.copy(mode = mode), existing,
-        name => built.getOrElse(name,
-          SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
-            sys.error(s"ref('$name') not built and no materialization at ${tableDir(name)}"))))
-      SnapshotStore.merge(ctx.spark, dir, out, m.uniqueKey, m.partitionDate)
-      if (maintenance) {
-        SnapshotStore.optimize(ctx.spark, dir, clusterBy = m.clusterBy)
-        SnapshotStore.vacuum(dir)
+    import scala.jdk.CollectionConverters._
+    val built = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    val inRun = models.map(_.name).toSet
+    // DAG sanity up front: refs must be acyclic over the models in this
+    // run (a cycle would deadlock the scheduler / recurse forever)
+    locally {
+      val deps = models.map(m => m.name -> m.refs.toSet.intersect(inRun)).toMap
+      val seen = scala.collection.mutable.Set[String]()
+      val onPath = scala.collection.mutable.Set[String]()
+      def visit(n: String): Unit = {
+        if (onPath(n)) sys.error(s"model DAG cycle through '$n'")
+        if (!seen(n)) {
+          onPath += n; deps(n).foreach(visit); onPath -= n; seen += n
+        }
       }
-      built(m.name) = SnapshotStore.read(ctx.spark, dir).get
+      inRun.foreach(visit)
     }
-    built.toMap
+    if (threads == 1) {
+      models.foreach(m => buildOne(ctx, m, built))
+    } else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        // One future per model, gated on its upstream futures — the
+        // completion-driven schedule: a model starts the moment its last
+        // dependency lands, not when a whole "wave" drains.
+        val futures = scala.collection.mutable.Map[String, Future[DataFrame]]()
+        def futureOf(name: String): Future[DataFrame] =
+          futures.getOrElseUpdate(name, {
+            val m = models.find(_.name == name).get
+            val upstream = m.refs.filter(inRun).map(futureOf)
+            Future.sequence(upstream).map(_ => buildOne(ctx, m, built))
+          })
+        // materialize the map on this thread (futures is not thread-safe;
+        // getOrElseUpdate recursion stays on the caller)
+        val all = models.map(m => futureOf(m.name))
+        Await.result(Future.sequence(all), Duration.Inf)
+      } finally pool.shutdown()
+    }
+    built.asScala.toMap
   }
 }

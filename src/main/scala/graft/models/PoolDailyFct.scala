@@ -37,6 +37,14 @@ object PoolDailyFct extends Model {
   val uniqueKey: Seq[String] = Seq("margin_pool_id", "snapshot_date")
   /** The merge key contains the partition date itself. */
   override val partitionDate: Option[Column] = Some(col("snapshot_date"))
+  /** The DAG's only non-root: joins the 4 volume extractors + staging
+    * (`fct_deepbook_margin_pool_daily.sql` ref() calls). */
+  override val refs: Seq[String] = Seq(
+    "deepbook_margin_pool_asset_supplied",
+    "deepbook_margin_pool_asset_withdrawn",
+    "deepbook_margin_loan_borrowed",
+    "deepbook_margin_loan_repaid",
+    "stg_deepbook_margin_pool_object")
 
   private val stablecoins = Seq("USDC", "USDT", "AUSD")
 

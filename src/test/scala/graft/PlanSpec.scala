@@ -49,6 +49,31 @@ class PlanSpec extends SparkSpec {
       "interval join must stay an equi-join on the bucketized day key")
   }
 
+  test("t22: the gram-score join runs big-big (no broadcast) with an identical result") {
+    // The 100 TB claim on t22 (PipelineQueries.t22BigramScore doc): the
+    // bigram count table is corpus-scale, so its lookup join must be
+    // shardable as a shuffle join. Pin it: with auto-broadcast disabled
+    // the UN-hinted c2 join becomes a shuffle join, the HINTED vocab/total
+    // broadcasts stay broadcast (hints ignore the threshold), and the
+    // output is row-identical to the default (broadcast-at-this-sf) plan.
+    val q = graft.queries.PipelineQueries.t22BigramScore
+    val base = q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(base.nonEmpty)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = q(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"c2 gram join must shuffle when broadcast is off\n${p.take(1500)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"hinted vocab joins must stay broadcast under threshold=-1\n${p.take(1500)}")
+      assert(df.collect().map(_.toSeq).toSeq == base,
+        "t22 result changed between broadcast and shuffled gram-join plans")
+    } finally spark.conf.set(key, old)
+  }
+
   test("q1_cents: money aggregation stays in the codegen'd long path — no decimal agg buffers") {
     // (q1_pricing_summary itself is pinned to the driver-green decimal
     // formulation; the integer fixed-point plan lives under q1_cents)
