@@ -1213,34 +1213,41 @@ object PipelineQueries {
 
   // ---- D6: dedup cluster assignment (connected components) -----------------
 
-  /** Collapse the near-dup PAIR graph (d2's verified MinHash pairs) into
-    * CLUSTERS: every document in a non-trivial near-dup component gets the
-    * component's minimum doc_id as its canonical representative, plus the
-    * component size — the final step that turns pair mining into an
-    * actionable keep/drop list (docs absent from every pair are implicitly
-    * their own canonical).
+  /** Connected components of an undirected pair graph `(a, b)` → one
+    * `(v, l)` row per vertex, `l` = the component's minimum vertex id.
     *
-    * Algorithm: iterative min-label propagation — each round every vertex
+    * Phase 1 — iterative min-label propagation: each round every vertex
     * takes `min(own label, neighbours' labels)` via one equi-join + one
     * min-aggregate, converging in ≤ diameter rounds. The driver loop is
-    * over ITERATIONS (each round's convergence check is a scalar count,
-    * the same control shape as GraphX Pregel); all row work is joins and
-    * aggregates on (vertex, label) longs. LSH components are near-cliques
-    * of bounded size, so the diameter — and the round count — is small and
-    * independent of corpus size. (For adversarially long path-shaped
-    * graphs the two-phase large-star/small-star alternation [Kiveris et
-    * al., MR'14] halves diameter per round; same join/agg building blocks,
-    * not needed for dedup graphs.) Each round ends in a `localCheckpoint`
-    * so lineage stays O(1) instead of O(rounds), and superseded label
-    * blocks are released by the ContextCleaner. */
-  val d6DedupClusters: Q = (spark, dir) => {
-    val pairs = d2MinhashLsh(spark, dir)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
-    val edges = pairs.union(pairs.select(col("b_id"), col("a_id")))
-      .toDF("u", "v").localCheckpoint()
+    * over ITERATIONS (each round's convergence check is a scalar
+    * aggregate, the same control shape as GraphX Pregel); all row work is
+    * joins and aggregates on (vertex, label) longs. LSH components are
+    * near-cliques of bounded size, so the diameter — and the round count —
+    * is small and independent of corpus size.
+    *
+    * Phase 2 — if propagation has not converged within `propRounds`
+    * (a high-diameter graph: adversarial paths, chained near-dups), switch
+    * to the two-phase large-star/small-star alternation (Kiveris et al.
+    * 2014, "Connected Components in MapReduce and Beyond"): each
+    * large-star hangs every vertex's larger neighbours onto its minimum
+    * neighbour, each small-star re-hangs the smaller ones, contracting
+    * any graph to its star forest in O(log²) rounds REGARDLESS of
+    * diameter — same join/agg building blocks, no new machinery. The
+    * final edge set is one star per component, centred on the minimum.
+    *
+    * Each round of either phase ends in a `localCheckpoint` so lineage
+    * stays O(1) instead of O(rounds), and superseded blocks are released
+    * by the ContextCleaner. */
+  private[graft] def connectedComponents(pairs0: DataFrame,
+                                         propRounds: Int = 12): DataFrame = {
+    val pairs = pairs0.toDF("a", "b")
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val edges = pairs.select(col("a").as("u"), col("b").as("v"))
+      .union(pairs.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint()
     // both directions are present, so every vertex appears as a `u`
-    var labels = edges.select(col("u").as("v")).distinct()
-      .withColumn("l", col("v")).localCheckpoint()
+    val vertices = edges.select(col("u").as("v")).distinct().localCheckpoint()
+    var labels = vertices.withColumn("l", col("v")).localCheckpoint()
     // labels only ever DECREASE, so Σl strictly decreases iff any label
     // changed — one aggregate on the label frame is the whole convergence
     // check (decimal: a bigint Σ of ~1e10 64-bit ids could wrap; coalesce:
@@ -1251,7 +1258,7 @@ object PipelineQueries {
     var prevSum = labelSum()
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 50) {
+    while (!converged && rounds < propRounds) {
       val nbrMin = edges.join(labels.withColumnRenamed("v", "u"), "u")
         .groupBy(col("v")).agg(min(col("l")).as("nl"))
       labels = labels.join(nbrMin, Seq("v"), "left")
@@ -1262,12 +1269,74 @@ object PipelineQueries {
       prevSum = curSum
       rounds += 1
     }
-    // a silent cap would emit a component with INCONSISTENT labels — at
-    // the tiers where that could happen the all-pairs oracle is too slow
-    // to catch it, so fail loudly instead (50 ⟹ diameter > 50: not a
-    // dedup graph; switch to large-star/small-star before raising the cap)
-    require(converged,
-      s"d6 label propagation did not converge in $rounds rounds — component diameter exceeds the cap")
+    if (converged) labels else starLabels(pairs, vertices)
+  }
+
+  /** Kiveris et al.'s large-star: for every vertex u with neighbourhood
+    * N(u) and m = min(N(u) ∪ {u}), connect each LARGER neighbour v > u
+    * directly to m. Emitted pairs always run (larger, smaller). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val dir = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+    val mins = dir.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("mv"), col("u")).as("m"))
+    dir.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+  }
+
+  /** Kiveris et al.'s small-star: orient every edge large→small, and for
+    * each vertex u re-hang its (all smaller) neighbours and u itself onto
+    * m = min(N(u)). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("a"), col("b")).as("u"),
+      least(col("a"), col("b")).as("v")).distinct()
+    val j = dir.join(dir.groupBy(col("u")).agg(min(col("v")).as("m")), "u")
+    j.filter(col("v") =!= col("m"))
+      .select(col("v").as("a"), col("m").as("b"))
+      .union(j.select(col("u").as("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Alternate large-star/small-star to the fixpoint star forest, then
+    * read labels off the stars (leaf → centre, centre → itself). The
+    * fixpoint is exact set-equality of consecutive edge sets — both are
+    * deduped, so equal count + empty difference ⇒ equal. */
+  private def starLabels(pairs: DataFrame, vertices: DataFrame): DataFrame = {
+    var cur = pairs.localCheckpoint()
+    var stable = false
+    var iters = 0
+    while (!stable && iters < 60) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      stable = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+      iters += 1
+    }
+    // 60 halvings cover any conceivable diameter (2^60); a non-fixpoint
+    // here means the edge set is oscillating, i.e. a bug — fail loudly
+    // rather than emit inconsistent components
+    require(stable, s"large-star/small-star did not reach a fixpoint in $iters rounds")
+    val leaves = cur.select(greatest(col("a"), col("b")).as("v"),
+      least(col("a"), col("b")).as("l"))
+    val centers = vertices.join(leaves, Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("l"))
+    leaves.union(centers)
+  }
+
+  /** Collapse the near-dup PAIR graph (d2's verified MinHash pairs) into
+    * CLUSTERS: every document in a non-trivial near-dup component gets the
+    * component's minimum doc_id as its canonical representative, plus the
+    * component size — the final step that turns pair mining into an
+    * actionable keep/drop list (docs absent from every pair are implicitly
+    * their own canonical). Components come from [[connectedComponents]]:
+    * min-label propagation sized for LSH near-cliques, with the
+    * large-star/small-star fallback covering high-diameter graphs. */
+  val d6DedupClusters: Q = (spark, dir) => {
+    val pairs = d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "l")
       .select(col("v").as("doc_id"), col("l").as("canonical_id"), col("cluster_size"))

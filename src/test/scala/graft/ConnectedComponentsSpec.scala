@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.PipelineQueries
+import org.apache.spark.sql.DataFrame
+
+/** d6's component engine against a local union-find oracle: random graphs
+  * through BOTH phases (propagation-only and the forced
+  * large-star/small-star fallback) must label every vertex with its
+  * component minimum, and a path graph whose diameter dwarfs the
+  * propagation budget must converge through the fallback — the
+  * adversarial case plain min-label propagation cannot finish. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Local union-find: vertex → component minimum. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  private def labelsOf(df: DataFrame): Map[Long, Long] =
+    df.as[(Long, Long)].collect().toMap
+
+  test("random graphs: both phases agree with union-find (labels = component minima)") {
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(50)
+      val m = 20 + rnd.nextInt(80)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val pairs = edges.toDF("a", "b")
+      // generous budget: propagation converges, fallback never fires
+      val viaProp = labelsOf(PipelineQueries.connectedComponents(pairs, propRounds = 100))
+      // zero budget: the large-star/small-star path does all the work
+      val viaStars = labelsOf(PipelineQueries.connectedComponents(pairs, propRounds = 0))
+      assert(viaProp == expected, s"trial $trial: propagation diverged from union-find")
+      assert(viaStars == expected, s"trial $trial: star fallback diverged from union-find")
+    }
+  }
+
+  test("path graph with diameter >> propagation budget converges via the fallback") {
+    // 0-1-2-...-400: diameter 400; propagation alone needs ~400 rounds,
+    // the d6 default budget is 12 — only the fallback can finish this
+    val path = (0L until 400L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = labelsOf(PipelineQueries.connectedComponents(path, propRounds = 12))
+    assert(labels.size == 401)
+    assert(labels.values.forall(_ == 0L), "every path vertex must label to the minimum 0")
+  }
+
+  test("disconnected components and singleton-free input keep distinct minima") {
+    val pairs = Seq((10L, 11L), (11L, 12L), (20L, 21L), (30L, 31L), (31L, 30L))
+      .toDF("a", "b")
+    val labels = labelsOf(PipelineQueries.connectedComponents(pairs, propRounds = 0))
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("empty pair graph yields no labels (no spin, no error)") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(PipelineQueries.connectedComponents(empty, propRounds = 0).count() == 0)
+    assert(PipelineQueries.connectedComponents(empty, propRounds = 12).count() == 0)
+  }
+}
