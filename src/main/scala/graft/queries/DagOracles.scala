@@ -321,5 +321,24 @@ object DagOracles {
              |            ELSE NULL END AS event_type
              |FROM $eventsSrc
              |ORDER BY transaction_digest, event_index""".stripMargin
+        },
+        // type widening (int->long, float->double): the widened read of the
+        // table — early partitions still physically int/float, hard-linked —
+        // must equal the natural wide projection of the raw log; amounts are
+        // ts % 1000, exact in float, so no rounding enters
+        "dag_schema_widen" ->
+          s"""SELECT transaction_digest, CAST(event_index AS BIGINT) AS event_index,
+             |       timestamp_ms, CAST(timestamp_ms % 1000 AS DOUBLE) AS amount
+             |FROM $eventsSrc
+             |ORDER BY transaction_digest, event_index""".stripMargin,
+        // stream-side evolution converges to the same table as the batch
+        // path — identical oracle to dag_schema_evolve
+        "dag_stream_evolve" -> {
+          val cut = java.time.Instant.parse("2026-01-08T00:00:00Z").toEpochMilli
+          s"""SELECT transaction_digest, event_index, timestamp_ms, sender,
+             |       CASE WHEN timestamp_ms > $cut THEN event_type
+             |            ELSE NULL END AS event_type
+             |FROM $eventsSrc
+             |ORDER BY transaction_digest, event_index""".stripMargin
         })
 }

@@ -459,6 +459,99 @@ object DagQueries {
     }
   }
 
+  /** Type-widening schema evolution through the merge sink inside the
+    * hard gate (the OTHER evolution dbt users hit — int→long,
+    * float→double): batch 1 merges the early events with event_index
+    * NARROWED to int and a float-typed amount, batch 2 merges the later
+    * events with the natural long/double types under
+    * `AppendNewColumns` — the sink must widen the TABLE schema while the
+    * early partitions' int/float files stay hard-linked on disk and widen
+    * at scan time (partition-scoped merge: only late dates rewrite).
+    * Amounts are `timestamp_ms % 1000` — exact in float (< 2^24), so the
+    * widened values hash-match DuckDB bit-for-bit. */
+  val schemaWidenQ: Q = (spark, _) => {
+    val events = DeepbookFixtures.events(spark)
+    val cut = dayStartOf(8)
+    val root = java.nio.file.Files.createTempDirectory("graft-dagwiden").toString
+    def proj(df: org.apache.spark.sql.DataFrame, narrow: Boolean) = {
+      val idx = if (narrow) col("event_index").cast("int") else col("event_index")
+      val amt = pmod(col("timestamp_ms"), lit(1000L))
+      df.select(col("transaction_digest"), idx.as("event_index"),
+        col("timestamp_ms"),
+        (if (narrow) amt.cast("float") else amt.cast("double")).as("amount"))
+    }
+    val pd = Some(to_date(timestamp_millis(col("timestamp_ms"))))
+    val keys = Seq("transaction_digest", "event_index")
+    try {
+      SnapshotStore.merge(spark, s"$root/tbl",
+        proj(events.filter(col("timestamp_ms") <= cut), narrow = true), keys, pd)
+      SnapshotStore.merge(spark, s"$root/tbl",
+        proj(events.filter(col("timestamp_ms") > cut), narrow = false), keys, pd,
+        onSchemaChange = graft.incremental.OnSchemaChange.AppendNewColumns)
+      SnapshotStore.read(spark, s"$root/tbl").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
+  /** STREAM-side schema evolution inside the hard gate: the table is
+    * bootstrapped by a batch merge of the pre-evolution history under the
+    * base projection (no `event_type`), then the projection gains the
+    * column and the REMAINING events arrive as two streaming
+    * micro-batches — the second REDELIVERING the first's tail — through
+    * `foreachBatch` → merge(`AppendNewColumns`). The streaming sink must
+    * evolve the live table exactly like the batch path: pre-evolution
+    * rows read back with NULL `event_type`, every event exactly once.
+    * Same oracle shape as `dag_schema_evolve`. */
+  val streamEvolveQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val cut = dayStartOf(8)
+    val late = DeepbookFixtures.events(spark)
+      .filter(col("timestamp_ms") > cut).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-dagsevolve").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagsevolve-ckpt").toString
+    try {
+      SnapshotStore.merge(spark, s"$root/tbl",
+        DeepbookFixtures.events(spark).filter(col("timestamp_ms") <= cut)
+          .select(col("transaction_digest"), col("event_index"),
+            col("timestamp_ms"), col("sender")),
+        Seq("transaction_digest", "event_index"))
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](65, spark)
+      val q = input.toDF()
+        .select(col("transaction_digest"), col("event_index"),
+          col("timestamp_ms"), col("sender"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SnapshotStore.merge(batch.sparkSession, s"$root/tbl", batch,
+            Seq("transaction_digest", "event_index"),
+            onSchemaChange = graft.incremental.OnSchemaChange.AppendNewColumns)
+        }
+        .start()
+      try {
+        val half = late.size / 2
+        input.addData(late.take(half))
+        q.processAllAvailable()
+        // redelivered overlap: evolution + upsert must both hold
+        input.addData(late.drop(math.max(0, half - 10)))
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.read(spark, s"$root/tbl").get
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Fixture day-start epoch-ms (mirrors DeepbookFixtures.dayStartMs). */
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
@@ -475,5 +568,7 @@ object DagQueries {
         "dag_stream_dedup" -> streamDedupQ,
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
-        "dag_schema_evolve" -> schemaEvolveQ)
+        "dag_schema_evolve" -> schemaEvolveQ,
+        "dag_schema_widen" -> schemaWidenQ,
+        "dag_stream_evolve" -> streamEvolveQ)
 }
