@@ -27,7 +27,15 @@ import org.apache.spark.sql.types._
   *     ±1 pattern. Sign flips preserve within-copy dot products exactly
   *     (s²=1 componentwise) and decorrelate cross-copy cosines to ~0.
   *
-  * Usage: ScaleGen [inDir] [outDir] [K]
+  * A 4th argument `skewPct` (0–100, default 0) builds a DELIBERATELY
+  * skewed tier for hot-key rehearsal: that percentage of documents is
+  * reassigned to a single source (`"mega"`), and the same percentage of
+  * orders to a single `o_orderpriority` — the "one domain is half the
+  * corpus" shape that breaks per-group windows. Assignment is
+  * `doc_id % 100 < skewPct`, deterministic and uniform across copies, so
+  * the skewed tier stays oracle-checkable like any other dir.
+  *
+  * Usage: ScaleGen [inDir] [outDir] [K] [skewPct]
   */
 object ScaleGen {
 
@@ -37,6 +45,7 @@ object ScaleGen {
     val in = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("/tmp/graft-sf1")
     val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+    val skewPct = args.drop(3).headOption.map(_.toInt).getOrElse(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -67,11 +76,22 @@ object ScaleGen {
     amplified("customer")(shift(_, _, "c_custkey"))
     amplified("supplier")(shift(_, _, "s_suppkey"))
     amplified("part")(shift(_, _, "p_partkey"))
-    amplified("orders")(shift(_, _, "o_orderkey", "o_custkey"))
+    amplified("orders") { (d, i) =>
+      val s = shift(d, i, "o_orderkey", "o_custkey")
+      if (skewPct == 0) s
+      else s.withColumn("o_orderpriority",
+        when(pmod(col("o_orderkey"), lit(100L)) < skewPct, lit("1-URGENT"))
+          .otherwise(col("o_orderpriority")))
+    }
     amplified("lineitem")(shift(_, _, "l_orderkey", "l_partkey", "l_suppkey"))
     amplified("events")(shift(_, _, "event_id", "user_id"))
     amplified("documents") { (d, i) =>
-      val shifted = shift(d, i, "doc_id")
+      val skewed =
+        if (skewPct == 0) d
+        else d.withColumn("source",
+          when(pmod(col("doc_id"), lit(100L)) < skewPct, lit("mega"))
+            .otherwise(col("source")))
+      val shifted = shift(skewed, i, "doc_id")
       // EVERY word gets the copy prefix — including the first (and a
       // space-free doc's only word): a partial bijection would preserve
       // document-initial shingles across copies and emit verbatim clones

@@ -170,23 +170,14 @@ object CorpusPrep {
     * Both stages reuse their standalone operators' proven arithmetic, so
     * the composition hash-matches one chained-CTE oracle. Scale shape is
     * inherited: the gate is map-only, the cap table is domain-sized and
-    * broadcast, the rank is the one corpus shuffle. */
+    * broadcast, and the rank is d10's skew-proof range-partitioned
+    * two-level form ([[PipelineQueries.sourceQuota]] — shared code, so a
+    * mega-domain can't funnel the survivor rank through one partition
+    * here either). */
   val pipe3GatedQuota: Q = (spark, dir) => {
     val docs = Sources.testdata(spark, dir)("documents")
     val pass = t20GopherRules(spark, dir).filter(col("pass")).select("doc_id")
-    val survivors = docs.join(pass, Seq("doc_id"))
-    val caps = survivors.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-      .withColumn("cap",
-        greatest(lit(D10CapMin), expr(s"n_docs * $D10CapPct div 100")))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    survivors
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .join(broadcast(caps), "source")
-      .filter(col("rk") <= col("cap"))
-      .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),
-        col("n_docs"), col("cap"))
-      .orderBy(col("source"), col("rk"))
+    sourceQuota(docs.join(pass, Seq("doc_id")))
   }
 
   val all: Map[String, Q] = Map(

@@ -1741,25 +1741,52 @@ object PipelineQueries {
     * rank ≤ cap, where the cap is data-dependent (a floor of [[D10CapMin]]
     * or [[D10CapPct]] % of the source's volume, integer arithmetic).
     *
-    * Scale shape: the cap table is |sources|-sized (domains, not
-    * documents) — one map-side-combined count, broadcast back, so the
-    * keep predicate is evaluated in the corpus scan's stage after the
-    * per-source rank. The rank itself is the one real shuffle (hash by
-    * source). A mega-domain skewing that window is the known failure mode
-    * at 100 TB; the o2 salted two-phase top-k is the drop-in mitigation
-    * once a cap ≪ domain size — kept out of this plan because quota
-    * caps are PERCENTAGE-of-volume here, so every row of the skewed
-    * domain survives ranking anyway and salting would only add a second
-    * shuffle of the same rows. */
-  val d10SourceQuota: Q = (spark, dir) => {
-    val docs = t(spark, dir, "documents")
-    val caps = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    * Scale shape — SKEW-PROOF exact rank: `Window.partitionBy(source)`
+    * funnels a mega-domain (one source = half the corpus, the skewed-tier
+    * rehearsal shape) through ONE window partition, and AQE cannot split
+    * a window's partition. Instead the corpus RANGE-partitions on the
+    * global (source, n_chars desc, doc_id) order — a heavy source spans
+    * as many ranges as its volume demands — and the exact per-source rank
+    * is composed from per-partition row_numbers plus a
+    * partition-count-sized offset table (t7/t17's two-level cumsum,
+    * generalized to a grouped rank). Both shuffles (the range exchange
+    * and the (source, pid) window hash) are balanced under ANY source
+    * distribution; the result is defined by the total order alone, so it
+    * is identical for any partition count. The cap table reuses the
+    * per-range counts (|sources|×ranges rows — domains, not documents)
+    * and broadcasts. */
+  val d10SourceQuota: Q = (spark, dir) => sourceQuota(t(spark, dir, "documents"))
+
+  /** The quota rank over any `(source, doc_id, n_chars, ...)` frame —
+    * shared by d10 (raw corpus) and pipe3 (gate survivors). Non-key
+    * columns are dropped BEFORE the range exchange, so only fixed-width
+    * triples cross the wire. */
+  private[graft] def sourceQuota(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("source"), col("doc_id"), col("n_chars"))
+    val parts = docs
+      .repartitionByRange(32, col("source"), col("n_chars").desc, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // feeds the offset/cap aggs AND the row-level join
+    // per-(source, range) counts → per-source offsets (prefix over pid)
+    // and the |sources|-sized cap table, one domain-sized frame for both
+    val counts = parts.groupBy(col("source"), col("pid"))
+      .agg(count(lit(1)).as("bn")).localCheckpoint()
+    val offs = counts
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy(col("source")).orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("pid"), col("off"))
+    val caps = counts.groupBy(col("source")).agg(sum(col("bn")).as("n_docs"))
       .withColumn("cap",
         greatest(lit(D10CapMin), expr(s"n_docs * $D10CapPct div 100")))
-    val w = Window.partitionBy(col("source"))
+    // within a range, one source's rows are a CONTIGUOUS slice of its
+    // global preference order, so offset + local row_number = exact rank
+    val w = Window.partitionBy(col("source"), col("pid"))
       .orderBy(col("n_chars").desc, col("doc_id"))
-    docs
-      .withColumn("rk", row_number().over(w).cast(LongType))
+    parts
+      .withColumn("rk0", row_number().over(w).cast(LongType))
+      .join(broadcast(offs), Seq("source", "pid"))
+      .withColumn("rk", col("off") + col("rk0"))
       .join(broadcast(caps), "source")
       .filter(col("rk") <= col("cap"))
       .select(col("source"), col("doc_id"), col("n_chars"), col("rk"),

@@ -309,14 +309,20 @@ class PlanSpec extends SparkSpec {
       s"the rank must pre-limit before its shuffle\n${p.take(1200)}")
   }
 
-  test("d10: the |sources|-sized cap table broadcasts back — corpus rows shuffle only for the rank") {
+  test("d10: skew-proof rank — range-partitioned order, (source,pid) window, broadcast caps") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.d10SourceQuota)
     assert(p.contains("BroadcastHashJoin"), p.take(1200))
     assert(!p.contains("SortMergeJoin"),
-      s"the quota join must never shuffle the corpus side\n${p.take(1200)}")
-    assert(p.contains("windowspecdefinition(source"),
-      s"the rank must partition by source\n${p.take(1200)}")
+      s"the offset/cap joins must never shuffle the corpus side\n${p.take(1200)}")
+    // the corpus-sized exchange is the RANGE partitioning of the global
+    // preference order — a mega-source spans many ranges; the subsequent
+    // window keys on (source, pid), so no single partition ever holds a
+    // whole hot domain (the skewed-tier rehearsal shape, SCALE.md §8)
+    assert(p.contains("rangepartitioning(source"),
+      s"the rank order must range-partition, not hash one partition per source\n${p.take(1200)}")
+    assert(p.contains("windowspecdefinition(source") && p.contains("pid"),
+      s"the in-range rank must key on (source, pid)\n${p.take(1200)}")
   }
 
   test("t20: the rule gate is map-only — no shuffle ahead of the output sort") {
