@@ -34,6 +34,9 @@ object OnSchemaChange {
 /** Typed refusal for schema drift a mode does not permit. */
 final class SchemaDriftException(msg: String) extends RuntimeException(msg)
 
+/** Typed refusal when two writers race the same table generation. */
+final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
+
 /** S6: the incremental MERGE sink — dbt `incremental_strategy='merge'` on a
   * composite `unique_key` (`deepbook_margin_loan_borrowed.sql:1-8`,
   * `DEVELOPMENT.md:123-132`) rebuilt without a Delta jar.
@@ -218,6 +221,22 @@ object SnapshotStore {
                             compactTo: Option[Int],
                             clusterBy: Seq[String] = Nil): String = {
     val snap = nextSnapshotName(root)
+    // Generation fencing: the snapshot name is claimed ATOMICALLY before
+    // any data is written, so two writers that both read the same
+    // _CURRENT cannot both produce snap-N — the loser fails HERE, before
+    // spending a write and before either can clobber the other's files
+    // (the same putIfAbsent idea as a commit log's version file). The
+    // parallel DAG runner never races (one table per model); this guards
+    // accidental same-table concurrency. A dir left by a CRASHED writer
+    // also lands here: it is unpublished (the pointer never moved), so
+    // deleting it is the safe recovery.
+    try Files.createDirectory(Paths.get(root, snap))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(
+          s"snapshot generation $snap at $root already exists: concurrent " +
+            "writer, or the orphan of a crashed one (unpublished - safe to delete)")
+    }
     val arranged = (partitioned, compactTo) match {
       // clustered compaction RANGE-partitions on the cluster keys so each
       // output file covers a disjoint key interval — that is what makes

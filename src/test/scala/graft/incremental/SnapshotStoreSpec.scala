@@ -301,6 +301,22 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(df.filter(col("id") === 1).select("n").head().isNullAt(0))
   }
 
+  test("generation fencing: a claimed next-snapshot name refuses a second writer, table unharmed") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
+    // a concurrent writer (or a crashed one's orphan) already claimed the
+    // next generation — this merge must fail BEFORE writing anything
+    Files.createDirectory(Paths.get(root, "snap-0000002"))
+    intercept[ConcurrentWriteException] {
+      SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b"))), Seq("id"), pd)
+    }
+    assert(readAll(root) == Set((1L, "2026-01-01", "a")))
+    // recovery: drop the orphan, the next merge proceeds normally
+    Files.delete(Paths.get(root, "snap-0000002"))
+    SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b"))), Seq("id"), pd)
+    assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
+  }
+
   test("S10 target schema naming follows the get_custom_schema macro") {
     def dir(t: Target) = new Runner("/w", Nil, target = Some(t)).tableDir("fct")
     // prod → team schema verbatim
