@@ -87,6 +87,13 @@ object SnapshotStore {
   /** Hidden partition column materialized from a model's `partitionDate`. */
   val PartCol = "_dt"
 
+  /** Change-data-feed columns (Delta CDF's `_change_type` /
+    * `_commit_version` vocabulary; merge never deletes, so the types are
+    * `insert` / `update_preimage` / `update_postimage`). */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+  private val ChangesDir = "_changes"
+
   private def pointer(root: String) = Paths.get(root, "_CURRENT")
 
   def currentSnapshot(root: String): Option[String] = {
@@ -352,6 +359,66 @@ object SnapshotStore {
     }: _*)
   }
 
+  // ---- change data feed ---------------------------------------------------
+
+  /** The change rows one merge commit produces, both sides already
+    * conformed to the commit's target schema. `oldC` is the prior rows the
+    * merge actually read — for a partition-scoped merge, the touched
+    * partitions only, which is COMPLETE for change capture because keys
+    * are partition-stable (the same contract the merge itself relies on:
+    * a re-delivered key lands in the same `_dt`, so a batch key can never
+    * collide with a row in an untouched partition). Matched keys emit the
+    * pre- and post-image (Delta CDF's merge semantics: every matched row
+    * is an update, content-diffing is the consumer's concern); unmatched
+    * batch keys emit `insert`. */
+  private def changeRows(newC: DataFrame, oldC: Option[DataFrame],
+                         keys: Seq[String]): DataFrame = oldC match {
+    case None => newC.withColumn(ChangeTypeCol, lit("insert"))
+    case Some(old) =>
+      val oldKeys = old.select(keys.map(col): _*)
+      old.join(newC.select(keys.map(col): _*), keys, "left_semi")
+        .withColumn(ChangeTypeCol, lit("update_preimage"))
+        .unionByName(newC.join(oldKeys, keys, "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage")))
+        .unionByName(newC.join(oldKeys, keys, "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert")))
+  }
+
+  /** Persist a commit's change rows under `<root>/_changes/<snap>/` —
+    * a SIBLING of the snapshot dirs, so data reads (manifest file lists,
+    * legacy directory reads, hard-link carryover) never see them. Written
+    * after the snapshot's data files and before the pointer swap: a
+    * published generation always has its feed; a crashed writer's orphan
+    * feed sits next to its unpublished snapshot dir and shares its
+    * recovery (delete both). Overwrite mode makes the retry safe. */
+  private def writeChanges(root: String, snap: String, changes: DataFrame): Unit =
+    changes.drop(PartCol)
+      .withColumn(CommitVersionCol, lit(snap.stripPrefix("snap-").toLong))
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$ChangesDir/$snap")
+
+  /** The change feed of one published generation, if it was merged with
+    * `changeFeed = true` and [[vacuum]] has not dropped it. */
+  def changesFor(spark: SparkSession, root: String, snap: String): Option[DataFrame] = {
+    val dir = Paths.get(root, ChangesDir, snap)
+    if (Files.isDirectory(dir)) Some(spark.read.parquet(dir.toString)) else None
+  }
+
+  /** All change rows with `_commit_version > sinceVersion`, oldest feed's
+    * schema widened to the newest by name (additive evolution mid-feed
+    * NULL-fills the old commits) — the incremental-consumer read
+    * (`table_changes(t, since)` in Delta terms). None when no generation
+    * in range published a feed. */
+  def changes(spark: SparkSession, root: String,
+              sinceVersion: Long = 0L): Option[DataFrame] = {
+    val dir = Paths.get(root, ChangesDir)
+    if (!Files.isDirectory(dir)) return None
+    val feeds = withList(dir)(_.toSeq)
+      .map(_.getFileName.toString).filter(_.startsWith("snap-")).sorted
+      .filter(_.stripPrefix("snap-").toLong > sinceVersion)
+      .map(s => spark.read.parquet(dir.resolve(s).toString))
+    feeds.reduceOption(_.unionByName(_, allowMissingColumns = true))
+  }
+
   // ---- merge --------------------------------------------------------------
 
   /** Upsert `batch` into the table at `root` on composite key `keys`.
@@ -363,23 +430,29 @@ object SnapshotStore {
     * `onSchemaChange` governs schema drift (default mirrors dbt's
     * `ignore`: live schema wins, missing columns fail fast — intended
     * evolution passes [[OnSchemaChange.AppendNewColumns]] or
-    * [[OnSchemaChange.SyncAllColumns]] explicitly).
+    * [[OnSchemaChange.SyncAllColumns]] explicitly). `changeFeed = true`
+    * additionally publishes the commit's row-level changes (Delta CDF
+    * analog) readable via [[changesFor]]/[[changes]]; off by default —
+    * the feed costs one extra key join over the touched partitions.
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keys: Seq[String], partitionDate: Option[Column] = None,
             compactTo: Option[Int] = None,
-            onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
+            onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
+            changeFeed: Boolean = false): Unit = {
     Files.createDirectories(Paths.get(root))
     val newDf = batch.dropDuplicates(keys)
     val cur = currentSnapshot(root)
     (cur, partitionDate) match {
       case (None, None) =>
         val snap = writeSnapshot(root, newDf, partitioned = false, compactTo)
+        if (changeFeed) writeChanges(root, snap, changeRows(newDf, None, keys))
         commit(root, snap, newDf.schema, partitioned = false)
 
       case (None, Some(pd)) =>
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
         val snap = writeSnapshot(root, batchP, partitioned = true, compactTo)
+        if (changeFeed) writeChanges(root, snap, changeRows(batchP, None, keys))
         commit(root, snap, batchP.schema, partitioned = true)
 
       case (Some(c), None) =>
@@ -392,6 +465,8 @@ object SnapshotStore {
         val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
         val merged = conform(newDf, target).unionByName(conform(survivors, target))
         val snap = writeSnapshot(root, merged, partitioned = false, compactTo)
+        if (changeFeed) writeChanges(root, snap,
+          changeRows(conform(newDf, target), Some(conform(prev, target)), keys))
         commit(root, snap, target, partitioned = false)
 
       case (Some(c), Some(pd)) =>
@@ -417,6 +492,11 @@ object SnapshotStore {
             .withColumn(PartCol, pd.cast(StringType))
           val merged = conform(batchP, target).unionByName(conform(survivors, target))
           val snap = writeSnapshot(root, merged, partitioned = true, compactTo)
+          if (changeFeed) {
+            val prevP = prev.withColumn(PartCol, pd.cast(StringType))
+            writeChanges(root, snap,
+              changeRows(conform(batchP, target), Some(conform(prevP, target)), keys))
+          }
           commit(root, snap, target, partitioned = true)
         } else {
           val target = resolveTarget(batchP.schema, liveSchema(spark, snapDir),
@@ -451,6 +531,9 @@ object SnapshotStore {
               conform(batchP, target).unionByName(conform(survivors, target))
           }
           val snap = writeSnapshot(root, out, partitioned = true, compactTo)
+          if (changeFeed) writeChanges(root, snap,
+            changeRows(conform(batchP, target),
+              affectedOld.map(conform(_, target)), keys))
           manifestOpt match {
             case Some(m) =>
               linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
@@ -526,6 +609,67 @@ object SnapshotStore {
           spark.sparkContext.hadoopConfiguration, Paths.get(root, snap),
           clusterBy.toSet)
       commit(root, snap, df.schema, partitioned, fresh)
+    }
+
+  /** S8 variant: BIN-PACKING compaction — Delta's plain `OPTIMIZE` (no
+    * ZORDER) semantics. Only files smaller than `targetFileBytes / 2` are
+    * rewritten, coalesced per partition into ~`targetFileBytes` outputs;
+    * every already-compact file is carried into the new snapshot by hard
+    * link WITH its manifest stats (same relative path ⇒ the commit's
+    * stats carryover stays valid). Cost is therefore O(small-file bytes),
+    * not O(table): at 100 TB, a nightly compaction pass after a day of
+    * micro-batch appends touches the day's small files and never rewrites
+    * the compacted history — the property that makes frequent OPTIMIZE
+    * affordable at all. A partition with fewer than two small files is
+    * left alone; a table with nothing to compact publishes nothing.
+    * Full-rewrite clustering (`clusterBy`) stays on [[optimize]] — global
+    * clustering is inherently O(partition), so the two modes are distinct
+    * on purpose, as in Delta. Pre-manifest snapshots fall back to the
+    * full rewrite (no per-file sizes to plan from). */
+  def optimizeBinPack(spark: SparkSession, root: String,
+                      targetFileBytes: Long = 128L << 20): Unit =
+    currentSnapshot(root).foreach { c =>
+      val snapDir = Paths.get(root, c)
+      Manifest.read(snapDir) match {
+        case None => optimize(spark, root)
+        case Some(m) =>
+          val minBytes = targetFileBytes / 2
+          val dataSchema = StructType(m.schema.fields.filterNot(_.name == PartCol))
+          val carried = Seq.newBuilder[Manifest.FileEntry]
+          val rewrites = Seq.newBuilder[DataFrame]
+          m.files.groupBy(_.partitionValue).foreach { case (pv, files) =>
+            val (small, big) = files.partition(_.size < minBytes)
+            if (small.size >= 2) {
+              val n = math.max(1, math.ceil(
+                small.map(_.size).sum.toDouble / targetFileBytes).toInt)
+              val df = spark.read.schema(dataSchema)
+                .parquet(small.map(f => snapDir.resolve(f.path).toString): _*)
+                .repartition(n)
+              rewrites += (pv match {
+                case Some(v) =>
+                  val dtVal = if (v == NullPart) lit(null).cast(StringType) else lit(v)
+                  df.withColumn(PartCol, dtVal)
+                case None => df
+              })
+              carried ++= big
+            } else carried ++= files
+          }
+          val toRewrite = rewrites.result()
+          if (toRewrite.nonEmpty) {
+            // per-group repartition then union: each task holds one
+            // partition value's rows, so the partitioned write emits the
+            // planned file count per `_dt` (a global repartition would
+            // re-interleave values and re-fragment)
+            val out = toRewrite.reduce(_.unionByName(_))
+            val snap = writeSnapshot(root, out, m.partitioned, compactTo = None)
+            carried.result().foreach { f =>
+              val target = Paths.get(root, snap).resolve(f.path)
+              Files.createDirectories(target.getParent)
+              Files.createLink(target, snapDir.resolve(f.path))
+            }
+            commit(root, snap, m.schema, m.partitioned)
+          }
+      }
     }
 
   /** ANALYZE-style stats refresh: (re)collect the file-level min/max/null
@@ -618,10 +762,12 @@ object SnapshotStore {
     }
 
   /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
-    * generations. Hard links make deletion safe for newer snapshots.
-    * Manifest-listed files are deleted first (on an object store that
-    * list IS the delete batch); the recursive sweep afterwards is local-FS
-    * hygiene for empty dirs, pre-manifest snapshots and stray files. */
+    * generations, and their change feeds with them (a feed outliving its
+    * snapshot would promise history [[readAt]] can no longer serve).
+    * Hard links make deletion safe for newer snapshots. Manifest-listed
+    * files are deleted first (on an object store that list IS the delete
+    * batch); the recursive sweep afterwards is local-FS hygiene for empty
+    * dirs, pre-manifest snapshots and stray files. */
   def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>
     val curN = cur.stripPrefix("snap-").toLong
     withList(Paths.get(root))(_.toSeq)
@@ -631,6 +777,8 @@ object SnapshotStore {
         Manifest.read(p).foreach(_.files.foreach(f =>
           Files.deleteIfExists(p.resolve(f.path))))
         deleteRecursively(p)
+        val feed = Paths.get(root, ChangesDir, p.getFileName.toString)
+        if (Files.isDirectory(feed)) deleteRecursively(feed)
       }
   }
 

@@ -246,6 +246,59 @@ object DagOracles {
              |      SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b1
              |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
              |      ORDER BY transaction_digest, event_index""".stripMargin,
+        // Stream-stream interval join: the watermarked loan-lifecycle
+        // self-join must converge to the one-shot declarative join of the
+        // two loan models (equality on manager+pool, repay within 3 days
+        // of the borrow) — cross-micro-batch matches exercise the engine's
+        // join state retention
+        "dag_stream_join" ->
+          s"""WITH b AS (${eventBody(EventModels.loanBorrowed)}),
+             |     r AS (${eventBody(EventModels.loanRepaid)})
+             |SELECT b.transaction_digest AS borrow_digest,
+             |       b.event_index AS borrow_index,
+             |       r.transaction_digest AS repay_digest,
+             |       r.event_index AS repay_index,
+             |       b.margin_manager_id, b.margin_pool_id,
+             |       b.loan_amount, r.repay_amount,
+             |       b.timestamp_ms AS borrow_ts, r.timestamp_ms AS repay_ts
+             |FROM b JOIN r
+             |  ON b.margin_manager_id = r.margin_manager_id
+             | AND b.margin_pool_id = r.margin_pool_id
+             | AND r.timestamp_ms >= b.timestamp_ms
+             | AND r.timestamp_ms <= b.timestamp_ms + ${3L * 86400000L}
+             |ORDER BY borrow_digest, borrow_index,
+             |         repay_digest, repay_index""".stripMargin,
+        // Change data feed: commit 1 (the pre-cutoff slice into an empty
+        // table) is all-insert; commit 2 (the full model, redelivering
+        // every slice row) emits a pre-/post-image pair per matched key
+        // and insert for the post-cutoff tail. Keys are timestamp-stable,
+        // so "matched in commit 2" is exactly "timestamp <= cutoff".
+        "dag_cdc_feed" ->
+          s"""WITH m AS (${eventBody(EventModels.loanBorrowed)}),
+             |     b1 AS (SELECT * FROM m
+             |            WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs})
+             |SELECT *, 'insert' AS _change_type,
+             |       CAST(1 AS BIGINT) AS _commit_version FROM b1
+             |UNION ALL
+             |SELECT *, 'update_preimage', CAST(2 AS BIGINT) FROM b1
+             |UNION ALL
+             |SELECT *, 'update_postimage', CAST(2 AS BIGINT) FROM m
+             |WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
+             |UNION ALL
+             |SELECT *, 'insert', CAST(2 AS BIGINT) FROM m
+             |WHERE timestamp_ms > ${DagQueries.AppendCutoffMs}
+             |ORDER BY _commit_version, _change_type,
+             |         transaction_digest, event_index""".stripMargin,
+        // Time travel: generation 1 must still serve the exact pre-cutoff
+        // state after generation 2 superseded it (immutable hard-linked
+        // snapshots); generation 2 is the full model
+        "dag_time_travel" ->
+          s"""WITH m AS (${eventBody(EventModels.loanBorrowed)})
+             |SELECT *, CAST(1 AS BIGINT) AS _version FROM m
+             |WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
+             |UNION ALL
+             |SELECT *, CAST(2 AS BIGINT) FROM m
+             |ORDER BY _version, transaction_digest, event_index""".stripMargin,
         // §2.9 streaming: three MemoryStream micro-batches (overlap
         // redelivered) through the foreachBatch merge sink must converge
         // to the same declarative model recomputation as the batch path

@@ -130,6 +130,70 @@ object DagQueries {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** Change-data-feed inside the hard gate: two merges of the
+    * loan_borrowed model (the pre-cutoff slice, then the full model —
+    * batch 2 REDELIVERS every batch-1 row and adds the post-cutoff tail)
+    * with `changeFeed = true`, then the full feed read back via
+    * [[SnapshotStore.changes]]. Commit 1 must be all-`insert`; commit 2
+    * must emit pre-/post-image pairs for every redelivered key (Delta
+    * CDF's merge semantics: matched ⇒ update, content-diffing is the
+    * consumer's concern) and `insert` for the genuinely new tail. Oracle =
+    * the same three slices recomputed declaratively from the raw fixture
+    * log. Gates that the feed is complete, correctly typed per commit,
+    * and versioned — a partition-scoped merge that missed a matched key
+    * (or double-counted one) breaks the hash. */
+  val cdcFeedQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagcdc").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val keys = Seq("transaction_digest", "event_index")
+      SnapshotStore.merge(spark, s"$root/tbl",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), keys, Some(pd),
+        changeFeed = true)
+      SnapshotStore.merge(spark, s"$root/tbl", model, keys, Some(pd),
+        changeFeed = true)
+      SnapshotStore.changes(spark, s"$root/tbl").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("_commit_version", "_change_type",
+          "transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** Time travel inside the hard gate: the same two merges, then BOTH
+    * generations read back via [[SnapshotStore.readAt]] and unioned under
+    * a version tag. Generation 1 must still be exactly the pre-cutoff
+    * state after generation 2 superseded it — hard-linked carryover makes
+    * an old snapshot a complete immutable view, and the second merge's
+    * partition rewrites must not have leaked into it. Oracle = the slice
+    * and the full model, each recomputed declaratively and tagged. */
+  val timeTravelQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagtt").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val keys = Seq("transaction_digest", "event_index")
+      SnapshotStore.merge(spark, s"$root/tbl",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), keys, Some(pd))
+      SnapshotStore.merge(spark, s"$root/tbl", model, keys, Some(pd))
+      val v1 = SnapshotStore.readAt(spark, s"$root/tbl", "snap-0000001").get
+        .withColumn("_version", lit(1L))
+      val v2 = SnapshotStore.readAt(spark, s"$root/tbl", "snap-0000002").get
+        .withColumn("_version", lit(2L))
+      v1.unionByName(v2)
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("_version", "transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** S7/S8/S9 inside the hard gate: the same two-batch incremental run,
     * but with the prod target's maintenance post-hooks on — OPTIMIZE file
     * compaction + VACUUM retention after every model build
@@ -179,6 +243,12 @@ object DagQueries {
         EventModels.loanBorrowed, bounded, s"$root/tbl", ckpt,
         DeepbookFixtures.now)
       try {
+        // Redelivery must be non-degenerate or the dedup gate passes
+        // vacuously: with < 30 events `third - 10` would clamp to 0
+        // (replaying ALL of batch 1) and with < 3 events the overlap is
+        // empty — either way the state store goes unexercised. Fail loud.
+        require(rows.size >= 30,
+          s"stream-ingest gate needs >= 30 fixture events, got ${rows.size}")
         val third = rows.size / 3
         input.addData(rows.take(third))
         q.processAllAvailable()
@@ -321,6 +391,57 @@ object DagQueries {
     * DagOracles rule). Events without the field contribute 0. */
   private val dailyValueExpr =
     "coalesce(try_cast(get_json_object(event_json, '$.supply_amount') as double), 0.0d)"
+
+  /** Stream-stream interval join inside the hard gate: the fixture events
+    * replay time-ordered as three micro-batches into ONE MemoryStream,
+    * whose two filtered legs (borrow / repaid — the batch models' own
+    * projections) self-join through
+    * [[graft.streaming.StreamingIngest.loanLifecycle]] (watermarks both
+    * sides, equality on manager+pool, bounded time range) in append mode
+    * into the parquet sink. Matches that SPAN micro-batches (a borrow in
+    * batch 1 repaid in batch 2) only appear if the engine held the borrow
+    * in join state across the boundary — the part no batch join
+    * exercises — and the final sink must hash-match DuckDB's one-shot
+    * declarative join of the two models with the same keys and range. */
+  val streamJoinQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-dagsjoin").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagsjoin-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](66, spark)
+      // the 30-day cold-start bound, as in the batch models' build
+      val bounded = input.toDF().filter(col("timestamp_ms") >=
+        graft.TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30))
+      val joined = graft.streaming.StreamingIngest.loanLifecycle(
+        bounded, bounded, DeepbookFixtures.now)
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$root/pairs")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        input.addData(rows.slice(third, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/pairs")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("borrow_digest", "borrow_index", "repay_digest", "repay_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 
   /** Watermarked tumbling-window aggregation inside the hard gate: the
     * fixture events replay time-ordered as three micro-batches through
@@ -563,9 +684,12 @@ object DagQueries {
         "dag_fct_maintenance" -> fctMaintenanceQ,
         "dag_fct_skipread" -> fctSkipReadQ,
         "dag_append_log" -> appendLogQ,
+        "dag_cdc_feed" -> cdcFeedQ,
+        "dag_time_travel" -> timeTravelQ,
         "dag_stream_ingest" -> streamIngestQ,
         "dag_stream_scd2" -> streamScd2Q,
         "dag_stream_dedup" -> streamDedupQ,
+        "dag_stream_join" -> streamJoinQ,
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
         "dag_schema_evolve" -> schemaEvolveQ,

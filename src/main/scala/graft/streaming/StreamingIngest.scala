@@ -93,6 +93,51 @@ object StreamingIngest {
       }
   }
 
+  /** Stream-stream interval join (§2.9): match every LoanBorrowedEvent to
+    * the LoanRepaidEvents of the same (margin_manager, margin_pool) within
+    * `horizonDays` after the borrow — the loan-lifecycle pairing of the
+    * reference's two loan models (`deepbook_margin_loan_borrowed.sql`,
+    * `deepbook_margin_loan_repaid.sql`) as one continuous operator. Both
+    * legs reuse the batch models' OWN projections (same filter + JSON
+    * flatten, stateless ⇒ streaming-safe), both carry an event-time
+    * watermark, and the join condition is equality on the manager/pool
+    * keys plus a bounded time range — which is exactly what lets Spark
+    * evict join state: a borrow is held only until the watermark passes
+    * `borrow_time + horizonDays`, so state is O(horizon × rate), not
+    * O(stream). Inner join ⇒ every match is emitted as soon as both sides
+    * have arrived (append mode needs no window flush). Both legs may
+    * branch from the SAME source stream (a self-join on event type). */
+  def loanLifecycle(borrowedEvents: DataFrame, repaidEvents: DataFrame,
+                    now: Instant, horizonDays: Int = 3): DataFrame = {
+    val b = EventModels.loanBorrowed.project(borrowedEvents, now)
+      .select(col("transaction_digest").as("borrow_digest"),
+        col("event_index").as("borrow_index"),
+        col("margin_manager_id"), col("margin_pool_id"),
+        col("loan_amount"),
+        col("timestamp_ms").as("borrow_ts"),
+        timestamp_millis(col("timestamp_ms")).as("borrow_time"))
+      .withWatermark("borrow_time", "1 day")
+    val r = repaidEvents.transform(EventModels.loanRepaid.project(_, now))
+      .select(col("transaction_digest").as("repay_digest"),
+        col("event_index").as("repay_index"),
+        col("margin_manager_id").as("r_mgr"),
+        col("margin_pool_id").as("r_pool"),
+        col("repay_amount"),
+        col("timestamp_ms").as("repay_ts"),
+        timestamp_millis(col("timestamp_ms")).as("repay_time"))
+      .withWatermark("repay_time", "1 day")
+    b.join(r,
+        col("margin_manager_id") === col("r_mgr") &&
+          col("margin_pool_id") === col("r_pool") &&
+          col("repay_time") >= col("borrow_time") &&
+          col("repay_time") <= col("borrow_time") +
+            expr(s"interval $horizonDays days"),
+        "inner")
+      .select("borrow_digest", "borrow_index", "repay_digest", "repay_index",
+        "margin_manager_id", "margin_pool_id", "loan_amount", "repay_amount",
+        "borrow_ts", "repay_ts")
+  }
+
   /** Streaming near-duplicate detection — the incremental form of the
     * batch MinHash/LSH operator (d2): each micro-batch of documents is
     * shingled (native `shingle_ids`), signed, banded, candidate-joined

@@ -193,6 +193,89 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.snapshots(root) == Seq("snap-0000002", "snap-0000003"))
   }
 
+  test("change feed: versioned insert/update images per commit, vacuumed with its snapshot") {
+    val root = tmpRoot()
+    def feed(since: Long = 0L): Set[(Long, String, String, String, Long)] =
+      SnapshotStore.changes(spark, root, since).get
+        .select("id", "dt", "payload", "_change_type", "_commit_version")
+        .as[(Long, String, String, String, Long)].collect().toSet
+    assert(SnapshotStore.changes(spark, root).isEmpty) // no feed yet
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd,
+      changeFeed = true)
+    val v1 = Set(
+      (1L, "2026-01-01", "a", "insert", 1L),
+      (2L, "2026-01-02", "b", "insert", 1L))
+    assert(feed() == v1, "bootstrap commit is all-insert")
+    // commit 2: one matched key (2 -> b2, a partition-scoped rewrite of
+    // _dt=2026-01-02 only) and one new key
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (2L, "2026-01-02", "b2"), (3L, "2026-01-03", "c"))), Seq("id"), pd,
+      changeFeed = true)
+    val v2 = Set(
+      (2L, "2026-01-02", "b", "update_preimage", 2L),
+      (2L, "2026-01-02", "b2", "update_postimage", 2L),
+      (3L, "2026-01-03", "c", "insert", 2L))
+    assert(feed() == v1 ++ v2)
+    assert(feed(since = 1L) == v2, "sinceVersion is exclusive")
+    assert(SnapshotStore.changesFor(spark, root, "snap-0000001").get.count() == 2)
+    // flat (unpartitioned) tables feed too
+    val flat = tmpRoot()
+    SnapshotStore.merge(spark, flat, rows(Seq((1L, "2026-01-01", "a"))),
+      Seq("id"), changeFeed = true)
+    SnapshotStore.merge(spark, flat, rows(Seq((1L, "2026-01-01", "a2"))),
+      Seq("id"), changeFeed = true)
+    assert(SnapshotStore.changes(spark, flat, sinceVersion = 1L).get
+      .select("payload", "_change_type").as[(String, String)].collect().toSet ==
+      Set(("a", "update_preimage"), ("a2", "update_postimage")))
+    // vacuum drops the feed with its generation
+    SnapshotStore.vacuum(root, keep = 0)
+    assert(SnapshotStore.changesFor(spark, root, "snap-0000001").isEmpty)
+    assert(feed() == v2, "surviving generation keeps its feed")
+  }
+
+  test("bin-packing optimize compacts only small files; compact files carry by hard link") {
+    val root = tmpRoot()
+    // day 1 starts with one COMPACT file (wide payloads push it past the
+    // small-file threshold), then accumulates three 1-row appends; day 2
+    // gets two 1-row appends. Every append hard-links prior files, so the
+    // live snapshot ends with day1 = 1 big + 3 small, day2 = 2 small.
+    val big = (1 to 500).map(i => (i.toLong, "2026-01-01", f"payload-$i%05d-" + "x" * 64))
+      .toDF("id", "dt", "payload").repartition(1)
+    SnapshotStore.append(spark, root, big, pd)
+    for (i <- 1 to 3)
+      SnapshotStore.append(spark, root,
+        rows(Seq((1000L + i, "2026-01-01", s"s$i"))).repartition(1), pd)
+    for (i <- 1 to 2)
+      SnapshotStore.append(spark, root,
+        rows(Seq((2000L + i, "2026-01-02", s"t$i"))).repartition(1), pd)
+    val before = inodesByPartition(root)
+    assert(before("_dt=2026-01-01").size == 4 && before("_dt=2026-01-02").size == 2)
+    val expected = readAll(root)
+    val bigFile = {
+      val snap = Paths.get(root, SnapshotStore.currentSnapshot(root).get)
+      Files.list(snap.resolve("_dt=2026-01-01")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .maxBy(Files.size)
+    }
+    assert(Files.size(bigFile) >= 4096, "fixture big file must exceed the threshold")
+    SnapshotStore.optimizeBinPack(spark, root, targetFileBytes = 8192)
+    val after = inodesByPartition(root)
+    // day 1: the compact file survives UNREAD (same name, same inode);
+    // its three small files are packed into one
+    val bigName = bigFile.getFileName.toString
+    assert(after("_dt=2026-01-01")(bigName) == before("_dt=2026-01-01")(bigName),
+      "compact file must be carried by hard link, not rewritten")
+    assert(after("_dt=2026-01-01").size == 2, "3 small files must pack into 1")
+    assert(after("_dt=2026-01-02").size == 1, "2 small files must pack into 1")
+    assert(readAll(root) == expected, "compaction must not change contents")
+    // idempotent: nothing left to compact => no new snapshot published
+    val gen = SnapshotStore.currentSnapshot(root)
+    SnapshotStore.optimizeBinPack(spark, root, targetFileBytes = 8192)
+    assert(SnapshotStore.currentSnapshot(root) == gen,
+      "a table with nothing to compact must publish nothing")
+  }
+
   test("reads are manifest-committed: a file on disk but not in the manifest is invisible") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(

@@ -207,4 +207,53 @@ class StreamingIngestSpec extends SparkSpec {
       .collect().map(_.toSeq.map(String.valueOf)).toSet
     assert(streamed == batch)
   }
+
+  test("stream-stream loan-lifecycle join equals the batch join and spans micro-batches") {
+    val ckpt = Files.createTempDirectory("graft-sjoin-ckpt").toString
+    val out = Files.createTempDirectory("graft-sjoin-out").toString
+    val bound = graft.TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30)
+    val rows = fixtureEvents.sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val third = rows.size / 3
+    val input = rowStream()
+    val bounded = input.toDF().filter(col("timestamp_ms") >= bound)
+    val joined = StreamingIngest.loanLifecycle(bounded, bounded, DeepbookFixtures.now)
+    val q = joined.writeStream.format("parquet")
+      .option("path", s"$out/pairs").option("checkpointLocation", ckpt).start()
+    try {
+      input.addData(rows.take(third)); q.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third)); q.processAllAvailable()
+      input.addData(rows.drop(2 * third)); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: Row) = (r.getAs[String]("borrow_digest"), r.getAs[Long]("borrow_index"),
+      r.getAs[String]("repay_digest"), r.getAs[Long]("repay_index"))
+    val streamed = spark.read.parquet(s"$out/pairs").collect().map(key).toSet
+    // the one-shot batch join with the same keys and range
+    val ev = DeepbookFixtures.events(spark).filter(col("timestamp_ms") >= bound)
+    val b = EventModels.loanBorrowed.project(ev, DeepbookFixtures.now)
+    val r = EventModels.loanRepaid.project(ev, DeepbookFixtures.now)
+      .select(col("transaction_digest").as("r_digest"), col("event_index").as("r_index"),
+        col("margin_manager_id").as("r_mgr"), col("margin_pool_id").as("r_pool"),
+        col("timestamp_ms").as("r_ts"))
+    val expected = b.join(r,
+        col("margin_manager_id") === col("r_mgr") &&
+          col("margin_pool_id") === col("r_pool") &&
+          col("r_ts") >= col("timestamp_ms") &&
+          col("r_ts") <= col("timestamp_ms") + lit(3L * 86400000L))
+      .select(col("transaction_digest"), col("event_index"),
+        col("r_digest"), col("r_index"))
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getString(2), x.getLong(3)))
+      .toSet
+    assert(expected.nonEmpty && streamed == expected)
+    // NON-VACUITY of the dag_stream_join gate: at least one match must pair
+    // a borrow and a repay delivered in DIFFERENT micro-batches — i.e. the
+    // engine held join state across a batch boundary. If a fixture change
+    // ever makes every pair co-batch, the gate stops testing state; fail here.
+    val batchOf = rows.zipWithIndex.map { case (e, i) =>
+      (e.getString(0), e.getLong(1)) -> (if (i < third) 0 else if (i < 2 * third) 1 else 2)
+    }.toMap
+    val spanning = expected.count { case (bd, bi, rd, ri) =>
+      batchOf((bd, bi)) != batchOf((rd, ri))
+    }
+    assert(spanning > 0, "no matched pair spans micro-batches - gate is vacuous")
+  }
 }
