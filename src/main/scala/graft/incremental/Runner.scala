@@ -65,6 +65,34 @@ final case class Target(name: String, schema: String, devSuffix: String = "") {
     if (name == "prod") schema else s"${schema}__tmp_${devSuffix.trim}"
 }
 
+/** Per-model outcome of one DAG run — dbt's run-result vocabulary. */
+sealed trait ModelStatus
+object ModelStatus {
+  case object Success extends ModelStatus
+  /** The model's own build/merge threw. */
+  final case class Error(cause: Throwable) extends ModelStatus
+  /** Not attempted: a (transitive) upstream did not succeed — dbt's
+    * SKIP. `upstream` names the directly failing/skipped refs. */
+  final case class Skipped(upstream: Seq[String]) extends ModelStatus
+}
+
+/** Outcome of [[Runner.runReport]]: per-model statuses plus the tables of
+  * every model that DID build (dbt: one error fails its subtree, never
+  * the siblings — independent models always complete). */
+final case class RunReport(statuses: Map[String, ModelStatus],
+                           tables: Map[String, DataFrame]) {
+  def ok: Boolean = statuses.values.forall(_ == ModelStatus.Success)
+  def summary: String = statuses.toSeq.sortBy(_._1).map {
+    case (n, ModelStatus.Success)    => s"$n: OK"
+    case (n, ModelStatus.Error(e))   => s"$n: ERROR ${e.getMessage}"
+    case (n, ModelStatus.Skipped(u)) => s"$n: SKIPPED (upstream ${u.mkString(",")})"
+  }.mkString("; ")
+}
+
+/** Typed failure of [[Runner.run]]; `report` has the full picture. */
+final class RunFailedException(val report: RunReport, cause: Throwable)
+  extends RuntimeException(s"DAG run failed: ${report.summary}", cause)
+
 /** E1: the dbt DAG runner. Each model's output is merged into its table
   * via [[SnapshotStore]] and becomes available to downstream models
   * through `ref` — exactly dbt's `ref()`/`source()` contract
@@ -117,9 +145,28 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
     res
   }
 
-  /** Runs the full DAG once; returns each model's post-merge table. */
+  /** Runs the full DAG once; returns each model's post-merge table.
+    * Throws [[RunFailedException]] if ANY model errored or was skipped —
+    * but only after every model that COULD build has built (dbt's exit
+    * contract: nonzero status, siblings unharmed). */
   def run(ctx: RunContext): Map[String, DataFrame] = {
+    val report = runReport(ctx)
+    if (!report.ok) {
+      val firstCause = report.statuses.values
+        .collectFirst { case ModelStatus.Error(e) => e }.orNull
+      throw new RunFailedException(report, firstCause)
+    }
+    report.tables
+  }
+
+  /** Runs the full DAG once, never throwing for a model failure: a model
+    * that errors gets [[ModelStatus.Error]], its (transitive) downstream
+    * is [[ModelStatus.Skipped]] without being attempted, and every
+    * independent model still builds — dbt's run semantics (one bad model
+    * must not take down an unrelated subtree's backfill). */
+  def runReport(ctx: RunContext): RunReport = {
     import scala.jdk.CollectionConverters._
+    import scala.util.control.NonFatal
     val built = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
     val inRun = models.map(_.name).toSet
     // DAG sanity up front: refs must be acyclic over the models in this
@@ -136,30 +183,47 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
       }
       inRun.foreach(visit)
     }
-    if (threads == 1) {
-      models.foreach(m => buildOne(ctx, m, built))
-    } else {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try {
-        // One future per model, gated on its upstream futures — the
-        // completion-driven schedule: a model starts the moment its last
-        // dependency lands, not when a whole "wave" drains.
-        val futures = scala.collection.mutable.Map[String, Future[DataFrame]]()
-        def futureOf(name: String): Future[DataFrame] =
-          futures.getOrElseUpdate(name, {
-            val m = models.find(_.name == name).get
-            val upstream = m.refs.filter(inRun).map(futureOf)
-            Future.sequence(upstream).map(_ => buildOne(ctx, m, built))
-          })
-        // materialize the map on this thread (futures is not thread-safe;
-        // getOrElseUpdate recursion stays on the caller)
-        val all = models.map(m => futureOf(m.name))
-        Await.result(Future.sequence(all), Duration.Inf)
-      } finally pool.shutdown()
-    }
-    built.asScala.toMap
+    def attempt(m: Model, upstreamBad: Seq[String]): ModelStatus =
+      if (upstreamBad.nonEmpty) ModelStatus.Skipped(upstreamBad)
+      else try { buildOne(ctx, m, built); ModelStatus.Success }
+      catch { case NonFatal(e) => ModelStatus.Error(e) }
+    val statuses: Map[String, ModelStatus] =
+      if (threads == 1) {
+        val acc = scala.collection.mutable.Map[String, ModelStatus]()
+        models.foreach { m =>
+          val bad = m.refs.filter(inRun)
+            .filter(n => acc.get(n).exists(_ != ModelStatus.Success))
+          acc(m.name) = attempt(m, bad)
+        }
+        acc.toMap
+      } else {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try {
+          // One future per model, gated on its upstream futures — the
+          // completion-driven schedule: a model starts the moment its last
+          // dependency lands, not when a whole "wave" drains. Statuses are
+          // VALUES, so one model's error never fails the future graph —
+          // siblings keep building; only its own downstream sees it.
+          val futures = scala.collection.mutable.Map[String, Future[(String, ModelStatus)]]()
+          def futureOf(name: String): Future[(String, ModelStatus)] =
+            futures.getOrElseUpdate(name, {
+              val m = models.find(_.name == name).get
+              val upstream = m.refs.filter(inRun).map(futureOf)
+              Future.sequence(upstream).map { ups =>
+                name -> attempt(m, ups.collect {
+                  case (n, s) if s != ModelStatus.Success => n
+                })
+              }
+            })
+          // materialize the map on this thread (futures is not thread-safe;
+          // getOrElseUpdate recursion stays on the caller)
+          val all = models.map(m => futureOf(m.name))
+          Await.result(Future.sequence(all), Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
+    RunReport(statuses, built.asScala.toMap)
   }
 }

@@ -93,6 +93,41 @@ class RunnerSpec extends SparkSpec {
     assert(out("dep_leaf").select("n").as[Long].head() == 2L)
   }
 
+  test("a failed model skips its subtree; independent models still build (dbt run semantics)") {
+    for (t <- Seq(1, 4)) {
+      val bad = model("fl_bad")(_ => sys.error("boom"))
+      val child = model("fl_child", deps = Seq("fl_bad")) { ref =>
+        ref("fl_bad"); Seq((1L, 1L)).toDF("id", "v")
+      }
+      val grandchild = model("fl_grand", deps = Seq("fl_child")) { ref =>
+        ref("fl_child"); Seq((1L, 1L)).toDF("id", "v")
+      }
+      val ok = model("fl_ok")(_ => Seq((1L, 7L)).toDF("id", "v"))
+      val okChild = model("fl_ok_child", deps = Seq("fl_ok")) { ref =>
+        Seq((1L, ref("fl_ok").count())).toDF("id", "n")
+      }
+      val root = Files.createTempDirectory("graft-run-fl").toString
+      val runner = new Runner(root, Seq(bad, child, grandchild, ok, okChild), threads = t)
+      val report = runner.runReport(ctx(RunMode.FullRefresh))
+      assert(report.statuses("fl_bad").isInstanceOf[ModelStatus.Error], s"threads=$t")
+      assert(report.statuses("fl_child") == ModelStatus.Skipped(Seq("fl_bad")), s"threads=$t")
+      assert(report.statuses("fl_grand") == ModelStatus.Skipped(Seq("fl_child")),
+        s"threads=$t: skip must propagate transitively without attempting the model")
+      assert(report.statuses("fl_ok") == ModelStatus.Success, s"threads=$t")
+      assert(report.statuses("fl_ok_child") == ModelStatus.Success,
+        s"threads=$t: the independent subtree must be unharmed")
+      assert(report.tables.keySet == Set("fl_ok", "fl_ok_child"), s"threads=$t")
+      assert(!report.ok)
+      // run() throws AFTER building what it could, with the full report
+      val root2 = Files.createTempDirectory("graft-run-fl2").toString
+      val e = intercept[RunFailedException] {
+        new Runner(root2, Seq(bad, child, ok), threads = t).run(ctx(RunMode.FullRefresh))
+      }
+      assert(e.report.tables.keySet == Set("fl_ok"), s"threads=$t")
+      assert(e.getMessage.contains("SKIPPED") && e.getMessage.contains("ERROR"))
+    }
+  }
+
   test("a cyclic refs graph fails fast instead of deadlocking") {
     val x = model("cyc_x", deps = Seq("cyc_y"))(_ => Seq((1L, 1L)).toDF("id", "v"))
     val y = model("cyc_y", deps = Seq("cyc_x"))(_ => Seq((1L, 1L)).toDF("id", "v"))
