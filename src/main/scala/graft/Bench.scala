@@ -69,7 +69,8 @@ object Bench {
         - "dag_cdc_feed" - "dag_time_travel"
         - "dag_stream_ingest" - "dag_stream_scd2" - "dag_stream_dedup"
         - "dag_stream_daily" - "dag_stream_position" - "dag_schema_evolve"
-        - "dag_schema_widen" - "dag_stream_evolve" - "dag_stream_join")
+        - "dag_schema_widen" - "dag_stream_evolve" - "dag_stream_join"
+        - "dag_stream_outer_join")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

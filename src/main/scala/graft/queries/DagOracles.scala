@@ -268,6 +268,26 @@ object DagOracles {
              | AND r.timestamp_ms <= b.timestamp_ms + ${3L * 86400000L}
              |ORDER BY borrow_digest, borrow_index,
              |         repay_digest, repay_index""".stripMargin,
+        // LEFT OUTER stream-stream join: unmatched borrows must surface
+        // exactly once with NULL repay columns, emitted only after the
+        // watermark proved no repay can still arrive
+        "dag_stream_outer_join" ->
+          s"""WITH b AS (${eventBody(EventModels.loanBorrowed)}),
+             |     r AS (${eventBody(EventModels.loanRepaid)})
+             |SELECT b.transaction_digest AS borrow_digest,
+             |       b.event_index AS borrow_index,
+             |       r.transaction_digest AS repay_digest,
+             |       r.event_index AS repay_index,
+             |       b.margin_manager_id, b.margin_pool_id,
+             |       b.loan_amount, r.repay_amount,
+             |       b.timestamp_ms AS borrow_ts, r.timestamp_ms AS repay_ts
+             |FROM b LEFT JOIN r
+             |  ON b.margin_manager_id = r.margin_manager_id
+             | AND b.margin_pool_id = r.margin_pool_id
+             | AND r.timestamp_ms >= b.timestamp_ms
+             | AND r.timestamp_ms <= b.timestamp_ms + ${3L * 86400000L}
+             |ORDER BY borrow_digest, borrow_index,
+             |         repay_digest, repay_index""".stripMargin,
         // Change data feed: commit 1 (the pre-cutoff slice into an empty
         // table) is all-insert; commit 2 (the full model, redelivering
         // every slice row) emits a pre-/post-image pair per matched key

@@ -443,6 +443,77 @@ object DagQueries {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join inside the hard gate: same
+    * feed as [[streamJoinQ]] but `left_outer` — every borrow with NO
+    * repay inside the horizon must appear exactly once with NULL repay
+    * columns, and the engine may emit such a row only after the WATERMARK
+    * has proven the negative (passed `borrow_time + horizon`). Two
+    * far-future sentinel batches advance the watermark past every real
+    * borrow's horizon and force the extra micro-batch in which the
+    * null-matched rows are evaluated (outer emission uses the watermark
+    * updated at the END of the previous batch). The sentinels carry
+    * unmatchable manager keys and their own rows can never flush (the
+    * watermark never passes them), so they are absent from the sink by
+    * the operator's own semantics. Oracle = the declarative LEFT JOIN. */
+  val streamOuterJoinQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val maxTs = rows.map(_.getLong(2)).max
+    def sentinels(daysAhead: Int): Seq[Row] = {
+      val ts = maxTs + daysAhead.toLong * 24 * 3600 * 1000
+      Seq(
+        Row(s"graft-sentinel-b$daysAhead", 0L, ts, "sentinel",
+          s"${EventModels.pkg}::margin_manager::LoanBorrowedEvent",
+          s"""{"loan_amount":"1","loan_shares":"1","margin_manager_id":"0xsentinel_b","margin_pool_id":"0xsentinel_b","timestamp":"$ts"}"""),
+        Row(s"graft-sentinel-r$daysAhead", 0L, ts, "sentinel",
+          s"${EventModels.pkg}::margin_manager::LoanRepaidEvent",
+          s"""{"margin_manager_id":"0xsentinel_r","margin_pool_id":"0xsentinel_r","repay_amount":"1","repay_shares":"1","timestamp":"$ts"}"""))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-dagsoj").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagsoj-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](67, spark)
+      val bounded = input.toDF().filter(col("timestamp_ms") >=
+        graft.TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30))
+      val joined = graft.streaming.StreamingIngest.loanLifecycle(
+        bounded, bounded, DeepbookFixtures.now, joinType = "left_outer")
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", s"$root/pairs")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        input.addData(rows.slice(third, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+        // +10d advances the watermark past every REAL borrow's horizon;
+        // +11d forces the next micro-batch in which those outer rows
+        // evaluate, while keeping the watermark (+10d after it) short of
+        // the first sentinel borrow's own horizon end (+13d) — a wider
+        // gap here would flush the sentinel itself as a 41st null-match
+        input.addData(sentinels(10))
+        q.processAllAvailable()
+        input.addData(sentinels(11))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/pairs")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("borrow_digest", "borrow_index", "repay_digest", "repay_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Watermarked tumbling-window aggregation inside the hard gate: the
     * fixture events replay time-ordered as three micro-batches through
     * [[graft.streaming.StreamingIngest.dailyVolumes]] (event-time
@@ -690,6 +761,7 @@ object DagQueries {
         "dag_stream_scd2" -> streamScd2Q,
         "dag_stream_dedup" -> streamDedupQ,
         "dag_stream_join" -> streamJoinQ,
+        "dag_stream_outer_join" -> streamOuterJoinQ,
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
         "dag_schema_evolve" -> schemaEvolveQ,

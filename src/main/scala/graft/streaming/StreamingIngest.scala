@@ -106,9 +106,17 @@ object StreamingIngest {
     * `borrow_time + horizonDays`, so state is O(horizon × rate), not
     * O(stream). Inner join ⇒ every match is emitted as soon as both sides
     * have arrived (append mode needs no window flush). Both legs may
-    * branch from the SAME source stream (a self-join on event type). */
+    * branch from the SAME source stream (a self-join on event type).
+    *
+    * `joinType = "left_outer"` additionally emits every borrow with NO
+    * repay inside the horizon, with NULL repay columns — and it is the
+    * WATERMARK that proves the negative: the engine may only emit the
+    * null-matched row once the watermark has passed
+    * `borrow_time + horizon` (no matching repay can still arrive), an
+    * emission rule no batch join exercises. */
   def loanLifecycle(borrowedEvents: DataFrame, repaidEvents: DataFrame,
-                    now: Instant, horizonDays: Int = 3): DataFrame = {
+                    now: Instant, horizonDays: Int = 3,
+                    joinType: String = "inner"): DataFrame = {
     val b = EventModels.loanBorrowed.project(borrowedEvents, now)
       .select(col("transaction_digest").as("borrow_digest"),
         col("event_index").as("borrow_index"),
@@ -132,7 +140,7 @@ object StreamingIngest {
           col("repay_time") >= col("borrow_time") &&
           col("repay_time") <= col("borrow_time") +
             expr(s"interval $horizonDays days"),
-        "inner")
+        joinType)
       .select("borrow_digest", "borrow_index", "repay_digest", "repay_index",
         "margin_manager_id", "margin_pool_id", "loan_amount", "repay_amount",
         "borrow_ts", "repay_ts")
