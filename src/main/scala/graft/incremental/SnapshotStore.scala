@@ -224,9 +224,48 @@ object SnapshotStore {
       Files.createLink(target, src.resolve(f.path))
     }
 
+  /** Bits of z-resolution per cluster column (256 quantile buckets). */
+  private val ZBits = 8
+
+  /** Z-ORDER key: each cluster column is quantile-bucketed into 2^ZBits
+    * ranks by `repartitionByRange` + `spark_partition_id()` — Spark's own
+    * RangePartitioner does the reservoir sampling, so ANY orderable type
+    * (string, date, numeric) buckets correctly with no per-type code and
+    * no skew from a uniform-width assumption (Delta's
+    * `range_partition_id` approach). The per-column ranks then interleave
+    * bitwise (bit `i` of column `j` → z-bit `k*i + (k-1-j)`) into one
+    * LONG via codegen'd bit arithmetic — no UDF. Sorting by that key
+    * gives every output file a small HYPERCUBE of the cluster-key space
+    * instead of a thin slice of the first column, so per-file min/max
+    * stats are selective on EVERY cluster column at once. Costs one extra
+    * shuffle per cluster column (sampling + rank materialization) — a
+    * maintenance-path price, same as Delta's OPTIMIZE ZORDER. */
+  private def zOrdered(df: DataFrame, clusterBy: Seq[String], n: Int,
+                       partitioned: Boolean): DataFrame = {
+    val k = clusterBy.size
+    var tmp = df
+    clusterBy.zipWithIndex.foreach { case (c, j) =>
+      tmp = tmp.repartitionByRange(1 << ZBits, col(c))
+        .withColumn(s"_zb$j", spark_partition_id())
+    }
+    val z = (0 until ZBits).flatMap { i =>
+      clusterBy.indices.map { j =>
+        shiftleft(shiftright(col(s"_zb$j"), i).bitwiseAND(lit(1)),
+          k * i + (k - 1 - j)).cast("long")
+      }
+    }.reduce(_.bitwiseOR(_))
+    val keyed = tmp.withColumn("_zval", z)
+    val parts =
+      if (partitioned) Seq(col(PartCol), col("_zval")) else Seq(col("_zval"))
+    keyed.repartitionByRange(n, parts: _*)
+      .sortWithinPartitions(parts: _*)
+      .drop(clusterBy.indices.map(j => s"_zb$j") :+ "_zval": _*)
+  }
+
   private def writeSnapshot(root: String, df: DataFrame, partitioned: Boolean,
                             compactTo: Option[Int],
-                            clusterBy: Seq[String] = Nil): String = {
+                            clusterBy: Seq[String] = Nil,
+                            zorder: Boolean = false): String = {
     val snap = nextSnapshotName(root)
     // Generation fencing: the snapshot name is claimed ATOMICALLY before
     // any data is written, so two writers that both read the same
@@ -245,6 +284,13 @@ object SnapshotStore {
             "writer, or the orphan of a crashed one (unpublished - safe to delete)")
     }
     val arranged = (partitioned, compactTo) match {
+      // z-order: interleaved quantile ranks — each file gets a hypercube
+      // of the cluster-key space, selective on EVERY cluster column
+      case (p, Some(n)) if zorder && clusterBy.size >= 2 =>
+        val out = zOrdered(df, clusterBy, n, p)
+        val w0 = out.write.mode(SaveMode.Overwrite)
+        (if (p) w0.partitionBy(PartCol) else w0).parquet(s"$root/$snap")
+        return snap
       // clustered compaction RANGE-partitions on the cluster keys so each
       // output file covers a disjoint key interval — that is what makes
       // file-level min/max stats (FileSkipping) selective; a round-robin
@@ -593,14 +639,19 @@ object SnapshotStore {
     * single-key case): scans filtered on those keys then skip whole row
     * groups via parquet min/max stats instead of reading every compacted
     * file — the difference between O(partition) and O(matching row
-    * groups) for point lookups at 100 TB. */
+    * groups) for point lookups at 100 TB. With `zorder = true` and two or
+    * more cluster keys, files are laid out along the Z-curve of the keys'
+    * quantile ranks ([[zOrdered]]) instead of lexicographically — per-file
+    * stats become selective on EVERY cluster column, not just a prefix
+    * (Delta's `OPTIMIZE ... ZORDER BY`). */
   def optimize(spark: SparkSession, root: String, filesPerPartition: Int = 1,
-               clusterBy: Seq[String] = Nil): Unit =
+               clusterBy: Seq[String] = Nil, zorder: Boolean = false): Unit =
     currentSnapshot(root).foreach { c =>
       val snapDir = Paths.get(root, c)
       val (df, partitioned) = snapshotDf(spark, snapDir)
       val snap =
-        writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy)
+        writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy,
+          zorder)
       // file-level min/max stats for the cluster keys, from footers only
       // (O(files) metadata), straight into the new snapshot's manifest
       val fresh =

@@ -121,4 +121,47 @@ class FileSkippingSpec extends SparkSpec {
     assert(df.filter(col("maybe") === 42).count() == 1)
     assert(df.filter(col("maybe").isNull).count() == 100)
   }
+
+  test("zorder makes BOTH cluster columns skippable; lexicographic only the first") {
+    // a full 128x128 grid: for any x-slice, y spans the whole domain (and
+    // vice versa) — genuinely independent keys. (A modular-product pair
+    // like (i mod p, 7919 i mod p) is NOT independent: y is a constant
+    // function of x for fixed residue, which silently hands the
+    // lexicographic layout y-selectivity too.)
+    val data = spark.range(0, 16384).toDF("i")
+      .withColumn("x", col("i") % 128)
+      .withColumn("y", (col("i") / 128).cast("long") % 128)
+      .withColumnRenamed("i", "id")
+    def build(zorder: Boolean): String = {
+      val root = tmpRoot()
+      SnapshotStore.merge(spark, root, data, Seq("id"))
+      SnapshotStore.optimize(spark, root, filesPerPartition = 64,
+        clusterBy = Seq("x", "y"), zorder = zorder)
+      root
+    }
+    val lex = build(zorder = false)
+    val zed = build(zorder = true)
+    def probe(root: String, pred: org.apache.spark.sql.Column): (Long, Int, Int) = {
+      val (df, Some(idx)) = SnapshotStore.readSkipping(spark, root).get
+      val n = df.filter(pred).count()
+      (n, idx.lastKept, idx.lastSkipped)
+    }
+    // identical answers under every probe — layout must never change results
+    val expectedY = data.filter(col("y") === 17).count()
+    val (ny1, _, skipLexY) = probe(lex, col("y") === 17)
+    val (ny2, keptZedY, skipZedY) = probe(zed, col("y") === 17)
+    assert(ny1 == expectedY && ny2 == expectedY)
+    // lexicographic (x, y) layout: every file spans the whole y domain —
+    // a y-only predicate prunes (almost) nothing
+    assert(skipLexY <= 2, s"lex layout unexpectedly skipped $skipLexY files on y")
+    // z-order: each file covers a hypercube => y-only predicates prune most
+    assert(skipZedY >= (keptZedY + skipZedY) / 2,
+      s"zorder skipped only $skipZedY of ${keptZedY + skipZedY} files on y")
+    // and x stays skippable under z-order too
+    val expectedX = data.filter(col("x") === 17).count()
+    val (nx, keptZedX, skipZedX) = probe(zed, col("x") === 17)
+    assert(nx == expectedX)
+    assert(skipZedX >= (keptZedX + skipZedX) / 2,
+      s"zorder skipped only $skipZedX of ${keptZedX + skipZedX} files on x")
+  }
 }
