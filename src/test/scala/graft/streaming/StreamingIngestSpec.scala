@@ -208,6 +208,39 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("ingest restarts from its checkpoint: committed work not reprocessed, nothing lost") {
+    val src = Files.createTempDirectory("graft-restart-src").toString
+    val root = Files.createTempDirectory("graft-restart-tbl").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val (a, b) = fixtureEvents.splitAt(fixtureEvents.size / 2)
+    def writeSlice(rows: Seq[Row]): Unit =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        Sources.suiEventsSchema).coalesce(1).write.mode("append").parquet(src)
+    def startQuery() = StreamingIngest.ingest(model,
+      spark.readStream.schema(Sources.suiEventsSchema).parquet(src),
+      root, ckpt, DeepbookFixtures.now)
+    // run 1: first half, committed, query STOPPED (simulated shutdown)
+    writeSlice(a)
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    val gensAfterRun1 = SnapshotStore.snapshots(root).size
+    assert(gensAfterRun1 >= 1)
+    // run 2: a NEW query on the same checkpoint — the file source's
+    // committed offsets must make it process ONLY the new file
+    writeSlice(b)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(SnapshotStore.snapshots(root).size == gensAfterRun1 + 1,
+      "restart must resume at the committed offset: exactly one new " +
+        "micro-batch (a replay of run 1's files would add more merges)")
+    val streamed = SnapshotStore.read(spark, root).get
+      .drop("updated_at").collect().map(_.toSeq.map(String.valueOf)).toSet
+    val batch = model
+      .project(DeepbookFixtures.events(spark), DeepbookFixtures.now)
+      .drop("updated_at").collect().map(_.toSeq.map(String.valueOf)).toSet
+    assert(streamed == batch, "post-restart table must equal the batch build")
+  }
+
   test("stream-stream loan-lifecycle join equals the batch join and spans micro-batches") {
     val ckpt = Files.createTempDirectory("graft-sjoin-ckpt").toString
     val out = Files.createTempDirectory("graft-sjoin-out").toString
