@@ -61,6 +61,19 @@ object PipelineOracles {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
 
+    // exact all-pairs ORDERED containment — the prefix-filtered engine
+    // path must reproduce it bit-for-bit (the asymmetric prefix prune is
+    // lossless for containment >= t, so no candidate logic is mirrored)
+    "d11_containment" -> s"""
+      WITH $shingleCte
+      SELECT a_id, b_id, containment FROM (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                     / len(a.sh), 6) AS containment
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE len(a.sh) >= 1 AND len(b.sh) >= 1) t
+      WHERE containment >= 0.8 ORDER BY a_id, b_id""",
+
     "d3_simhash" -> """
       WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       h AS (SELECT doc_id,

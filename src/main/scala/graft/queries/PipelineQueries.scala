@@ -220,6 +220,69 @@ object PipelineQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  // ---- D11: asymmetric containment dedup ----------------------------------
+
+  /** Containment pairs: ordered (a, b) with `|A∩B| / |A| >= 0.8` over the
+    * shingle sets — the ASYMMETRIC score that catches a document embedded
+    * inside a larger one, which Jaccard structurally misses (a 100-shingle
+    * doc inside a 10 000-shingle doc has J ≈ 0.01 but containment 1.0 —
+    * quote farms, boilerplate-wrapped reposts, chapter-in-book).
+    *
+    * Scale shape — the asymmetric prefix filter (the overlap-join analog
+    * of d4's PPJoin prune, and like it LOSSLESS): containment >= t forces
+    * the overlap to reach ⌈t·na⌉, so among the first `na − ⌈t·na⌉ + 1`
+    * shingles of A in ANY fixed global order at least one must be in B.
+    * Probing only A's (rarest-first) prefix against B's full inverted
+    * token list therefore misses nothing while skipping the hot shingles
+    * that would make the index join quadratic — and because the prune is
+    * provably lossless in any order, the oracle is the exact all-pairs
+    * containment join with no candidate-order mirroring. The B side has
+    * no length prune (a container may be arbitrarily large) — inherent to
+    * containment, which is why the prefix runs on the contained side
+    * only. Cost ∝ rare-shingle postings + true pairs, never n². */
+  val d11Containment: Q = (spark, dir) => {
+    // 0-shingle docs (< 3 words) are excluded up front: 0/0 containment is
+    // NaN, and NaN orders ABOVE the threshold in DuckDB but below in
+    // Spark — the guard keeps the engines' answers identical
+    val sh = shingled(spark, dir)
+      .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+      .filter(col("n") >= 1)
+      .localCheckpoint() // shared by prefix + both verify sides (see d2)
+    val ex = sh.select(col("doc_id"), col("n"), explode(col("ids")).as("sid"))
+    val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df")).localCheckpoint()
+    val dfreqBroadcastable = dfreq.count() * 64L <= (256L << 20) // d4's gate
+    // every posting ranked rarest-first within its doc — the a side takes
+    // only its prefix, the b side keeps ALL postings but carries the rank
+    // for the positional prune below
+    val ranked = ex.join(if (dfreqBroadcastable) broadcast(dfreq) else dfreq, "sid")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      .select(col("doc_id"), col("n"), col("sid"), col("rk"))
+      .localCheckpoint() // feeds BOTH sides of the candidate self-join
+    // prefix length na − ⌈0.8·na⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
+    val prefix = ranked.filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+    // positional prune (lossless, d4's PPJoin argument): a shared token at
+    // ranks (rx, ry) bounds the overlap by 1 + min(na−rx, nb−ry), which
+    // must reach ⌈0.8·na⌉ — for an integer bound, ub ≥ ⌈4n/5⌉ ⟺ 5·ub ≥ 4n.
+    // A true pair's FIRST shared token always passes; the join keeps a
+    // pair if any token row does.
+    val cand = prefix.as("x").join(ranked.as("y"),
+        col("x.sid") === col("y.sid") && col("x.doc_id") =!= col("y.doc_id") &&
+          lit(5) * (lit(1) + least(col("x.n") - col("x.rk"),
+            col("y.n") - col("y.rk"))) >= lit(4) * col("x.n"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val a = sh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+    val b = sh.select(col("doc_id").as("b_id"), col("ids").as("sb"))
+    cand.join(a, "a_id").join(b, "b_id")
+      .withColumn("containment",
+        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+          col("na"), 6))
+      .filter(col("containment") >= 0.8)
+      .select(col("a_id"), col("b_id"), col("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- D3: SimHash fingerprint --------------------------------------------
 
   /** 60-bit SimHash over word tokens. The per-word hash is the first 15 hex
@@ -2397,6 +2460,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d11_containment" -> d11Containment,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,

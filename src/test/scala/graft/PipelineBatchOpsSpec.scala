@@ -46,6 +46,40 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(PipelineQueries.d6DedupClusters(spark, tmp).isEmpty)
   }
 
+  test("d11: containment finds a subset doc whose Jaccard is far below any dedup threshold") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d11").toString
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val small = (1 to 22).map(i => s"quoted$i").mkString(" ") // 20 shingles
+    val big = small + " " + (1 to 300).map(i => s"filler$i").mkString(" ")
+    val other = (1 to 50).map(i => s"unrelated$i").mkString(" ")
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, small, "en", "a", small.length.toLong),
+      org.apache.spark.sql.Row(2L, big, "en", "a", big.length.toLong),
+      org.apache.spark.sql.Row(3L, other, "en", "b", other.length.toLong))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.d11Containment(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    // doc 1 is fully contained in doc 2 (containment 1.0) even though
+    // their Jaccard is 20/320 ≈ 0.06 — the pair d2/d4 structurally miss;
+    // the reverse direction (2 in 1) and the unrelated doc must NOT appear
+    assert(got == List((1L, 2L, 1.0)), s"got $got")
+    // and the operator agrees with d2 on symmetric near-dups: every d2
+    // pair at jaccard ≥ 0.9 must contain in BOTH directions on the corpus
+    val strong = PipelineQueries.d2MinhashLsh(spark, dir)
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val contained = PipelineQueries.d11Containment(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strong.nonEmpty)
+    strong.foreach { case (a, b) =>
+      assert(contained((a, b)) && contained((b, a)),
+        s"strong near-dup ($a,$b) missing a containment direction")
+    }
+  }
+
   test("t5: chunks tile each document's token stream with the declared stride") {
     val n = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
