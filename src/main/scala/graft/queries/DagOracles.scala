@@ -323,6 +323,43 @@ object DagOracles {
         // redelivered) through the foreachBatch merge sink must converge
         // to the same declarative model recomputation as the batch path
         "dag_stream_ingest" -> eventOracle(EventModels.loanBorrowed),
+        // Streaming CDC: the same three-batch replay with the feed on.
+        // Batch boundaries are positions in the deterministic
+        // (timestamp, digest, index) replay order over the RAW event log
+        // (the model's type/bound filters apply after slicing, exactly as
+        // the stream filters per micro-batch); the redelivered positions
+        // third-9..third surface as update pre-/post-image pairs in
+        // commit 2
+        "dag_stream_cdc" -> {
+          val n = DeepbookFixtures.eventRows.size
+          val third = n / 3
+          s"""WITH pos AS (
+             |        SELECT transaction_digest, event_index,
+             |               row_number() OVER (ORDER BY timestamp_ms,
+             |                 transaction_digest, event_index) AS p
+             |        FROM $eventsSrc),
+             |     m0 AS (${eventBody(EventModels.loanBorrowed)}),
+             |     m AS (SELECT m0.*, pos.p FROM m0
+             |           JOIN pos ON m0.transaction_digest = pos.transaction_digest
+             |                   AND m0.event_index = pos.event_index)
+             |SELECT * EXCLUDE (p), 'insert' AS _change_type,
+             |       CAST(1 AS BIGINT) AS _commit_version
+             |FROM m WHERE p <= $third
+             |UNION ALL
+             |SELECT * EXCLUDE (p), 'update_preimage', CAST(2 AS BIGINT)
+             |FROM m WHERE p BETWEEN ${third - 9} AND $third
+             |UNION ALL
+             |SELECT * EXCLUDE (p), 'update_postimage', CAST(2 AS BIGINT)
+             |FROM m WHERE p BETWEEN ${third - 9} AND $third
+             |UNION ALL
+             |SELECT * EXCLUDE (p), 'insert', CAST(2 AS BIGINT)
+             |FROM m WHERE p > $third AND p <= ${2 * third}
+             |UNION ALL
+             |SELECT * EXCLUDE (p), 'insert', CAST(3 AS BIGINT)
+             |FROM m WHERE p > ${2 * third}
+             |ORDER BY _commit_version, _change_type,
+             |         transaction_digest, event_index""".stripMargin
+        },
         // streaming SCD2 fold (hwm-guarded micro-batches) vs the one-shot
         // declarative type-2 history over the whole fixture event log;
         // the tiebreaker eid is derived from the unique event identity

@@ -268,6 +268,59 @@ object DagQueries {
     }
   }
 
+  /** Streaming CHANGE DATA FEED inside the hard gate: the same
+    * three-micro-batch replay as [[streamIngestQ]] (batch 2 REDELIVERS
+    * the tail of batch 1) but with `changeFeed = true` on every
+    * per-micro-batch merge, and the result is the FEED, not the table.
+    * Commit 1 must be all-`insert`; commit 2 must show every redelivered
+    * key as an update pre-/post-image pair (the feed is where redelivery
+    * becomes VISIBLE — the table itself converges identically either
+    * way) plus inserts for the new tail; commit 3 is all-insert again.
+    * The batch boundaries are derived from the deterministic
+    * (timestamp, digest, index) replay order on both sides, so DuckDB
+    * recomputes each commit's expected changes declaratively. Gates that
+    * CDC versioning, typing and completeness survive the streaming path
+    * end to end. */
+  val streamCdcQ: Q = (spark, _) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val rows = DeepbookFixtures.events(spark).collect().toSeq
+      .sortBy(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    val root = java.nio.file.Files.createTempDirectory("graft-dagscdc").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dagscdc-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(Sources.suiEventsSchema))
+      val input = new MemoryStream[Row](68, spark)
+      val bounded = input.toDF().filter(col("timestamp_ms") >=
+        graft.TrinoFns.backfillBoundMs(DeepbookFixtures.now, 30))
+      val q = graft.streaming.StreamingIngest.ingest(
+        EventModels.loanBorrowed, bounded, s"$root/tbl", ckpt,
+        DeepbookFixtures.now, changeFeed = true)
+      try {
+        require(rows.size >= 30,
+          s"stream-cdc gate needs >= 30 fixture events, got ${rows.size}")
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        // batch 2 REDELIVERS the tail of batch 1 — the feed must show it
+        input.addData(rows.slice(third - 10, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      SnapshotStore.changes(spark, s"$root/tbl").get
+        .drop("updated_at")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy("_commit_version", "_change_type",
+          "transaction_digest", "event_index")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Streaming SCD2 maintenance inside the hard gate: the fixture events
     * fold through [[graft.streaming.StreamingIngest.scd2Ingest]] as three
     * time-ordered micro-batches (key = sender, state = event_type), with
@@ -762,6 +815,7 @@ object DagQueries {
         "dag_stream_dedup" -> streamDedupQ,
         "dag_stream_join" -> streamJoinQ,
         "dag_stream_outer_join" -> streamOuterJoinQ,
+        "dag_stream_cdc" -> streamCdcQ,
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
         "dag_schema_evolve" -> schemaEvolveQ,

@@ -37,14 +37,15 @@ object StreamingIngest {
   def ingest(model: EventModel, streamingEvents: DataFrame, root: String,
              checkpointDir: String, now: Instant,
              onSchemaChange: graft.incremental.OnSchemaChange =
-               graft.incremental.OnSchemaChange.Ignore): StreamingQuery =
+               graft.incremental.OnSchemaChange.Ignore,
+             changeFeed: Boolean = false): StreamingQuery =
     model.project(streamingEvents, now)
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         SnapshotStore.merge(batch.sparkSession, root, batch,
           model.uniqueKey, model.partitionDate,
-          onSchemaChange = onSchemaChange)
+          onSchemaChange = onSchemaChange, changeFeed = changeFeed)
       }
       .start()
 
