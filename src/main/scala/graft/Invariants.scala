@@ -38,8 +38,10 @@ object Invariants {
     }
 
     // ---- d6: cluster assignment vs the pair graph ----
-    val pairs = PipelineQueries.d2MinhashLsh(spark, sfDir)
-      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairsJ = PipelineQueries.d2MinhashLsh(spark, sfDir)
+      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = pairsJ.map(t => (t._1, t._2))
     val lab = PipelineQueries.d6DedupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     val members = lab.groupBy(_._2._1)
@@ -51,6 +53,25 @@ object Invariants {
     }
     check("d6: cluster_size equals the member count") {
       members.forall { case (_, m) => m.values.map(_._2).toSet == Set(m.size.toLong) }
+    }
+
+    // ---- d11: containment vs d2 (its oracle embeds the all-pairs join,
+    // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----
+    {
+      val d11 = PipelineQueries.d11Containment(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      check("d11: containment values lie in [0.8, 1]") {
+        d11.values.forall(c => c >= 0.8 && c <= 1.0)
+      }
+      // C(A,B) = |A∩B|/|A| >= |A∩B|/|A∪B| = J, so every strong symmetric
+      // near-dup MUST contain in both directions — an independent
+      // cross-operator identity, checkable at any tier without the
+      // all-pairs oracle
+      check("d11: d2 pairs at J >= 0.8 contain in both directions") {
+        pairsJ.filter(_._3 >= 0.8).forall { case (a, b, _) =>
+          d11.contains((a, b)) && d11.contains((b, a))
+        }
+      }
     }
 
     // ---- t21: cluster-aware split vs the pair graph ----
