@@ -66,7 +66,7 @@ object Bench {
     val results =
       (SparkEntry.queries - "dag_fct_incremental" - "dag_fct_maintenance"
         - "dag_fct_skipread" - "dag_append_log" - "s12_scd2"
-        - "dag_cdc_feed" - "dag_time_travel"
+        - "dag_cdc_feed" - "dag_time_travel" - "dag_delete_retention"
         - "dag_stream_ingest" - "dag_stream_scd2" - "dag_stream_dedup"
         - "dag_stream_daily" - "dag_stream_position" - "dag_schema_evolve"
         - "dag_schema_widen" - "dag_stream_evolve" - "dag_stream_join"

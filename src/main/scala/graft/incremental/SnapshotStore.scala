@@ -594,6 +594,77 @@ object SnapshotStore {
     }
   }
 
+  /** Row-level DELETE — the retention/GDPR operation the reference
+    * delegates to Delta (`DELETE FROM t WHERE ...`). Partition-scoped like
+    * [[merge]]: one scan finds the `_dt` partitions holding matches, only
+    * those rewrite (survivors = `filter(!predicate)`), every untouched
+    * partition hard-links across, and a predicate with NO matches
+    * publishes nothing. With `changeFeed = true` the matched rows are
+    * published as `delete` change rows (Delta CDF's third change type),
+    * so a downstream consumer can retract them instead of diffing
+    * snapshots. At 100 TB a retention sweep bounded to a date range
+    * costs O(matching partitions), not O(table). NULL-predicate rows are
+    * KEPT (SQL DELETE semantics: only `true` deletes). */
+  def delete(spark: SparkSession, root: String, predicate: Column,
+             changeFeed: Boolean = false): Unit =
+    currentSnapshot(root).foreach { c =>
+      val snapDir = Paths.get(root, c)
+      val (df, partitioned) = snapshotDf(spark, snapDir)
+      val schema = liveSchema(spark, snapDir)
+      val keep = !coalesce(predicate, lit(false))
+      if (!partitioned) {
+        val matched = df.filter(coalesce(predicate, lit(false)))
+        if (matched.limit(1).count() > 0) {
+          val snap = writeSnapshot(root, df.filter(keep), partitioned = false, None)
+          if (changeFeed) writeChanges(root, snap,
+            matched.withColumn(ChangeTypeCol, lit("delete")))
+          commit(root, snap, schema, partitioned = false)
+        }
+      } else {
+        val matched = df.filter(coalesce(predicate, lit(false)))
+        // touched-partition list: metadata-sized (bounded by the predicate's
+        // date footprint — a retention sweep touches old days only)
+        val touched = matched.select(PartCol).distinct().collect()
+          .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
+        if (touched.nonEmpty) {
+          val manifestOpt = Manifest.read(snapDir).filter(_.partitioned)
+          val partVals: Seq[String] = manifestOpt match {
+            case Some(m) => m.partitionValues
+            case None    => partitionDirs(snapDir).map(_._1)
+          }
+          val (affectedVals, untouchedVals) = partVals.partition(touched)
+          val affected = affectedVals.map { v =>
+            val dtVal = if (v == NullPart) lit(null).cast(StringType) else lit(v)
+            val part = manifestOpt match {
+              case Some(m) =>
+                val dataSchema = StructType(
+                  m.schema.fields.filterNot(_.name == PartCol))
+                val paths = m.filesOfPartition(v)
+                  .map(f => snapDir.resolve(f.path).toString)
+                spark.read.schema(dataSchema).parquet(paths: _*)
+              case None =>
+                spark.read.parquet(snapDir.resolve(s"$PartCol=$v").toString)
+            }
+            part.withColumn(PartCol, dtVal)
+          }.reduce(_.unionByName(_, allowMissingColumns = true))
+          val snap = writeSnapshot(root, affected.filter(keep),
+            partitioned = true, None)
+          manifestOpt match {
+            case Some(m) =>
+              linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
+            case None =>
+              untouchedVals.foreach { v =>
+                linkInto(snapDir.resolve(s"$PartCol=$v"),
+                  Paths.get(root, snap, s"$PartCol=$v"))
+              }
+          }
+          if (changeFeed) writeChanges(root, snap,
+            matched.withColumn(ChangeTypeCol, lit("delete")))
+          commit(root, snap, schema, partitioned = true)
+        }
+      }
+    }
+
   /** Union of two schemas by name — `b` wins on type, `a`-only fields keep
     * their place (append's manifest must keep hard-linked pre-existing
     * columns readable). */

@@ -309,6 +309,17 @@ object DagOracles {
              |WHERE timestamp_ms > ${DagQueries.AppendCutoffMs}
              |ORDER BY _commit_version, _change_type,
              |         transaction_digest, event_index""".stripMargin,
+        // Row-level DELETE (retention): survivors tagged live + the feed's
+        // delete retractions tagged deleted must equal the declarative
+        // split of the model at the cutoff
+        "dag_delete_retention" ->
+          s"""WITH m AS (${eventBody(EventModels.loanBorrowed)})
+             |SELECT *, 'live' AS _state FROM m
+             |WHERE timestamp_ms > ${DagQueries.AppendCutoffMs}
+             |UNION ALL
+             |SELECT *, 'deleted' FROM m
+             |WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
+             |ORDER BY _state, transaction_digest, event_index""".stripMargin,
         // Time travel: generation 1 must still serve the exact pre-cutoff
         // state after generation 2 superseded it (immutable hard-linked
         // snapshots); generation 2 is the full model

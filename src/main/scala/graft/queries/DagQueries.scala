@@ -164,6 +164,39 @@ object DagQueries {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** Row-level DELETE inside the hard gate: the full loan model is merged,
+    * then a retention sweep deletes everything at or before the cutoff
+    * (`changeFeed = true`). The output is the surviving table tagged
+    * `live` UNION the feed's `delete` rows tagged `deleted` — so BOTH the
+    * partition-scoped rewrite and the retraction feed must match DuckDB's
+    * declarative split of the model at the cutoff. A row lost by the
+    * rewrite, a survivor double-kept via a stale hard link, or a feed row
+    * missing/duplicated all break the hash. */
+  val deleteRetentionQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagdel").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      SnapshotStore.merge(spark, s"$root/tbl", model,
+        Seq("transaction_digest", "event_index"), Some(pd))
+      SnapshotStore.delete(spark, s"$root/tbl",
+        col("timestamp_ms") <= AppendCutoffMs, changeFeed = true)
+      val live = SnapshotStore.read(spark, s"$root/tbl").get
+        .withColumn("_state", lit("live"))
+      val deleted = SnapshotStore.changesFor(spark, s"$root/tbl", "snap-0000002").get
+        .filter(col("_change_type") === "delete")
+        .drop("_change_type", "_commit_version")
+        .withColumn("_state", lit("deleted"))
+      live.unionByName(deleted)
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("_state", "transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** Time travel inside the hard gate: the same two merges, then BOTH
     * generations read back via [[SnapshotStore.readAt]] and unioned under
     * a version tag. Generation 1 must still be exactly the pre-cutoff
@@ -810,6 +843,7 @@ object DagQueries {
         "dag_append_log" -> appendLogQ,
         "dag_cdc_feed" -> cdcFeedQ,
         "dag_time_travel" -> timeTravelQ,
+        "dag_delete_retention" -> deleteRetentionQ,
         "dag_stream_ingest" -> streamIngestQ,
         "dag_stream_scd2" -> streamScd2Q,
         "dag_stream_dedup" -> streamDedupQ,

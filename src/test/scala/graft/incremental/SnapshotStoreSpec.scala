@@ -276,6 +276,34 @@ class SnapshotStoreSpec extends SparkSpec {
       "a table with nothing to compact must publish nothing")
   }
 
+  test("delete: partition-scoped, untouched partitions hard-link, delete rows feed CDC") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"),
+      (22L, "2026-01-02", "b2"), (3L, "2026-01-03", "c"))), Seq("id"), pd)
+    val before = inodesByPartition(root)
+    SnapshotStore.delete(spark, root, col("id") === 2L, changeFeed = true)
+    val after = inodesByPartition(root)
+    for (dt <- Seq("_dt=2026-01-01", "_dt=2026-01-03"))
+      assert(after(dt) == before(dt), s"$dt must carry by hard link")
+    assert(after("_dt=2026-01-02") != before("_dt=2026-01-02"))
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (22L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
+    assert(SnapshotStore.changes(spark, root).get
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet == Set((2L, "delete", 2L)))
+    // a whole-partition delete makes the partition disappear
+    SnapshotStore.delete(spark, root, col("dt") === "2026-01-03")
+    assert(!inodesByPartition(root).contains("_dt=2026-01-03"))
+    assert(readAll(root) == Set((1L, "2026-01-01", "a"), (22L, "2026-01-02", "b2")))
+    // no matches (incl. NULL predicate rows) => nothing published
+    val gen = SnapshotStore.currentSnapshot(root)
+    SnapshotStore.delete(spark, root, col("id") === 99L)
+    SnapshotStore.delete(spark, root, when(col("id") === 1L, lit(null)).otherwise(lit(false)).cast("boolean"))
+    assert(SnapshotStore.currentSnapshot(root) == gen,
+      "no-match / NULL-predicate deletes must publish nothing")
+  }
+
   test("reads are manifest-committed: a file on disk but not in the manifest is invisible") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(
