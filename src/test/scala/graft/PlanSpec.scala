@@ -97,7 +97,8 @@ class PlanSpec extends SparkSpec {
                           "d5" -> PipelineQueries.d5EmbeddingNeardup,
                           "v3" -> PipelineQueries.v3AnnIvf,
                           "d7" -> PipelineQueries.d7Semdedup,
-                          "d8" -> PipelineQueries.d8SubstringDedup)) {
+                          "d8" -> PipelineQueries.d8SubstringDedup,
+                          "d11" -> PipelineQueries.d11Containment)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
