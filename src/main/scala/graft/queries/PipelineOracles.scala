@@ -35,6 +35,38 @@ object PipelineOracles {
       |                   ELSE [] END AS sh
       |       FROM docs)""".stripMargin
 
+  /** Shared CTE chain for the retrieval-eval oracles: `ex` = the exact
+    * cosine top-5 per query, `ra` = the LSH ANN's ranked results — both
+    * recomputed verbatim from the v1/v2 oracle bodies. */
+  private lazy val annEvalCtes = s"""$embCte,
+      qx AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      sx AS (SELECT qx.q_id, n.vec_id,
+                    round(list_sum(list_transform(range(1, len(n.v)+1),
+                            i -> n.v[i] * qx.qv[i])) / (n.nrm * qx.qn), 6) AS cosine
+             FROM n, qx WHERE n.vec_id != qx.q_id),
+      rx AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM sx),
+      ex AS (SELECT q_id, vec_id FROM rx WHERE rk <= 5),
+      pl AS (SELECT $duckPlanes AS planes),
+      b AS (SELECT vec_id, v, nrm,
+                   list_sum([CASE WHEN list_sum(list_transform(range(1, len(v)+1),
+                               i -> v[i] * planes[j+1][i])) > 0
+                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                             for j in range(0, 8)])::BIGINT AS bucket
+            FROM n, pl),
+      qa AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
+             FROM b WHERE vec_id < 5),
+      sa AS (SELECT qa.q_id, b.vec_id,
+                    round(list_sum(list_transform(range(1, len(b.v)+1),
+                            i -> b.v[i] * qa.qv[i])) / (b.nrm * qa.qn), 6) AS cosine
+             FROM b JOIN qa ON b.bucket = qa.q_bucket AND b.vec_id != qa.q_id),
+      ra AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cosine DESC, vec_id) AS rk
+             FROM sa)"""
+
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings),
@@ -831,40 +863,39 @@ object PipelineOracles {
     // paths are recomputed verbatim (same CTE bodies, renamed), then the
     // overlap counts and the fixed-point recall compare exactly
     "v12_recall_eval" -> s"""
-      WITH $embCte,
-      qx AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
-      sx AS (SELECT qx.q_id, n.vec_id,
-                    round(list_sum(list_transform(range(1, len(n.v)+1),
-                            i -> n.v[i] * qx.qv[i])) / (n.nrm * qx.qn), 6) AS cosine
-             FROM n, qx WHERE n.vec_id != qx.q_id),
-      rx AS (SELECT q_id, vec_id,
-                    row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, vec_id) AS rk
-             FROM sx),
-      ex AS (SELECT q_id, vec_id FROM rx WHERE rk <= 5),
-      pl AS (SELECT $duckPlanes AS planes),
-      b AS (SELECT vec_id, v, nrm,
-                   list_sum([CASE WHEN list_sum(list_transform(range(1, len(v)+1),
-                               i -> v[i] * planes[j+1][i])) > 0
-                             THEN (1::BIGINT << j) ELSE 0::BIGINT END
-                             for j in range(0, 8)])::BIGINT AS bucket
-            FROM n, pl),
-      qa AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
-             FROM b WHERE vec_id < 5),
-      sa AS (SELECT qa.q_id, b.vec_id,
-                    round(list_sum(list_transform(range(1, len(b.v)+1),
-                            i -> b.v[i] * qa.qv[i])) / (b.nrm * qa.qn), 6) AS cosine
-             FROM b JOIN qa ON b.bucket = qa.q_bucket AND b.vec_id != qa.q_id),
-      ra AS (SELECT q_id, vec_id,
-                    row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, vec_id) AS rk
-             FROM sa),
+      WITH $annEvalCtes,
       aa AS (SELECT q_id, vec_id, 1 AS hit FROM ra WHERE rk <= 5)
       SELECT ex.q_id, count(*) AS k_exact,
              CAST(count(aa.hit) AS BIGINT) AS n_hit,
              count(aa.hit) * 1000000 // count(*) AS recall6
       FROM ex LEFT JOIN aa ON aa.q_id = ex.q_id AND aa.vec_id = ex.vec_id
       GROUP BY ex.q_id ORDER BY ex.q_id""",
+
+    // MRR@5 / binary NDCG@5 of the same two retrieval paths; the log2
+    // discount weights are shared 1e9-scaled integer literals, so the DCG
+    // fold is an integer sum in both engines
+    "v13_rank_metrics" -> s"""
+      WITH $annEvalCtes,
+      an AS (SELECT q_id, vec_id, rk FROM ra WHERE rk <= 5),
+      ke AS (SELECT q_id, count(*) AS k_exact FROM ex GROUP BY q_id),
+      wt AS (SELECT * FROM (VALUES (1, 1000000000), (2, 630929754),
+                                   (3, 500000000), (4, 430676558),
+                                   (5, 386852807)) t(i, w9)),
+      id9 AS (SELECT * FROM (VALUES (1, 1000000000), (2, 1630929754),
+                                    (3, 2130929754), (4, 2561606312),
+                                    (5, 2948459119)) t(k, v)),
+      j AS (SELECT an.q_id, an.rk, ex.vec_id IS NOT NULL AS rel
+            FROM an LEFT JOIN ex ON ex.q_id = an.q_id AND ex.vec_id = an.vec_id),
+      p AS (SELECT j.q_id,
+                   CAST(sum(CASE WHEN rel THEN wt.w9 ELSE 0 END) AS BIGINT) AS dcg9,
+                   min(CASE WHEN rel THEN j.rk END) AS first_hit
+            FROM j JOIN wt ON wt.i = j.rk GROUP BY j.q_id)
+      SELECT p.q_id,
+             CAST(coalesce(1000000 // first_hit, 0) AS BIGINT) AS mrr6,
+             CAST(dcg9 * 1000000 // id9.v AS BIGINT) AS ndcg6
+      FROM p JOIN ke ON ke.q_id = p.q_id
+      JOIN id9 ON id9.k = least(ke.k_exact, 5)
+      ORDER BY p.q_id""",
 
     // Matryoshka two-stage retrieval: the prefix shortlist and the
     // full-precision rerank are both recomputed exactly; the v1 rounding

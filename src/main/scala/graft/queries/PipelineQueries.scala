@@ -910,6 +910,44 @@ object PipelineQueries {
       .orderBy(col("q_id"))
   }
 
+  // ---- V13: ranking-quality eval (MRR / NDCG) ------------------------------
+
+  /** MRR@5 and binary-relevance NDCG@5 of the LSH ANN against the exact
+    * top-5 — the ranking-quality half of the eval suite (v12 measures set
+    * recall; a result can have perfect recall and still rank the best
+    * neighbors last, which these metrics expose).
+    *
+    * Integer determinism: the 1/log2(i+1) discount weights are SHARED
+    * 1e9-scaled integer literals (their exact values are a convention,
+    * not a computation — both engines use the same constants), so the DCG
+    * fold is an integer sum: order-independent under any parallelism and
+    * bit-identical across engines, the v5/k-means fixed-point rule
+    * applied to IR metrics. `mrr6` = 1e6 div (first relevant rank),
+    * `ndcg6` = 1e6-scaled DCG/IDCG with ideal = all `min(k_exact, 5)`
+    * relevant ranked first. Scale shape: two per-query top-5 frames
+    * joined on (q_id, vec_id) and folded — metric cost is O(queries·k),
+    * independent of corpus size. */
+  val v13RankMetrics: Q = (spark, dir) => {
+    val w9 = "array(1000000000L, 630929754L, 500000000L, 430676558L, 386852807L)"
+    val ideal9 = "array(1000000000L, 1630929754L, 2130929754L, 2561606312L, 2948459119L)"
+    val exact = v1CosineTopk(spark, dir).filter(col("rk") <= 5)
+      .select(col("q_id"), col("vec_id"))
+    val ke = exact.groupBy(col("q_id")).agg(count(lit(1)).as("k_exact"))
+    val ann = v2AnnLsh(spark, dir).select(col("q_id"), col("vec_id"), col("rk"))
+    ann.join(broadcast(exact.withColumn("rel", lit(1L))), Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        sum(when(col("rel").isNotNull,
+          expr(s"element_at($w9, cast(rk as int))")).otherwise(lit(0L))).as("dcg9"),
+        min(when(col("rel").isNotNull, col("rk"))).as("first_hit"))
+      .join(broadcast(ke), "q_id")
+      .withColumn("mrr6", coalesce(expr("1000000L div first_hit"), lit(0L)))
+      .withColumn("ndcg6", expr(
+        s"dcg9 * 1000000L div element_at($ideal9, cast(least(k_exact, 5) as int))"))
+      .select(col("q_id"), col("mrr6"), col("ndcg6"))
+      .orderBy(col("q_id"))
+  }
+
   // ---- V5: k-means clustering (deterministic distributed Lloyd) ------------
 
   /** K-means over the embedding corpus — the clustering primitive behind
@@ -2474,6 +2512,7 @@ object PipelineQueries {
     "v10_matryoshka" -> v10MatryoshkaRerank,
     "v11_filtered_ann" -> v11FilteredAnn,
     "v12_recall_eval" -> v12RecallEval,
+    "v13_rank_metrics" -> v13RankMetrics,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,
