@@ -112,9 +112,17 @@ final class RunFailedException(val report: RunReport, cause: Throwable)
   * `maintenance = true` reproduces the prod post-hooks: S8 OPTIMIZE
   * (file compaction, `macros/dune_dbt_overrides/optimize_table.sql:1-5`)
   * and S9 VACUUM (retention, `vacuum_table.sql:1-5`) after each model
-  * build — off by default like the reference's dev target. */
+  * build — off by default like the reference's dev target.
+  *
+  * `tests` attaches each model's `schema.yml` data tests
+  * ([[graft.models.ReferenceSchema]] carries the reference's own
+  * declarations) and gives the run `dbt build` semantics: a model's tests
+  * run right after its merge, a red test fails THAT model
+  * ([[DataTests.DataTestFailedException]] → [[ModelStatus.Error]]) and
+  * skips its downstream, while independent siblings keep building. */
 final class Runner(root: String, models: Seq[Model], maintenance: Boolean = false,
-                   target: Option[Target] = None, threads: Int = 4) {
+                   target: Option[Target] = None, threads: Int = 4,
+                   tests: Map[String, Seq[DataTests.DataTest]] = Map.empty) {
   require(threads >= 1, s"threads must be >= 1, got $threads")
 
   /** Tables live under the target-resolved schema namespace when a
@@ -141,6 +149,17 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
       SnapshotStore.vacuum(dir)
     }
     val res = SnapshotStore.read(ctx.spark, dir).get
+    tests.get(m.name).foreach { ts =>
+      // relationships tests resolve their parent like ref() does: this
+      // run's build if present, the on-disk materialization otherwise
+      DataTests.check(
+        name =>
+          if (name == m.name) res
+          else Option(built.get(name)).getOrElse(
+            SnapshotStore.read(ctx.spark, tableDir(name)).getOrElse(
+              sys.error(s"relationships ref('$name') has no materialization"))),
+        Seq(m.name -> ts))
+    }
     built.put(m.name, res)
     res
   }

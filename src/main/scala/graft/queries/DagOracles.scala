@@ -3,7 +3,8 @@ package graft.queries
 import graft.CoinMetadata
 import graft.TrinoFns
 import graft.fixtures.DeepbookFixtures
-import graft.models.{EventModels, PoolObjectStg}
+import graft.incremental.DataTests.DataTest
+import graft.models.{EventModels, PoolDailyFct, PoolObjectStg, ReferenceSchema}
 import org.apache.spark.sql.types._
 
 /** DuckDB oracle SQL for [[DagQueries]] — independent re-computation of
@@ -219,11 +220,64 @@ object DagOracles {
        |      ORDER BY p.snapshot_date, p.margin_pool_id""".stripMargin
   }
 
+  // ---- data tests (E2: dbt test) -------------------------------------------
+
+  /** `dag_data_tests` oracle: each model body becomes one CTE (referenced
+    * by every test on it — DuckDB evaluates shared CTEs once), and the
+    * suite compiles to the same per-test counting SQL dbt would generate:
+    * `count(*) FILTER (WHERE col IS NULL)` for not_null, a
+    * `GROUP BY ... HAVING count(*) > 1` subquery count for unique, a
+    * `NOT IN` filter count for accepted_values (NULLs never fail — SQL
+    * three-valued logic, both engines), and a `NOT EXISTS` anti-join row
+    * count for relationships. Generated from the SAME
+    * [[ReferenceSchema.auditSuite]] the Spark side runs, so the two
+    * suites cannot drift. */
+  private def dataTestsOracle: String = {
+    val bodies: Seq[(String, String)] =
+      EventModels.all.map(m => m.name -> eventBody(m)) ++ Seq(
+        PoolObjectStg.name -> stgBody,
+        PoolDailyFct.name -> fctOracle(includeLags = true))
+    val cte = bodies.map { case (n, _) => n -> s"t_$n" }.toMap
+    val ctes = bodies.map { case (n, b) => s"${cte(n)} AS (\n$b)" }
+      .mkString(",\n      ")
+    def testSql(model: String, t: DataTest): String = {
+      val from = cte(model)
+      def row(label: String, test: String, cnt: String) =
+        s"SELECT '$model' AS model, '$label' AS column_name, '$test' AS test, $cnt AS failures"
+      t match {
+        case DataTest.NotNull(c) =>
+          s"${row(c, "not_null", s"count(*) FILTER (WHERE $c IS NULL)")} FROM $from"
+        case DataTest.Unique(cols) =>
+          val nullGuard =
+            if (cols.size == 1) s" WHERE ${cols.head} IS NOT NULL" else ""
+          s"""${row(cols.mkString(","), "unique", "count(*)")} FROM (
+             |          SELECT 1 AS one FROM $from$nullGuard
+             |          GROUP BY ${cols.mkString(", ")} HAVING count(*) > 1)""".stripMargin
+        case DataTest.AcceptedValues(c, vs) =>
+          val list = vs.map(v => s"'$v'").mkString(", ")
+          s"${row(c, "accepted_values", s"count(*) FILTER (WHERE $c NOT IN ($list))")} FROM $from"
+        case DataTest.Relationships(c, toModel, toCol) =>
+          s"""${row(c, "relationships", "count(*)")} FROM $from c
+             |        WHERE c.$c IS NOT NULL AND NOT EXISTS (
+             |          SELECT 1 FROM ${cte(toModel)} p WHERE p.$toCol = c.$c)""".stripMargin
+      }
+    }
+    val unioned = ReferenceSchema.auditSuite.flatMap { case (m, tests) =>
+      tests.map(testSql(m, _))
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH $ctes
+       |      SELECT model, column_name, test, failures, failures = 0 AS pass
+       |      FROM (
+       |        $unioned)
+       |      ORDER BY model, test, column_name""".stripMargin
+  }
+
   val all: Map[String, String] =
     EventModels.all.map(m =>
       s"dag_${m.name.stripPrefix("deepbook_margin_")}" -> eventOracle(m)).toMap ++
       Map(
         "dag_stg_pool_object" -> stgOracle,
+        "dag_data_tests" -> dataTestsOracle,
         "dag_fct_pool_daily" -> fctOracle(includeLags = true),
         // lag columns excluded: the reference's own incremental runs
         // re-NULL them at the lookback boundary (see DagQueries)

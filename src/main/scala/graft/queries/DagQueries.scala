@@ -834,6 +834,24 @@ object DagQueries {
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
 
+  /** E2 inside the hard gate: `dbt test` over the whole DAG. Every model
+    * builds full-refresh, then the reference's schema.yml suite (plus the
+    * not_null audit over the columns schema.yml leaves unprotected — see
+    * [[graft.models.ReferenceSchema]]) compiles to fused conditional
+    * counts / key groupBys / anti-joins and emits one row per test. The
+    * audit rows have NONZERO failure counts (fixtures plant malformed
+    * numerics exactly there), so the oracle pins real counting. */
+  val dataTestsQ: Q = (spark, _) => {
+    val c = ctx(spark)
+    val upstream: Map[String, DataFrame] =
+      (EventModels.all.map(m => m.name -> m.build(c, None, noRef)) :+
+        (PoolObjectStg.name -> PoolObjectStg.build(c, None, noRef))).toMap
+    val tables = upstream +
+      (PoolDailyFct.name -> PoolDailyFct.build(c, None, upstream.apply))
+    graft.incremental.DataTests.run(tables.apply,
+      graft.models.ReferenceSchema.auditSuite)
+  }
+
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
@@ -852,6 +870,7 @@ object DagQueries {
         "dag_stream_cdc" -> streamCdcQ,
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
+        "dag_data_tests" -> dataTestsQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)
