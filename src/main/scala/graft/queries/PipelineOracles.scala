@@ -1222,6 +1222,28 @@ object PipelineOracles {
     // even docs: 33-byte PNG header; odd docs: 39-byte JPEG SOI+APP0+SOF0.
     // A hash match proves the seam's signature dispatch + marker scan
     // recover exactly the planted formulas from either container.
+    "m3_audio_meta" -> """
+      WITH base AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS c,
+               8000 * (1 + doc_id % 3) AS r,
+               (1 + doc_id % 4) * octet_length(encode(text)) AS data_size,
+               sha256(repeat(text, CAST(1 + doc_id % 4 AS INT))) AS sha256_hex
+        FROM documents),
+      f AS (
+        SELECT *, data_size // (c * 2) AS frames FROM base)
+      SELECT doc_id,
+             CAST(58 + data_size AS BIGINT) AS n_bytes,
+             sha256_hex,
+             'pcm_s16le' AS codec,
+             CAST(r AS BIGINT) AS sample_rate,
+             CAST(c AS BIGINT) AS channels,
+             CAST(frames AS BIGINT) AS n_frames,
+             CAST(frames * 1000 // r AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN frames >= r // 40
+                       THEN 1 + (frames - r // 40) // (r // 100)
+                       ELSE 0 END AS BIGINT) AS n_windows
+      FROM f ORDER BY doc_id""",
     "m1_multimodal_meta" -> """
       SELECT doc_id,
              CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 39 END

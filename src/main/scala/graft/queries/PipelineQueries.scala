@@ -1294,6 +1294,105 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- M3: audio-container plumbing (WAV/RIFF chunk walk) ------------------
+
+  final case class AudioMeta(doc_id: Long, n_bytes: Long, sha256_hex: String,
+                             codec: String, sample_rate: Long, channels: Long,
+                             n_frames: Long, duration_ms: Long, n_windows: Long)
+
+  /** Little-endian 16/32-bit byte strings from a numeric column —
+    * codegen'd (hex/unhex/concat), the byte-order twin of m1's
+    * big-endian `lpad(hex(...))` writes. */
+  private def leByte(c: Column, i: Int): Column =
+    unhex(lpad(hex(pmod(shiftright(c.cast(LongType), 8 * i), lit(256))), 2, "0"))
+  private def le16(c: Column): Column = concat(leByte(c, 0), leByte(c, 1))
+  private def le32(c: Column): Column =
+    concat(leByte(c, 0), leByte(c, 1), leByte(c, 2), leByte(c, 3))
+
+  /** Audio twin of m1: every doc becomes a REAL WAV container — RIFF
+    * header, canonical 16-byte PCM `fmt ` chunk (channels/rate planted
+    * from per-doc formulas, s16le), an odd-sized `LIST INFO` chunk, then
+    * the `data` chunk carrying the text bytes as stand-in PCM — built as
+    * a codegen'd binary `concat` with little-endian field writes (RIFF's
+    * byte order; m1's PNG/JPEG walk is big-endian, so the two seams can't
+    * share a lazy byte reader). The mapPartitions seam then performs a
+    * genuine RIFF CHUNK WALK: verify `RIFF`/`WAVE`, then hop chunk to
+    * chunk by each 8-byte header's little-endian size — honoring the
+    * spec's pad rule (odd-sized chunks are padded to even, which the
+    * planted LIST chunk exercises) — parsing `fmt ` when it passes and
+    * stopping at `data`. Frame count, duration and the 25 ms / 10 ms hop
+    * analysis-window count (the STFT/MFCC front-end shape) are integer
+    * arithmetic over the PARSED fields only; the oracle recomputes the
+    * planting formulas, so a hash match proves `parse ∘ plant ≡ id`
+    * through the walk. The content digest stays a codegen'd `sha2`
+    * column (m1's split: relational work outside the imperative seam). */
+  val m3AudioMeta: Q = (spark, dir) => {
+    import spark.implicits._
+    val channels = (lit(1) + pmod(col("doc_id"), lit(2))).cast(LongType)
+    val rate = (lit(8000) * (lit(1) + pmod(col("doc_id"), lit(3)))).cast(LongType)
+    // PCM stand-in = the text repeated 1-4× — long enough that the
+    // 25 ms / 10 ms window count exercises the hop arithmetic, not just
+    // the zero/one boundary
+    val pcm = expr("repeat(text, 1 + cast(doc_id % 4 as int))")
+    val dataSize = length(encode(pcm, "UTF-8")).cast(LongType)
+    val fmtChunk = concat(
+      lit("fmt ".getBytes("US-ASCII")), le32(lit(16)),
+      le16(lit(1)),                       // PCM
+      le16(channels), le32(rate),
+      le32(rate * channels * 2),          // byte rate
+      le16(channels * 2), le16(lit(16)))  // block align, bits
+    val listChunk = concat(               // odd size 5 ⇒ one pad byte
+      lit("LIST".getBytes("US-ASCII")), le32(lit(5)),
+      lit("INFOx".getBytes("US-ASCII")), unhex(lit("00")))
+    val payload = concat(
+      lit("RIFF".getBytes("US-ASCII")), le32(dataSize + 50),
+      lit("WAVE".getBytes("US-ASCII")),
+      fmtChunk, listChunk,
+      lit("data".getBytes("US-ASCII")), le32(dataSize),
+      encode(pcm, "UTF-8"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"), payload.as("payload"),
+        sha2(encode(pcm, "UTF-8"), 256).as("sha256_hex"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        def le16(b: Array[Byte], off: Int): Long =
+          (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+        def le32(b: Array[Byte], off: Int): Long =
+          le16(b, off) | (le16(b, off + 2) << 16)
+        def tag(b: Array[Byte], off: Int): String =
+          new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        it.map { case (id, bytes, hex) =>
+          val bad = AudioMeta(id, bytes.length.toLong, hex, "unknown", 0, 0, 0, 0, 0)
+          if (bytes.length < 12 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE") bad
+          else {
+            var pos = 12
+            var fmt = 0L; var ch = 0L; var rate = 0L; var bits = 0L
+            var dataLen = -1L
+            while (dataLen < 0 && pos + 8 <= bytes.length) {
+              val id4 = tag(bytes, pos)
+              val size = le32(bytes, pos + 4)
+              if (id4 == "fmt " && size >= 16) {
+                fmt = le16(bytes, pos + 8); ch = le16(bytes, pos + 10)
+                rate = le32(bytes, pos + 12); bits = le16(bytes, pos + 22)
+              }
+              if (id4 == "data") dataLen = size
+              else pos += 8 + size.toInt + (size.toInt & 1) // RIFF pad rule
+            }
+            if (dataLen < 0 || fmt != 1 || ch == 0 || rate == 0 || bits != 16) bad
+            else {
+              val frames = dataLen / (ch * 2)
+              val win = rate / 40; val hop = rate / 100 // 25 ms / 10 ms
+              AudioMeta(id, bytes.length.toLong, hex, "pcm_s16le", rate, ch,
+                frames, frames * 1000 / rate,
+                if (frames >= win) 1 + (frames - win) / hop else 0)
+            }
+          }
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ---- M2: frame sampling (one row per sampled frame) ----------------------
 
   /** Frame-sample plumbing: each payload yields `1 + n_chars % 8` evenly
@@ -2517,5 +2616,6 @@ object PipelineQueries {
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
-    "m1_multimodal_meta" -> m1MultimodalMeta)
+    "m1_multimodal_meta" -> m1MultimodalMeta,
+    "m3_audio_meta" -> m3AudioMeta)
 }
