@@ -96,6 +96,50 @@ object PipelineOracles {
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
     // lossless for containment >= t, so no candidate logic is mirrored)
+    "d12_url_dedup" -> """
+      WITH b AS (
+        SELECT doc_id, doc_id % 40 AS k,
+               CASE WHEN (doc_id % 40) % 2 = 0 THEN 'http' ELSE 'https' END AS sc,
+               'example' || CAST((doc_id % 40) % 4 AS VARCHAR) || '.com' AS hc
+        FROM documents),
+      u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 4 < 2 THEN upper(sc) ELSE sc END) || '://' ||
+               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+               (CASE WHEN doc_id % 2 = 0 THEN upper(hc) ELSE hc END) ||
+               (CASE WHEN doc_id % 5 = 0
+                     THEN (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':443' END)
+                     ELSE '' END) ||
+               '/p/' || CAST(k AS VARCHAR) ||
+               (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || '?' ||
+               (CASE WHEN doc_id % 2 = 0
+                     THEN 'id=' || CAST(k AS VARCHAR)
+                          || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+                     ELSE 'utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+                          || '&id=' || CAST(k AS VARCHAR) END) ||
+               (CASE WHEN doc_id % 3 = 1
+                     THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+        FROM b),
+      q AS (
+        SELECT doc_id, url,
+               array_to_string(list_sort(list_filter(
+                 str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 x -> NOT starts_with(x, 'utm_'))), '&') AS qn
+        FROM u),
+      c AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+               regexp_replace(regexp_replace(
+                 lower(regexp_extract(url, '://([^/?#]+)', 1)),
+                 ':[0-9]+$', ''), '^www\.', '') ||
+               regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '/$', '') ||
+               (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS canonical_url
+        FROM q)
+      SELECT doc_id, url, canonical_url,
+             count(*) OVER (PARTITION BY canonical_url) AS cluster_size,
+             min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc,
+             CAST(doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) AS INT) AS is_dup
+      FROM c ORDER BY doc_id""",
     "d11_containment" -> s"""
       WITH $shingleCte
       SELECT a_id, b_id, containment FROM (

@@ -140,6 +140,68 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- D12: canonical-URL dedup --------------------------------------------
+
+  /** URL-canonicalization dedup — the first dedup pass of every web-crawl
+    * pipeline (CC/CCNet dedup by normalized URL before any content pass).
+    * Each doc gets a deterministically MESSY url planted from doc_id
+    * formulas — scheme/host case noise, a `www.` prefix, a scheme-default
+    * port, a trailing slash, shuffled query params with `utm_*` tracking
+    * noise, a fragment — such that exactly the docs sharing
+    * `doc_id % 40` canonicalize to the same URL. The canonicalizer then
+    * operates ON THE URL STRING through Spark's codegen'd `parse_url`
+    * (protocol/host/path/query components; HOST drops the port for free)
+    * + a higher-order filter/sort over the query params: lowercase
+    * scheme+host, strip `www.`, strip the port, strip the trailing
+    * slash, drop `utm_*` params, sort the survivors, drop the fragment.
+    * The oracle re-expresses the same normalization with pure REGEX
+    * component extraction (DuckDB has no parse_url), so the gate pins the
+    * SEMANTICS, not a shared implementation.
+    *
+    * Cluster stats ride ONE hash shuffle (a window over the canonical
+    * url — no groupBy+join-back second exchange); at 100 TB the
+    * canonicalization is map-side and the shuffle carries (doc_id, url)
+    * only. A pathologically hot URL would skew its window partition —
+    * the d10-style salted two-phase rank is the documented escape. */
+  val d12UrlDedup: Q = (spark, dir) => {
+    val id = col("doc_id")
+    val k = pmod(id, lit(40))
+    val schemeC = when(pmod(k, lit(2)) === 0, "http").otherwise("https")
+    val hostC = concat(lit("example"), pmod(k, lit(4)).cast(StringType), lit(".com"))
+    val url = concat(
+      when(pmod(id, lit(4)) < 2, upper(schemeC)).otherwise(schemeC), lit("://"),
+      when(pmod(id, lit(3)) === 0, "WWW.").otherwise(""),
+      when(pmod(id, lit(2)) === 0, upper(hostC)).otherwise(hostC),
+      when(pmod(id, lit(5)) === 0,
+        when(pmod(k, lit(2)) === 0, ":80").otherwise(":443")).otherwise(""),
+      lit("/p/"), k.cast(StringType),
+      when(pmod(id, lit(6)) === 0, "/").otherwise(""),
+      lit("?"),
+      when(pmod(id, lit(2)) === 0,
+        concat(lit("id="), k.cast(StringType), lit("&utm_source=s"),
+          pmod(id, lit(7)).cast(StringType)))
+        .otherwise(concat(lit("utm_source=s"), pmod(id, lit(7)).cast(StringType),
+          lit("&id="), k.cast(StringType))),
+      when(pmod(id, lit(3)) === 1,
+        concat(lit("#sec"), pmod(id, lit(5)).cast(StringType))).otherwise(""))
+    val canonQuery = expr(
+      "array_join(array_sort(filter(split(parse_url(url, 'QUERY'), '&'), " +
+        "x -> NOT startswith(x, 'utm_'))), '&')")
+    val canon = concat(
+      lower(expr("parse_url(url, 'PROTOCOL')")), lit("://"),
+      regexp_replace(lower(expr("parse_url(url, 'HOST')")), "^www\\.", ""),
+      regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
+      when(canonQuery =!= "", concat(lit("?"), canonQuery)).otherwise(""))
+    val w = Window.partitionBy(col("canonical_url"))
+    t(spark, dir, "documents")
+      .select(id, url.as("url"))
+      .withColumn("canonical_url", canon)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("canonical_doc", min(id).over(w))
+      .withColumn("is_dup", (id =!= col("canonical_doc")).cast(IntegerType))
+      .orderBy(id)
+  }
+
   // ---- shared shingling ----------------------------------------------------
 
   /** doc_id + distinct xxhash64 images of the word-3-gram shingles, via the
@@ -2598,6 +2660,7 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
+    "d12_url_dedup" -> d12UrlDedup,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,
     "v1_cosine_topk" -> v1CosineTopk,
     "v2_ann_lsh" -> v2AnnLsh,

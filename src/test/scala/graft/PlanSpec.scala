@@ -344,6 +344,15 @@ class PlanSpec extends SparkSpec {
       p.take(1600))
   }
 
+  test("d12: canonicalization is map-side; cluster stats ride ONE hash shuffle, no join") {
+    val p = planOf(graft.queries.PipelineQueries.d12UrlDedup)
+    assert(!p.contains("Join"),
+      s"cluster stats must be a window, not a groupBy+join-back\n${p.take(1200)}")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"one shuffle on canonical_url expected, got $hashEx\n${p.take(1200)}")
+  }
+
   test("d2/d4: the self-join inputs are checkpointed — no explode/window recompute per side") {
     import graft.queries.PipelineQueries
     // A self-join never reuses its own exchange (the two sides canonicalize
