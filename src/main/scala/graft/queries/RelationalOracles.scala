@@ -63,6 +63,29 @@ object RelationalOracles {
       FROM islands GROUP BY user_id, session_id
       ORDER BY user_id, session_start_ms""",
 
+    // w6's sessionization recomputed one-shot in exact epoch-µs — the
+    // Spark side must reproduce it through three STREAMING micro-batches
+    // (session_window state merged across batches, watermark-flushed)
+    "s14_stream_session" -> """
+      WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+      o AS (
+        SELECT user_id, us,
+               CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                      OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                         >= 43200000000
+                    THEN 1 ELSE 0 END AS ns
+        FROM e),
+      s AS (
+        SELECT user_id, us,
+               sum(ns) OVER (PARTITION BY user_id ORDER BY us
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM o)
+      SELECT user_id, min(us) AS session_start_us,
+             max(us) + 43200000000 AS session_end_us,
+             count(*) AS n_events
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start_us""",
+
     // one-shot declarative SCD2 over the full log — the Spark side must
     // reproduce it through two incremental batches + the snapshot merge
     "s12_scd2" -> """

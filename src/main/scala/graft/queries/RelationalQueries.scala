@@ -719,6 +719,58 @@ object RelationalQueries {
       .deleteQuietly(new java.io.File(root))
   }
 
+  /** §2.9 extension: event-time SESSIONIZATION through real Structured
+    * Streaming ([[graft.streaming.StreamingIngest.userSessions]] —
+    * `session_window`, the gap-merged per-key window family the tumbling
+    * `dag_stream_daily` gate cannot reach). The driver's events table
+    * replays time-ordered as three micro-batches — sessions STRADDLE the
+    * batch boundaries, so the gate exercises the cross-batch window-merge
+    * state, not just a windowed groupBy — and a far-future sentinel
+    * advances the watermark so append mode flushes every real session
+    * (the sentinel's own session can never flush, so it is absent by the
+    * operator's semantics, not a filter). Must hash-match DuckDB's
+    * one-shot lag/cumsum sessionization of the same table, in exact
+    * integer epoch-µs arithmetic. */
+  val s14StreamSession: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val feed = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val rows = feed.collect().toSeq.sortBy(r => (r.getLong(2), r.getLong(0)))
+    val sentinel = Row(-1L, -1L, rows.map(_.getLong(2)).max + 10L * 86400 * 1000000)
+    val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(feed.schema))
+      val input = new MemoryStream[Row](71, spark)
+      val q = graft.streaming.StreamingIngest.userSessions(input.toDF())
+        .writeStream
+        .format("parquet")
+        .option("path", s"$root/sessions")
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        input.addData(rows.slice(third, 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+        input.addData(Seq(sentinel)) // advances the watermark; never flushes
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/sessions")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("user_id"), col("session_start_us"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   /** Distinct aggregation — Catalyst plans it as expand + two-phase agg,
     * which survives scale (no driver-side distinct). */
   val a3DistinctAgg: Q = (spark, dir) =>
@@ -988,6 +1040,7 @@ object RelationalQueries {
     "w5_sliding" -> w5Sliding,
     "w6_sessions" -> w6Sessions,
     "s12_scd2" -> s12Scd2,
+    "s14_stream_session" -> s14StreamSession,
     "a3_distinct_agg" -> a3DistinctAgg,
     "a4_rollup" -> a4Rollup,
     "a6_cube" -> a6Cube,

@@ -281,4 +281,26 @@ object StreamingIngest {
       .agg(sum(expr(valueExpr)).as("volume"), count(lit(1)).as("n_events"))
       .select(to_date(col("day.start")).as("snapshot_date"),
         col("event_type"), col("volume"), col("n_events"))
+
+  /** Event-time SESSIONIZATION over a raw event stream — the gap-closed
+    * activity-session shape (funnel/engagement analytics) via Spark's
+    * native `session_window`: per-key windows `[t, t+gap)` that MERGE
+    * whenever they overlap, across micro-batch boundaries, carried in the
+    * streaming state store. In append mode a session is emitted exactly
+    * once — when the watermark proves no event can extend it. Input
+    * carries epoch-µs longs (`ts_us`) because the driver's events table
+    * is µs-grained; all boundary arithmetic stays in integer µs so the
+    * batch oracle can reproduce it exactly. State is O(open sessions per
+    * key), bounded by (#keys × lateness) — never stream length. */
+  def userSessions(streamingEvents: DataFrame, gap: String = "12 hours",
+                   lateness: String = "2 days"): DataFrame =
+    streamingEvents
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+      .groupBy(session_window(col("event_time"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("s.start")).as("session_start_us"),
+        unix_micros(col("s.end")).as("session_end_us"),
+        col("n_events"))
 }
