@@ -883,6 +883,48 @@ object SnapshotStore {
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
 
+  /** Delta `RESTORE TABLE ... TO VERSION` analog: re-publish the table AS
+    * OF `snap` as a NEW generation — the rollback after a bad merge.
+    * History-preserving: the rolled-back generations stay on disk (and
+    * readable via [[readAt]]) until [[vacuum]], and the restore itself is
+    * one more commit, so a restore can itself be restored away. Pure
+    * metadata: every data file of the target snapshot hard-links into the
+    * new generation straight off its manifest (file list, schema, stats
+    * all carried — no listing, no footer reads, no Spark job), so a
+    * 100 TB rollback costs O(files) metadata ops and zero data movement.
+    * Restoring the CURRENT snapshot is a no-op. No change feed is
+    * synthesized for the restore commit (Delta RESTORE likewise breaks
+    * CDF continuity) — incremental consumers diff snapshots across a
+    * restore. Throws if `snap` is not on disk (already vacuumed). */
+  def restore(spark: SparkSession, root: String, snap: String): Unit = {
+    if (currentSnapshot(root).contains(snap)) return
+    val srcDir = Paths.get(root, snap)
+    require(Files.isDirectory(srcDir),
+      s"cannot restore $root to $snap: snapshot not on disk (vacuumed?)")
+    val next = nextSnapshotName(root)
+    val nextDir = Paths.get(root, next)
+    try Files.createDirectory(nextDir)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentWriteException(
+          s"snapshot generation $next at $root already exists: concurrent " +
+            "writer, or the orphan of a crashed one (unpublished - safe to delete)")
+    }
+    Manifest.read(srcDir) match {
+      case Some(m) =>
+        m.files.foreach { f =>
+          val target = nextDir.resolve(f.path)
+          Files.createDirectories(target.getParent)
+          Files.createLink(target, srcDir.resolve(f.path))
+        }
+        Manifest.write(nextDir, m.schema, m.partitioned, m.files)
+        publish(root, next)
+      case None => // pre-manifest target: link all, commit enumerates
+        linkInto(srcDir, nextDir)
+        commit(root, next, liveSchema(spark, srcDir), isPartitioned(srcDir))
+    }
+  }
+
   /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
     * generations, and their change feeds with them (a feed outliving its
     * snapshot would promise history [[readAt]] can no longer serve).

@@ -278,6 +278,11 @@ object DagOracles {
       Map(
         "dag_stg_pool_object" -> stgOracle,
         "dag_data_tests" -> dataTestsOracle,
+        // live table after rollback = the pre-cutoff slice, exactly
+        "dag_restore" ->
+          s"""SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b
+             |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
+             |      ORDER BY transaction_digest, event_index""".stripMargin,
         "dag_fct_pool_daily" -> fctOracle(includeLags = true),
         // lag columns excluded: the reference's own incremental runs
         // re-NULL them at the lookback boundary (see DagQueries)

@@ -834,6 +834,39 @@ object DagQueries {
   private def dayStartOf(d: Int): Long =
     java.time.Instant.parse(f"2026-01-$d%02dT00:00:00Z").toEpochMilli
 
+  /** RESTORE inside the hard gate: two merges of the loan_borrowed model
+    * (pre-cutoff slice, then the full model), then
+    * [[SnapshotStore.restore]] back to generation 1 — the rollback a bad
+    * backfill needs. The LIVE table must hash-match the pre-cutoff slice
+    * (the oracle), while the rolled-back generation 2 must stay readable
+    * via time travel and the restore must have published a THIRD
+    * generation (history-preserving, not a pointer rewind) — both pinned
+    * by in-gate requires. */
+  val restoreQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagrestore").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val keys = Seq("transaction_digest", "event_index")
+      SnapshotStore.merge(spark, s"$root/tbl",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), keys, Some(pd))
+      SnapshotStore.merge(spark, s"$root/tbl", model, keys, Some(pd))
+      SnapshotStore.restore(spark, s"$root/tbl", "snap-0000001")
+      require(SnapshotStore.currentSnapshot(s"$root/tbl").contains("snap-0000003"),
+        "restore must publish a new generation, not rewind the pointer")
+      val gen2 = SnapshotStore.readAt(spark, s"$root/tbl", "snap-0000002").get
+      require(gen2.count() == model.count(),
+        "the rolled-back generation must stay readable via time travel")
+      SnapshotStore.read(spark, s"$root/tbl").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** E2 inside the hard gate: `dbt test` over the whole DAG. Every model
     * builds full-refresh, then the reference's schema.yml suite (plus the
     * not_null audit over the columns schema.yml leaves unprotected — see
@@ -871,6 +904,7 @@ object DagQueries {
         "dag_stream_daily" -> streamDailyQ,
         "dag_stream_position" -> streamPositionQ,
         "dag_data_tests" -> dataTestsQ,
+        "dag_restore" -> restoreQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)

@@ -428,6 +428,40 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
   }
 
+  test("restore: rollback publishes a new generation by hard link; history intact") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (2L, "2026-01-02", "CORRUPT"), (3L, "2026-01-03", "c"))), Seq("id"), pd)
+    val before = inodesByPartition(root) // gen 2's files, keyed by partition
+    SnapshotStore.restore(spark, root, "snap-0000001")
+    // live = gen 1's contents; the restore is generation 3, not a rewind
+    assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
+    assert(SnapshotStore.currentSnapshot(root).contains("snap-0000003"))
+    // pure metadata: gen 3's untouched _dt=2026-01-01 file IS gen 1/2's
+    // (same inode) — no bytes were rewritten
+    val after = inodesByPartition(root)
+    assert(after("_dt=2026-01-01").values.toSet ==
+      before("_dt=2026-01-01").values.toSet)
+    // the bad generation stays time-travelable until vacuum
+    val gen2 = SnapshotStore.readAt(spark, root, "snap-0000002").get
+      .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet
+    assert(gen2 == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "CORRUPT"),
+      (3L, "2026-01-03", "c")))
+    // restoring the restore (back to gen 2) also works — gen 4
+    SnapshotStore.restore(spark, root, "snap-0000002")
+    assert(readAll(root) == gen2)
+    // restore-to-current is a no-op: no generation published
+    SnapshotStore.restore(spark, root, "snap-0000004")
+    assert(SnapshotStore.snapshots(root).size == 4)
+    // a vacuumed target refuses loudly
+    SnapshotStore.vacuum(root, keep = 0)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.restore(spark, root, "snap-0000001")
+    }
+  }
+
   test("S10 target schema naming follows the get_custom_schema macro") {
     def dir(t: Target) = new Runner("/w", Nil, target = Some(t)).tableDir("fct")
     // prod → team schema verbatim
