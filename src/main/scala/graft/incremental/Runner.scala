@@ -178,6 +178,26 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
     report.tables
   }
 
+  /** `dbt retry`: re-run ONLY the models that did not succeed in a prior
+    * [[RunReport]] (Error or Skipped — dbt's retry set), leaving every
+    * successful model's materialization untouched. The retried sub-DAG
+    * keeps its edges; upstreams that succeeded last time resolve from
+    * their on-disk tables through the normal `ref` fallback. Returns the
+    * merged report: prior successes carried forward, retried statuses
+    * replacing their old Error/Skipped entries. */
+  def retry(ctx: RunContext, previous: RunReport): RunReport = {
+    val failed = previous.statuses.collect {
+      case (n, s) if s != ModelStatus.Success => n
+    }.toSet
+    if (failed.isEmpty) previous
+    else {
+      val sub = new Runner(root, models.filter(m => failed(m.name)),
+        maintenance, target, threads, tests)
+      val r = sub.runReport(ctx)
+      RunReport(previous.statuses ++ r.statuses, previous.tables ++ r.tables)
+    }
+  }
+
   /** Runs the full DAG once, never throwing for a model failure: a model
     * that errors gets [[ModelStatus.Error]], its (transitive) downstream
     * is [[ModelStatus.Skipped]] without being attempted, and every

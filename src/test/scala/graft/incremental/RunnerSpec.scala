@@ -6,6 +6,7 @@ import graft.models.DeepbookPipeline
 import org.apache.spark.sql.DataFrame
 import java.nio.file.Files
 import java.util.concurrent.{CountDownLatch, TimeUnit}
+import scala.jdk.CollectionConverters._
 
 /** E1 concurrency (reference parity: dbt `threads: 4`, `profiles.yml:14`):
   * the concurrent scheduler must change WHEN models build, never WHAT they
@@ -126,6 +127,35 @@ class RunnerSpec extends SparkSpec {
       assert(e.report.tables.keySet == Set("fl_ok"), s"threads=$t")
       assert(e.getMessage.contains("SKIPPED") && e.getMessage.contains("ERROR"))
     }
+  }
+
+  test("retry rebuilds only the failed subtree; successes are not re-run (dbt retry)") {
+    val builds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val flaky = new java.util.concurrent.atomic.AtomicBoolean(true)
+    def counted(n: String, deps: Seq[String] = Nil)(rows: => org.apache.spark.sql.DataFrame) =
+      model(n, deps) { _ => builds.add(n); rows }
+    val bad = counted("rt_bad") {
+      if (flaky.getAndSet(false)) sys.error("transient boom")
+      Seq((1L, 1L)).toDF("id", "v")
+    }
+    val child = counted("rt_child", deps = Seq("rt_bad")) { Seq((2L, 2L)).toDF("id", "v") }
+    val ok = counted("rt_ok") { Seq((3L, 3L)).toDF("id", "v") }
+    val root = Files.createTempDirectory("graft-run-rt").toString
+    val runner = new Runner(root, Seq(bad, child, ok), threads = 2)
+    val first = runner.runReport(ctx(RunMode.FullRefresh))
+    assert(first.statuses("rt_bad").isInstanceOf[ModelStatus.Error])
+    assert(first.statuses("rt_child") == ModelStatus.Skipped(Seq("rt_bad")))
+    assert(first.statuses("rt_ok") == ModelStatus.Success)
+    builds.clear()
+    val second = runner.retry(ctx(RunMode.FullRefresh), first)
+    assert(second.ok, second.summary)
+    // only the failed subtree was attempted; the success was NOT rebuilt
+    assert(builds.asScala == Set("rt_bad", "rt_child"))
+    assert(second.tables.keySet == Set("rt_bad", "rt_child", "rt_ok"))
+    // a fully-green report retries to itself without touching anything
+    builds.clear()
+    assert(runner.retry(ctx(RunMode.FullRefresh), second) eq second)
+    assert(builds.isEmpty)
   }
 
   test("a cyclic refs graph fails fast instead of deadlocking") {
