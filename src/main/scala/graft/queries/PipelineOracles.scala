@@ -189,6 +189,18 @@ object PipelineOracles {
             FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id)
       SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.3 ORDER BY a_id, b_id""",
 
+    // the NAIVE all-pairs range search — the Spark side's IVF cell prune
+    // must be lossless for the hashes to match
+    "v14_range_search" -> s"""
+      WITH $embCte,
+      q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      s AS (SELECT q.q_id, n.vec_id,
+                   round(list_sum(list_transform(range(1, len(n.v)+1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+            FROM n, q WHERE n.vec_id != q.q_id)
+      SELECT q_id, vec_id, cosine FROM s WHERE cosine >= 0.3
+      ORDER BY q_id, vec_id""",
+
     "v1_cosine_topk" -> s"""
       WITH $embCte,
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),

@@ -524,7 +524,7 @@ object PipelineQueries {
     * the per-centroid score array and `cell` the 1-based argmax. Shared by
     * the v3 index and the d7 semantic dedup; checkpointed because every
     * caller feeds it to ≥2 subtrees (corpus/query sides, join self-pairs). */
-  private def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
     def centroidSql(k: Int) =
       IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
@@ -538,6 +538,59 @@ object PipelineQueries {
       // (array_position / list_position return the first match)
       .withColumn("cell", array_position(col("s"), array_max(col("s"))))
       .localCheckpoint() // shared by corpus/query sides; GC-released (see d2)
+  }
+
+  /** V14: exact RANGE search (the ANN API's other half — every vector
+    * with cosine ≥ τ of each query, not a top-k) with lossless IVF cell
+    * pruning. For a query q, cell centroid c and the cell's measured
+    * angular radius r = max over members of angle(c, v), every member
+    * satisfies angle(q, v) ≥ angle(q, c) − r (spherical triangle
+    * inequality), so a cell with cos(angle(q,c) − r) < τ cannot contain a
+    * match and is never scanned. The slack (6e-7) covers both the 6-dp
+    * match rounding and float evaluation error, so the prune is LOSSLESS:
+    * the oracle is the naive all-pairs filter, and a hash match proves no
+    * cell was wrongly skipped. Scale shape: cell radii are one 16-row
+    * aggregate reusing the scores ivfAssigned already computed; the kept
+    * (query, cell) pairs broadcast; the corpus scan reads only surviving
+    * cells. Recall is exactly 1 by construction — the prune rate, not the
+    * result, is what varies with quantizer fit. */
+  private val RangeTau = 0.3
+
+  /** The surviving (query, cell) pairs of v14's angular prune — split out
+    * so the prune's ACTIVITY (kept ≪ queries × cells) is test-pinned,
+    * not just its losslessness (which the oracle hash proves). */
+  private[graft] def v14KeptCells(e: DataFrame): DataFrame = {
+    val cHalf = expr(
+      s"cast(${IvfHalfSq.map(sqlDouble).mkString("array(", ",", ")")} as array<double>)")
+    // member→own-centroid cosine: dot(v,c) = s[cell] + ‖c‖²/2, ‖c‖ = √(2·‖c‖²/2)
+    def cosToCell(cellCol0: Column): Column = {
+      val cellCol = cellCol0.cast(IntegerType)
+      val half = element_at(cHalf, cellCol)
+      (element_at(col("s"), cellCol) + half) / (col("nrm") * sqrt(lit(2.0) * half))
+    }
+    def clampAcos(c: Column): Column =
+      acos(least(lit(1.0), greatest(lit(-1.0), c)))
+    val cellRad = e
+      .withColumn("ang_vc", clampAcos(cosToCell(col("cell"))))
+      .groupBy(col("cell").as("probe")).agg(max(col("ang_vc")).as("rad"))
+    e.filter(col("vec_id") < 5)
+      .crossJoin(broadcast(cellRad))
+      .withColumn("ang_qc", clampAcos(cosToCell(col("probe"))))
+      .filter(cos(greatest(lit(0.0), col("ang_qc") - col("rad"))) >=
+        lit(RangeTau) - lit(6e-7))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("probe"))
+  }
+
+  val v14RangeSearch: Q = (spark, dir) => {
+    val e = ivfAssigned(spark, dir)
+    e.join(broadcast(v14KeptCells(e)),
+        col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("cosine",
+        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .filter(col("cosine") >= RangeTau)
+      .select(col("q_id"), col("vec_id"), col("cosine"))
+      .orderBy(col("q_id"), col("vec_id"))
   }
 
   val v3AnnIvf: Q = (spark, dir) => {
@@ -2675,6 +2728,7 @@ object PipelineQueries {
     "v11_filtered_ann" -> v11FilteredAnn,
     "v12_recall_eval" -> v12RecallEval,
     "v13_rank_metrics" -> v13RankMetrics,
+    "v14_range_search" -> v14RangeSearch,
     "t1_text_stats" -> t1TextStats,
     "t2_lang_id" -> t2LangId,
     "t3_token_count" -> t3TokenCount,

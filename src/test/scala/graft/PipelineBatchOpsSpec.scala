@@ -80,6 +80,24 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v14: the angular cell prune is ACTIVE (skips cells) and each query keeps its own cell") {
+    // losslessness is the oracle's job (naive all-pairs twin); this pins
+    // that the prune actually prunes — without it the operator silently
+    // degenerates to v1's full scan and the 100 TB story is gone
+    val kept = PipelineQueries.v14KeptCells(PipelineQueries.ivfAssigned(spark, dir))
+      .select(col("q_id"), col("probe")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nQueries = 5
+    val nCells = 16
+    assert(kept.size < nQueries * nCells,
+      s"prune kept all ${kept.size} (query, cell) pairs — inactive")
+    // a query's own cell always survives (its angle bound is ~0)
+    val own = PipelineQueries.ivfAssigned(spark, dir)
+      .filter(col("vec_id") < 5).select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(own.subsetOf(kept), s"own cells ${own.diff(kept)} were wrongly pruned")
+  }
+
   test("t5: chunks tile each document's token stream with the declared stride") {
     val n = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n")).collect()
