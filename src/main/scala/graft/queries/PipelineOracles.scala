@@ -1278,6 +1278,24 @@ object PipelineOracles {
     // even docs: 33-byte PNG header; odd docs: 39-byte JPEG SOI+APP0+SOF0.
     // A hash match proves the seam's signature dispatch + marker scan
     // recover exactly the planted formulas from either container.
+    "m4_video_meta" -> """
+      WITH base AS (
+        SELECT doc_id,
+               600 * (1 + doc_id % 4) AS ts,
+               n_chars * (1 + doc_id % 3) AS du,
+               1 + doc_id % 3 AS tr,
+               octet_length(encode(text)) AS mb,
+               sha256(text) AS sha256_hex
+        FROM documents)
+      SELECT doc_id,
+             CAST(60 + tr * 24 + mb AS BIGINT) AS n_bytes,
+             sha256_hex,
+             'mp4/isom' AS codec,
+             CAST(ts AS BIGINT) AS timescale,
+             CAST(du * 1000 // ts AS BIGINT) AS duration_ms,
+             CAST(tr AS BIGINT) AS n_traks,
+             CAST(mb AS BIGINT) AS mdat_bytes
+      FROM base ORDER BY doc_id""",
     "m3_audio_meta" -> """
       WITH base AS (
         SELECT doc_id,

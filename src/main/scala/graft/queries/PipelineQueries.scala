@@ -1508,6 +1508,94 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- M4: video-container plumbing (MP4/ISO-BMFF box walk) ----------------
+
+  final case class VideoMeta(doc_id: Long, n_bytes: Long, sha256_hex: String,
+                             codec: String, timescale: Long, duration_ms: Long,
+                             n_traks: Long, mdat_bytes: Long)
+
+  /** Video leg of the multimodal triple (m1 image, m3 audio): every doc
+    * becomes a real ISO-BMFF container — `ftyp`, a `moov` whose children
+    * are a spec-layout version-0 `mvhd` (timescale/duration at their real
+    * offsets) and 1-3 `trak` boxes each nesting a `tkhd` leaf, then an
+    * `mdat` carrying the text bytes — built as a codegen'd binary concat
+    * with big-endian size+type box headers. The mapPartitions seam then
+    * performs a genuinely RECURSIVE box walk (the structure PNG/JPEG/RIFF
+    * walks don't have): top-level boxes by their size fields, descending
+    * into `moov`/`trak` containers, parsing `mvhd` fields and counting
+    * `trak`s wherever they sit. Duration math is integer over PARSED
+    * fields; the oracle recomputes the planting formulas, so the hash
+    * proves `parse ∘ plant ≡ id` through nested binary structure. */
+  val m4VideoMeta: Q = (spark, dir) => {
+    import spark.implicits._
+    def be32(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
+    val timescale = (lit(600) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast(LongType)
+    val durUnits = (col("n_chars") * (lit(1) + pmod(col("doc_id"), lit(3)))).cast(LongType)
+    val nTraks = (lit(1) + pmod(col("doc_id"), lit(3))).cast(IntegerType)
+    val ftyp = concat(be32(lit(16)), lit("ftypisom".getBytes("US-ASCII")),
+      unhex(lit("00000200")))
+    val mvhd = concat(be32(lit(28)), lit("mvhd".getBytes("US-ASCII")),
+      unhex(lit("00000000")),                 // version 0 + flags
+      unhex(lit("0000000000000000")),         // creation/modification time
+      be32(timescale), be32(durUnits))
+    // trak(24) = header(8) + tkhd leaf(16): real nesting for the walker
+    val trak = concat(be32(lit(24)), lit("trak".getBytes("US-ASCII")),
+      be32(lit(16)), lit("tkhd".getBytes("US-ASCII")), unhex(lit("0000000000000000")))
+    val moovSize = lit(8) + lit(28) + nTraks * lit(24)
+    val mdatPayload = encode(col("text"), "UTF-8")
+    val mdat = concat(be32(lit(8) + length(mdatPayload)),
+      lit("mdat".getBytes("US-ASCII")), mdatPayload)
+    val payload = concat(ftyp,
+      be32(moovSize), lit("moov".getBytes("US-ASCII")), mvhd,
+      // 1-3 planted traks: concat of conditionally-empty copies keeps the
+      // build codegen'd (no higher-order byte lambda)
+      trak,
+      when(nTraks >= 2, trak).otherwise(lit(Array.emptyByteArray)),
+      when(nTraks >= 3, trak).otherwise(lit(Array.emptyByteArray)),
+      mdat)
+    t(spark, dir, "documents")
+      .select(col("doc_id"), payload.as("payload"),
+        sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        def be32(b: Array[Byte], off: Int): Long =
+          ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+            ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+        def tag(b: Array[Byte], off: Int): String =
+          new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        it.map { case (id, bytes, hex) =>
+          var timescale = 0L; var dur = 0L; var traks = 0L; var mdatLen = -1L
+          var isom = false
+          // recursive box walk: containers descend, leaves parse
+          def walk(start: Int, end: Int): Unit = {
+            var pos = start
+            while (pos + 8 <= end) {
+              val size = be32(bytes, pos).toInt
+              if (size < 8 || pos + size > end) return // malformed: stop
+              tag(bytes, pos + 4) match {
+                case "ftyp" => isom = tag(bytes, pos + 8) == "isom"
+                case "moov" | "mdia" => walk(pos + 8, pos + size)
+                case "trak" => traks += 1; walk(pos + 8, pos + size)
+                case "mvhd" if size >= 28 && bytes(pos + 8) == 0 => // version 0
+                  timescale = be32(bytes, pos + 20); dur = be32(bytes, pos + 24)
+                case "mdat" => mdatLen = size - 8L
+                case _ => ()
+              }
+              pos += size
+            }
+          }
+          walk(0, bytes.length)
+          if (!isom || timescale == 0 || mdatLen < 0)
+            VideoMeta(id, bytes.length.toLong, hex, "unknown", 0, 0, 0, 0)
+          else
+            VideoMeta(id, bytes.length.toLong, hex, "mp4/isom", timescale,
+              dur * 1000 / timescale, traks, mdatLen)
+        }
+      }
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   // ---- M2: frame sampling (one row per sampled frame) ----------------------
 
   /** Frame-sample plumbing: each payload yields `1 + n_chars % 8` evenly
@@ -2734,5 +2822,6 @@ object PipelineQueries {
     "t3_token_count" -> t3TokenCount,
     "t4_fingerprint" -> t4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta,
-    "m3_audio_meta" -> m3AudioMeta)
+    "m3_audio_meta" -> m3AudioMeta,
+    "m4_video_meta" -> m4VideoMeta)
 }
