@@ -316,9 +316,15 @@ object PipelineQueries {
     // every posting ranked rarest-first within its doc — the a side takes
     // only its prefix, the b side keeps ALL postings but carries the rank
     // for the positional prune below
+    // df = 1 shingles are kept through RANKING (prefix membership must
+    // reflect the doc's full rarest-first order) but dropped from both
+    // join sides — a single-holder shingle has no cross-doc partner, so
+    // the cut is lossless and removes the Zipf tail (the bulk of a
+    // rare-first prefix) from the operator's dominant shuffle.
     val ranked = ex.join(if (dfreqBroadcastable) broadcast(dfreq) else dfreq, "sid")
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
+      .filter(col("df") >= 2)
       .select(col("doc_id"), col("n"), col("sid"), col("rk"))
       .localCheckpoint() // feeds BOTH sides of the candidate self-join
     // prefix length na − ⌈0.8·na⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
@@ -424,6 +430,13 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
       .filter(col("rk") <= col("n") - expr("(3 * n + 9) div 10") + 1)
+      // df = 1 ⟹ this doc is the shingle's ONLY holder ⟹ no cross-doc
+      // partner can exist — dropping the row from the candidate join is
+      // lossless. Ranks are computed BEFORE the cut (prefix membership
+      // must reflect the doc's full rarest-first order), and the Zipf
+      // tail makes rare-first prefixes MOSTLY df=1, so the join input —
+      // the operator's dominant shuffle — shrinks by the tail's share.
+      .filter(col("df") >= 2)
       .select(col("source"), col("doc_id"), col("sid"), col("rk"), col("n"))
       .localCheckpoint()
     // candidate join with PPJoin's two extra lossless prunes (both exact):
