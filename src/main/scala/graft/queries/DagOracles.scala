@@ -278,6 +278,30 @@ object DagOracles {
       Map(
         "dag_stg_pool_object" -> stgOracle,
         "dag_data_tests" -> dataTestsOracle,
+        // drift audit = the same volume/null/NDV metrics over the two
+        // declarative states, flags by integer cross-multiplication
+        "dag_drift_audit" -> {
+          val cols = DagQueries.DriftAuditCols
+          def prof(src: String, sfx: String) = cols.map { c =>
+            s"""SELECT '$c' AS column_name, count(*) AS n_$sfx,
+               |       count(*) FILTER (WHERE $c IS NULL) AS nulls_$sfx,
+               |       count(DISTINCT $c) AS ndv_$sfx FROM $src""".stripMargin
+          }.mkString("\n        UNION ALL\n        ")
+          s"""WITH full_t AS (${eventBody(EventModels.loanRepaid)}),
+             |      prev_t AS (SELECT * FROM full_t
+             |                 WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}),
+             |      pp AS (
+             |        ${prof("prev_t", "prev")}),
+             |      cc AS (
+             |        ${prof("full_t", "curr")})
+             |      SELECT pp.column_name, n_prev, n_curr, nulls_prev, nulls_curr,
+             |             ndv_prev, ndv_curr,
+             |             n_curr < n_prev AS volume_shrank,
+             |             nulls_curr * n_prev > 2 * nulls_prev * n_curr AS null_rate_spike,
+             |             ndv_curr < ndv_prev AS ndv_dropped
+             |      FROM pp JOIN cc ON pp.column_name = cc.column_name
+             |      ORDER BY pp.column_name""".stripMargin
+        },
         // live table after rollback = the pre-cutoff slice, exactly
         "dag_restore" ->
           s"""SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b

@@ -867,6 +867,39 @@ object DagQueries {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** Columns the drift audit monitors on the loan_repaid model — shared
+    * with the oracle generator so the two sides cannot drift.
+    * `repay_shares` carries the fixtures' planted malformed numeric
+    * (TRY_CAST → NULL), so the null-rate metrics are nonzero. */
+  private[queries] val DriftAuditCols =
+    Seq("transaction_digest", "margin_pool_id", "repay_amount", "repay_shares")
+
+  /** K4 inside the hard gate: the cross-generation drift audit. Two
+    * merges of the loan_repaid model (pre-cutoff slice, then the full
+    * model), then [[graft.incremental.TableAudit.drift]] compares the
+    * PREVIOUS generation (via time travel) against the live table —
+    * volume/null-rate/NDV monitors with exact integer flags. Oracle =
+    * the same metrics recomputed from the two declarative slices. */
+  val driftAuditQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanRepaid
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagdrift").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val keys = Seq("transaction_digest", "event_index")
+      SnapshotStore.merge(spark, s"$root/tbl",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), keys, Some(pd))
+      SnapshotStore.merge(spark, s"$root/tbl", model, keys, Some(pd))
+      val prev = SnapshotStore.readAt(spark, s"$root/tbl", "snap-0000001").get
+      val curr = SnapshotStore.read(spark, s"$root/tbl").get
+      graft.incremental.TableAudit.drift(prev, curr, DriftAuditCols)
+        .localCheckpoint() // materialized before the temp tree is deleted
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** E2 inside the hard gate: `dbt test` over the whole DAG. Every model
     * builds full-refresh, then the reference's schema.yml suite (plus the
     * not_null audit over the columns schema.yml leaves unprotected — see
@@ -905,6 +938,7 @@ object DagQueries {
         "dag_stream_position" -> streamPositionQ,
         "dag_data_tests" -> dataTestsQ,
         "dag_restore" -> restoreQ,
+        "dag_drift_audit" -> driftAuditQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)
