@@ -71,7 +71,8 @@ object Bench {
         - "dag_stream_daily" - "dag_stream_position" - "dag_schema_evolve"
         - "dag_schema_widen" - "dag_stream_evolve" - "dag_stream_join"
         - "dag_stream_outer_join" - "dag_stream_cdc" - "s14_stream_session"
-        - "dag_data_tests" - "dag_restore" - "dag_drift_audit")
+        - "dag_data_tests" - "dag_restore" - "dag_drift_audit"
+        - "dag_source_freshness")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -278,6 +278,26 @@ object DagOracles {
       Map(
         "dag_stg_pool_object" -> stgOracle,
         "dag_data_tests" -> dataTestsOracle,
+        // source freshness = max(loaded_at) age vs the declared horizons,
+        // the same strictly-greater CASE on both sides
+        "dag_source_freshness" -> {
+          val nowMs = DeepbookFixtures.now.toEpochMilli
+          val day = 86400000L
+          def row(name: String, src: String, loadedAt: String,
+                  warn: Long, err: Long) =
+            s"""SELECT '$name' AS source_name, max($loadedAt) AS max_loaded_at_ms,
+               |       $nowMs - max($loadedAt) AS age_ms,
+               |       CASE WHEN max($loadedAt) IS NULL
+               |              OR $nowMs - max($loadedAt) > $err THEN 'error'
+               |            WHEN $nowMs - max($loadedAt) > $warn THEN 'warn'
+               |            ELSE 'pass' END AS status
+               |      FROM $src""".stripMargin
+          Seq(
+            row("prices.day", pricesSrc, "epoch_ms(\"timestamp\")", day, 3 * day),
+            row("sui.events", eventsSrc, "timestamp_ms", 7 * day, 14 * day),
+            row("sui.objects", objectsSrc, "timestamp_ms", 3 * day, 14 * day))
+            .mkString("", "\n      UNION ALL\n      ", "\n      ORDER BY source_name")
+        },
         // drift audit = the same volume/null/NDV metrics over the two
         // declarative states, flags by integer cross-multiplication
         "dag_drift_audit" -> {

@@ -874,6 +874,21 @@ object DagQueries {
   private[queries] val DriftAuditCols =
     Seq("transaction_digest", "margin_pool_id", "repay_amount", "repay_shares")
 
+  /** `dbt source freshness` inside the hard gate: the three declared
+    * sources checked against the fixtures' fixed clock with horizons
+    * chosen so all three statuses occur (events ~4.9 d old vs 7 d warn ⇒
+    * pass; objects ~4.8 d vs 3 d warn ⇒ warn; prices ~4.2 d vs 3 d
+    * error ⇒ error). Oracle = the same max/age/CASE in SQL. */
+  val sourceFreshnessQ: Q = (spark, _) => {
+    import graft.SourceFreshness.{Spec, check}
+    val day = 86400000L
+    check(DeepbookFixtures.ensureWritten(spark), Seq(
+      Spec("sui.events", col("timestamp_ms"), 7 * day, 14 * day),
+      Spec("sui.objects", col("timestamp_ms"), 3 * day, 14 * day),
+      Spec("prices.day", unix_millis(col("timestamp")), 1 * day, 3 * day)),
+      DeepbookFixtures.now)
+  }
+
   /** K4 inside the hard gate: the cross-generation drift audit. Two
     * merges of the loan_repaid model (pre-cutoff slice, then the full
     * model), then [[graft.incremental.TableAudit.drift]] compares the
@@ -939,6 +954,7 @@ object DagQueries {
         "dag_data_tests" -> dataTestsQ,
         "dag_restore" -> restoreQ,
         "dag_drift_audit" -> driftAuditQ,
+        "dag_source_freshness" -> sourceFreshnessQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)
