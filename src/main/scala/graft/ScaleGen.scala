@@ -69,8 +69,23 @@ object ScaleGen {
       val base = read(t)
       write((0 until k).map(i => f(base, i)).reduce(_ union _), t)
     }
-    def shift(df: DataFrame, i: Int, keys: String*): DataFrame =
+    def shift(df: DataFrame, i: Int, keys: String*): DataFrame = {
+      // Chaining tiers (sf1 → "sf10" with K=10) would re-apply the SAME
+      // per-copy offsets to already-shifted keys and collide them (copy 0
+      // of an id-40M row meets copy 4 of an id-0 row) — silently breaking
+      // key-unique oracles with wrong data, not an error. Always amplify
+      // from a BASE tier (sf10 = K=100 from sf0.1); this guard makes the
+      // misuse loud. Checked on copy 0 only: one scan per table, and the
+      // base frame is the same for every copy.
+      if (i == 0) keys.foreach { c =>
+        val mx = df.agg(max(col(c).cast(LongType))).head
+        if (!mx.isNullAt(0)) require(mx.getLong(0) < Off,
+          s"input key $c reaches ${mx.getLong(0)} >= $Off — this dir is " +
+            "already an amplified tier; regenerate from the base scale " +
+            "instead of chaining")
+      }
       keys.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * Off)))
+    }
 
     Seq("region", "nation").foreach(t => write(read(t), t))
     amplified("customer")(shift(_, _, "c_custkey"))
