@@ -665,6 +665,55 @@ object SnapshotStore {
       }
     }
 
+  /** dbt-spark's `incremental_strategy='insert_overwrite'` — the THIRD
+    * strategy beside merge (S6) and append (S7), and dbt-on-Spark's
+    * default: every date partition present in the batch is replaced
+    * WHOLESALE (stale rows in a recomputed partition disappear — no key
+    * semantics, no anti-join), untouched partitions hard-link across.
+    * The right sink when the model RECOMPUTES whole partitions (the
+    * daily-fact lookback shape): it skips merge's read + anti-join of
+    * the touched partitions entirely, making the incremental write
+    * O(batch) instead of O(batch + touched-partition history). Schema
+    * drift follows the same [[OnSchemaChange]] policy as merge, resolved
+    * against the live schema. */
+  def insertOverwrite(spark: SparkSession, root: String, batch: DataFrame,
+                      partitionDate: Column, compactTo: Option[Int] = None,
+                      onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
+    Files.createDirectories(Paths.get(root))
+    val batchP = batch.withColumn(PartCol, partitionDate.cast(StringType))
+    currentSnapshot(root) match {
+      case None =>
+        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo)
+        commit(root, snap, batchP.schema, partitioned = true)
+      case Some(c) =>
+        val snapDir = Paths.get(root, c)
+        require(isPartitioned(snapDir),
+          s"insert_overwrite needs a partitioned table at $root")
+        val target = resolveTarget(batchP.schema, liveSchema(spark, snapDir),
+          onSchemaChange)
+        // touched-partition list: metadata-sized, same collect as merge
+        val touched = batchP.select(PartCol).distinct().collect()
+          .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
+        val snap = writeSnapshot(root, conform(batchP, target),
+          partitioned = true, compactTo)
+        val manifestOpt = Manifest.read(snapDir).filter(_.partitioned)
+        val untouched = (manifestOpt match {
+          case Some(m) => m.partitionValues
+          case None    => partitionDirs(snapDir).map(_._1)
+        }).filterNot(touched)
+        manifestOpt match {
+          case Some(m) =>
+            linkFromManifest(m, untouched.toSet, snapDir, Paths.get(root, snap))
+          case None =>
+            untouched.foreach { v =>
+              linkInto(snapDir.resolve(s"$PartCol=$v"),
+                Paths.get(root, snap, s"$PartCol=$v"))
+            }
+        }
+        commit(root, snap, target, partitioned = true)
+    }
+  }
+
   /** Union of two schemas by name — `b` wins on type, `a`-only fields keep
     * their place (append's manifest must keep hard-linked pre-existing
     * columns readable). */

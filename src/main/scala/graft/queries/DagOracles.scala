@@ -278,6 +278,10 @@ object DagOracles {
       Map(
         "dag_stg_pool_object" -> stgOracle,
         "dag_data_tests" -> dataTestsOracle,
+        // insert_overwrite converges to the clean full model — the model's
+        // own oracle IS the gate (a merge would keep the planted stale row
+        // and break the hash)
+        "dag_insert_overwrite" -> eventOracle(EventModels.loanBorrowed),
         // source freshness = max(loaded_at) age vs the declared horizons,
         // the same strictly-greater CASE on both sides
         "dag_source_freshness" -> {

@@ -874,6 +874,38 @@ object DagQueries {
   private[queries] val DriftAuditCols =
     Seq("transaction_digest", "margin_pool_id", "repay_amount", "repay_shares")
 
+  /** dbt-spark `insert_overwrite` inside the hard gate: batch 1 is the
+    * full loan_borrowed model PLUS a planted stale row in the day-5
+    * partition; batch 2 recomputes days ≥ 5 wholesale. Partition
+    * replacement must DROP the stale row (a keyed merge would have kept
+    * it — unmatched keys survive a merge), while days 1-4 carry across
+    * by hard link, so the live table equals the clean full model and the
+    * gate reuses the model's own oracle. */
+  val insertOverwriteQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagiow").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val stale = model.orderBy("transaction_digest", "event_index").limit(1)
+        .withColumn("transaction_digest", lit("0xstale"))
+        .withColumn("event_index", lit(999L))
+        .withColumn("timestamp_ms", lit(dayStartOf(5) + 1L))
+      SnapshotStore.insertOverwrite(spark, s"$root/tbl",
+        model.unionByName(stale), pd)
+      SnapshotStore.insertOverwrite(spark, s"$root/tbl",
+        model.filter(col("timestamp_ms") >= dayStartOf(5)), pd)
+      val out = SnapshotStore.read(spark, s"$root/tbl").get
+      require(out.filter(col("transaction_digest") === "0xstale").isEmpty,
+        "insert_overwrite must replace the recomputed partition wholesale")
+      out.localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** `dbt source freshness` inside the hard gate: the three declared
     * sources checked against the fixtures' fixed clock with horizons
     * chosen so all three statuses occur (events ~4.9 d old vs 7 d warn ⇒
@@ -955,6 +987,7 @@ object DagQueries {
         "dag_restore" -> restoreQ,
         "dag_drift_audit" -> driftAuditQ,
         "dag_source_freshness" -> sourceFreshnessQ,
+        "dag_insert_overwrite" -> insertOverwriteQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)

@@ -428,6 +428,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
   }
 
+  test("insert_overwrite replaces touched partitions wholesale; untouched hard-link") {
+    val root = tmpRoot()
+    SnapshotStore.insertOverwrite(spark, root, rows(Seq(
+      (1L, "2026-01-01", "keep"), (2L, "2026-01-02", "stale"),
+      (3L, "2026-01-02", "stale2"))), to_date(col("dt")))
+    val before = inodesByPartition(root)
+    // recompute day 2 only: both stale rows must vanish even though their
+    // keys don't collide with the batch (no key semantics at all)
+    SnapshotStore.insertOverwrite(spark, root, rows(Seq(
+      (9L, "2026-01-02", "fresh"))), to_date(col("dt")))
+    assert(readAll(root) == Set((1L, "2026-01-01", "keep"), (9L, "2026-01-02", "fresh")))
+    // day 1 carried by hard link — same inode, zero bytes moved
+    val after = inodesByPartition(root)
+    assert(after("_dt=2026-01-01").values.toSet == before("_dt=2026-01-01").values.toSet)
+    // a keyed merge of the same batch would have KEPT the stale rows —
+    // the two strategies genuinely differ on this input
+    val root2 = tmpRoot()
+    SnapshotStore.merge(spark, root2, rows(Seq(
+      (1L, "2026-01-01", "keep"), (2L, "2026-01-02", "stale"),
+      (3L, "2026-01-02", "stale2"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root2, rows(Seq((9L, "2026-01-02", "fresh"))),
+      Seq("id"), pd)
+    assert(readAll(root2).size == 4)
+  }
+
   test("restore: rollback publishes a new generation by hard link; history intact") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(
