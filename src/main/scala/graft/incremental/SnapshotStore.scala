@@ -980,12 +980,24 @@ object SnapshotStore {
     * Hard links make deletion safe for newer snapshots. Manifest-listed
     * files are deleted first (on an object store that list IS the delete
     * batch); the recursive sweep afterwards is local-FS hygiene for empty
-    * dirs, pre-manifest snapshots and stray files. */
-  def vacuum(root: String, keep: Int = 1): Unit = currentSnapshot(root).foreach { cur =>
+    * dirs, pre-manifest snapshots and stray files.
+    *
+    * `retainMs` is Delta's `RETAIN n HOURS` safety: a snapshot PUBLISHED
+    * within the window is never dropped regardless of `keep` — the guard
+    * that keeps an in-flight reader (or a restore about to target the
+    * generation) from having files deleted underneath it. Age is the
+    * snapshot dir's own mtime (set at write, before publish — so the
+    * measured age is ≥ the published age, erring on retention). Defaults
+    * to 0 (generation-count retention only, the reference's vacuum). */
+  def vacuum(root: String, keep: Int = 1, retainMs: Long = 0L): Unit =
+    currentSnapshot(root).foreach { cur =>
     val curN = cur.stripPrefix("snap-").toLong
+    val cutoff = System.currentTimeMillis() - retainMs
     withList(Paths.get(root))(_.toSeq)
       .filter(p => p.getFileName.toString.startsWith("snap-"))
       .filter(p => p.getFileName.toString.stripPrefix("snap-").toLong <= curN - keep - 1)
+      .filter(p => retainMs <= 0L ||
+        Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach { p =>
         Manifest.read(p).foreach(_.files.foreach(f =>
           Files.deleteIfExists(p.resolve(f.path))))

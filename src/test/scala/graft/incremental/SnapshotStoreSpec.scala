@@ -453,6 +453,20 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readAll(root2).size == 4)
   }
 
+  test("vacuum retention window spares young snapshots regardless of keep") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, root, rows(Seq((3L, "2026-01-03", "c"))), Seq("id"), pd)
+    // all three generations are seconds old: a 1-hour retention window
+    // must refuse to drop ANY of them even with keep = 0
+    SnapshotStore.vacuum(root, keep = 0, retainMs = 3600L * 1000)
+    assert(SnapshotStore.snapshots(root).size == 3)
+    // with the window elapsed (0), generation-count retention applies
+    SnapshotStore.vacuum(root, keep = 0)
+    assert(SnapshotStore.snapshots(root) == Seq("snap-0000003"))
+  }
+
   test("restore: rollback publishes a new generation by hard link; history intact") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(
