@@ -974,6 +974,40 @@ object SnapshotStore {
     }
   }
 
+  /** Delta `SHALLOW CLONE` analog: materialize the live state of the
+    * table at `srcRoot` as a brand-new INDEPENDENT table at `dstRoot` —
+    * the zero-copy dev/test copy (run an experiment against production
+    * data without touching it). Pure metadata off the source manifest:
+    * hard-linked files, carried schema/partitioning/stats, generation
+    * counter restarted at 1. The clone's history begins at the clone —
+    * subsequent merges/optimizes/vacuums on either table never affect
+    * the other (hard links share immutable bytes, never visibility).
+    * Refuses a destination that is already a table. */
+  def clone(spark: SparkSession, srcRoot: String, dstRoot: String): Unit = {
+    val src = currentSnapshot(srcRoot).getOrElse(
+      sys.error(s"nothing to clone: no published table at $srcRoot"))
+    require(currentSnapshot(dstRoot).isEmpty,
+      s"clone destination $dstRoot is already a table")
+    val srcDir = Paths.get(srcRoot, src)
+    Files.createDirectories(Paths.get(dstRoot))
+    val snap = "snap-0000001"
+    val dstDir = Paths.get(dstRoot, snap)
+    Files.createDirectory(dstDir)
+    Manifest.read(srcDir) match {
+      case Some(m) =>
+        m.files.foreach { f =>
+          val target = dstDir.resolve(f.path)
+          Files.createDirectories(target.getParent)
+          Files.createLink(target, srcDir.resolve(f.path))
+        }
+        Manifest.write(dstDir, m.schema, m.partitioned, m.files)
+        publish(dstRoot, snap)
+      case None =>
+        linkInto(srcDir, dstDir)
+        commit(dstRoot, snap, liveSchema(spark, srcDir), isPartitioned(srcDir))
+    }
+  }
+
   /** S9: VACUUM — drop snapshot dirs superseded for more than `keep`
     * generations, and their change feeds with them (a feed outliving its
     * snapshot would promise history [[readAt]] can no longer serve).

@@ -453,6 +453,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(readAll(root2).size == 4)
   }
 
+  test("shallow clone: zero-copy independent table; divergence never crosses") {
+    val src = tmpRoot(); val dst = tmpRoot() + "/clone"
+    SnapshotStore.merge(spark, src, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"), pd)
+    SnapshotStore.clone(spark, src, dst)
+    assert(SnapshotStore.read(spark, dst).get
+      .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet ==
+      readAll(src))
+    // zero-copy: the cloned day-1 file IS the source's (same inode)
+    assert(inodesByPartition(src)("_dt=2026-01-01").values.toSet ==
+      inodesByPartition(dst)("_dt=2026-01-01").values.toSet)
+    // diverge both sides; neither sees the other's writes
+    SnapshotStore.merge(spark, dst, rows(Seq((3L, "2026-01-03", "c"))), Seq("id"), pd)
+    SnapshotStore.merge(spark, src, rows(Seq((2L, "2026-01-02", "B2"))), Seq("id"), pd)
+    assert(readAll(src) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "B2")))
+    assert(SnapshotStore.read(spark, dst).get
+      .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet ==
+      Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"), (3L, "2026-01-03", "c")))
+    // vacuuming the source never invalidates the clone's hard links
+    SnapshotStore.vacuum(src, keep = 0)
+    assert(SnapshotStore.read(spark, dst).get.count() == 3)
+    // cloning onto an existing table refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.clone(spark, src, dst)
+    }
+  }
+
   test("vacuum retention window spares young snapshots regardless of keep") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq((1L, "2026-01-01", "a"))), Seq("id"), pd)
