@@ -74,6 +74,23 @@ object Invariants {
       }
     }
 
+    // ---- v14: range search vs the v1 exact baseline ----
+    // (its oracle is the naive all-pairs scan, so past that scan's
+    // practical tier the completeness guarantee is gated here: every v1
+    // top-k hit at or above τ is by definition a range match — a missing
+    // one means the angular cell prune dropped a cell it must not have)
+    {
+      val v14 = PipelineQueries.v14RangeSearch(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val v1Hits = PipelineQueries.v1CosineTopk(spark, sfDir)
+        .filter(col("cosine") >= 0.3)
+        .select(col("q_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      check("v14: contains every v1 top-k hit at or above the threshold") {
+        v1Hits.subsetOf(v14)
+      }
+    }
+
     // ---- t21: cluster-aware split vs the pair graph ----
     // (oracle embeds the same all-pairs closure as d6, so past sf0.01 the
     // leakage guarantee is gated here instead)
