@@ -158,11 +158,18 @@ object PipelineQueries {
     * component extraction (DuckDB has no parse_url), so the gate pins the
     * SEMANTICS, not a shared implementation.
     *
-    * Cluster stats ride ONE hash shuffle (a window over the canonical
-    * url — no groupBy+join-back second exchange); at 100 TB the
-    * canonicalization is map-side and the shuffle carries (doc_id, url)
-    * only. A pathologically hot URL would skew its window partition —
-    * the d10-style salted two-phase rank is the documented escape. */
+    * Cluster stats are a GROUPBY + join-back, not a window, by design:
+    * count/min are algebraic, so the groupBy partial-aggregates map-side
+    * (a URL appearing in half the corpus still ships one row per map
+    * task), and the join-back is a plain equi-join AQE's skew-join
+    * splitting can break up — whereas a window over the canonical url
+    * would funnel every row of a hot URL through ONE task with no
+    * runtime escape. At fixture scale the cluster table broadcasts and
+    * the whole query is one shuffle anyway (PlanSpec pins no-window +
+    * broadcast); at 100 TB it degrades to a shuffle join, the
+    * skew-tolerant shape. The canonical frame is checkpointed — it
+    * feeds both the groupBy and the probe side, and a self-join never
+    * reuses its own exchange (the d2/d4 lesson). */
   val d12UrlDedup: Q = (spark, dir) => {
     val id = col("doc_id")
     val k = pmod(id, lit(40))
@@ -192,13 +199,16 @@ object PipelineQueries {
       regexp_replace(lower(expr("parse_url(url, 'HOST')")), "^www\\.", ""),
       regexp_replace(expr("parse_url(url, 'PATH')"), "/$", ""),
       when(canonQuery =!= "", concat(lit("?"), canonQuery)).otherwise(""))
-    val w = Window.partitionBy(col("canonical_url"))
-    t(spark, dir, "documents")
+    val base = t(spark, dir, "documents")
       .select(id, url.as("url"))
       .withColumn("canonical_url", canon)
-      .withColumn("cluster_size", count(lit(1)).over(w))
-      .withColumn("canonical_doc", min(id).over(w))
+      .localCheckpoint() // feeds groupBy + probe side; GC-released (see d2)
+    val clusters = base.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("cluster_size"), min(id).as("canonical_doc"))
+    base.join(clusters, "canonical_url")
       .withColumn("is_dup", (id =!= col("canonical_doc")).cast(IntegerType))
+      .select(col("doc_id"), col("url"), col("canonical_url"),
+        col("cluster_size"), col("canonical_doc"), col("is_dup"))
       .orderBy(id)
   }
 
