@@ -105,8 +105,10 @@ object DataTests {
           .select(lit(model).as("model"), lit(t.columnLabel).as("column_name"),
             lit(t.testName).as("test"), col("failures"))
       case t @ Relationships(c, toModel, toCol) =>
+        // distinct parent keys: anti-join semantics are unchanged, the
+        // build side shrinks from table-sized to key-domain-sized
         df.select(col(c)).filter(col(c).isNotNull)
-          .join(ref(toModel).select(col(toCol).as(c)), Seq(c), "left_anti")
+          .join(ref(toModel).select(col(toCol).as(c)).distinct(), Seq(c), "left_anti")
           .agg(count(lit(1)).as("failures"))
           .select(lit(model).as("model"), lit(t.columnLabel).as("column_name"),
             lit(t.testName).as("test"), col("failures"))

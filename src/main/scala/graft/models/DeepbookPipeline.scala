@@ -9,9 +9,14 @@ import org.apache.spark.sql.SparkSession
   */
 object DeepbookPipeline {
   val models: Seq[Model] = EventModels.all ++ Seq(PoolObjectStg, PoolDailyFct)
-  /** `maintenance` = prod target's optimize/vacuum post-hooks. */
-  def runner(root: String, maintenance: Boolean = false): Runner =
-    new Runner(root, models, maintenance)
+  /** `maintenance` = prod target's optimize/vacuum post-hooks.
+    * `withTests` = `dbt build`: the reference's schema.yml suite
+    * ([[ReferenceSchema.suite]]) runs after each model's merge; a red
+    * test fails the model and skips its downstream. */
+  def runner(root: String, maintenance: Boolean = false,
+             withTests: Boolean = false): Runner =
+    new Runner(root, models, maintenance,
+      tests = if (withTests) ReferenceSchema.suite.toMap else Map.empty)
 
   /** E3 (SURVEY §3): register every materialized model as a temp view so
     * `spark.sql` serves the same ad-hoc consumption queries the reference

@@ -76,6 +76,16 @@ class DataTestsSpec extends SparkSpec {
       Seq("docs" -> Seq(NotNull("text"), Unique(Seq("id")))))
   }
 
+  test("dbt build on the real pipeline: the reference suite passes through the Runner") {
+    val root = Files.createTempDirectory("graft-build-real").toString
+    val report = graft.models.DeepbookPipeline.runner(root, withTests = true)
+      .runReport(RunContext(spark,
+        graft.fixtures.DeepbookFixtures.sources(spark),
+        RunMode.FullRefresh, graft.fixtures.DeepbookFixtures.now))
+    assert(report.ok, report.summary)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("Runner with tests: red test fails the model, skips downstream, spares siblings") {
     val root = Files.createTempDirectory("graft-dbt-build").toString
     def m(n: String, deps: Seq[String] = Nil)(rows: => DataFrame): Model = new Model {
