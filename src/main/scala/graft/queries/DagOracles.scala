@@ -282,6 +282,8 @@ object DagOracles {
         // own oracle IS the gate (a merge would keep the planted stale row
         // and break the hash)
         "dag_insert_overwrite" -> eventOracle(EventModels.loanBorrowed),
+        // microbatch windows converge to the clean full model too
+        "dag_microbatch" -> eventOracle(EventModels.loanBorrowed),
         // source freshness = max(loaded_at) age vs the declared horizons,
         // the same strictly-greater CASE on both sides
         "dag_source_freshness" -> {

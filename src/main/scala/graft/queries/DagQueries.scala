@@ -906,6 +906,43 @@ object DagQueries {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** dbt `microbatch` inside the hard gate: the loan_borrowed model's
+    * fixture range replays as 2-day event-time windows, each batch
+    * filtered to its window and applied by partition replacement
+    * ([[graft.incremental.Microbatch]]), then one middle window is
+    * RE-RUN — the retry a failed backfill needs — and the table must be
+    * unchanged (per-batch idempotency, required in-gate). The final
+    * table must equal the clean full model, so the gate reuses the
+    * model's own oracle. */
+  val microbatchQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+      .localCheckpoint() // one build, many window filters
+    val root = java.nio.file.Files.createTempDirectory("graft-dagmb").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      def batch(s: Long, e: Long) =
+        model.filter(col("timestamp_ms") >= s && col("timestamp_ms") < e)
+      val day = 86400000L
+      val from = dayStartOf(1) - 30 * day // cover the backfill-bound rows
+      val to = dayStartOf(10) + day
+      graft.incremental.Microbatch.run(spark, s"$root/tbl", batch,
+        pd, from, to, periodMs = 2 * day)
+      val before = SnapshotStore.read(spark, s"$root/tbl").get
+        .localCheckpoint()
+      // retry one middle window: content must not change
+      graft.incremental.Microbatch.run(spark, s"$root/tbl", batch,
+        pd, dayStartOf(5), dayStartOf(7), periodMs = 2 * day)
+      val after = SnapshotStore.read(spark, s"$root/tbl").get.localCheckpoint()
+      require(after.exceptAll(before).isEmpty && before.exceptAll(after).isEmpty,
+        "a replayed microbatch window must leave the table unchanged")
+      after.orderBy("transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** `dbt source freshness` inside the hard gate: the three declared
     * sources checked against the fixtures' fixed clock with horizons
     * chosen so all three statuses occur (events ~4.9 d old vs 7 d warn ⇒
@@ -988,6 +1025,7 @@ object DagQueries {
         "dag_drift_audit" -> driftAuditQ,
         "dag_source_freshness" -> sourceFreshnessQ,
         "dag_insert_overwrite" -> insertOverwriteQ,
+        "dag_microbatch" -> microbatchQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)
