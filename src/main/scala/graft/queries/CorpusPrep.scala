@@ -180,8 +180,42 @@ object CorpusPrep {
     sourceQuota(docs.join(pass, Seq("doc_id")))
   }
 
+  /** FOURTH composed pipeline — the CRAWL-ORDERED opening passes of a
+    * web-corpus build (`pipe4_crawl_prep`), cheapest-first as a real
+    * crawl pipeline runs them:
+    *
+    *   1. URL DEDUP — d12's canonicalization; only each URL cluster's
+    *      canonical doc survives (metadata-cheap, before any content
+    *      work);
+    *   2. EXACT CONTENT DEDUP — d1's digest grouping over the URL
+    *      SURVIVORS: the kept doc per content class is the min surviving
+    *      id, which can differ from standalone d1's keeper whenever URL
+    *      dedup removed it — the stage interaction a per-operator gate
+    *      cannot see;
+    *   3. RULE GATE — t20's Gopher rules (per-doc, so the gate commutes;
+    *      applying it last keeps the expensive text pass smallest).
+    *
+    * Survivor list (doc_id, source, n_words) hash-matches one
+    * chained-CTE oracle. Scale shape inherited: d12's groupBy+join, one
+    * digest groupBy over survivors, map-only gate. */
+  val pipe4CrawlPrep: Q = (spark, dir) => {
+    val docs = Sources.testdata(spark, dir)("documents")
+    val urlKeep = d12UrlDedup(spark, dir)
+      .filter(col("is_dup") === 0).select("doc_id")
+    val contentKeep = docs.join(urlKeep, Seq("doc_id"))
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val pass = t20GopherRules(spark, dir).filter(col("pass")).select("doc_id")
+    docs.join(contentKeep, Seq("doc_id")).join(pass, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        size(split(lower(col("text")), " ")).cast(LongType).as("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_corpus_prep" -> pipeCorpusPrep,
     "pipe2_curation" -> pipe2Curation,
-    "pipe3_gated_quota" -> pipe3GatedQuota)
+    "pipe3_gated_quota" -> pipe3GatedQuota,
+    "pipe4_crawl_prep" -> pipe4CrawlPrep)
 }

@@ -25,6 +25,50 @@ object PipelineOracles {
     NdPlanes.map(t => t.map(p => p.map(d => BigDecimal(d).bigDecimal.toPlainString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")).mkString("[", ",", "]")
 
+  /** Shared CTE chain of d12's URL plant + canonicalization (reused by
+    * the pipe4 composition oracle — one definition, no drift): `b`
+    * (formula pieces) → `u` (messy url) → `q` (sorted non-utm params) →
+    * `c` (doc_id, url, canonical_url). */
+  private val UrlCanonCtes =
+    """b AS (
+      |        SELECT doc_id, doc_id % 40 AS k,
+      |               CASE WHEN (doc_id % 40) % 2 = 0 THEN 'http' ELSE 'https' END AS sc,
+      |               'example' || CAST((doc_id % 40) % 4 AS VARCHAR) || '.com' AS hc
+      |        FROM documents),
+      |      u AS (
+      |        SELECT doc_id,
+      |               (CASE WHEN doc_id % 4 < 2 THEN upper(sc) ELSE sc END) || '://' ||
+      |               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |               (CASE WHEN doc_id % 2 = 0 THEN upper(hc) ELSE hc END) ||
+      |               (CASE WHEN doc_id % 5 = 0
+      |                     THEN (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':443' END)
+      |                     ELSE '' END) ||
+      |               '/p/' || CAST(k AS VARCHAR) ||
+      |               (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || '?' ||
+      |               (CASE WHEN doc_id % 2 = 0
+      |                     THEN 'id=' || CAST(k AS VARCHAR)
+      |                          || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+      |                     ELSE 'utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
+      |                          || '&id=' || CAST(k AS VARCHAR) END) ||
+      |               (CASE WHEN doc_id % 3 = 1
+      |                     THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
+      |        FROM b),
+      |      q AS (
+      |        SELECT doc_id, url,
+      |               array_to_string(list_sort(list_filter(
+      |                 str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+      |                 x -> NOT starts_with(x, 'utm_'))), '&') AS qn
+      |        FROM u),
+      |      c AS (
+      |        SELECT doc_id, url,
+      |               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |               regexp_replace(regexp_replace(
+      |                 lower(regexp_extract(url, '://([^/?#]+)', 1)),
+      |                 ':[0-9]+$', ''), '^www\.', '') ||
+      |               regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '/$', '') ||
+      |               (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS canonical_url
+      |        FROM q)""".stripMargin
+
   private val shingleCte =
     """docs AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
       |          FROM documents),
@@ -96,45 +140,8 @@ object PipelineOracles {
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
     // lossless for containment >= t, so no candidate logic is mirrored)
-    "d12_url_dedup" -> """
-      WITH b AS (
-        SELECT doc_id, doc_id % 40 AS k,
-               CASE WHEN (doc_id % 40) % 2 = 0 THEN 'http' ELSE 'https' END AS sc,
-               'example' || CAST((doc_id % 40) % 4 AS VARCHAR) || '.com' AS hc
-        FROM documents),
-      u AS (
-        SELECT doc_id,
-               (CASE WHEN doc_id % 4 < 2 THEN upper(sc) ELSE sc END) || '://' ||
-               (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
-               (CASE WHEN doc_id % 2 = 0 THEN upper(hc) ELSE hc END) ||
-               (CASE WHEN doc_id % 5 = 0
-                     THEN (CASE WHEN k % 2 = 0 THEN ':80' ELSE ':443' END)
-                     ELSE '' END) ||
-               '/p/' || CAST(k AS VARCHAR) ||
-               (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END) || '?' ||
-               (CASE WHEN doc_id % 2 = 0
-                     THEN 'id=' || CAST(k AS VARCHAR)
-                          || '&utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
-                     ELSE 'utm_source=s' || CAST(doc_id % 7 AS VARCHAR)
-                          || '&id=' || CAST(k AS VARCHAR) END) ||
-               (CASE WHEN doc_id % 3 = 1
-                     THEN '#sec' || CAST(doc_id % 5 AS VARCHAR) ELSE '' END) AS url
-        FROM b),
-      q AS (
-        SELECT doc_id, url,
-               array_to_string(list_sort(list_filter(
-                 str_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
-                 x -> NOT starts_with(x, 'utm_'))), '&') AS qn
-        FROM u),
-      c AS (
-        SELECT doc_id, url,
-               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
-               regexp_replace(regexp_replace(
-                 lower(regexp_extract(url, '://([^/?#]+)', 1)),
-                 ':[0-9]+$', ''), '^www\.', '') ||
-               regexp_replace(regexp_extract(url, '://[^/?#]+([^?#]*)', 1), '/$', '') ||
-               (CASE WHEN qn = '' THEN '' ELSE '?' || qn END) AS canonical_url
-        FROM q)
+    "d12_url_dedup" -> s"""
+      WITH $UrlCanonCtes
       SELECT doc_id, url, canonical_url,
              count(*) OVER (PARTITION BY canonical_url) AS cluster_size,
              min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc,
@@ -1068,6 +1075,37 @@ object PipelineOracles {
       FROM r JOIN c USING (source)
       WHERE r.rk <= c.cap
       ORDER BY r.source, r.rk""",
+
+    // pipe4: d12's canonicalization CTEs → digest dedup over the URL
+    // survivors (grouped by text — exact content classes) → t20's rule
+    // CTEs; the keeper-id interaction (min SURVIVING id per content
+    // class) is what the chain pins
+    "pipe4_crawl_prep" -> s"""
+      WITH $UrlCanonCtes,
+      keep1 AS (SELECT doc_id FROM (
+          SELECT doc_id, min(doc_id) OVER (PARTITION BY canonical_url) AS cd
+          FROM c) x
+        WHERE doc_id = cd),
+      s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep1 USING (doc_id)),
+      keep2 AS (SELECT min(doc_id) AS doc_id FROM s1 GROUP BY text),
+      dd AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS len_c,
+                    string_split(lower(text), ' ') AS w
+             FROM documents),
+      f AS (SELECT doc_id,
+                   CAST(len(w) AS BIGINT) AS n_words,
+                   (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                   len(list_distinct(w)) * 1000000 // len(w) AS ttr6,
+                   CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS BIGINT)
+                     AS n_stop
+            FROM dd),
+      pass AS (SELECT doc_id FROM f
+               WHERE n_words >= ${T20MinWords} AND n_words <= ${T20MaxWords}
+                 AND f_meanlen6 >= ${T20MeanLo} AND f_meanlen6 <= ${T20MeanHi}
+                 AND ttr6 >= ${T20TtrMin} AND n_stop >= ${T20MinStop})
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS n_words
+      FROM documents d JOIN keep2 USING (doc_id) JOIN pass USING (doc_id)
+      ORDER BY d.doc_id""",
 
     "pipe2_curation" -> s"""
       WITH d0 AS (SELECT doc_id, text, n_chars, string_split(lower(text), ' ') AS w
