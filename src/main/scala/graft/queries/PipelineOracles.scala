@@ -547,6 +547,25 @@ object PipelineOracles {
             < r.keep_pm
       ORDER BY d.doc_id""",
 
+    "t23_temperature_mix" -> """
+      WITH d AS (SELECT doc_id, source, ceil(n_chars / 4.0)::BIGINT AS est_tokens
+                 FROM documents),
+      s AS (SELECT source, SUM(est_tokens)::BIGINT AS src_tokens FROM d GROUP BY source),
+      sw AS (SELECT source, src_tokens,
+                    CAST(floor(sqrt(src_tokens)) AS BIGINT) AS rw
+             FROM s),
+      t AS (SELECT SUM(src_tokens) // 2 AS budget, SUM(rw) AS rsum FROM sw),
+      r AS (SELECT source,
+                   least(1000, (t.budget * rw // t.rsum) * 1000 // src_tokens)
+                     AS keep_pm
+            FROM sw, t)
+      SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
+             round(1000.0 / r.keep_pm, 6) AS weight
+      FROM d JOIN r USING (source)
+      WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+            < r.keep_pm
+      ORDER BY d.doc_id""",
+
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,

@@ -2479,6 +2479,42 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T23: temperature-based mixture resampling ---------------------------
+
+  /** mT5/XLM-R-style temperature sampling (τ = 1/2): source sampling
+    * rates ∝ n_i^τ instead of n_i, upweighting low-resource sources
+    * relative to proportional sampling — THE multilingual/domain mixing
+    * move t12's explicit-share rebalance cannot express (its targets are
+    * declared; temperature targets FOLLOW from the measured sizes).
+    * Exact integer arithmetic throughout: n_i^½ = floor(sqrt(n_i)) (IEEE
+    * sqrt of an exact integer < 2^52 is correctly rounded, so the floor
+    * is engine-identical), budget = half the corpus tokens, per-source
+    * allocation and per-mille keep rates by integer division, membership
+    * by the stage-salted deterministic md5 predicate (t6/t12's). One
+    * corpus pass for the source totals (map-side combined); everything
+    * after is |sources|-sized and broadcasts. */
+  val t23TemperatureMix: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+    val bySrc = docs.groupBy(col("source"))
+      .agg(sum(col("est_tokens")).as("src_tokens"))
+      .withColumn("rw", floor(sqrt(col("src_tokens"))).cast(LongType))
+    val tot = bySrc.agg((sum(col("src_tokens")) / 2).cast(LongType).as("budget"),
+      sum(col("rw")).as("rsum"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("keep_pm", least(lit(1000L),
+        expr("(budget * rw div rsum) * 1000 div src_tokens")))
+      .select(col("source"), col("keep_pm"))
+    docs.join(broadcast(rates), "source")
+      .withColumn("h",
+        expr("cast(conv(substring(md5(concat('temp:', cast(doc_id as string))),1,15),16,10) as bigint)"))
+      .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
+      .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
+        round(lit(1000.0) / col("keep_pm"), 6).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T7: token-budget shard packing (distributed prefix sum) -------------
 
   /** Token budget per training shard. */
@@ -2806,6 +2842,7 @@ object PipelineQueries {
     "t10_boilerplate" -> t10Boilerplate,
     "t11_repetition" -> t11Repetition,
     "t12_mix_rebalance" -> t12MixRebalance,
+    "t23_temperature_mix" -> t23TemperatureMix,
     "t13_pii_redact" -> t13PiiRedact,
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
