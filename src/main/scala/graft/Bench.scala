@@ -72,7 +72,8 @@ object Bench {
         - "dag_schema_widen" - "dag_stream_evolve" - "dag_stream_join"
         - "dag_stream_outer_join" - "dag_stream_cdc" - "s14_stream_session"
         - "dag_data_tests" - "dag_restore" - "dag_drift_audit"
-        - "dag_source_freshness" - "dag_insert_overwrite" - "dag_microbatch")
+        - "dag_source_freshness" - "dag_insert_overwrite" - "dag_microbatch"
+        - "dag_cdc_apply")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -284,6 +284,13 @@ object DagOracles {
         "dag_insert_overwrite" -> eventOracle(EventModels.loanBorrowed),
         // microbatch windows converge to the clean full model too
         "dag_microbatch" -> eventOracle(EventModels.loanBorrowed),
+        // the CDC-synced derived table = the producer's post-delete state
+        "dag_cdc_apply" -> {
+          val day3 = java.time.Instant.parse("2026-01-03T00:00:00Z").toEpochMilli
+          s"""SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b
+             |      WHERE timestamp_ms >= $day3
+             |      ORDER BY transaction_digest, event_index""".stripMargin
+        },
         // source freshness = max(loaded_at) age vs the declared horizons,
         // the same strictly-greater CASE on both sides
         "dag_source_freshness" -> {

@@ -906,6 +906,43 @@ object DagQueries {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** CDC CONSUMER inside the hard gate: a producer table publishes three
+    * feed commits (two merges, then a row-level DELETE of days 1-2), and
+    * a DERIVED table syncs from the feed alone via
+    * [[SnapshotStore.applyChanges]] — called mid-stream (watermark
+    * advances, resume exercised) and again after the delete (the keyed
+    * retraction path). The derived table must hash-match the producer's
+    * post-delete state recomputed declaratively — proving the feed is a
+    * complete, replayable description of the table's evolution. */
+  val cdcApplyQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagcdca").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      val keys = Seq("transaction_digest", "event_index")
+      SnapshotStore.merge(spark, s"$root/src",
+        model.filter(col("timestamp_ms") <= AppendCutoffMs), keys, Some(pd),
+        changeFeed = true)
+      SnapshotStore.merge(spark, s"$root/src", model, keys, Some(pd),
+        changeFeed = true)
+      val v1 = SnapshotStore.applyChanges(spark, s"$root/src", s"$root/dst",
+        keys, pd)
+      require(v1 == 2L, s"watermark after two producer commits must be 2, got $v1")
+      SnapshotStore.delete(spark, s"$root/src",
+        col("timestamp_ms") < dayStartOf(3), changeFeed = true)
+      val v2 = SnapshotStore.applyChanges(spark, s"$root/src", s"$root/dst",
+        keys, pd)
+      require(v2 == 3L, s"watermark after the delete commit must be 3, got $v2")
+      SnapshotStore.read(spark, s"$root/dst").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** dbt `microbatch` inside the hard gate: the loan_borrowed model's
     * fixture range replays as 2-day event-time windows, each batch
     * filtered to its window and applied by partition replacement
@@ -1026,6 +1063,7 @@ object DagQueries {
         "dag_source_freshness" -> sourceFreshnessQ,
         "dag_insert_overwrite" -> insertOverwriteQ,
         "dag_microbatch" -> microbatchQ,
+        "dag_cdc_apply" -> cdcApplyQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
         "dag_stream_evolve" -> streamEvolveQ)
