@@ -1022,6 +1022,20 @@ object PipelineOracles {
       GROUP BY train_id, eval_id
       ORDER BY train_id, eval_id""",
 
+    // t8's pair join as a DISTINCT pair list — the streaming path's
+    // exactly-once output
+    "t8s_stream_decont" -> s"""
+      WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      g AS (SELECT doc_id,
+                   unnest([md5(array_to_string(w[i:i+${DecontGram - 1}], ' '))
+                           for i in range(1, len(w) - ${DecontGram - 2})]) AS g
+            FROM d WHERE len(w) >= ${DecontGram}),
+      ev AS (SELECT doc_id AS eval_id, g FROM g WHERE doc_id % ${DecontMod} = 0),
+      tr AS (SELECT doc_id AS train_id, g FROM g WHERE doc_id % ${DecontMod} != 0)
+      SELECT DISTINCT train_id, eval_id
+      FROM tr JOIN ev USING (g)
+      ORDER BY train_id, eval_id""",
+
     // t8's gram machinery graded per training doc; the fraction and its
     // risk bucket round/compare in the exact integer domain
     "t16_contam_score" -> s"""

@@ -1920,6 +1920,55 @@ object PipelineQueries {
       .orderBy(col("train_id"), col("eval_id"))
   }
 
+  /** t8 through REAL Structured Streaming over the sf-scaled corpus
+    * ([[graft.streaming.StreamingIngest.decontaminateStream]] — the
+    * stream-static shape: eval grams broadcast per micro-batch, the
+    * training stream never shuffles for the membership join, streaming
+    * dedup state bounded by DISCOVERED contamination). Three
+    * micro-batches with batch 2 REDELIVERING the tail of batch 1 — each
+    * contaminated pair must emit exactly once — and the pair set must
+    * hash-match the one-shot DuckDB join. The 4-doc StreamingIngestSpec
+    * pins the mechanism; this pins it against the corpus-scale oracle. */
+  val t8sStreamDecont: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val evalDf = docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0)
+    val rows = docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+      .collect().toSeq.sortBy(_.getLong(0))
+    val root = java.nio.file.Files.createTempDirectory("graft-sdecont").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdecont-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(docs.schema))
+      val input = new MemoryStream[Row](72, spark)
+      val q = graft.streaming.StreamingIngest
+        .decontaminateStream(input.toDF(), evalDf)
+        .writeStream.format("parquet")
+        .option("path", s"$root/pairs")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        // redelivered overlap: the dedup state must swallow the replay
+        input.addData(rows.slice(math.max(0, third - 10), 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(s"$root/pairs")
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("train_id"), col("eval_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   // ---- T16: graded contamination score (t8's filter, as a fraction) --------
 
   /** Per-training-doc contamination FRACTION: of the doc's distinct
@@ -2837,6 +2886,7 @@ object PipelineQueries {
     "t6_sample_stratified" -> t6SampleStratified,
     "t7_pack_shards" -> t7PackShards,
     "t8_decontaminate" -> t8Decontaminate,
+    "t8s_stream_decont" -> t8sStreamDecont,
     "t16_contam_score" -> t16ContamScore,
     "t9_tfidf_keywords" -> t9TfidfKeywords,
     "t10_boilerplate" -> t10Boilerplate,
