@@ -73,7 +73,7 @@ object Bench {
         - "dag_stream_outer_join" - "dag_stream_cdc" - "s14_stream_session"
         - "dag_data_tests" - "dag_restore" - "dag_drift_audit"
         - "dag_source_freshness" - "dag_insert_overwrite" - "dag_microbatch"
-        - "dag_cdc_apply" - "t8s_stream_decont")
+        - "dag_cdc_apply" - "t8s_stream_decont" - "d2s_stream_neardup")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -118,7 +118,7 @@ object PipelineOracles {
       |             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       |      FROM e)""".stripMargin
 
-  val all: Map[String, String] = Map(
+  private val base: Map[String, String] = Map(
 
     "d1_exact_dedup" -> """
       SELECT doc_id, lang, source, n_chars FROM (
@@ -1399,4 +1399,9 @@ object PipelineOracles {
              CAST(1 + n_chars % 1024 AS BIGINT) AS width,
              CAST(1 + doc_id % 768 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")
+
+  val all: Map[String, String] = base ++ Map(
+    // the streaming near-dup table must converge to d2's exact all-pairs
+    // result — same oracle, different engine path
+    "d2s_stream_neardup" -> base("d2_minhash_lsh"))
 }

@@ -1969,6 +1969,48 @@ object PipelineQueries {
     }
   }
 
+  /** d2 through REAL Structured Streaming
+    * ([[graft.streaming.StreamingIngest.nearDupIngest]] — incremental
+    * LSH: per batch, signatures/buckets/shingles merge into snapshot
+    * state and candidates join batch-vs-ALL, so a pair is discovered in
+    * exactly the first batch completing it). Three micro-batches with a
+    * REDELIVERED overlap (the merge-keyed state must make the replay
+    * idempotent), and the accumulated pair table must hash-match the
+    * exact all-pairs oracle d2 itself is checked against — proving the
+    * incremental discovery order-invariant and exactly-once. */
+  val d2sStreamNeardup: Q = (spark, dir) => {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val rows = docs.collect().toSeq.sortBy(_.getLong(0))
+    val root = java.nio.file.Files.createTempDirectory("graft-snd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-snd-ckpt").toString
+    try {
+      implicit val enc: ExpressionEncoder[Row] =
+        ExpressionEncoder(RowEncoder.encoderFor(docs.schema))
+      val input = new MemoryStream[Row](73, spark)
+      val q = graft.streaming.StreamingIngest
+        .nearDupIngest(input.toDF(), root, ckpt)
+      try {
+        val third = rows.size / 3
+        input.addData(rows.take(third))
+        q.processAllAvailable()
+        // redelivered overlap: keyed merges must swallow the replay
+        input.addData(rows.slice(math.max(0, third - 10), 2 * third))
+        q.processAllAvailable()
+        input.addData(rows.drop(2 * third))
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.incremental.SnapshotStore.read(spark, s"$root/nd_pairs").get
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("a_id"), col("b_id"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
+
   // ---- T16: graded contamination score (t8's filter, as a fraction) --------
 
   /** Per-training-doc contamination FRACTION: of the doc's distinct
@@ -2887,6 +2929,7 @@ object PipelineQueries {
     "t7_pack_shards" -> t7PackShards,
     "t8_decontaminate" -> t8Decontaminate,
     "t8s_stream_decont" -> t8sStreamDecont,
+    "d2s_stream_neardup" -> d2sStreamNeardup,
     "t16_contam_score" -> t16ContamScore,
     "t9_tfidf_keywords" -> t9TfidfKeywords,
     "t10_boilerplate" -> t10Boilerplate,
