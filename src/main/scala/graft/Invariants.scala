@@ -39,8 +39,8 @@ object Invariants {
 
     // ---- d6: cluster assignment vs the pair graph ----
     val pairsJ = PipelineQueries.d2MinhashLsh(spark, sfDir)
-      .select(col("a_id"), col("b_id"), col("jaccard")).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .select(col("a_id"), col("b_id"), col("jaccard_ppm")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val pairs = pairsJ.map(t => (t._1, t._2))
     val lab = PipelineQueries.d6DedupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -59,16 +59,16 @@ object Invariants {
     // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----
     {
       val d11 = PipelineQueries.d11Containment(spark, sfDir).collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      check("d11: containment values lie in [0.8, 1]") {
-        d11.values.forall(c => c >= 0.8 && c <= 1.0)
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      check("d11: containment values lie in [0.8, 1] (exact ppm)") {
+        d11.values.forall(c => c >= 800000L && c <= 1000000L)
       }
       // C(A,B) = |A∩B|/|A| >= |A∩B|/|A∪B| = J, so every strong symmetric
       // near-dup MUST contain in both directions — an independent
       // cross-operator identity, checkable at any tier without the
       // all-pairs oracle
       check("d11: d2 pairs at J >= 0.8 contain in both directions") {
-        pairsJ.filter(_._3 >= 0.8).forall { case (a, b, _) =>
+        pairsJ.filter(_._3 >= 800000L).forall { case (a, b, _) =>
           d11.contains((a, b)) && d11.contains((b, a))
         }
       }
@@ -83,7 +83,7 @@ object Invariants {
       val v14 = PipelineQueries.v14RangeSearch(spark, sfDir).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val v1Hits = PipelineQueries.v1CosineTopk(spark, sfDir)
-        .filter(col("cosine") >= 0.3)
+        .filter(col("cos_e6") >= 300000L)
         .select(col("q_id"), col("vec_id")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       check("v14: contains every v1 top-k hit at or above the threshold") {
@@ -177,8 +177,8 @@ object Invariants {
       val altDup = alt.as("x").join(alt.as("y"),
           col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
             col("x.nrm") > 0 && col("y.nrm") > 0)
-        .where(round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6)
-          >= SemThresh)
+        .where(floor((expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")))
+            * lit(1e6) + lit(0.5)) >= lit((SemThresh * 1e6).toLong))
         .select(col("x.vec_id").as("vec_id")).distinct()
       check("d7: duplicate set survives an inner-join/distinct re-plan") {
         val got = d7.filter(col("is_dup") === 1).select(col("vec_id"))
@@ -205,9 +205,9 @@ object Invariants {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n"), countDistinct(col("x")).as("nd"))
         .select(col("doc_id"),
-          round(lit(1.0) - col("nd").cast("double") / col("n"), 6).as("dup_word_frac"))
-      check("t11: dup_word_frac survives an explode/countDistinct re-plan") {
-        t11.select(col("doc_id"), col("dup_word_frac")).except(wordAlt).isEmpty
+          expr("cast(n - nd as bigint) * 1000000 div n").as("dup_word_ppm"))
+      check("t11: dup_word_ppm survives an explode/countDistinct re-plan") {
+        t11.select(col("doc_id"), col("dup_word_ppm")).except(wordAlt).isEmpty
       }
       val biCounts = docs.filter(size(col("w")) >= 2)
         .select(col("doc_id"), col("w"),
@@ -220,17 +220,17 @@ object Invariants {
         .groupBy(col("doc_id"))
         .agg(sum(col("c")).as("tot"), max(when(col("rk") === 1, col("c"))).as("top"))
         .select(col("doc_id"),
-          round(col("top").cast("double") / col("tot"), 6).as("top_bigram_frac"))
-      check("t11: top_bigram_frac survives a rank-window re-plan over gram strings") {
-        t11.filter(col("top_bigram_frac").isNotNull)
-          .select(col("doc_id"), col("top_bigram_frac")).except(biAlt).isEmpty
+          expr("top * 1000000 div tot").as("top_bigram_ppm"))
+      check("t11: top_bigram_ppm survives a rank-window re-plan over gram strings") {
+        t11.filter(col("top_bigram_ppm").isNotNull)
+          .select(col("doc_id"), col("top_bigram_ppm")).except(biAlt).isEmpty
       }
       check("t11: one row per document; 3-gram fraction null iff words < RepGram") {
         val short = docs.filter(size(col("w")) < RepGram).select("doc_id")
         t11.count() == docs.count() &&
-          t11.filter(col("dup_3gram_frac").isNull).select("doc_id")
+          t11.filter(col("dup_3gram_ppm").isNull).select("doc_id")
             .except(short).isEmpty &&
-          short.except(t11.filter(col("dup_3gram_frac").isNull).select("doc_id")).isEmpty
+          short.except(t11.filter(col("dup_3gram_ppm").isNull).select("doc_id")).isEmpty
       }
       t11.unpersist()
     }

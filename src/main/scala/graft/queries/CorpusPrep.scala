@@ -37,9 +37,11 @@ object CorpusPrep {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Minimum t1-blend quality score a document must reach (keeps ~half of
-    * the fixture corpus — non-degenerate at every driver scale). */
-  val QualityMin = 0.3
+  /** Minimum t1-blend quality score a document must reach, in exact ppm
+    * (300000 = 0.3 — keeps ~half of the fixture corpus, non-degenerate at
+    * every driver scale). Integer so the gate predicate lives in t1's
+    * exact fixed-point domain. */
+  val QualityMinPpm = 300000L
 
   private def inListSql(xs: Seq[String]) = xs.map(s => s"'$s'").mkString("(", ",", ")")
 
@@ -56,9 +58,9 @@ object CorpusPrep {
         .join(broadcast(evalGrams), "g")
         .select(col("train_id").as("doc_id")).distinct()
 
-    // 3.–4. quality blend (t1) + deterministic stratified sample (t6);
-    // the quality compare runs on the ROUNDED score — the rounded doubles
-    // are oracle-proven identical, the raw blend is not guaranteed to be
+    // 3.–4. quality blend (t1, exact integer ppm — the same fixed-point
+    // value t1 projects, so the gate inherits its engine-portability) +
+    // deterministic stratified sample (t6)
     val rate = SampleRatePermille.foldLeft(lit(SampleRateDefault)) {
       case (e, (l, r)) => when(col("lang") === l, lit(r)).otherwise(e)
     }
@@ -67,11 +69,12 @@ object CorpusPrep {
       .join(nonCanonical, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("lw", split(lower(col("text")), " "))
-      .withColumn("stop_raw",
-        expr(s"size(filter(lw, x -> x in ${inListSql(StopEn)}))").cast(DoubleType) / size(col("lw")))
-      .withColumn("quality",
-        round(least(lit(1.0), size(col("lw")) / 100.0) * 0.5 + col("stop_raw") * 0.5, 6))
-      .filter(col("quality") >= QualityMin)
+      .withColumn("nt", size(col("lw")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(lw, x -> x in ${inListSql(StopEn)}))").cast(LongType))
+      .withColumn("quality_ppm",
+        expr("(least(100L, nt) * nt + 100L * n_stop) * 5000 div nt"))
+      .filter(col("quality_ppm") >= QualityMinPpm)
       .withColumn("h",
         expr("cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"))
       .withColumn("keep_rate", rate)
@@ -148,11 +151,11 @@ object CorpusPrep {
     val kept = PipelineQueries.pplBuckets(PipelineQueries.lmScores(survivors))
       .filter(col("ppl_bucket") =!= "tail")
     val sized = survivors
-      .join(kept.select(col("doc_id"), col("lm_xent"), col("ppl_bucket")), "doc_id")
-      .select(col("doc_id"), col("lm_xent"), col("ppl_bucket"),
+      .join(kept.select(col("doc_id"), col("lm_xent_e6"), col("ppl_bucket")), "doc_id")
+      .select(col("doc_id"), col("lm_xent_e6"), col("ppl_bucket"),
         ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
     distributedCumsum(sized, "est_tokens", Seq(col("doc_id")))
-      .select(col("doc_id"), col("lm_xent"), col("ppl_bucket"), col("est_tokens"),
+      .select(col("doc_id"), col("lm_xent_e6"), col("ppl_bucket"), col("est_tokens"),
         expr(s"(cum_tokens - est_tokens) div $ShardBudget").as("shard_id"))
       .orderBy(col("doc_id"))
   }

@@ -80,17 +80,17 @@ object PipelineOracles {
       |       FROM docs)""".stripMargin
 
   /** Shared CTE chain for the retrieval-eval oracles: `ex` = the exact
-    * cosine top-5 per query, `ra` = the LSH ANN's ranked results — both
+    * cos_e6 top-5 per query, `ra` = the LSH ANN's ranked results — both
     * recomputed verbatim from the v1/v2 oracle bodies. */
   private lazy val annEvalCtes = s"""$embCte,
       qx AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
       sx AS (SELECT qx.q_id, n.vec_id,
-                    round(list_sum(list_transform(range(1, len(n.v)+1),
-                            i -> n.v[i] * qx.qv[i])) / (n.nrm * qx.qn), 6) AS cosine
+                    CAST(floor(list_sum(list_transform(range(1, len(n.v)+1),
+                            i -> n.v[i] * qx.qv[i])) / (n.nrm * qx.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
              FROM n, qx WHERE n.vec_id != qx.q_id),
       rx AS (SELECT q_id, vec_id,
                     row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, vec_id) AS rk
+                                       ORDER BY cos_e6 DESC, vec_id) AS rk
              FROM sx),
       ex AS (SELECT q_id, vec_id FROM rx WHERE rk <= 5),
       pl AS (SELECT $duckPlanes AS planes),
@@ -103,12 +103,12 @@ object PipelineOracles {
       qa AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
              FROM b WHERE vec_id < 5),
       sa AS (SELECT qa.q_id, b.vec_id,
-                    round(list_sum(list_transform(range(1, len(b.v)+1),
-                            i -> b.v[i] * qa.qv[i])) / (b.nrm * qa.qn), 6) AS cosine
+                    CAST(floor(list_sum(list_transform(range(1, len(b.v)+1),
+                            i -> b.v[i] * qa.qv[i])) / (b.nrm * qa.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
              FROM b JOIN qa ON b.bucket = qa.q_bucket AND b.vec_id != qa.q_id),
       ra AS (SELECT q_id, vec_id,
                     row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, vec_id) AS rk
+                                       ORDER BY cos_e6 DESC, vec_id) AS rk
              FROM sa)"""
 
   private val embCte =
@@ -130,12 +130,12 @@ object PipelineOracles {
     // exact all-pairs ground truth: the LSH path must reproduce it
     "d2_minhash_lsh" -> s"""
       WITH $shingleCte
-      SELECT a_id, b_id, jaccard FROM (
+      SELECT a_id, b_id, inter * 1000000 // uni AS jaccard_ppm FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-      WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+      WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
 
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
@@ -149,13 +149,13 @@ object PipelineOracles {
       FROM c ORDER BY doc_id""",
     "d11_containment" -> s"""
       WITH $shingleCte
-      SELECT a_id, b_id, containment FROM (
+      SELECT a_id, b_id, inter * 1000000 // na AS containment_ppm FROM (
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(a.sh), 6) AS containment
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(a.sh) AS BIGINT) AS na
         FROM sh a JOIN sh b ON a.doc_id != b.doc_id
         WHERE len(a.sh) >= 1 AND len(b.sh) >= 1) t
-      WHERE containment >= 0.8 ORDER BY a_id, b_id""",
+      WHERE 5 * inter >= 4 * na ORDER BY a_id, b_id""",
 
     "d3_simhash" -> """
       WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
@@ -171,12 +171,12 @@ object PipelineOracles {
 
     "d4_ngram_jaccard" -> s"""
       WITH $shingleCte
-      SELECT source, a_id, b_id, jaccard FROM (
+      SELECT source, a_id, b_id, inter * 1000000 // uni AS jaccard_ppm FROM (
         SELECT a.source, a.doc_id AS a_id, b.doc_id AS b_id,
-               round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                     / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+               CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+               CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
         FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id) t
-      WHERE jaccard >= 0.3 ORDER BY source, a_id, b_id""",
+      WHERE 10 * inter >= 3 * uni ORDER BY source, a_id, b_id""",
 
     "d5_embedding_neardup" -> s"""
       WITH $embCte,
@@ -191,10 +191,10 @@ object PipelineOracles {
                FROM bk x JOIN bk y
                  ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.vec_id < y.vec_id),
       s AS (SELECT c.a_id, c.b_id,
-                   round(list_sum(list_transform(range(1, len(a.v)+1),
-                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(a.v)+1),
+                           i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM cand c JOIN n a ON a.vec_id = c.a_id JOIN n b ON b.vec_id = c.b_id)
-      SELECT a_id, b_id, cosine FROM s WHERE cosine >= 0.3 ORDER BY a_id, b_id""",
+      SELECT a_id, b_id, cos_e6 FROM s WHERE cos_e6 >= 300000 ORDER BY a_id, b_id""",
 
     // the NAIVE all-pairs range search — the Spark side's IVF cell prune
     // must be lossless for the hashes to match
@@ -202,24 +202,24 @@ object PipelineOracles {
       WITH $embCte,
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
       s AS (SELECT q.q_id, n.vec_id,
-                   round(list_sum(list_transform(range(1, len(n.v)+1),
-                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(n.v)+1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM n, q WHERE n.vec_id != q.q_id)
-      SELECT q_id, vec_id, cosine FROM s WHERE cosine >= 0.3
+      SELECT q_id, vec_id, cos_e6 FROM s WHERE cos_e6 >= 300000
       ORDER BY q_id, vec_id""",
 
     "v1_cosine_topk" -> s"""
       WITH $embCte,
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
       s AS (SELECT q.q_id, n.vec_id,
-                   round(list_sum(list_transform(range(1, len(n.v)+1),
-                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(n.v)+1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM n, q WHERE n.vec_id != q.q_id),
-      r AS (SELECT q_id, vec_id, cosine,
+      r AS (SELECT q_id, vec_id, cos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cosine DESC, vec_id) AS rk
+                                      ORDER BY cos_e6 DESC, vec_id) AS rk
             FROM s)
-      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 10 ORDER BY q_id, rk""",
+      SELECT q_id, rk, vec_id, cos_e6 FROM r WHERE rk <= 10 ORDER BY q_id, rk""",
 
     "v2_ann_lsh" -> s"""
       WITH $embCte,
@@ -233,14 +233,14 @@ object PipelineOracles {
       q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS q_bucket
             FROM b WHERE vec_id < 5),
       s AS (SELECT q.q_id, b.vec_id,
-                   round(list_sum(list_transform(range(1, len(b.v)+1),
-                           i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(b.v)+1),
+                           i -> b.v[i] * q.qv[i])) / (b.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM b JOIN q ON b.bucket = q.q_bucket AND b.vec_id != q.q_id),
-      r AS (SELECT q_id, vec_id, cosine,
+      r AS (SELECT q_id, vec_id, cos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cosine DESC, vec_id) AS rk
+                                      ORDER BY cos_e6 DESC, vec_id) AS rk
             FROM s)
-      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+      SELECT q_id, rk, vec_id, cos_e6 FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "v3_ann_ivf" -> s"""
       WITH $embCte,
@@ -263,14 +263,14 @@ object PipelineOracles {
                    unnest([cell, list_position(s2, list_max(s2))]) AS probe
             FROM q0),
       s AS (SELECT q.q_id, c.vec_id,
-                   round(list_sum(list_transform(range(1, len(c.v)+1),
-                           i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(c.v)+1),
+                           i -> c.v[i] * q.qv[i])) / (c.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM c JOIN q ON c.cell = q.probe AND c.vec_id != q.q_id),
-      r AS (SELECT q_id, vec_id, cosine,
+      r AS (SELECT q_id, vec_id, cos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cosine DESC, vec_id) AS rk
+                                      ORDER BY cos_e6 DESC, vec_id) AS rk
             FROM s)
-      SELECT q_id, rk, vec_id, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+      SELECT q_id, rk, vec_id, cos_e6 FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
     "v4_quantized_topk" -> s"""
       WITH $embCte,
@@ -286,16 +286,16 @@ object PipelineOracles {
       qry AS (SELECT vec_id AS q_id, v AS pv, q AS pq, qn AS pqn, nrm AS pn
               FROM m WHERE vec_id < 5),
       sc AS (SELECT qry.q_id, m.vec_id,
-                    round(list_sum([m.q[i] * qry.pq[i] for i in range(1, len(m.q)+1)])
-                          / (m.qn * qry.pqn), 6) AS qcosine,
-                    round(list_sum([m.v[i] * qry.pv[i] for i in range(1, len(m.v)+1)])
-                          / (m.nrm * qry.pn), 6) AS cosine
+                    CAST(floor(list_sum([m.q[i] * qry.pq[i] for i in range(1, len(m.q)+1)])
+                          / (m.qn * qry.pqn) * 1000000.0 + 0.5) AS BIGINT) AS qcos_e6,
+                    CAST(floor(list_sum([m.v[i] * qry.pv[i] for i in range(1, len(m.v)+1)])
+                          / (m.nrm * qry.pn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
              FROM m, qry WHERE m.vec_id != qry.q_id),
-      r AS (SELECT q_id, vec_id, qcosine, cosine,
+      r AS (SELECT q_id, vec_id, qcos_e6, cos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY qcosine DESC, vec_id) AS rk
+                                      ORDER BY qcos_e6 DESC, vec_id) AS rk
             FROM sc)
-      SELECT q_id, rk, vec_id, qcosine, cosine FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+      SELECT q_id, rk, vec_id, qcos_e6, cos_e6 FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
 
     // product quantization, all in 1e-6 fixed-point integers: encode every
     // vector as first-min sub-centroid indices per subspace, rank by the
@@ -479,7 +479,7 @@ object PipelineOracles {
              CAST(sum(d2u) AS BIGINT) AS inertia_u
       FROM a1 GROUP BY 1 ORDER BY 1""",
 
-    // same-cell smaller-id neighbor at rounded cosine ≥ SemThresh ⇒ duplicate
+    // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""
       WITH $embCte,
       ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
@@ -496,9 +496,10 @@ object PipelineOracles {
       dup AS (SELECT DISTINCT x.vec_id
               FROM c x JOIN c y ON x.cell = y.cell AND y.vec_id < x.vec_id
               WHERE x.nrm > 0 AND y.nrm > 0
-                AND round(list_sum(list_transform(range(1, len(x.v)+1),
-                            i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm), 6)
-                    >= ${PipelineQueries.SemThresh})
+                AND CAST(floor(list_sum(list_transform(range(1, len(x.v)+1),
+                            i -> x.v[i] * y.v[i])) / (x.nrm * y.nrm)
+                      * 1000000.0 + 0.5) AS BIGINT)
+                    >= ${(PipelineQueries.SemThresh * 1e6).toLong})
       SELECT c.vec_id, c.cell,
              CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
       FROM c LEFT JOIN dup USING (vec_id)
@@ -522,10 +523,10 @@ object PipelineOracles {
       f AS (SELECT doc_id, COUNT(*) AS n_3grams, COUNT(DISTINCT g) AS nd5
             FROM f0 GROUP BY doc_id)
       SELECT d.doc_id, len(d.w) AS n_words,
-             round(1.0 - CAST(len(list_distinct(d.w)) AS DOUBLE) / len(d.w), 6)
-               AS dup_word_frac,
-             round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
-             round(1.0 - CAST(nd5 AS DOUBLE) / n_3grams, 6) AS dup_3gram_frac
+             CAST(len(d.w) - len(list_distinct(d.w)) AS BIGINT) * 1000000
+               // len(d.w) AS dup_word_ppm,
+             CAST(top_bigram AS BIGINT) * 1000000 // n_bigrams AS top_bigram_ppm,
+             CAST(n_3grams - nd5 AS BIGINT) * 1000000 // n_3grams AS dup_3gram_ppm
       FROM d LEFT JOIN bg USING (doc_id) LEFT JOIN f USING (doc_id)
       ORDER BY d.doc_id""",
 
@@ -541,7 +542,7 @@ object PipelineOracles {
       r AS (SELECT source, least(1000, b.budget * share_pm // src_tokens) AS keep_pm
             FROM s, b)
       SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
-             round(1000.0 / r.keep_pm, 6) AS weight
+             1000000000 // r.keep_pm AS weight_ppm
       FROM d JOIN r USING (source)
       WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
             < r.keep_pm
@@ -560,7 +561,7 @@ object PipelineOracles {
                      AS keep_pm
             FROM sw, t)
       SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
-             round(1000.0 / r.keep_pm, 6) AS weight
+             1000000000 // r.keep_pm AS weight_ppm
       FROM d JOIN r USING (source)
       WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
             < r.keep_pm
@@ -569,17 +570,16 @@ object PipelineOracles {
     "t1_text_stats" -> s"""
       WITH d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
       s AS (SELECT doc_id,
-                   len(w) AS n_tokens,
+                   CAST(len(w) AS BIGINT) AS nt,
                    length(text) AS n_chars_m,
-                   round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
-                         AS DOUBLE) / length(text), 6) AS punct_ratio,
+                   CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                        AS BIGINT) * 1000000 // length(text) AS punct_ppm,
                    CAST(len(list_filter(w, x -> x IN ${inList(StopEn)}))
-                        AS DOUBLE) / len(w) AS stop_raw
+                        AS BIGINT) AS n_stop
             FROM d)
-      SELECT doc_id, n_tokens, n_chars_m, punct_ratio,
-             round(stop_raw, 6) AS stopword_ratio,
-             round(least(1.0, n_tokens / 100.0) * 0.5 + stop_raw * 0.5, 6)
-               AS quality_score
+      SELECT doc_id, nt AS n_tokens, n_chars_m, punct_ppm,
+             n_stop * 1000000 // nt AS stop_ppm,
+             (least(100, nt) * nt + 100 * n_stop) * 5000 // nt AS quality_ppm
       FROM s ORDER BY doc_id""",
 
     "t2_lang_id" -> s"""
@@ -637,10 +637,10 @@ object PipelineOracles {
       pairs AS (
         SELECT a_id, b_id FROM (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE round(jaccard, 6) >= 0.5),
+        WHERE 2 * inter >= uni),
       e AS (SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
       verts AS (SELECT DISTINCT u AS v FROM e),
@@ -677,7 +677,7 @@ object PipelineOracles {
                           s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
                              ELSE $SampleRateDefault END AS rate
                  FROM documents)
-      SELECT doc_id, lang, source, round(1000.0 / rate, 6) AS weight
+      SELECT doc_id, lang, source, 1000000000 // rate AS weight_ppm
       FROM d WHERE h % 1000 < rate ORDER BY doc_id""",
 
     "t9_tfidf_keywords" -> s"""
@@ -687,13 +687,13 @@ object PipelineOracles {
       dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
       n AS (SELECT COUNT(*) AS n_docs FROM documents),
       s AS (SELECT tf.doc_id, tf.term, tf.tf, dft.df,
-                   round(CAST(tf.tf AS DOUBLE) * n.n_docs / dft.df, 6) AS score
+                   CAST(tf.tf AS BIGINT) * n.n_docs * 1000000 // dft.df AS score_e6
             FROM tf JOIN dft USING (term), n),
-      r AS (SELECT doc_id, term, tf, df, score,
+      r AS (SELECT doc_id, term, tf, df, score_e6,
                    row_number() OVER (PARTITION BY doc_id
-                                      ORDER BY score DESC, term) AS rk
+                                      ORDER BY score_e6 DESC, term) AS rk
             FROM s)
-      SELECT doc_id, rk, term, tf, df, score FROM r
+      SELECT doc_id, rk, term, tf, df, score_e6 FROM r
       WHERE rk <= ${TfidfK} ORDER BY doc_id, rk""",
 
     "t10_boilerplate" -> s"""
@@ -706,8 +706,8 @@ object PipelineOracles {
       dfq AS (SELECT g, COUNT(*) AS gdf FROM g GROUP BY g)
       SELECT g.doc_id, COUNT(*) AS n_grams,
              SUM(CASE WHEN gdf >= ${BoilerK} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
-             round(SUM(CASE WHEN gdf >= ${BoilerK} THEN 1 ELSE 0 END)::DOUBLE
-                   / COUNT(*), 6) AS boiler_ratio
+             SUM(CASE WHEN gdf >= ${BoilerK} THEN 1 ELSE 0 END)::BIGINT * 1000000
+               // COUNT(*) AS boiler_ppm
       FROM g JOIN dfq USING (g)
       GROUP BY g.doc_id ORDER BY g.doc_id""",
 
@@ -738,7 +738,7 @@ object PipelineOracles {
              CAST(SUM(CASE WHEN covered = ${DupSpanGram} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_spans,
              CAST(SUM(covered) AS BIGINT) AS dup_tokens,
-             round(CAST(SUM(covered) AS DOUBLE) / n_words, 6) AS dup_ratio
+             CAST(SUM(covered) AS BIGINT) * 1000000 // n_words AS dup_ppm
       FROM c GROUP BY doc_id, n_words ORDER BY doc_id""",
 
     // linear quality model in exact integer arithmetic: every division has
@@ -873,10 +873,10 @@ object PipelineOracles {
       pairs AS (
         SELECT a_id, b_id FROM (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE round(jaccard, 6) >= 0.5),
+        WHERE 2 * inter >= uni),
       e AS (SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
       verts AS (SELECT DISTINCT u AS v FROM e),
@@ -931,14 +931,14 @@ object PipelineOracles {
                    v AS qv, nrm AS qn
             FROM n WHERE vec_id < 5),
       s AS (SELECT q.q_id, n.vec_id, n.label,
-                   round(list_sum(list_transform(range(1, len(n.v) + 1),
-                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn), 6) AS cosine
+                   CAST(floor(list_sum(list_transform(range(1, len(n.v) + 1),
+                           i -> n.v[i] * q.qv[i])) / (n.nrm * q.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM n JOIN q ON n.label = q.want AND n.vec_id != q.q_id),
-      r AS (SELECT q_id, vec_id, label, cosine,
+      r AS (SELECT q_id, vec_id, label, cos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cosine DESC, vec_id) AS rk
+                                      ORDER BY cos_e6 DESC, vec_id) AS rk
             FROM s)
-      SELECT q_id, rk, vec_id, label, cosine FROM r
+      SELECT q_id, rk, vec_id, label, cos_e6 FROM r
       WHERE rk <= ${FannK} ORDER BY q_id, rk""",
 
     // recall@5 of the v2 ANN vs the v1 exact baseline: both retrieval
@@ -989,24 +989,24 @@ object PipelineOracles {
             FROM n),
       q AS (SELECT vec_id AS q_id, p AS qp, pn AS qpn FROM p WHERE vec_id < 5),
       s AS (SELECT q.q_id, p.vec_id,
-                   round(list_sum(list_transform(range(1, ${MatDims} + 1),
-                           i -> p.p[i] * q.qp[i])) / (p.pn * q.qpn), 6) AS pcos
+                   CAST(floor(list_sum(list_transform(range(1, ${MatDims} + 1),
+                           i -> p.p[i] * q.qp[i])) / (p.pn * q.qpn) * 1000000.0 + 0.5) AS BIGINT) AS pcos_e6
             FROM p, q WHERE p.vec_id != q.q_id),
-      r AS (SELECT q_id, vec_id, pcos,
+      r AS (SELECT q_id, vec_id, pcos_e6,
                    row_number() OVER (PARTITION BY q_id
-                                      ORDER BY pcos DESC, vec_id) AS prk
+                                      ORDER BY pcos_e6 DESC, vec_id) AS prk
             FROM s),
-      sh AS (SELECT q_id, vec_id, pcos FROM r WHERE prk <= ${MatShortlist}),
-      f AS (SELECT sh.q_id, sh.vec_id, sh.pcos,
-                   round(list_sum(list_transform(range(1, len(d.v) + 1),
-                           i -> d.v[i] * qn.v[i])) / (d.nrm * qn.nrm), 6) AS cosine
+      sh AS (SELECT q_id, vec_id, pcos_e6 FROM r WHERE prk <= ${MatShortlist}),
+      f AS (SELECT sh.q_id, sh.vec_id, sh.pcos_e6,
+                   CAST(floor(list_sum(list_transform(range(1, len(d.v) + 1),
+                           i -> d.v[i] * qn.v[i])) / (d.nrm * qn.nrm) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
             FROM sh JOIN n d ON d.vec_id = sh.vec_id
                     JOIN n qn ON qn.vec_id = sh.q_id),
-      rr AS (SELECT q_id, vec_id, pcos, cosine,
+      rr AS (SELECT q_id, vec_id, pcos_e6, cos_e6,
                     row_number() OVER (PARTITION BY q_id
-                                       ORDER BY cosine DESC, vec_id) AS rk
+                                       ORDER BY cos_e6 DESC, vec_id) AS rk
              FROM f)
-      SELECT q_id, rk, vec_id, pcos, cosine FROM rr
+      SELECT q_id, rk, vec_id, pcos_e6, cos_e6 FROM rr
       WHERE rk <= ${MatK} ORDER BY q_id, rk""",
 
     "t8_decontaminate" -> s"""
@@ -1162,28 +1162,28 @@ object PipelineOracles {
       ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
       tot0 AS (SELECT SUM(ctf)::BIGINT AS tot0 FROM ct),
       sc AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
-                    round(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+                    CAST(floor(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c) * 1000000.0 + 0.5) AS BIGINT) AS lm_xent_e6
              FROM tf JOIN ct USING (term), tot0
              GROUP BY doc_id),
-      cw AS (SELECT doc_id, n_tokens, lm_xent,
-                    SUM(n_tokens) OVER (ORDER BY lm_xent, doc_id
+      cw AS (SELECT doc_id, n_tokens, lm_xent_e6,
+                    SUM(n_tokens) OVER (ORDER BY lm_xent_e6, doc_id
                                         ROWS UNBOUNDED PRECEDING) AS cum,
                     SUM(n_tokens) OVER () AS tot
              FROM sc),
-      keepb AS (SELECT doc_id, lm_xent,
+      keepb AS (SELECT doc_id, lm_xent_e6,
                        CASE WHEN 3 * (cum - n_tokens) < tot THEN 'head'
                             WHEN 3 * (cum - n_tokens) < 2 * tot THEN 'middle'
                             ELSE 'tail' END AS ppl_bucket
                 FROM cw),
-      sized AS (SELECT s.doc_id, k.lm_xent, k.ppl_bucket,
+      sized AS (SELECT s.doc_id, k.lm_xent_e6, k.ppl_bucket,
                        CAST(ceil(s.n_chars / 4.0) AS BIGINT) AS est_tokens
                 FROM surv s JOIN keepb k USING (doc_id)
                 WHERE k.ppl_bucket != 'tail'),
-      c2 AS (SELECT doc_id, lm_xent, ppl_bucket, est_tokens,
+      c2 AS (SELECT doc_id, lm_xent_e6, ppl_bucket, est_tokens,
                     SUM(est_tokens) OVER (ORDER BY doc_id
                                           ROWS UNBOUNDED PRECEDING) AS cum
              FROM sized)
-      SELECT doc_id, lm_xent, ppl_bucket, est_tokens,
+      SELECT doc_id, lm_xent_e6, ppl_bucket, est_tokens,
              CAST((cum - est_tokens) // ${PipelineQueries.ShardBudget} AS BIGINT) AS shard_id
       FROM c2 ORDER BY doc_id""",
 
@@ -1192,10 +1192,10 @@ object PipelineOracles {
       pairs AS (
         SELECT a_id, b_id FROM (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE round(jaccard, 6) >= 0.5),
+        WHERE 2 * inter >= uni),
       e AS (SELECT a_id AS u, b_id AS v FROM pairs
             UNION ALL SELECT b_id, a_id FROM pairs),
       verts AS (SELECT DISTINCT u AS v FROM e),
@@ -1220,9 +1220,9 @@ object PipelineOracles {
         WHERE d.doc_id % ${PipelineQueries.DecontMod} != 0
           AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
           AND d.doc_id NOT IN (SELECT doc_id FROM cont)
-          AND round(least(1.0, len(lg.lw) / 100.0) * 0.5 +
-                (len(list_filter(lg.lw, x -> x IN ${inList(StopEn)}))::DOUBLE
-                 / len(lg.lw)) * 0.5, 6) >= ${CorpusPrep.QualityMin}
+          AND (least(100, len(lg.lw))::BIGINT * len(lg.lw)
+               + 100 * len(list_filter(lg.lw, x -> x IN ${inList(StopEn)})))
+              * 5000 // len(lg.lw) >= ${CorpusPrep.QualityMinPpm}
           AND ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
               CASE ${SampleRatePermille.map { case (l, r) =>
                 s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")}
@@ -1316,7 +1316,7 @@ object PipelineOracles {
       ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
       tot AS (SELECT SUM(ctf)::BIGINT AS tot FROM ct)
       SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
-             round(SUM(c * ln(tot::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+             CAST(floor(SUM(c * ln(tot::DOUBLE / ctf::DOUBLE)) / SUM(c) * 1000000.0 + 0.5) AS BIGINT) AS lm_xent_e6
       FROM tf JOIN ct USING (term), tot
       GROUP BY doc_id ORDER BY doc_id""",
 
@@ -1329,15 +1329,15 @@ object PipelineOracles {
       ct AS (SELECT term, SUM(c)::BIGINT AS ctf FROM tf GROUP BY term),
       tot0 AS (SELECT SUM(ctf)::BIGINT AS tot0 FROM ct),
       sc AS (SELECT doc_id, SUM(c)::BIGINT AS n_tokens,
-                    round(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c), 6) AS lm_xent
+                    CAST(floor(SUM(c * ln(tot0::DOUBLE / ctf::DOUBLE)) / SUM(c) * 1000000.0 + 0.5) AS BIGINT) AS lm_xent_e6
              FROM tf JOIN ct USING (term), tot0
              GROUP BY doc_id),
-      cw AS (SELECT doc_id, n_tokens, lm_xent,
-                    SUM(n_tokens) OVER (ORDER BY lm_xent, doc_id
+      cw AS (SELECT doc_id, n_tokens, lm_xent_e6,
+                    SUM(n_tokens) OVER (ORDER BY lm_xent_e6, doc_id
                                         ROWS UNBOUNDED PRECEDING) AS cum,
                     SUM(n_tokens) OVER () AS tot
              FROM sc)
-      SELECT doc_id, n_tokens, lm_xent,
+      SELECT doc_id, n_tokens, lm_xent_e6,
              CASE WHEN 3 * (cum - n_tokens) < tot THEN 'head'
                   WHEN 3 * (cum - n_tokens) < 2 * tot THEN 'middle'
                   ELSE 'tail' END AS ppl_bucket

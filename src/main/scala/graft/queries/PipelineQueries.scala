@@ -285,10 +285,13 @@ object PipelineQueries {
     // intersect per pair, no union materialization, no string comparisons
     cand.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      // exact integer domain (round-8 fixed-point sweep): J ≥ 1/2 ⇔
+      // 2·|∩| ≥ |∪|, and the projected score is exact ppm — no float
+      // division + engine round ever touches the hashed surface
+      .filter(lit(2) * col("inter") >= col("uni"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+        expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -353,11 +356,11 @@ object PipelineQueries {
     val a = sh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
     val b = sh.select(col("doc_id").as("b_id"), col("ids").as("sb"))
     cand.join(a, "a_id").join(b, "b_id")
-      .withColumn("containment",
-        round(size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-          col("na"), 6))
-      .filter(col("containment") >= 0.8)
-      .select(col("a_id"), col("b_id"), col("containment"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      // exact integer domain: C ≥ 4/5 ⇔ 5·|∩| ≥ 4·|A|; projected exact ppm
+      .filter(lit(5) * col("inter") >= lit(4) * col("na"))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(inter as bigint) * 1000000 div na").as("containment_ppm"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -399,7 +402,7 @@ object PipelineQueries {
     * exact intersect/union — output identical to all-pairs, cost
     * proportional to true near-dups. */
   val d4NgramJaccard: Q = (spark, dir) => {
-    val thr = 0.3 // as a rational 3/10 — the pruning math below is integer-exact
+    // threshold J ≥ 3/10 — the pruning AND verify math is integer-exact
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
     // checkpointed: the verify stage joins TWO derivations of this frame
     // (a ⋈ b below is a self-join, which never reuses its own exchange),
@@ -472,10 +475,11 @@ object PipelineQueries {
     // so one array op per pair instead of intersect + union
     cand.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      // exact integer domain: J ≥ 3/10 ⇔ 10·|∩| ≥ 3·|∪|; projected exact ppm
+      .filter(lit(10) * col("inter") >= lit(3) * col("uni"))
       .select(col("source"), col("a_id"), col("b_id"),
-        round(col("inter").cast(DoubleType) /
-          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= thr)
+        expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
       .orderBy(col("source"), col("a_id"), col("b_id"))
   }
 
@@ -492,14 +496,14 @@ object PipelineQueries {
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
     e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -523,13 +527,13 @@ object PipelineQueries {
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("bucket").as("q_bucket"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
     e.join(broadcast(q), col("bucket") === col("q_bucket") && col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -609,10 +613,10 @@ object PipelineQueries {
     val e = ivfAssigned(spark, dir)
     e.join(broadcast(v14KeptCells(e)),
         col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
-      .filter(col("cosine") >= RangeTau)
-      .select(col("q_id"), col("vec_id"), col("cosine"))
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
+      .filter(col("cos_e6") >= lit((RangeTau * 1e6).toLong))
+      .select(col("q_id"), col("vec_id"), col("cos_e6"))
       .orderBy(col("q_id"), col("vec_id"))
   }
 
@@ -624,13 +628,13 @@ object PipelineQueries {
       .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(col("cell"), col("cell2"))).as("probe"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
     e.join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-      .withColumn("cosine",
-        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -667,16 +671,16 @@ object PipelineQueries {
     val qry = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("pv"), col("q").as("pq"),
         col("qn").as("pqn"), col("nrm").as("pn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("qcosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qcos_e6").desc, col("vec_id"))
     e.crossJoin(broadcast(qry))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("qcosine",
-        round(expr("vector_dot(q, pq)") / (col("qn") * col("pqn")), 6))
-      .withColumn("cosine",
-        round(expr("vector_dot(v, pv)") / (col("nrm") * col("pn")), 6))
+      .withColumn("qcos_e6",
+        floor((expr("vector_dot(q, pq)") / (col("qn") * col("pqn"))) * lit(1e6) + lit(0.5)))
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, pv)") / (col("nrm") * col("pn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("qcosine"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("qcos_e6"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -954,22 +958,22 @@ object PipelineQueries {
       .withColumn("pn", expr("sqrt(vector_dot(p, p))"))
     val qp = prefix.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("p").as("qp"), col("pn").as("qpn"))
-    val wPre = Window.partitionBy(col("q_id")).orderBy(col("pcos").desc, col("vec_id"))
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("pcos_e6").desc, col("vec_id"))
     val shortlist = prefix.crossJoin(broadcast(qp))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("pcos", round(expr("vector_dot(p, qp)") / (col("pn") * col("qpn")), 6))
+      .withColumn("pcos_e6", floor((expr("vector_dot(p, qp)") / (col("pn") * col("qpn"))) * lit(1e6) + lit(0.5)))
       .withColumn("prk", row_number().over(wPre))
       .filter(col("prk") <= MatShortlist)
-      .select(col("q_id"), col("vec_id"), col("pcos"))
+      .select(col("q_id"), col("vec_id"), col("pcos_e6"))
     val qf = full.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val wFull = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wFull = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
     full.join(broadcast(shortlist), "vec_id") // full vectors: shortlist rows only
       .join(broadcast(qf), "q_id")
-      .withColumn("cosine", round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_e6", floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(wFull))
       .filter(col("rk") <= MatK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("pcos"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("pcos_e6"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1008,15 +1012,15 @@ object PipelineQueries {
       .select(col("vec_id").as("q_id"),
         ((col("vec_id") + 3) % 10).as("want"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
     full
       .filter(col("label").isin(FannLabels: _*)) // pushed to the scan
       .join(broadcast(q), col("label") === col("want"))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("cosine", round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6))
+      .withColumn("cos_e6", floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= FannK)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cosine"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("label"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -1200,8 +1204,8 @@ object PipelineQueries {
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
-        round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6).as("cosine"))
-      .filter(col("cosine") >= 0.3)
+        floor((expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm"))) * lit(1e6) + lit(0.5)).as("cos_e6"))
+      .filter(col("cos_e6") >= lit(300000L))
       .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -1236,8 +1240,8 @@ object PipelineQueries {
     val dup = e.as("x").join(e.as("y"),
         col("x.cell") === col("y.cell") && col("y.vec_id") < col("x.vec_id") &&
           col("x.nrm") > 0 && col("y.nrm") > 0 &&
-          round(expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm")), 6)
-            >= SemThresh,
+          floor((expr("vector_dot(x.v, y.v)") / (col("x.nrm") * col("y.nrm"))) * lit(1e6) + lit(0.5))
+            >= lit((SemThresh * 1e6).toLong),
         "left_semi")
       .select(col("vec_id"), lit(1).as("dup"))
     e.join(dup, Seq("vec_id"), "left")
@@ -1251,19 +1255,22 @@ object PipelineQueries {
   val t1TextStats: Q = (spark, dir) =>
     t(spark, dir, "documents")
       .withColumn("w", split(lower(col("text")), " "))
-      .withColumn("stop_raw", // unrounded: rounding before the blend would
-        // manufacture exact 6-dp midpoints that the two engines break
-        // differently; a single final round of identical doubles is safe
-        expr(s"size(filter(w, x -> x in ${inList(StopEn)}))").cast(DoubleType) / size(col("w")))
+      .withColumn("nt", size(col("w")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(w, x -> x in ${inList(StopEn)}))").cast(LongType))
       .select(
         col("doc_id"),
-        size(col("w")).as("n_tokens"),
+        col("nt").as("n_tokens"),
         length(col("text")).as("n_chars_m"),
-        round((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")))
-          .cast(DoubleType) / length(col("text")), 6).as("punct_ratio"),
-        round(col("stop_raw"), 6).as("stopword_ratio"),
-        round(least(lit(1.0), size(col("w")) / 100.0) * 0.5 + col("stop_raw") * 0.5, 6)
-          .as("quality_score"))
+        // exact integer ppm ratios (round-8 fixed-point sweep: every
+        // hashed ratio here is a rational of integers, so divide in the
+        // integer domain — no engine float-rounding policy on the surface)
+        expr("cast(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) as bigint)" +
+          " * 1000000 div length(text)").as("punct_ppm"),
+        expr("n_stop * 1000000 div nt").as("stop_ppm"),
+        // blend min(1, nt/100)·0.5 + (n_stop/nt)·0.5
+        //   = (min(100,nt)·nt + 100·n_stop) / (200·nt); ×1e6 ⇒ ×5000 div nt
+        expr("(least(100L, nt) * nt + 100L * n_stop) * 5000 div nt").as("quality_ppm"))
       .orderBy(col("doc_id"))
 
   // ---- T2: language-ID heuristic -------------------------------------------
@@ -1825,7 +1832,9 @@ object PipelineQueries {
       .withColumn("rate", rate)
       .filter(pmod(col("h"), lit(1000)) < col("rate"))
       .select(col("doc_id"), col("lang"), col("source"),
-        round(lit(1000.0) / col("rate"), 6).as("weight"))
+        // exact integer ppm inverse-rate weight (round-8 fixed-point
+        // sweep: no float division + engine round on hashed surfaces)
+        expr("1000000000 div rate").as("weight_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -1857,14 +1866,17 @@ object PipelineQueries {
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("score_e6").desc, col("term"))
     tf.join(broadcast(dft), "term")
       .crossJoin(broadcast(n))
-      .withColumn("score",
-        round(col("tf").cast(DoubleType) * col("n_docs") / col("df"), 6))
+      // tf·(N/df) in exact 1e-6 fixed point — tf·N·1e6 stays < 2^63 up to
+      // ~9e18/tf_max docs; a production corpus would drop the 1e6 scale
+      // (the ranking is scale-invariant) long before that bound bites
+      .withColumn("score_e6",
+        expr("cast(tf as bigint) * n_docs * 1000000 div df"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= TfidfK)
-      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score"))
+      .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("score_e6"))
       .orderBy(col("doc_id"), col("rk"))
   }
 
@@ -2074,7 +2086,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("gdf") >= BoilerK, 1L).otherwise(0L)).as("n_boiler"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
-        round(col("n_boiler").cast(DoubleType) / col("n_grams"), 6).as("boiler_ratio"))
+        expr("n_boiler * 1000000 div n_grams").as("boiler_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2133,7 +2145,7 @@ object PipelineQueries {
         sum(col("covered")).as("dup_tokens"))
       .select(col("doc_id"), (col("n_words") - DupSpanGram + 1).as("n_grams"),
         col("n_dup_grams"), col("n_spans"), col("dup_tokens"),
-        round(col("dup_tokens").cast(DoubleType) / col("n_words"), 6).as("dup_ratio"))
+        expr("dup_tokens * 1000000 div n_words").as("dup_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2515,12 +2527,12 @@ object PipelineQueries {
         size(array_distinct(col("w"))).as("n_distinct_words"))
       .join(grams, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"),
-        round(lit(1.0) - col("n_distinct_words").cast(DoubleType) / col("n_words"), 6)
-          .as("dup_word_frac"),
-        round(col("top_bigram").cast(DoubleType) / col("n_bigrams"), 6)
-          .as("top_bigram_frac"),
-        round(lit(1.0) - col("nd5").cast(DoubleType) / col("n_3grams"), 6)
-          .as("dup_3gram_frac"))
+        // 1 − a/b in exact integer ppm: (b − a)·1e6 div b (nulls propagate
+        // through the integer ops exactly as through the float ones)
+        expr("cast(n_words - n_distinct_words as bigint) * 1000000 div n_words")
+          .as("dup_word_ppm"),
+        expr("top_bigram * 1000000 div n_bigrams").as("top_bigram_ppm"),
+        expr("(n_3grams - nd5) * 1000000 div n_3grams").as("dup_3gram_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2565,8 +2577,12 @@ object PipelineQueries {
       .withColumn("h",
         expr("cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) as bigint)"))
       .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
+      // inverse-rate weight in exact integer parts-per-million
+      // (weight = 1000/keep_pm ⇒ weight_ppm = 1e9 div keep_pm): keeps the
+      // hashed surface free of engine float-rounding policy (the t23
+      // driver-flip class; see the round-8 fixed-point sweep).
       .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
-        round(lit(1000.0) / col("keep_pm"), 6).as("weight"))
+        expr("1000000000 div keep_pm").as("weight_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2601,8 +2617,11 @@ object PipelineQueries {
       .withColumn("h",
         expr("cast(conv(substring(md5(concat('temp:', cast(doc_id as string))),1,15),16,10) as bigint)"))
       .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
+      // exact integer ppm weight — same discipline as t12 (no float
+      // division + round on the hashed surface, the class the round-7
+      // driver red exposed).
       .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
-        round(lit(1000.0) / col("keep_pm"), 6).as("weight"))
+        expr("1000000000 div keep_pm").as("weight_ppm"))
       .orderBy(col("doc_id"))
   }
 
@@ -2803,7 +2822,11 @@ object PipelineQueries {
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), sum(col("nll")).as("s"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s") / col("n_tokens"), 6).as("lm_xent"))
+        // explicit floor-scale (NOT engine round): both engines floor the
+        // identically-computed double, so no rounding-policy divergence
+        // sits on the hashed surface; the ≤1-ulp libm ln() skew remains
+        // the only (pre-existing, value-distance-monitored) residual
+        floor((col("s") / col("n_tokens")) * lit(1e6) + lit(0.5)).as("lm_xent_e6"))
   }
 
   val t15LmScore: Q = (spark, dir) =>
@@ -2897,7 +2920,7 @@ object PipelineQueries {
     * pins exactly that). */
   private[graft] def pplBuckets(scored: DataFrame, numRanges: Int = 32): DataFrame = {
     val parts = scored
-      .repartitionByRange(numRanges, col("lm_xent"), col("doc_id"))
+      .repartitionByRange(numRanges, col("lm_xent_e6"), col("doc_id"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint() // feeds the offsets agg AND the row-level join
     val offsets = parts.groupBy(col("pid")).agg(sum(col("n_tokens")).as("bt"))
@@ -2905,12 +2928,12 @@ object PipelineQueries {
         Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("pid"), col("off"))
     val tot = parts.agg(sum(col("n_tokens")).as("tot"))
-    val w = Window.partitionBy(col("pid")).orderBy(col("lm_xent"), col("doc_id"))
+    val w = Window.partitionBy(col("pid")).orderBy(col("lm_xent_e6"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     parts.join(broadcast(offsets), "pid")
       .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
       .crossJoin(broadcast(tot))
-      .select(col("doc_id"), col("n_tokens"), col("lm_xent"),
+      .select(col("doc_id"), col("n_tokens"), col("lm_xent_e6"),
         when(lit(3) * (col("cum") - col("n_tokens")) < col("tot"), "head")
           .when(lit(3) * (col("cum") - col("n_tokens")) < lit(2) * col("tot"), "middle")
           .otherwise("tail").as("ppl_bucket"))

@@ -142,8 +142,8 @@ object RelationalOracles {
     "w7_analytic" -> """
       SELECT user_id, event_id,
              ntile(4) OVER w AS quartile,
-             round(percent_rank() OVER w, 6) AS pct_rank,
-             round(cume_dist() OVER w, 6) AS cume,
+             CAST(floor(percent_rank() OVER w * 1000000.0 + 0.5) AS BIGINT) AS pct_rank_e6,
+             CAST(floor(cume_dist() OVER w * 1000000.0 + 0.5) AS BIGINT) AS cume_e6,
              last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
                         IGNORE NULLS) OVER w AS last_known_value
       FROM events

@@ -885,8 +885,12 @@ object RelationalQueries {
         when(col("event_type") === "error", lit(null)).otherwise(col("value")))
       .select(col("user_id"), col("event_id"),
         ntile(4).over(w).as("quartile"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        // explicit floor-scale, not engine round: (rank−1)/(n−1) can land
+        // EXACTLY on a 6-dp midpoint (1/128 = 0.0078125), where half-up
+        // and half-even engines diverge — spelling out the arithmetic
+        // makes both engines compute the identical bigint
+        floor(percent_rank().over(w) * lit(1e6) + lit(0.5)).as("pct_rank_e6"),
+        floor(cume_dist().over(w) * lit(1e6) + lit(0.5)).as("cume_e6"),
         last(col("v"), ignoreNulls = true).over(w).as("last_known_value"))
       .orderBy(col("user_id"), col("event_id"))
   }

@@ -163,14 +163,17 @@ object StreamingIngest {
     * and each pair involves ≥1 batch document, so a pair is discovered in
     * exactly the first batch that completes it. */
   def nearDupIngest(streamingDocs: DataFrame, root: String,
-                    checkpointDir: String, threshold: Double = 0.5): StreamingQuery =
+                    checkpointDir: String, thresholdPpm: Long = 500000L): StreamingQuery =
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => nearDupBatch(batch, root, threshold) }
+      .foreachBatch { (batch: DataFrame, _: Long) => nearDupBatch(batch, root, thresholdPpm) }
       .start()
 
-  /** One micro-batch (or one incremental run) of [[nearDupIngest]]. */
-  def nearDupBatch(batch: DataFrame, root: String, threshold: Double = 0.5): Unit = {
+  /** One micro-batch (or one incremental run) of [[nearDupIngest]].
+    * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
+    * (500000 = 1/2) — integer so the keep predicate and the emitted
+    * score live entirely in the exact integer domain. */
+  def nearDupBatch(batch: DataFrame, root: String, thresholdPpm: Long = 500000L): Unit = {
     import graft.queries.PipelineQueries._
     val spark = batch.sparkSession
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -204,10 +207,11 @@ object StreamingIngest {
     val b = allShingles.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
     val pairs = cand.join(a, "a_id").join(b, "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      // exact integer domain (d2's discipline): J ≥ t ⇔ |∩|·1e6 ≥ t_ppm·|∪|
+      .filter(expr(s"cast(inter as bigint) * 1000000 >= $thresholdPpm * cast(uni as bigint)"))
       .select(col("a_id"), col("b_id"),
-        round(col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
     SnapshotStore.merge(spark, s"$root/nd_pairs", pairs, Seq("a_id", "b_id"))
     SnapshotStore.merge(spark, s"$root/nd_buckets", batchBuckets, Seq("doc_id", "band"))
     SnapshotStore.merge(spark, s"$root/nd_shingles", sh, Seq("doc_id"))

@@ -61,15 +61,15 @@ class PipelineBatchOpsSpec extends SparkSpec {
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = PipelineQueries.d11Containment(spark, tmp).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
     // doc 1 is fully contained in doc 2 (containment 1.0) even though
     // their Jaccard is 20/320 ≈ 0.06 — the pair d2/d4 structurally miss;
     // the reverse direction (2 in 1) and the unrelated doc must NOT appear
-    assert(got == List((1L, 2L, 1.0)), s"got $got")
+    assert(got == List((1L, 2L, 1000000L)), s"got $got")
     // and the operator agrees with d2 on symmetric near-dups: every d2
     // pair at jaccard ≥ 0.9 must contain in BOTH directions on the corpus
     val strong = PipelineQueries.d2MinhashLsh(spark, dir)
-      .filter(col("jaccard") >= 0.9)
+      .filter(col("jaccard_ppm") >= 900000L)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     val contained = PipelineQueries.d11Containment(spark, dir)
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -122,12 +122,12 @@ class PipelineBatchOpsSpec extends SparkSpec {
 
   test("t6: sample is the deterministic hash predicate, with inverse-rate weights") {
     val out = PipelineQueries.t6SampleStratified(spark, dir)
-    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
     assert(rows.nonEmpty)
-    rows.foreach { case (_, lang, w) =>
+    rows.foreach { case (_, lang, wppm) =>
       val rate = PipelineQueries.SampleRatePermille
         .getOrElse(lang, PipelineQueries.SampleRateDefault)
-      assert(math.abs(w - 1000.0 / rate) < 1e-9)
+      assert(wppm == 1000000000L / rate)
     }
     // re-running yields the identical sample (no rand() anywhere)
     assert(PipelineQueries.t6SampleStratified(spark, dir).collect()
@@ -200,9 +200,9 @@ class PipelineBatchOpsSpec extends SparkSpec {
     val rows = PipelineQueries.v4QuantizedTopk(spark, dir).collect()
     assert(rows.length == 25) // 5 queries × top-5
     rows.foreach { r =>
-      val (qcos, cos) = (r.getDouble(3), r.getDouble(4))
-      assert(math.abs(qcos - cos) < 0.02,
-        s"quantization error ${math.abs(qcos - cos)} too large (q=$qcos exact=$cos)")
+      val (qcos, cos) = (r.getLong(3), r.getLong(4))
+      assert(math.abs(qcos - cos) < 20000L,
+        s"quantization error ${math.abs(qcos - cos)} (1e-6 units) too large (q=$qcos exact=$cos)")
     }
   }
 
@@ -328,23 +328,23 @@ class PipelineBatchOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.length == texts.size)
-    val eps = 5e-7 // both sides round to 6dp; compare against the raw ratio
+    val eps = 1.1e-6 // ppm floor-division; compare against the raw ratio
     out.foreach { r =>
       val (id, nWords) = (r.getLong(0), r.getInt(1))
       // Spark split keeps empty tokens — mirror with split limit -1
       val w = texts(id).toLowerCase.split(" ", -1).toSeq
       assert(nWords == w.length)
-      assert(math.abs(r.getDouble(2) - (1.0 - w.distinct.length.toDouble / w.length)) < eps)
+      assert(math.abs(r.getLong(2) / 1e6 - (1.0 - w.distinct.length.toDouble / w.length)) < eps)
       val bi = w.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
       if (bi.isEmpty) assert(r.isNullAt(3))
       else {
         val counts = bi.groupBy(identity).map(_._2.length)
-        assert(math.abs(r.getDouble(3) - counts.max.toDouble / bi.length) < eps)
+        assert(math.abs(r.getLong(3) / 1e6 - counts.max.toDouble / bi.length) < eps)
       }
       val tri = w.sliding(PipelineQueries.RepGram)
         .filter(_.length == PipelineQueries.RepGram).map(_.mkString(" ")).toSeq
       if (tri.isEmpty) assert(r.isNullAt(4))
-      else assert(math.abs(r.getDouble(4) - (1.0 - tri.distinct.length.toDouble / tri.length)) < eps)
+      else assert(math.abs(r.getLong(4) / 1e6 - (1.0 - tri.distinct.length.toDouble / tri.length)) < eps)
     }
   }
 
@@ -361,11 +361,11 @@ class PipelineBatchOpsSpec extends SparkSpec {
     val expectedKeep = srcTokens.map { case (s, tok) =>
       s -> math.min(1000L, budget * share.getOrElse(s, MixShareDefault) / tok) }
     val out = PipelineQueries.t12MixRebalance(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
     assert(out.nonEmpty)
-    out.foreach { case (_, src, keep, w) =>
+    out.foreach { case (_, src, keep, wppm) =>
       assert(keep == expectedKeep(src), s"$src keep_pm $keep != ${expectedKeep(src)}")
-      assert(math.abs(w - 1000.0 / keep) < 1e-6)
+      assert(wppm == 1000000000L / keep)
     }
     // the binding source is kept (almost) in full; something is downsampled
     assert(expectedKeep.values.max >= 999L && expectedKeep.values.min < 1000L)
@@ -447,7 +447,7 @@ class PipelineBatchOpsSpec extends SparkSpec {
       val ws = byDoc(r.getLong(0)).map(_._2)
       assert(r.getLong(1) == ws.length.toLong)
       val xent = ws.map(w => math.log(tot / ctf(w))).sum / ws.length
-      assert(math.abs(r.getDouble(2) - xent) < 1e-5, s"doc ${r.getLong(0)}")
+      assert(math.abs(r.getLong(2) / 1e6 - xent) < 1e-5, s"doc ${r.getLong(0)}")
     }
   }
 

@@ -16,13 +16,13 @@ class T17PartitionInvarianceSpec extends SparkSpec {
   import spark.implicits._
 
   // duplicate lm_xent values on purpose: ties must resolve by doc_id alone
-  private val rows: Gen[List[(Long, Long, Double)]] = Gen.nonEmptyListOf(for {
+  private val rows: Gen[List[(Long, Long, Long)]] = Gen.nonEmptyListOf(for {
     id <- Gen.choose(0L, 400L)
     tok <- Gen.choose(0L, 300L)            // zero-token docs included
-    xent <- Gen.choose(1, 12).map(_ / 4.0) // coarse grid => heavy ties
+    xent <- Gen.choose(1L, 12L).map(_ * 250000L) // coarse grid => heavy ties
   } yield (id, tok, xent)).map(_.groupMapReduce(_._1)(identity)((a, _) => a).values.toList)
 
-  private def sequential(data: Seq[(Long, Long, Double)]): Map[Long, String] = {
+  private def sequential(data: Seq[(Long, Long, Long)]): Map[Long, String] = {
     val tot = data.map(_._2).sum
     var cum = 0L
     data.sortBy(d => (d._3, d._1)).map { case (id, tok, _) =>
@@ -35,7 +35,7 @@ class T17PartitionInvarianceSpec extends SparkSpec {
   test("t17 buckets are identical under 1 / 3 / 32 range partitions and equal the sequential scan (6 seeded cases)") {
     (1 to 6).foreach { i =>
       val data = rows(Gen.Parameters.default, Seed(1700L + i)).get
-      val df = data.toDF("doc_id", "n_tokens", "lm_xent")
+      val df = data.toDF("doc_id", "n_tokens", "lm_xent_e6")
       val expected = sequential(data)
       for (parts <- Seq(1, 3, 32)) {
         val got = PipelineQueries.pplBuckets(df, parts)

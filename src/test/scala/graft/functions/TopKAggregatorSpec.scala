@@ -13,8 +13,8 @@ class TopKAggregatorSpec extends SparkSpec {
   test("groupByKey + TopKAggregator ≡ window-based v1_cosine_topk") {
     val dir = "/root/testdata/sf0.001"
     val viaWindow = PipelineQueries.v1CosineTopk(spark, dir)
-      .select("q_id", "rk", "vec_id", "cosine")
-      .as[(Long, Int, Long, Double)].collect().toSeq
+      .select("q_id", "rk", "vec_id", "cos_e6")
+      .as[(Long, Int, Long, Long)].collect().toSeq
 
     GraftFunctions.ensureRegistered(spark)
     val e = graft.Sources.testdata(spark, dir)("embeddings")
@@ -26,15 +26,17 @@ class TopKAggregatorSpec extends SparkSpec {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"),
         col("vec_id"),
-        round(expr("vector_dot(v, qv)") / (col("nrm") * col("qn")), 6).as("cosine"))
-      .as[(Long, Long, Double)]
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6)
+          + lit(0.5)).as("cos_e6"))
+      .as[(Long, Long, Long)]
     val topk = new TopKAggregator(10).toColumn
     val viaAgg = scored
       .groupByKey(_._1)
-      .mapValues { case (_, id, cos) => (id, cos) }
+      // e6 longs ride the Double score slot exactly (|cos_e6| < 2^53)
+      .mapValues { case (_, id, cos) => (id, cos.toDouble) }
       .agg(topk.name("topk"))
       .flatMap { case (qId, hits) =>
-        hits.zipWithIndex.map { case ((id, cos), i) => (qId, i + 1, id, cos) }
+        hits.zipWithIndex.map { case ((id, cos), i) => (qId, i + 1, id, cos.toLong) }
       }
       .collect().toSeq.sortBy(r => (r._1, r._2))
 

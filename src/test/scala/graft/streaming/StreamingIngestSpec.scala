@@ -97,10 +97,10 @@ class StreamingIngestSpec extends SparkSpec {
       .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)), pairs)
     // and the pair values match the batch d2 semantics on the full corpus
-    val jac = SnapshotStore.read(spark, s"$root/nd_pairs").get
+    val jacPpm = SnapshotStore.read(spark, s"$root/nd_pairs").get
       .filter(col("a_id") === 1 && col("b_id") === 2)
-      .select("jaccard").head().getDouble(0)
-    assert(jac >= 0.5 && jac <= 1.0)
+      .select("jaccard_ppm").head().getLong(0)
+    assert(jacPpm >= 500000L && jacPpm <= 1000000L)
   }
 
   test("stream-static decontamination flags exactly the docs sharing a gram with the eval set") {
