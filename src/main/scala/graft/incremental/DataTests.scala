@@ -44,7 +44,10 @@ object DataTests {
       def testName = "unique"; def columnLabel = columns.mkString(",")
     }
     /** dbt `accepted_values`. NULLs never fail (SQL `NOT IN` semantics —
-      * dbt's compiled test has the same behavior). */
+      * dbt's compiled test has the same behavior), and failures count
+      * DISTINCT offending VALUES, not rows — dbt compiles the test as a
+      * `GROUP BY column` over the violators and counts the resulting
+      * rows, so a bad value repeated a million times is one failure. */
     final case class AcceptedValues(column: String, values: Seq[String]) extends DataTest {
       def testName = "accepted_values"; def columnLabel = column
     }
@@ -75,10 +78,12 @@ object DataTests {
                ref: String => DataFrame = n =>
                  sys.error(s"relationships test needs ref('$n')")): DataFrame = {
     require(tests.nonEmpty, s"no tests declared for $model")
-    // fused single-pass conditional counts
+    // fused single-pass conditional counts (AcceptedValues stays out:
+    // its dbt-parity count is DISTINCT values, and mixing a distinct
+    // aggregate into the fused agg would force the whole pass through
+    // expand + a sort-based fallback — the k1 lesson)
     val fused: Seq[(DataTest, Column)] = tests.collect {
-      case t @ NotNull(c)           => t -> col(c).isNull
-      case t @ AcceptedValues(c, v) => t -> !col(c).isin(v: _*)
+      case t @ NotNull(c) => t -> col(c).isNull
     }
     val fusedDf: Option[DataFrame] =
       if (fused.isEmpty) None
@@ -95,6 +100,14 @@ object DataTests {
           s"stack(${fused.size}, $stackArgs) as (column_name, test, failures)"))
       }
     val rest: Seq[DataFrame] = tests.collect {
+      case t @ AcceptedValues(c, v) =>
+        // dbt's compiled shape: violators grouped by the column, failures
+        // = resulting row count. The NOT IN filter is selective, so the
+        // distinct runs over (usually zero) violators only.
+        df.filter(!col(c).isin(v: _*)).select(col(c)).distinct()
+          .agg(count(lit(1)).as("failures"))
+          .select(lit(model).as("model"), lit(t.columnLabel).as("column_name"),
+            lit(t.testName).as("test"), col("failures"))
       case t @ Unique(cols) =>
         // dbt: single-column unique ignores NULL keys; composite
         // (dbt_utils.unique_combination_of_columns) does not filter

@@ -28,14 +28,31 @@ object Microbatch {
     * receives each window's bounds and returns that batch's rows;
     * `partitionDate` is the model's date expression (the same column
     * [[SnapshotStore.merge]] partitions by). Returns the window bounds
-    * that were run. */
+    * that were run.
+    *
+    * Window starts are TRUNCATED to the epoch-anchored `periodMs` grid
+    * (dbt's microbatch truncates batch boundaries to the declared
+    * period): every run of the same period — today's increment, a later
+    * backfill, a retry — lands on one global grid, so re-runs replace
+    * exactly the partitions the original run wrote. Without the
+    * truncation, a retry launched from an off-grid `fromMs` would
+    * wholesale-replace partitions straddling its shifted boundaries —
+    * silent data loss. `periodMs` must still be a multiple of the
+    * `partitionDate` grain (e.g. whole days for a daily grain) so a
+    * window's partitions are touched by no other window; that part of the
+    * contract cannot be checked here because the grain is an opaque
+    * expression. The first window may therefore begin before `fromMs` —
+    * `buildBatch` receives the widened bound and must filter by event
+    * time, which also makes the widening harmless (whole-period batches
+    * are exactly dbt's semantics). */
   def run(spark: SparkSession, root: String,
           buildBatch: (Long, Long) => DataFrame,
           partitionDate: Column, fromMs: Long, toMs: Long,
           periodMs: Long): Seq[(Long, Long)] = {
     require(periodMs > 0 && toMs > fromMs, "empty microbatch range")
-    val windows = Iterator.iterate(fromMs)(_ + periodMs)
-      .takeWhile(_ < toMs).map(s => (s, math.min(s + periodMs, toMs))).toSeq
+    val from0 = Math.floorDiv(fromMs, periodMs) * periodMs
+    val windows = Iterator.iterate(from0)(_ + periodMs)
+      .takeWhile(_ < toMs).map(s => (s, s + periodMs)).toSeq
     windows.foreach { case (s, e) =>
       val batch = buildBatch(s, e)
       // an empty window publishes nothing — replaying it stays a no-op

@@ -966,7 +966,11 @@ object SnapshotStore {
     changes(spark, srcRoot, since) match {
       case None => since
       case Some(feed) =>
-        val latestVer = feed.agg(max(col(CommitVersionCol))).head.getLong(0)
+        // an empty feed in range (e.g. a merge of a zero-row batch still
+        // publishes a feed commit) advances nothing: max() is NULL
+        val maxRow = feed.agg(max(col(CommitVersionCol))).head
+        if (maxRow.isNullAt(0)) return since
+        val latestVer = maxRow.getLong(0)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keys.map(col): _*)
           .orderBy(col(CommitVersionCol).desc,

@@ -227,8 +227,10 @@ object DagOracles {
     * suite compiles to the same per-test counting SQL dbt would generate:
     * `count(*) FILTER (WHERE col IS NULL)` for not_null, a
     * `GROUP BY ... HAVING count(*) > 1` subquery count for unique, a
-    * `NOT IN` filter count for accepted_values (NULLs never fail — SQL
-    * three-valued logic, both engines), and a `NOT EXISTS` anti-join row
+    * `NOT IN`-filtered DISTINCT-value count for accepted_values (NULLs
+    * never fail — SQL three-valued logic, both engines; distinct values,
+    * not rows, is what dbt's compiled GROUP BY test counts), and a
+    * `NOT EXISTS` anti-join row
     * count for relationships. Generated from the SAME
     * [[ReferenceSchema.auditSuite]] the Spark side runs, so the two
     * suites cannot drift. */
@@ -254,8 +256,11 @@ object DagOracles {
              |          SELECT 1 AS one FROM $from$nullGuard
              |          GROUP BY ${cols.mkString(", ")} HAVING count(*) > 1)""".stripMargin
         case DataTest.AcceptedValues(c, vs) =>
+          // dbt parity: distinct offending VALUES (the compiled test
+          // groups violators by the column and counts resulting rows)
           val list = vs.map(v => s"'$v'").mkString(", ")
-          s"${row(c, "accepted_values", s"count(*) FILTER (WHERE $c NOT IN ($list))")} FROM $from"
+          s"${row(c, "accepted_values",
+            s"count(DISTINCT $c) FILTER (WHERE $c NOT IN ($list))")} FROM $from"
         case DataTest.Relationships(c, toModel, toCol) =>
           s"""${row(c, "relationships", "count(*)")} FROM $from c
              |        WHERE c.$c IS NOT NULL AND NOT EXISTS (

@@ -53,14 +53,23 @@ class DataTestsSpec extends SparkSpec {
     assert(!got.getBoolean(4))
   }
 
-  test("not_null + accepted_values fuse into ONE aggregate pass over the model") {
+  test("not_null tests fuse into ONE aggregate pass over the model") {
     val plan = DataTests.forModel("docs", docs,
-      Seq(NotNull("text"), NotNull("lang"), AcceptedValues("lang", Seq("en"))))
+      Seq(NotNull("text"), NotNull("lang")))
       .queryExecution.optimizedPlan
     val scans = plan.collect {
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
     }
     assert(scans.size == 1, s"fused tests must scan once, got ${scans.size}")
+  }
+
+  test("accepted_values counts DISTINCT offending values, not rows (dbt's GROUP BY compile)") {
+    val df = Seq("xx", "xx", "xx", "yy", "en", null.asInstanceOf[String])
+      .toDF("lang")
+    val got = DataTests.forModel("t", df, Seq(AcceptedValues("lang", Seq("en", "de"))))
+      .collect().head
+    // 4 bad ROWS but only 2 bad VALUES (xx, yy); NULL never fails
+    assert(got.getLong(3) == 2, s"expected 2 distinct failing values, got ${got.getLong(3)}")
   }
 
   test("check throws dbt's exit contract naming every red test") {

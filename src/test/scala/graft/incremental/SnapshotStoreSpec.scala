@@ -304,6 +304,47 @@ class SnapshotStoreSpec extends SparkSpec {
       "no-match / NULL-predicate deletes must publish nothing")
   }
 
+  test("applyChanges on an empty in-range feed is a no-op, not an NPE") {
+    val src = tmpRoot(); val dst = tmpRoot()
+    SnapshotStore.merge(spark, src, rows(Seq((1L, "2026-01-01", "a"))),
+      Seq("id"), pd, changeFeed = true)
+    val v1 = SnapshotStore.applyChanges(spark, src, dst, Seq("id"), to_date(col("dt")))
+    assert(v1 == 1L)
+    // a merge of a ZERO-ROW batch still publishes a feed commit — the
+    // state a watermark-filtered incremental run with no new rows leaves
+    SnapshotStore.merge(spark, src, rows(Seq()), Seq("id"), pd, changeFeed = true)
+    val v2 = SnapshotStore.applyChanges(spark, src, dst, Seq("id"), to_date(col("dt")))
+    assert(v2 == v1, s"empty feed must leave the watermark at $v1, got $v2")
+    assert(readAll(dst) == Set((1L, "2026-01-01", "a")))
+  }
+
+  test("microbatch: off-grid window starts truncate to the period grid — retries never straddle") {
+    val root = tmpRoot()
+    val day = 86400000L
+    val base = java.time.LocalDate.parse("2026-01-01")
+    def ms(d: Int) = base.plusDays(d).atStartOfDay(java.time.ZoneOffset.UTC)
+      .toInstant.toEpochMilli
+    val data = (0 until 8).map(d => (d.toLong, base.plusDays(d).toString, s"p$d"))
+    def batch(s: Long, e: Long) =
+      rows(data).filter(unix_millis(to_timestamp(col("dt"))) >= s &&
+        unix_millis(to_timestamp(col("dt"))) < e)
+    // main run on 2-day windows from an off-grid start (mid-day offset):
+    // starts must floor onto the epoch-anchored grid
+    val wins = Microbatch.run(spark, root, batch, to_date(col("dt")),
+      ms(0) + 3 * 3600 * 1000L, ms(8), periodMs = 2 * day)
+    assert(wins.forall { case (st, en) => st % (2 * day) == 0 && en == st + 2 * day },
+      s"windows must sit on the epoch 2-day grid: $wins")
+    val before = readAll(root)
+    assert(before == data.toSet)
+    // a retry launched from a DIFFERENT off-grid bound lands on the same
+    // grid and must leave the table unchanged (this is the silent-loss
+    // case when starts are not truncated: a straddling window would
+    // wholesale-replace a partition with only its half of the rows)
+    Microbatch.run(spark, root, batch, to_date(col("dt")),
+      ms(3) + 7 * 3600 * 1000L, ms(5), periodMs = 2 * day)
+    assert(readAll(root) == before, "a replayed off-grid window lost rows")
+  }
+
   test("reads are manifest-committed: a file on disk but not in the manifest is invisible") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(
