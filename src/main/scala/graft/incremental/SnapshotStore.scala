@@ -191,9 +191,10 @@ object SnapshotStore {
     Manifest.read(snapDir).map(_.partitioned)
       .getOrElse(partitionDirs(snapDir).nonEmpty)
 
-  /** Hard-link every data file under `src` into the same relative location
-    * under `dst` — carries immutable parquet between snapshots with
-    * O(files) metadata work and zero data movement. */
+  /** Carry every data file under `src` into the same relative location
+    * under `dst` via the configured [[FileIO]] — hard links (O(files)
+    * metadata, zero data movement) or object-store-style per-file copies.
+    * Legacy listing walk: manifest-era snapshots use [[linkFromManifest]]. */
   private def linkInto(src: Path, dst: Path): Unit = {
     Files.createDirectories(dst)
     val walk = Files.walk(src)
@@ -207,21 +208,21 @@ object SnapshotStore {
         val rel = src.relativize(p)
         val target = dst.resolve(rel)
         Files.createDirectories(target.getParent)
-        Files.createLink(target, p)
+        FileIO.get.carry(p, target)
       }
     finally walk.close()
   }
 
-  /** Hard-link exactly the manifest-listed files of the partitions in
-    * `values` from `src` into `dst` — the listing-free carryover (an
-    * object store would issue per-file copy/link metadata ops from the
-    * same list). */
+  /** Carry exactly the manifest-listed files of the partitions in
+    * `values` from `src` into `dst` — the listing-free carryover. Under
+    * [[FileIO.Copy]] this IS the object-store path: per-file server-side
+    * copies issued straight off the manifest's list. */
   private def linkFromManifest(m: Manifest.TableManifest, values: Set[String],
                                src: Path, dst: Path): Unit =
     m.files.filter(_.partitionValue.exists(values)).foreach { f =>
       val target = dst.resolve(f.path)
       Files.createDirectories(target.getParent)
-      Files.createLink(target, src.resolve(f.path))
+      FileIO.get.carry(src.resolve(f.path), target)
     }
 
   /** Bits of z-resolution per cluster column (256 quantile buckets). */
@@ -836,7 +837,7 @@ object SnapshotStore {
             carried.result().foreach { f =>
               val target = Paths.get(root, snap).resolve(f.path)
               Files.createDirectories(target.getParent)
-              Files.createLink(target, snapDir.resolve(f.path))
+              FileIO.get.carry(snapDir.resolve(f.path), target)
             }
             commit(root, snap, m.schema, m.partitioned)
           }
@@ -1076,7 +1077,7 @@ object SnapshotStore {
         m.files.foreach { f =>
           val target = nextDir.resolve(f.path)
           Files.createDirectories(target.getParent)
-          Files.createLink(target, srcDir.resolve(f.path))
+          FileIO.get.carry(srcDir.resolve(f.path), target)
         }
         Manifest.write(nextDir, m.schema, m.partitioned, m.files)
         publish(root, next)
@@ -1110,7 +1111,7 @@ object SnapshotStore {
         m.files.foreach { f =>
           val target = dstDir.resolve(f.path)
           Files.createDirectories(target.getParent)
-          Files.createLink(target, srcDir.resolve(f.path))
+          FileIO.get.carry(srcDir.resolve(f.path), target)
         }
         Manifest.write(dstDir, m.schema, m.partitioned, m.files)
         publish(dstRoot, snap)

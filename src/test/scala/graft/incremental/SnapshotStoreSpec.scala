@@ -37,6 +37,19 @@ class SnapshotStoreSpec extends SparkSpec {
       }.toMap
   }
 
+  /** Carryover assertion valid under BOTH [[FileIO]] strategies: the
+    * carried file NAMES are identical either way; hard links share
+    * inodes, object-store-style copies must NOT (independent bytes). */
+  private def assertCarried(before: Map[String, Long], after: Map[String, Long],
+                            what: String): Unit = {
+    assert(after.keySet == before.keySet, s"$what: carried file set changed")
+    if (FileIO.get == FileIO.HardLink)
+      assert(after == before, s"$what must carry by hard link")
+    else before.foreach { case (n, ino) =>
+      assert(after(n) != ino, s"$what: copy mode must produce an independent inode for $n")
+    }
+  }
+
   test("merge bootstrap + upsert: new rows win, unmatched old rows survive") {
     val root = tmpRoot()
     SnapshotStore.merge(spark, root, rows(Seq(
@@ -75,9 +88,9 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.merge(spark, root, rows(Seq((2L, "2026-01-02", "b2"))), Seq("id"), pd)
     val after = inodesByPartition(root)
     assert(after.keySet == Set("_dt=2026-01-01", "_dt=2026-01-02", "_dt=2026-01-03"))
-    // untouched partitions: identical file names AND identical inodes (hard links)
+    // untouched partitions: identical file names; inode sharing per FileIO
     for (dt <- Seq("_dt=2026-01-01", "_dt=2026-01-03"))
-      assert(after(dt) == before(dt), s"$dt must be carried by hard link")
+      assertCarried(before(dt), after(dt), dt)
     // touched partition: fully rewritten (no file survives)
     assert(after("_dt=2026-01-02").keySet.intersect(
       before("_dt=2026-01-02").keySet).isEmpty)
@@ -264,8 +277,9 @@ class SnapshotStoreSpec extends SparkSpec {
     // day 1: the compact file survives UNREAD (same name, same inode);
     // its three small files are packed into one
     val bigName = bigFile.getFileName.toString
-    assert(after("_dt=2026-01-01")(bigName) == before("_dt=2026-01-01")(bigName),
-      "compact file must be carried by hard link, not rewritten")
+    assertCarried(before("_dt=2026-01-01").view.filterKeys(_ == bigName).toMap,
+      after("_dt=2026-01-01").view.filterKeys(_ == bigName).toMap,
+      "compact file (carried, never rewritten)")
     assert(after("_dt=2026-01-01").size == 2, "3 small files must pack into 1")
     assert(after("_dt=2026-01-02").size == 1, "2 small files must pack into 1")
     assert(readAll(root) == expected, "compaction must not change contents")
@@ -285,7 +299,7 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.delete(spark, root, col("id") === 2L, changeFeed = true)
     val after = inodesByPartition(root)
     for (dt <- Seq("_dt=2026-01-01", "_dt=2026-01-03"))
-      assert(after(dt) == before(dt), s"$dt must carry by hard link")
+      assertCarried(before(dt), after(dt), dt)
     assert(after("_dt=2026-01-02") != before("_dt=2026-01-02"))
     assert(readAll(root) == Set(
       (1L, "2026-01-01", "a"), (22L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
@@ -480,9 +494,10 @@ class SnapshotStoreSpec extends SparkSpec {
     SnapshotStore.insertOverwrite(spark, root, rows(Seq(
       (9L, "2026-01-02", "fresh"))), to_date(col("dt")))
     assert(readAll(root) == Set((1L, "2026-01-01", "keep"), (9L, "2026-01-02", "fresh")))
-    // day 1 carried by hard link — same inode, zero bytes moved
+    // day 1 carried — zero bytes moved under hard links, an independent
+    // copy under the object-store mapping
     val after = inodesByPartition(root)
-    assert(after("_dt=2026-01-01").values.toSet == before("_dt=2026-01-01").values.toSet)
+    assertCarried(before("_dt=2026-01-01"), after("_dt=2026-01-01"), "_dt=2026-01-01")
     // a keyed merge of the same batch would have KEPT the stale rows —
     // the two strategies genuinely differ on this input
     val root2 = tmpRoot()
@@ -502,9 +517,10 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, dst).get
       .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet ==
       readAll(src))
-    // zero-copy: the cloned day-1 file IS the source's (same inode)
-    assert(inodesByPartition(src)("_dt=2026-01-01").values.toSet ==
-      inodesByPartition(dst)("_dt=2026-01-01").values.toSet)
+    // hard-link mode: zero-copy, the cloned day-1 file IS the source's
+    // (same inode); copy mode: a deep clone with independent bytes
+    assertCarried(inodesByPartition(src)("_dt=2026-01-01"),
+      inodesByPartition(dst)("_dt=2026-01-01"), "cloned _dt=2026-01-01")
     // diverge both sides; neither sees the other's writes
     SnapshotStore.merge(spark, dst, rows(Seq((3L, "2026-01-03", "c"))), Seq("id"), pd)
     SnapshotStore.merge(spark, src, rows(Seq((2L, "2026-01-02", "B2"))), Seq("id"), pd)
@@ -546,11 +562,11 @@ class SnapshotStoreSpec extends SparkSpec {
     // live = gen 1's contents; the restore is generation 3, not a rewind
     assert(readAll(root) == Set((1L, "2026-01-01", "a"), (2L, "2026-01-02", "b")))
     assert(SnapshotStore.currentSnapshot(root).contains("snap-0000003"))
-    // pure metadata: gen 3's untouched _dt=2026-01-01 file IS gen 1/2's
-    // (same inode) — no bytes were rewritten
+    // hard-link mode: pure metadata, gen 3's untouched _dt=2026-01-01
+    // file IS gen 1/2's (same inode); copy mode: re-materialized bytes
     val after = inodesByPartition(root)
-    assert(after("_dt=2026-01-01").values.toSet ==
-      before("_dt=2026-01-01").values.toSet)
+    assertCarried(before("_dt=2026-01-01"), after("_dt=2026-01-01"),
+      "restored _dt=2026-01-01")
     // the bad generation stays time-travelable until vacuum
     val gen2 = SnapshotStore.readAt(spark, root, "snap-0000002").get
       .select("id", "dt", "payload").as[(Long, String, String)].collect().toSet
@@ -580,4 +596,16 @@ class SnapshotStoreSpec extends SparkSpec {
     // no target → flat legacy layout
     assert(new Runner("/w", Nil).tableDir("fct") == "/w/fct")
   }
+}
+
+/** The ENTIRE SnapshotStore contract re-run under the object-store
+  * carryover ([[FileIO.Copy]]): every test above executes with per-file
+  * copies instead of hard links, proving the store assumes no link
+  * support anywhere — the posture it needs where the reference's 100 TB
+  * actually lives (Delta tables on object storage). Physical assertions
+  * flip inside [[SnapshotStoreSpec.assertCarried]]; clone and restore
+  * become deep (independent bytes) with identical visibility semantics. */
+class SnapshotStoreCopyModeSpec extends SnapshotStoreSpec {
+  override protected def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    FileIO.withIO(FileIO.Copy)(super.withFixture(test))
 }
