@@ -1403,5 +1403,8 @@ object PipelineOracles {
   val all: Map[String, String] = base ++ Map(
     // the streaming near-dup table must converge to d2's exact all-pairs
     // result — same oracle, different engine path
-    "d2s_stream_neardup" -> base("d2_minhash_lsh"))
+    "d2s_stream_neardup" -> base("d2_minhash_lsh"),
+    // the persisted-and-incrementally-merged index must serve EXACTLY
+    // what the per-query rebuild computes — same oracle, verbatim
+    "v15_persisted_ivfpq" -> base("v7_ivfpq"))
 }

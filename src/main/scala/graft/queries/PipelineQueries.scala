@@ -790,6 +790,69 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V15: the ANN index as a persisted, incrementally-merged table -------
+
+  /** V15: v7's IVF-PQ index MATERIALIZED through the incremental sink and
+    * SERVED from the persisted table — the shape a real retrieval
+    * deployment runs, where the index is the expensive artifact and new
+    * vectors arrive continuously. Per-vector index rows `(vec_id, cell,
+    * code)` depend only on that vector and literal centroids/codebook, so
+    * building the index in batches and MERGING on vec_id composes to
+    * exactly the full-corpus index: day 0 builds everything except a
+    * held-back stripe, an incremental run merges the stripe PLUS a
+    * redelivered overlap (the merge key must swallow the replay), and the
+    * served top-k must hash-match v7's per-query-rebuild oracle verbatim.
+    *
+    * Scale shape: the persisted table carries ~12 B of index per vector
+    * (cell + 8 codes) — the RAM-resident serving tier at 10⁹ vectors —
+    * and each incremental run merges only its batch's rows (partition-
+    * agnostic keyed merge). Serving reads the index table, never the
+    * embeddings: the only full-precision work is the 5 query vectors'
+    * own centroid scores and ADC tables, recomputed at query time from
+    * their raw embeddings exactly as a serving node would. */
+  val v15PersistedIvfpq: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx").toString
+    try {
+      def indexRows(of: DataFrame => DataFrame): DataFrame =
+        of(ivfAssigned(spark, dir))
+          .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+          .withColumn("dl", expr(pqDistListsSql))
+          .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+          .select(col("vec_id"), col("cell"), col("code"))
+      // day 0: index everything except the held-back arrival stripe
+      SnapshotStore.merge(spark, root,
+        indexRows(_.filter(pmod(col("vec_id"), lit(5)) =!= 3)), Seq("vec_id"))
+      // incremental run: the stripe plus a REDELIVERED overlap — the
+      // keyed merge must make the replay idempotent
+      SnapshotStore.merge(spark, root,
+        indexRows(_.filter(pmod(col("vec_id"), lit(5)) === 3 || col("vec_id") < 7)),
+        Seq("vec_id"))
+      val index = SnapshotStore.read(spark, root).get
+        .localCheckpoint() // materialized before the temp tree is deleted
+      // serving: the query side derives its centroid scores + ADC table
+      // from its own raw vector (exactly v7's query-side arithmetic)
+      val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
+        .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+        .withColumn("dl", expr(pqDistListsSql))
+        .withColumn("s2",
+          expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+        .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+        .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+          explode(array(col("cell"), col("cell2"))).as("probe"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      index
+        .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- V8: BM25 lexical retrieval (the ANN family's sparse twin) -----------
 
   /** Literal retrieval queries: a handful of multi-term bags over the
@@ -2986,6 +3049,7 @@ object PipelineQueries {
     "v5_kmeans" -> v5Kmeans,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
+    "v15_persisted_ivfpq" -> v15PersistedIvfpq,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
     "v10_matryoshka" -> v10MatryoshkaRerank,
