@@ -2,6 +2,7 @@ package graft.incremental
 
 import graft.Sources
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 import java.time.Instant
 
 /** Run mode of a model build — dbt `is_incremental()` resolved to a value
@@ -196,6 +197,48 @@ final class Runner(root: String, models: Seq[Model], maintenance: Boolean = fals
       val r = sub.runReport(ctx)
       RunReport(previous.statuses ++ r.statuses, previous.tables ++ r.tables)
     }
+  }
+
+  /** Record the dbt slim-CI state artifact for this project into
+    * `stateDir`: each model's definition fingerprint + output schema.
+    * Run AFTER a successful [[run]] (the schemas come from the
+    * materialized tables). See [[State]]. */
+  def writeState(ctx: RunContext, stateDir: String): Unit = {
+    val schemas = scala.collection.mutable.Map[String, StructType]()
+    def tableSchema(name: String): StructType =
+      schemas.getOrElseUpdate(name,
+        SnapshotStore.read(ctx.spark, tableDir(name))
+          .getOrElse(sys.error(s"state: '$name' has no materialization")).schema)
+    State.write(stateDir, models.map { m =>
+      m.name -> State.ModelState(
+        State.fingerprint(ctx, m, tableSchema), tableSchema(m.name).json)
+    }.toMap)
+  }
+
+  /** dbt `--select state:modified+`: the models whose DEFINITION differs
+    * from the state recorded at `stateDir` (new models, or
+    * fingerprint-changed ones), plus their downstream closure — the slim
+    * CI selection that rebuilds exactly the touched subtree. Ref
+    * stand-ins take their schemas from the state ARTIFACT, so the
+    * comparison reads no tables at all (dbt's manifest-vs-manifest
+    * diff); untouched upstreams later resolve from their on-disk
+    * materializations through the Runner's normal `ref` fallback.
+    * No prior state ⇒ everything is modified (first CI run). */
+  def stateModified(ctx: RunContext, stateDir: String): Seq[Model] = {
+    val prior = State.read(stateDir).getOrElse(Map.empty)
+    def refSchema(name: String): StructType =
+      prior.get(name).map(_.schema).getOrElse(
+        sys.error(s"state: no recorded schema for ref('$name')"))
+    val changed = models.filter { m =>
+      prior.get(m.name) match {
+        case None => true // new model
+        case Some(st) =>
+          m.refs.exists(r => !prior.contains(r)) ||
+            State.fingerprint(ctx, m, refSchema) != st.fingerprint
+      }
+    }.map(_.name)
+    if (changed.isEmpty) Seq.empty
+    else Selector.select(models, changed.map(_ + "+").mkString(" "))
   }
 
   /** Runs the full DAG once, never throwing for a model failure: a model

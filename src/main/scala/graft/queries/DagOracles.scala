@@ -349,6 +349,9 @@ object DagOracles {
         // lag columns excluded: the reference's own incremental runs
         // re-NULL them at the lookback boundary (see DagQueries)
         "dag_fct_incremental" -> fctOracle(includeLags = false),
+        // the selective state:modified rerun must land on the same
+        // content as the clean full DAG — the fct oracle, verbatim
+        "dag_state_modified" -> fctOracle(includeLags = false),
         // same oracle with maintenance (OPTIMIZE+VACUUM) post-hooks on:
         // compaction/retention must be invisible to readers
         "dag_fct_maintenance" -> fctOracle(includeLags = false),

@@ -100,6 +100,77 @@ object DagQueries {
 
   val fctIncrementalQ: Q = incrementalQ(maintenance = false)
 
+  /** dbt slim CI (`--select state:modified+`) inside the hard gate: the
+    * full DAG builds and records its state artifact, an UNCHANGED project
+    * must select nothing, then ONE root model's logic is touched (a
+    * plan-visible, value-identical rewrite of `loan_amount`) and the
+    * state diff must select EXACTLY that model plus its downstream fct —
+    * nothing else. The selective rerun must republish exactly the
+    * selected tables (sibling generations unchanged), carry the fct's
+    * lookback-exterior partitions through by file identity, and land on
+    * content equal to the full model DAG (the fct oracle, reused). */
+  val stateModifiedQ: Q = (spark, _) => {
+    import graft.incremental.{Manifest, Model, Runner, RunContext, RunMode}
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-dagstate").toString
+    try {
+      val c = RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now)
+      val runner = DeepbookPipeline.runner(root)
+      runner.run(c)
+      runner.writeState(c, s"$root/_state")
+      require(runner.stateModified(c, s"$root/_state").isEmpty,
+        "an unchanged project must select nothing")
+      // touch ONE root model's logic: plan-visible, value-identical
+      // (x * 1.0 == x for every double, but the analyzed plan differs)
+      val base = EventModels.loanBorrowed
+      val touched: Model = new Model {
+        def name = base.name
+        def uniqueKey = base.uniqueKey
+        override def partitionDate = base.partitionDate
+        override def clusterBy = base.clusterBy
+        override def refs = base.refs
+        def build(bctx: RunContext, existing: Option[DataFrame],
+                  ref: String => DataFrame): DataFrame =
+          base.build(bctx, existing, ref)
+            .withColumn("loan_amount", col("loan_amount") * lit(1.0))
+      }
+      val models2 = DeepbookPipeline.models
+        .map(m => if (m.name == base.name) touched else m)
+      val runner2 = new Runner(root, models2)
+      val sel = runner2.stateModified(c, s"$root/_state")
+      require(sel.map(_.name).toSet == Set(base.name, graft.models.PoolDailyFct.name),
+        s"selection must be exactly the touched subtree, got ${sel.map(_.name)}")
+      def gen(n: String): String =
+        SnapshotStore.currentSnapshot(s"$root/$n").get
+      def fctFiles(): Map[String, String] = {
+        val fn = graft.models.PoolDailyFct.name
+        Manifest.read(java.nio.file.Paths.get(s"$root/$fn", gen(fn))).get
+          .files.map(f => f.path -> f.partitionValue.getOrElse("")).toMap
+      }
+      val gensBefore = models2.map(m => m.name -> gen(m.name)).toMap
+      val fctBefore = fctFiles()
+      new Runner(root, sel).run(c)
+      val selNames = sel.map(_.name).toSet
+      models2.foreach { m =>
+        if (selNames(m.name))
+          require(gen(m.name) != gensBefore(m.name), s"${m.name} must republish")
+        else require(gen(m.name) == gensBefore(m.name),
+          s"${m.name} is outside the selection and must be untouched")
+      }
+      // lookback-exterior fct partitions carry by FILE IDENTITY (the
+      // incremental merge rewrites only the trailing window)
+      val fctAfter = fctFiles()
+      val minPart = fctBefore.values.filter(_.nonEmpty).min
+      require(fctBefore.filter(_._2 == minPart).keySet.subsetOf(fctAfter.keySet),
+        s"the earliest fct partition ($minPart) must carry through unrewritten")
+      SnapshotStore.read(spark, s"$root/${graft.models.PoolDailyFct.name}").get
+        .drop("updated_at",
+          "daily_supply_change", "daily_borrow_change", "daily_utilization_change")
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("snapshot_date", "margin_pool_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** Watermark the two append batches split on (shared with the oracle). */
   private[queries] val AppendCutoffMs =
     java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
@@ -1063,6 +1134,7 @@ object DagQueries {
         "dag_source_freshness" -> sourceFreshnessQ,
         "dag_insert_overwrite" -> insertOverwriteQ,
         "dag_microbatch" -> microbatchQ,
+        "dag_state_modified" -> stateModifiedQ,
         "dag_cdc_apply" -> cdcApplyQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
