@@ -2005,42 +2005,36 @@ object PipelineQueries {
     * hash-match the one-shot DuckDB join. The 4-doc StreamingIngestSpec
     * pins the mechanism; this pins it against the corpus-scale oracle. */
   val t8sStreamDecont: Q = (spark, dir) => {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
     val evalDf = docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0)
-    val rows = docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
-      .collect().toSeq.sortBy(_.getLong(0))
+    val train = docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
     val root = java.nio.file.Files.createTempDirectory("graft-sdecont").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sdecont-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sdecont-drops").toString
     try {
-      implicit val enc: ExpressionEncoder[Row] =
-        ExpressionEncoder(RowEncoder.encoderFor(docs.schema))
-      val input = new MemoryStream[Row](72, spark)
-      val q = graft.streaming.StreamingIngest
-        .decontaminateStream(input.toDF(), evalDf)
-        .writeStream.format("parquet")
-        .option("path", s"$root/pairs")
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .start()
-      try {
-        val third = rows.size / 3
-        input.addData(rows.take(third))
-        q.processAllAvailable()
-        // redelivered overlap: the dedup state must swallow the replay
-        input.addData(rows.slice(math.max(0, third - 10), 2 * third))
-        q.processAllAvailable()
-        input.addData(rows.drop(2 * third))
-        q.processAllAvailable()
-      } finally q.stop()
+      // three distributed drops; drop 2 REDELIVERS part of drop 1 (the
+      // stream's dedup state must swallow the replay)
+      streamDrops(spark, docs.schema, drops, Seq(
+        train.filter(pmod(col("doc_id"), lit(3)) === 0),
+        train.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(train.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        train.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest
+          .decontaminateStream(stream, evalDf)
+          .writeStream.format("parquet")
+          .option("path", s"$root/pairs")
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      }
       spark.read.parquet(s"$root/pairs")
         .localCheckpoint() // materialized before the temp trees are deleted
         .orderBy(col("train_id"), col("eval_id"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
     }
   }
 
@@ -2053,36 +2047,48 @@ object PipelineQueries {
     * idempotent), and the accumulated pair table must hash-match the
     * exact all-pairs oracle d2 itself is checked against — proving the
     * incremental discovery order-invariant and exactly-once. */
+  /** Drive a streaming gate from FILE-SOURCE micro-batches: each slice of
+    * the corpus is a distributed parquet write into the watched dir,
+    * picked up as the next batch — NO driver-side collect anywhere, so
+    * the harness scales with the executor tier instead of the driver
+    * heap (the MemoryStream it replaces ate the whole corpus on the
+    * driver). `processAllAvailable` between drops pins the batch
+    * boundaries the redelivery semantics need. */
+  private def streamDrops(spark: SparkSession,
+                          schema: org.apache.spark.sql.types.StructType,
+                          watchDir: String, drops: Seq[DataFrame])
+      (start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(watchDir))
+    val q = start(spark.readStream.schema(schema).parquet(watchDir))
+    try drops.foreach { d =>
+      d.write.mode("append").parquet(watchDir)
+      q.processAllAvailable()
+    } finally q.stop()
+  }
+
   val d2sStreamNeardup: Q = (spark, dir) => {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val rows = docs.collect().toSeq.sortBy(_.getLong(0))
     val root = java.nio.file.Files.createTempDirectory("graft-snd").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-snd-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-snd-drops").toString
     try {
-      implicit val enc: ExpressionEncoder[Row] =
-        ExpressionEncoder(RowEncoder.encoderFor(docs.schema))
-      val input = new MemoryStream[Row](73, spark)
-      val q = graft.streaming.StreamingIngest
-        .nearDupIngest(input.toDF(), root, ckpt)
-      try {
-        val third = rows.size / 3
-        input.addData(rows.take(third))
-        q.processAllAvailable()
-        // redelivered overlap: keyed merges must swallow the replay
-        input.addData(rows.slice(math.max(0, third - 10), 2 * third))
-        q.processAllAvailable()
-        input.addData(rows.drop(2 * third))
-        q.processAllAvailable()
-      } finally q.stop()
+      // three distributed drops by doc_id stripe; drop 2 REDELIVERS part
+      // of drop 1 (the merge-keyed state must swallow the replay)
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.nearDupIngest(stream, root, ckpt)
+      }
       graft.incremental.SnapshotStore.read(spark, s"$root/nd_pairs").get
         .localCheckpoint() // materialized before the temp trees are deleted
         .orderBy(col("a_id"), col("b_id"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
     }
   }
 
