@@ -35,10 +35,33 @@ import scala.jdk.CollectionConverters._
   */
 object FileSkipping {
 
+  /** A per-file Bloom filter over one column's non-null values — the
+    * Delta "Bloom filter index" analog, the skipping layer min/max cannot
+    * provide: high-cardinality point lookups (digests, ids) where every
+    * file's [min, max] overlaps every literal. `m` bits, `k` probes,
+    * double hashing `g_i = (h1 mod m + i·(h2 mod m)) mod m` over xxhash64 of the value's
+    * CANONICAL STRING (`cast(col as string)`) with Spark's default seed —
+    * the read side re-evaluates the identical Catalyst expression on the
+    * literal, so write and probe can never hash differently. Absence of a
+    * set bit PROVES the value absent from the file; a set bit proves
+    * nothing (classic Bloom), so skipping stays conservative. */
+  case class BloomBits(m: Int, k: Int, bits: Array[Byte]) {
+    def mightContain(h1: Long, h2: Long): Boolean = {
+      val m1 = java.lang.Math.floorMod(h1, m.toLong)
+      val m2 = java.lang.Math.floorMod(h2, m.toLong)
+      (0 until k).forall { i =>
+        val bit = java.lang.Math.floorMod(m1 + i * m2, m.toLong).toInt
+        (bits(bit >> 3) & (1 << (bit & 7))) != 0
+      }
+    }
+  }
+
   /** Per-column stats of one file. min/max are canonical strings (numeric
     * `toString`, UTF-8 text verbatim); None when parquet recorded no
-    * non-null values (all-null chunk or suppressed stats). */
-  case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+    * non-null values (all-null chunk or suppressed stats). `bloom` is
+    * populated by [[SnapshotStore.analyzeBloom]] only. */
+  case class ColStats(min: Option[String], max: Option[String], nulls: Long,
+                      bloom: Option[BloomBits] = None)
 
   case class FileStats(rows: Long, cols: Map[String, ColStats])
 
@@ -125,10 +148,14 @@ object FileSkipping {
     * and the per-file entries of [[Manifest]] (which absorbed it). */
   private[incremental] def statsBodyJson(fs: FileStats): String = {
     val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      val bloomJson = cs.bloom.map { b =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(b.bits)
+        s""","bloom":{"m":${b.m},"k":${b.k},"b64":${jq(b64)}}"""
+      }.getOrElse("")
       s"${jq(c)}:{" +
         cs.min.map(m => s""""min":${jq(m)},""").getOrElse("") +
         cs.max.map(m => s""""max":${jq(m)},""").getOrElse("") +
-        s""""nulls":${cs.nulls}}"""
+        s""""nulls":${cs.nulls}$bloomJson}"""
     }.mkString(",")
     s""""rows":${fs.rows},"cols":{$cols}"""
   }
@@ -149,9 +176,19 @@ object FileSkipping {
           def str(k: String): Option[String] = cv \ k match {
             case JString(s) => Some(s); case _ => None
           }
-          c -> ColStats(str("min"), str("max"), asLong(cv \ "nulls"))
+          c -> ColStats(str("min"), str("max"), asLong(cv \ "nulls"),
+            parseBloom(cv \ "bloom"))
         }.toMap
         Some(FileStats(asLong(v \ "rows"), cols))
+      case _ => None
+    }
+  }
+
+  private[incremental] def parseBloom(v: org.json4s.JValue): Option[BloomBits] = {
+    import org.json4s._
+    (v \ "m", v \ "k", v \ "b64") match {
+      case (JInt(m), JInt(k), JString(b64)) =>
+        Some(BloomBits(m.toInt, k.toInt, java.util.Base64.getDecoder.decode(b64)))
       case _ => None
     }
   }
@@ -199,12 +236,36 @@ object FileSkipping {
           def str(k: String): Option[String] = cv \ k match {
             case JString(s) => Some(s); case _ => None
           }
-          c -> ColStats(str("min"), str("max"), asLong(cv \ "nulls"))
+          c -> ColStats(str("min"), str("max"), asLong(cv \ "nulls"),
+            parseBloom(cv \ "bloom"))
         }.toMap
         file -> FileStats(asLong(o \ "rows"), cols)
       }.toMap)
     }
   }
+
+  // ---- bloom hashing (shared by analyzeBloom's SQL and the probe) ---------
+
+  /** The literal's canonical string — Catalyst `Cast(_, StringType)`, the
+    * same expression the build side's `cast(col as string)` evaluates.
+    * None for NULL or a cast-unsupported type (probe keeps the file). */
+  private[incremental] def bloomCanonical(l: Literal): Option[String] =
+    if (l.value == null) None
+    else scala.util.Try(
+      Cast(l, StringType, Some("UTC")).eval(null).asInstanceOf[UTF8String].toString
+    ).toOption
+
+  private def xxh(args: Seq[Expression]): Long =
+    new XxHash64(args).eval(null).asInstanceOf[Long]
+
+  private[incremental] val BloomSalt = "graft-bloom"
+
+  private[incremental] def bloomH1(s: String): Long =
+    xxh(Seq(Literal(UTF8String.fromString(s), StringType)))
+
+  private[incremental] def bloomH2(s: String): Long =
+    xxh(Seq(Literal(UTF8String.fromString(s), StringType),
+      Literal(UTF8String.fromString(BloomSalt), StringType)))
 
   // ---- the pruning index --------------------------------------------------
 
@@ -258,12 +319,12 @@ object FileSkipping {
     private def mayMatch(e: Expression, fs: FileStats): Boolean = e match {
       case And(l, r) => mayMatch(l, fs) && mayMatch(r, fs)
       case Or(l, r) => mayMatch(l, fs) || mayMatch(r, fs)
-      case EqualTo(a: AttributeReference, l: Literal) => rangeHas(a, l, fs)
-      case EqualTo(l: Literal, a: AttributeReference) => rangeHas(a, l, fs)
+      case EqualTo(a: AttributeReference, l: Literal) => pointHas(a, l, fs)
+      case EqualTo(l: Literal, a: AttributeReference) => pointHas(a, l, fs)
       case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
-        rangeHas(a, l, fs)
+        pointHas(a, l, fs)
       case EqualNullSafe(l: Literal, a: AttributeReference) if l.value != null =>
-        rangeHas(a, l, fs)
+        pointHas(a, l, fs)
       case GreaterThan(a: AttributeReference, l: Literal) => maxAbove(a, l, fs, strict = true)
       case LessThan(l: Literal, a: AttributeReference) => maxAbove(a, l, fs, strict = true)
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => maxAbove(a, l, fs, strict = false)
@@ -273,11 +334,11 @@ object FileSkipping {
       case LessThanOrEqual(a: AttributeReference, l: Literal) => minBelow(a, l, fs, strict = false)
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) => minBelow(a, l, fs, strict = false)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => rangeHas(a, v.asInstanceOf[Literal], fs))
+        vs.exists(v => pointHas(a, v.asInstanceOf[Literal], fs))
       case InSet(a: AttributeReference, vs) =>
         // InSet carries INTERNAL values (UTF8String, Long, ...) — wrap with
         // the internal-value Literal constructor, not Literal.create
-        vs.exists(v => rangeHas(a, Literal(v, a.dataType), fs))
+        vs.exists(v => pointHas(a, Literal(v, a.dataType), fs))
       case IsNull(a: AttributeReference) =>
         colStats(a, fs).forall(_.nulls > 0)
       case IsNotNull(a: AttributeReference) =>
@@ -348,6 +409,24 @@ object FileSkipping {
           case _ => true
         }
       }
+
+    /** Point-equality test: the min/max range AND (when present) the
+      * Bloom filter must both admit the literal — bloom catches the
+      * high-cardinality case where every file's range covers every key. */
+    private def pointHas(a: AttributeReference, l: Literal, fs: FileStats): Boolean =
+      rangeHas(a, l, fs) && bloomHas(a, l, fs)
+
+    /** False ⇒ the value is PROVEN absent from the file. Canonicalization
+      * and hashing re-evaluate the IDENTICAL Catalyst expressions
+      * [[SnapshotStore.analyzeBloom]]'s SQL used on the write side
+      * (`cast(col as string)` then `xxhash64`), so probe and build can
+      * never disagree; unmodeled literals keep the file. */
+    private def bloomHas(a: AttributeReference, l: Literal, fs: FileStats): Boolean =
+      colStats(a, fs).forall(_.bloom.forall { b =>
+        FileSkipping.bloomCanonical(l).forall { s =>
+          b.mightContain(FileSkipping.bloomH1(s), FileSkipping.bloomH2(s))
+        }
+      })
 
     private def rangeHas(a: AttributeReference, l: Literal, fs: FileStats): Boolean =
       withRange(a, l, fs) { (mn, mx) =>

@@ -863,6 +863,73 @@ object SnapshotStore {
       }
     }
 
+  /** Build a per-file BLOOM FILTER index over `column` for the live
+    * snapshot — Delta's "Bloom filter index" analog, the point-lookup
+    * layer min/max stats cannot provide (a digest/id column's [min, max]
+    * spans every literal in every file, so range skipping prunes
+    * nothing; a Bloom bit PROVES absence). One distributed pass over the
+    * table: per (file, value) the k double-hashed bit positions
+    * (`xxhash64` of the canonical string — the probe side re-evaluates
+    * the identical Catalyst expressions), collapsed to distinct
+    * (file, bit) pairs executor-side, so what reaches the driver is at
+    * most files × min(k·ndv, m) POSITIONS — index metadata, not data
+    * (production would fold bitsets executor-side via a binary
+    * aggregate; the positions form keeps this dependency-free). Files
+    * with no non-null values get the empty filter: every probe on them
+    * proves absence. Stored in the manifest (or legacy sidecar)
+    * alongside min/max; readers via [[readSkipping]] prune immediately.
+    * Conservative like all skipping: a dropped/absent filter only costs
+    * I/O, never rows. */
+  def analyzeBloom(spark: SparkSession, root: String, column: String,
+                   bits: Int = 8192, hashes: Int = 6): Unit =
+    currentSnapshot(root).foreach { c =>
+      require(bits % 8 == 0 && bits > 0, s"bits must be a positive multiple of 8")
+      val snapDir = Paths.get(root, c)
+      val (df, _) = snapshotDf(spark, snapDir)
+      require(df.columns.contains(column), s"no column '$column' to index")
+      val rows = df.filter(col(column).isNotNull)
+        .select(input_file_name().as("_f"),
+          expr(s"xxhash64(cast(`$column` as string))").as("h1"),
+          expr(s"xxhash64(cast(`$column` as string), '${FileSkipping.BloomSalt}')").as("h2"))
+        // modular double-hashing: (h1 + i·h2) mod m computed as
+        // ((h1 mod m) + i·(h2 mod m)) mod m — overflow-free under ANSI
+        // arithmetic and identical to the probe's floorMod form
+        .select(col("_f"), explode(expr(
+          s"transform(sequence(0, ${hashes - 1})," +
+            s" i -> pmod(pmod(h1, ${bits}L) + i * pmod(h2, ${bits}L), ${bits}L))")).as("bit"))
+        .distinct()
+        .collect() // (file, bit) positions — index-metadata-sized (see doc)
+      val byFile: Map[String, Array[Byte]] = rows
+        .groupBy(r => snapDir.toUri.relativize(java.net.URI.create(r.getString(0))).toString)
+        .map { case (rel, rs) =>
+          val arr = new Array[Byte](bits / 8)
+          rs.foreach { r =>
+            val b = r.getLong(1).toInt
+            arr(b >> 3) = (arr(b >> 3) | (1 << (b & 7))).toByte
+          }
+          rel -> arr
+        }
+      def withBloom(st: Option[FileSkipping.FileStats], path: String)
+          : Option[FileSkipping.FileStats] = {
+        val bloom = FileSkipping.BloomBits(bits, hashes,
+          byFile.getOrElse(path, new Array[Byte](bits / 8)))
+        val base = st.getOrElse(FileSkipping.FileStats(0L, Map.empty))
+        val cs = base.cols.getOrElse(column,
+          FileSkipping.ColStats(None, None, 0L))
+        Some(base.copy(cols = base.cols.updated(column, cs.copy(bloom = Some(bloom)))))
+      }
+      Manifest.read(snapDir) match {
+        case Some(m) =>
+          Manifest.write(snapDir, m.schema, m.partitioned,
+            m.files.map(f => f.copy(stats = withBloom(f.stats, f.path))))
+        case None =>
+          val prior = FileSkipping.readSidecar(snapDir).getOrElse(Map.empty)
+          val listed = Manifest.collectFiles(snapDir).map(_._1)
+          FileSkipping.writeSidecar(snapDir,
+            listed.map(p => p -> withBloom(prior.get(p), p).get).toMap)
+      }
+    }
+
   /** Live table contents through the file-skipping reader: pushed data
     * filters prune whole FILES against the manifest's per-file stats
     * before any parquet footer is opened (partition pruning on `_dt` still

@@ -1,0 +1,94 @@
+package graft.incremental
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The per-file Bloom index ([[SnapshotStore.analyzeBloom]]): the
+  * point-lookup skipping layer for high-cardinality keys, where every
+  * file's [min, max] covers every literal and range stats prune nothing.
+  * Pins: (1) min/max alone skips ZERO files on such a key — the gap the
+  * index exists for; (2) with the index, a present-key lookup returns
+  * exactly the plain read's rows while skipping files; (3) an absent key
+  * skips EVERY file (the no-I/O negative lookup); (4) IN-lists probe per
+  * value; (5) the index survives a later merge's stats carryover for
+  * untouched files. */
+class BloomSkippingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def digest(i: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"doc-$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("bloom index: point lookups prune files min/max cannot, losslessly") {
+    val root = Files.createTempDirectory("graft-bloom").toString
+    // 2 date partitions × 4 files, keys are md5 digests: every file's
+    // [min, max] spans essentially the whole key space
+    val rows = (0 until 400).map(i => (digest(i), s"2026-01-0${i % 2 + 1}", s"p$i"))
+    val df = rows.toDF("k", "dt", "payload").repartition(4, col("k"))
+    SnapshotStore.merge(spark, root, df, Seq("k"), Some(to_date(col("dt"))))
+    SnapshotStore.analyze(spark, root, Seq("k"))
+
+    val present = digest(137)
+    def lookup(): (Set[String], Int, Int) = {
+      val (sdf, idx) = SnapshotStore.readSkipping(spark, root).get
+      val got = sdf.filter(col("k") === present)
+        .select("payload").as[String].collect().toSet
+      (got, idx.get.lastKept, idx.get.lastSkipped)
+    }
+    // (1) range stats alone: digests overlap — nothing skips
+    val (got0, kept0, skipped0) = lookup()
+    assert(got0 == Set("p137"))
+    assert(skipped0 == 0 && kept0 == 8,
+      s"overlapping digest ranges must defeat min/max skipping ($kept0/$skipped0)")
+
+    SnapshotStore.analyzeBloom(spark, root, "k")
+
+    // (2) present key: same rows, most files proven key-free and skipped
+    val (got1, kept1, skipped1) = lookup()
+    assert(got1 == Set("p137"))
+    assert(skipped1 > 0, "the bloom index must prune key-free files")
+    assert(kept1 < 8, s"expected < 8 files kept, got $kept1")
+
+    // (3) absent key: every file proves absence — zero files read
+    val (sdf, idx) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf.filter(col("k") === digest(99999)).count() == 0)
+    assert(idx.get.lastKept == 0,
+      s"an absent key must skip every file, kept ${idx.get.lastKept}")
+
+    // (4) IN-list: probes per value; both rows found
+    val wanted = Seq(digest(5), digest(390))
+    val inGot = SnapshotStore.readSkipping(spark, root).get._1
+      .filter(col("k").isin(wanted: _*)).select("payload").as[String].collect().toSet
+    assert(inGot == Set("p5", "p390"))
+
+    // (5) a later merge touching ONE partition carries the other
+    // partition's stats (bloom included) through the manifest; lookups
+    // on carried files still prune
+    SnapshotStore.merge(spark, root,
+      Seq((digest(10001), "2026-01-02", "new")).toDF("k", "dt", "payload"),
+      Seq("k"), Some(to_date(col("dt"))))
+    val (sdf2, idx2) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf2.filter(col("k") === present).select("payload")
+      .as[String].collect().toSet == Set("p137"))
+    assert(idx2.get.lastSkipped > 0,
+      "carried files must keep their bloom stats after an unrelated merge")
+  }
+
+  test("bloom canonical/hash round-trip: probe hashing equals the build SQL's") {
+    // the probe evaluates Catalyst expressions; the build side runs SQL —
+    // any drift here silently turns skipping lossy, so pin the identity
+    val vals = Seq("abc", "ÜTF-8 ✓", "", "0", "-17")
+    val sqlH = vals.map { v =>
+      spark.sql(s"SELECT xxhash64(cast('${v.replace("'", "''")}' as string)), " +
+          s"xxhash64(cast('${v.replace("'", "''")}' as string), '${FileSkipping.BloomSalt}')")
+        .head match { case r => (r.getLong(0), r.getLong(1)) }
+    }
+    val probeH = vals.map(v => (FileSkipping.bloomH1(v), FileSkipping.bloomH2(v)))
+    assert(sqlH == probeH)
+    // long keys canonicalize identically too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(FileSkipping.bloomCanonical(Literal(42L)).contains("42"))
+    assert(FileSkipping.bloomCanonical(Literal.create(null, org.apache.spark.sql.types.StringType)).isEmpty)
+  }
+}
