@@ -58,6 +58,17 @@ object DagOracles {
        |      WHERE event_type = '${m.eventType}' AND timestamp_ms >= $bound""".stripMargin
   }
 
+  /** `dag_bloom_lookup`: the loan_borrowed body filtered to its minimum
+    * digest — what the bloom-skipping point lookup must return. */
+  private def bloomLookupOracle: String = {
+    val body = eventBody(EventModels.loanBorrowed)
+    s"""WITH b AS (
+       |        $body)
+       |      SELECT * FROM b
+       |      WHERE transaction_digest = (SELECT min(transaction_digest) FROM b)
+       |      ORDER BY transaction_digest, event_index""".stripMargin
+  }
+
   private def eventOracle(m: EventModels.EventModel): String =
     s"""${eventBody(m)}
        |      ORDER BY transaction_digest, event_index""".stripMargin
@@ -352,6 +363,7 @@ object DagOracles {
         // the selective state:modified rerun must land on the same
         // content as the clean full DAG — the fct oracle, verbatim
         "dag_state_modified" -> fctOracle(includeLags = false),
+        "dag_bloom_lookup" -> bloomLookupOracle,
         // same oracle with maintenance (OPTIMIZE+VACUUM) post-hooks on:
         // compaction/retention must be invisible to readers
         "dag_fct_maintenance" -> fctOracle(includeLags = false),

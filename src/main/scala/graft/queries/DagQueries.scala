@@ -100,6 +100,39 @@ object DagQueries {
 
   val fctIncrementalQ: Q = incrementalQ(maintenance = false)
 
+  /** The Bloom file-skipping index inside the hard gate: the
+    * loan_borrowed model materializes through the merge sink (one file
+    * per event date), [[SnapshotStore.analyzeBloom]] indexes
+    * `transaction_digest`, and a point lookup of the (deterministic)
+    * minimum digest must return exactly the model's rows for that digest
+    * — through the skipping reader, with the index REQUIRED to have
+    * pruned files (digest [min,max] ranges span every file, so only the
+    * Bloom layer can; partition pruning is idle, the filter is not on
+    * the date). Oracle = the model body filtered to the same digest. */
+  val bloomLookupQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val model = EventModels.loanBorrowed
+      .build(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now),
+        None, noRef)
+      .drop("updated_at")
+    val root = java.nio.file.Files.createTempDirectory("graft-dagbloom").toString
+    try {
+      val pd = expr("to_date(timestamp_seconds(timestamp_ms div 1000))")
+      SnapshotStore.merge(spark, s"$root/tbl", model, Seq("transaction_digest",
+        "event_index"), Some(pd))
+      SnapshotStore.analyze(spark, s"$root/tbl", Seq("transaction_digest"))
+      SnapshotStore.analyzeBloom(spark, s"$root/tbl", "transaction_digest")
+      val target = model.agg(min(col("transaction_digest"))).head.getString(0)
+      val (df, idx) = SnapshotStore.readSkipping(spark, s"$root/tbl").get
+      val out = df.filter(col("transaction_digest") === target)
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy("transaction_digest", "event_index")
+      require(idx.exists(_.lastSkipped > 0),
+        "the bloom index must prune digest-free files")
+      out
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** dbt slim CI (`--select state:modified+`) inside the hard gate: the
     * full DAG builds and records its state artifact, an UNCHANGED project
     * must select nothing, then ONE root model's logic is touched (a
@@ -1135,6 +1168,7 @@ object DagQueries {
         "dag_insert_overwrite" -> insertOverwriteQ,
         "dag_microbatch" -> microbatchQ,
         "dag_state_modified" -> stateModifiedQ,
+        "dag_bloom_lookup" -> bloomLookupQ,
         "dag_cdc_apply" -> cdcApplyQ,
         "dag_schema_evolve" -> schemaEvolveQ,
         "dag_schema_widen" -> schemaWidenQ,
