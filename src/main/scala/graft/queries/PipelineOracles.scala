@@ -169,6 +169,38 @@ object PipelineOracles {
                        for j in range(0, 60)])::BIGINT AS simhash
       FROM h ORDER BY doc_id""",
 
+    "d13_dedup_eval" -> s"""
+      WITH $shingleCte,
+      h AS (SELECT doc_id,
+                   list_transform(w, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS h
+            FROM docs),
+      sim AS (SELECT doc_id,
+                     list_sum([CASE WHEN list_sum(list_transform(h, v ->
+                                 CASE WHEN (v >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                               THEN (1::BIGINT << j) ELSE 0::BIGINT END
+                               for j in range(0, 60)])::BIGINT AS simhash
+              FROM h),
+      bands AS (SELECT doc_id, b.b AS band,
+                       (simhash >> (b.b * ${PipelineQueries.SimBandBits}))
+                         & ${(1L << PipelineQueries.SimBandBits) - 1} AS v
+                FROM sim, (SELECT unnest(range(0, ${PipelineQueries.SimBands})) AS b) b),
+      cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.v = y.v AND x.doc_id < y.doc_id),
+      exact AS (SELECT a_id, b_id FROM (
+                  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+                WHERE 2 * inter >= uni),
+      m AS (SELECT (SELECT COUNT(*) FROM cand) AS n_cand,
+                   (SELECT COUNT(*) FROM exact) AS n_exact,
+                   (SELECT COUNT(*) FROM cand JOIN exact USING (a_id, b_id)) AS n_hit)
+      SELECT n_cand, n_exact, n_hit,
+             n_hit * 1000000 // NULLIF(n_cand, 0) AS precision_ppm,
+             n_hit * 1000000 // NULLIF(n_exact, 0) AS recall_ppm
+      FROM m""",
+
     "d4_ngram_jaccard" -> s"""
       WITH $shingleCte
       SELECT source, a_id, b_id, inter * 1000000 // uni AS jaccard_ppm FROM (

@@ -2092,6 +2092,54 @@ object PipelineQueries {
     }
   }
 
+  // ---- D13: dedup-recall eval (SimHash banding vs the exact pair set) ------
+
+  /** SimHash band split: 60 bits = [[SimBands]] × [[SimBandBits]]. A pair
+    * within Hamming distance d collides on ≥1 band whenever its differing
+    * bits avoid one band — the standard LSH-for-Hamming candidate scheme
+    * (all pairs at d < [[SimBands]] are GUARANTEED candidates; beyond
+    * that, probabilistically). */
+  val SimBandBits = 15
+  val SimBands = 4
+
+  /** Dedup-quality evaluation — v12's recall-eval pattern applied to the
+    * DEDUP ladder: band the d3 SimHash fingerprints, mine candidate
+    * pairs, and grade them against d2's exact verified near-dup pairs
+    * (J ≥ 1/2) as precision/recall in exact ppm. This is the operator a
+    * curation deployment runs when tuning fingerprint width/banding
+    * before committing a cheaper dedup tier: it measures the ACTUAL d3
+    * serving path against the corpus's own ground truth, not a synthetic.
+    *
+    * Scale shape: banding is an equi-join on (band, value) buckets — the
+    * same bounded-bucket candidate topology as d2's LSH (never
+    * all-pairs); the metric aggregates are three counts plus a
+    * broadcast-sized stitch. In production the exact side comes from a
+    * SAMPLE (d2 on a stripe), exactly how v12 samples its query set. All
+    * arithmetic integer; the div guards (nullif) mirror the oracle. */
+  val d13DedupEval: Q = (spark, dir) => {
+    val sh = d3Simhash(spark, dir).localCheckpoint() // self-join (see d2)
+    val mask = (1L << SimBandBits) - 1
+    val bands = sh.select(col("doc_id"), explode(expr(
+      s"transform(sequence(0, ${SimBands - 1}), b -> " +
+        s"struct(b AS band, shiftright(simhash, b * $SimBandBits) & $mask AS v))")).as("x"))
+      .select(col("doc_id"), col("x.band").as("band"), col("x.v").as("v"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+      .localCheckpoint() // feeds the count AND the hit join
+    val exact = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = cand.join(exact, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hit"))
+    nHit.crossJoin(broadcast(nCand)).crossJoin(broadcast(nExact))
+      .select(col("n_cand"), col("n_exact"), col("n_hit"),
+        expr("n_hit * 1000000 div nullif(n_cand, 0)").as("precision_ppm"),
+        expr("n_hit * 1000000 div nullif(n_exact, 0)").as("recall_ppm"))
+  }
+
   // ---- T16: graded contamination score (t8's filter, as a fraction) --------
 
   /** Per-training-doc contamination FRACTION: of the doc's distinct
@@ -3044,6 +3092,7 @@ object PipelineQueries {
     "d9_incremental_dedup" -> d9IncrementalDedup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
+    "d13_dedup_eval" -> d13DedupEval,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
