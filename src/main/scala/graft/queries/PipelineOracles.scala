@@ -169,6 +169,22 @@ object PipelineOracles {
                        for j in range(0, 60)])::BIGINT AS simhash
       FROM h ORDER BY doc_id""",
 
+    "t24_normalize" -> """
+      WITH n AS (SELECT doc_id, text,
+                        lower(text) AS s1,
+                        regexp_replace(lower(text), '[.,!?;:]', '', 'g') AS s2
+                 FROM documents),
+      m AS (SELECT doc_id, text, s1, s2,
+                   trim(regexp_replace(s2, ' +', ' ', 'g')) AS norm
+            FROM n)
+      SELECT doc_id,
+             length(text) AS n_chars_raw,
+             length(s1) - length(s2) AS n_punct,
+             length(s2) - length(norm) AS n_ws_collapsed,
+             length(norm) AS n_chars_norm,
+             md5(norm) AS norm_md5
+      FROM m ORDER BY doc_id""",
+
     "d13_dedup_eval" -> s"""
       WITH $shingleCte,
       h AS (SELECT doc_id,

@@ -2092,6 +2092,30 @@ object PipelineQueries {
     }
   }
 
+  // ---- T24: text normalization (the pass that precedes every hash) ---------
+
+  /** CCNet/C4-style normalization pipeline, the pass every dedup/hash
+    * stage assumes has already run: lowercase → strip the punctuation
+    * class → collapse space runs → trim. Emits the audit counters a
+    * curation run monitors (how much punctuation, how much collapsed
+    * whitespace) plus the md5 of the normalized form — the key the
+    * exact-dedup tier would group by. Pure map-side string work inside
+    * whole-stage codegen; the only shuffle is the final presentation
+    * sort. Both engines apply the identical regexes (Spark replaces all
+    * matches by default; the oracle passes the 'g' flag). */
+  val t24Normalize: Q = (spark, dir) =>
+    t(spark, dir, "documents")
+      .withColumn("s1", lower(col("text")))
+      .withColumn("s2", regexp_replace(col("s1"), "[.,!?;:]", ""))
+      .withColumn("norm", trim(regexp_replace(col("s2"), " +", " ")))
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_raw"),
+        (length(col("s1")) - length(col("s2"))).as("n_punct"),
+        (length(col("s2")) - length(col("norm"))).as("n_ws_collapsed"),
+        length(col("norm")).as("n_chars_norm"),
+        md5(col("norm")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+
   // ---- D13: dedup-recall eval (SimHash banding vs the exact pair set) ------
 
   /** SimHash band split: 60 bits = [[SimBands]] × [[SimBandBits]]. A pair
@@ -3093,6 +3117,7 @@ object PipelineQueries {
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d13_dedup_eval" -> d13DedupEval,
+    "t24_normalize" -> t24Normalize,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
