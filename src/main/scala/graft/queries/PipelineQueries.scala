@@ -2152,13 +2152,14 @@ object PipelineQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-      .localCheckpoint() // feeds the count AND the hit join
     val exact = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
-      .localCheckpoint()
-    val nCand = cand.agg(count(lit(1)).as("n_cand"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = cand.join(exact, Seq("a_id", "b_id")).agg(count(lit(1)).as("n_hit"))
-    nHit.crossJoin(broadcast(nCand)).crossJoin(broadcast(nExact))
+    // one keyed full-outer + one aggregate: candidate-only rows count
+    // toward precision's denominator, exact-only rows toward recall's,
+    // matched rows toward both — no single-row cross stitch anywhere
+    cand.withColumn("c", lit(1L))
+      .join(exact.withColumn("e", lit(1L)), Seq("a_id", "b_id"), "full_outer")
+      .agg(count(col("c")).as("n_cand"), count(col("e")).as("n_exact"),
+        count(when(col("c").isNotNull && col("e").isNotNull, lit(1))).as("n_hit"))
       .select(col("n_cand"), col("n_exact"), col("n_hit"),
         expr("n_hit * 1000000 div nullif(n_cand, 0)").as("precision_ppm"),
         expr("n_hit * 1000000 div nullif(n_exact, 0)").as("recall_ppm"))

@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
                           "v3" -> PipelineQueries.v3AnnIvf,
                           "d7" -> PipelineQueries.d7Semdedup,
                           "d8" -> PipelineQueries.d8SubstringDedup,
-                          "d11" -> PipelineQueries.d11Containment)) {
+                          "d11" -> PipelineQueries.d11Containment,
+                          "d13" -> PipelineQueries.d13DedupEval)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
@@ -115,10 +116,11 @@ class PlanSpec extends SparkSpec {
       s"gram counts must partial-aggregate before the exchange\n${p.take(1200)}")
   }
 
-  test("t5/t6: chunking and sampling stay map-only — no exchange before the output sort") {
+  test("t5/t6/t24: chunk, sample, normalize stay map-only — no exchange before the output sort") {
     import graft.queries.PipelineQueries
     for ((name, q) <- Seq("t5" -> PipelineQueries.t5Chunk,
-                          "t6" -> PipelineQueries.t6SampleStratified)) {
+                          "t6" -> PipelineQueries.t6SampleStratified,
+                          "t24" -> PipelineQueries.t24Normalize)) {
       val p = planOf(q)
       // exactly one exchange: the rangepartitioning of the final ORDER BY
       val exchanges = "Exchange".r.findAllIn(p).length
