@@ -169,6 +169,80 @@ object PipelineOracles {
                        for j in range(0, 60)])::BIGINT AS simhash
       FROM h ORDER BY doc_id""",
 
+    "k5_curation_funnel" -> s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      noncanon AS (SELECT x AS doc_id FROM reach GROUP BY x HAVING x != MIN(y)),
+      lg AS (SELECT doc_id, string_split(lower(text), ' ') AS lw FROM documents),
+      gg AS (SELECT doc_id,
+                    unnest([array_to_string(lw[i:i+${PipelineQueries.DecontGram - 1}], ' ')
+                            for i in range(1, len(lw) - ${PipelineQueries.DecontGram - 2})]) AS g
+             FROM lg WHERE len(lw) >= ${PipelineQueries.DecontGram}),
+      cont AS (SELECT DISTINCT tr.doc_id
+               FROM gg tr JOIN gg ev ON tr.g = ev.g
+               WHERE tr.doc_id % ${PipelineQueries.DecontMod} != 0
+                 AND ev.doc_id % ${PipelineQueries.DecontMod} = 0),
+      fl AS (
+        SELECT d.doc_id, d.source,
+               ceil(d.n_chars / 4.0)::BIGINT AS est_tokens,
+               (d.doc_id % ${PipelineQueries.DecontMod} != 0) AS f_train,
+               (d.doc_id % ${PipelineQueries.DecontMod} != 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)) AS f_dedup,
+               (d.doc_id % ${PipelineQueries.DecontMod} != 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM noncanon)
+                AND d.doc_id NOT IN (SELECT doc_id FROM cont)) AS f_decont
+        FROM documents d),
+      fq AS (
+        SELECT fl.*,
+               (fl.f_decont AND
+                (least(100, len(lg.lw))::BIGINT * len(lg.lw)
+                 + 100 * len(list_filter(lg.lw, x -> x IN ${inList(StopEn)})))
+                * 5000 // len(lg.lw) >= ${CorpusPrep.QualityMinPpm}) AS f_quality
+        FROM fl JOIN lg USING (doc_id)),
+      fs AS (
+        SELECT fq.*,
+               (fq.f_quality AND
+                ('0x' || substr(md5(fq.doc_id::VARCHAR), 1, 15))::BIGINT % 1000 <
+                CASE ${SampleRatePermille.map { case (l, r) =>
+                  s"WHEN d.lang = '$l' THEN $r" }.mkString(" ")}
+                     ELSE $SampleRateDefault END) AS f_sample
+        FROM fq JOIN documents d USING (doc_id)),
+      ms AS (SELECT source, SUM(est_tokens)::BIGINT AS src_tokens,
+                    CASE ${PipelineQueries.MixSharePermille.map { case (src, r) =>
+        s"WHEN source = '$src' THEN $r" }.mkString(" ")}
+                         ELSE ${PipelineQueries.MixShareDefault} END AS share_pm
+             FROM fs WHERE f_sample GROUP BY source),
+      mb AS (SELECT MIN(src_tokens * 1000 // share_pm) AS budget FROM ms),
+      mr AS (SELECT source, least(1000, mb.budget * share_pm // src_tokens) AS keep_pm
+             FROM ms, mb),
+      fm AS (
+        SELECT fs.*,
+               (fs.f_sample AND
+                ('0x' || substr(md5('mix:' || fs.doc_id::VARCHAR), 1, 15))::BIGINT
+                  % 1000 < coalesce(mr.keep_pm, 0)) AS f_mix
+        FROM fs LEFT JOIN mr USING (source))
+      SELECT count(*) AS n_docs,
+             count(*) FILTER (f_train) AS n_train,
+             count(*) FILTER (f_dedup) AS n_after_dedup,
+             count(*) FILTER (f_decont) AS n_after_decont,
+             count(*) FILTER (f_quality) AS n_after_quality,
+             count(*) FILTER (f_sample) AS n_after_sample,
+             count(*) FILTER (f_mix) AS n_after_mix
+      FROM fm""",
+
     "t24_normalize" -> """
       WITH n AS (SELECT doc_id, text,
                         lower(text) AS s1,

@@ -2092,6 +2092,80 @@ object PipelineQueries {
     }
   }
 
+  // ---- K5: curation funnel (per-stage survivor counts, one corpus pass) ----
+
+  /** The observability row every curation RUN dashboards: how many
+    * documents survive each gate of the composed pipeline — eval-slice
+    * split, near-dup dedup, decontamination, quality, stratified sample,
+    * mixture — as prefix-conjunction counts. Reuses each stage's EXACT
+    * arithmetic (the d6 cluster election, t8's gram join, t1's integer
+    * quality blend, t6's and t12's hash predicates over the survivors'
+    * own totals), so the funnel is the pipeline's own bookkeeping, not a
+    * parallel estimate.
+    *
+    * Scale shape: the per-doc gates fold into ONE corpus pass (the gate
+    * flags are left-join markers + map-side expressions feeding a single
+    * aggregate); the mixture rates need the post-sample totals, which is
+    * one |sources|-sized agg broadcast back — the same two-pass shape
+    * t12 itself has. */
+  val k5CurationFunnel: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+    val nonCanonical = d6DedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("doc_id"), lit(1L).as("nc"))
+    val evalGrams = decontGrams(
+      docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
+    val contaminated = decontGrams(
+      docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0), "train_id")
+      .join(broadcast(evalGrams), "g")
+      .select(col("train_id").as("doc_id")).distinct()
+      .withColumn("ct", lit(1L))
+    val rate = SampleRatePermille.foldLeft(lit(SampleRateDefault)) {
+      case (e, (l, r)) => when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    val mixShare = MixSharePermille.foldLeft(lit(MixShareDefault)) {
+      case (e, (src, r)) => when(col("source") === src, lit(r)).otherwise(e)
+    }
+    val flagged = docs
+      .join(nonCanonical, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("lw", split(lower(col("text")), " "))
+      .withColumn("nt", size(col("lw")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(lw, x -> x in ${inList(StopEn)}))").cast(LongType))
+      .withColumn("f_train", pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+      .withColumn("f_dedup", col("f_train") && col("nc").isNull)
+      .withColumn("f_decont", col("f_dedup") && col("ct").isNull)
+      .withColumn("f_quality", col("f_decont") &&
+        expr("(least(100L, nt) * nt + 100L * n_stop) * 5000 div nt") >=
+          CorpusPrep.QualityMinPpm)
+      .withColumn("f_sample", col("f_quality") &&
+        pmod(expr(
+          "cast(conv(substring(md5(cast(doc_id as string)),1,15),16,10) as bigint)"),
+          lit(1000)) < rate)
+      .withColumn("est_tokens", ceil(col("n_chars") / 4.0).cast(LongType))
+      .localCheckpoint() // feeds the mix-rate agg AND the funnel agg
+    val bySrc = flagged.filter(col("f_sample"))
+      .groupBy(col("source")).agg(sum(col("est_tokens")).as("src_tokens"))
+      .withColumn("share_pm", mixShare)
+    val budget = bySrc.agg(min(expr("src_tokens * 1000 div share_pm")).as("budget"))
+    val rates = bySrc.crossJoin(broadcast(budget))
+      .withColumn("keep_pm", least(lit(1000L), expr("budget * share_pm div src_tokens")))
+      .select(col("source"), col("keep_pm"))
+    flagged.join(broadcast(rates), Seq("source"), "left")
+      .withColumn("f_mix", col("f_sample") &&
+        pmod(expr(
+          "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) as bigint)"),
+          lit(1000)) < coalesce(col("keep_pm"), lit(0L)))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("f_train"), lit(1))).as("n_train"),
+        count(when(col("f_dedup"), lit(1))).as("n_after_dedup"),
+        count(when(col("f_decont"), lit(1))).as("n_after_decont"),
+        count(when(col("f_quality"), lit(1))).as("n_after_quality"),
+        count(when(col("f_sample"), lit(1))).as("n_after_sample"),
+        count(when(col("f_mix"), lit(1))).as("n_after_mix"))
+  }
+
   // ---- T24: text normalization (the pass that precedes every hash) ---------
 
   /** CCNet/C4-style normalization pipeline, the pass every dedup/hash
@@ -3119,6 +3193,7 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d13_dedup_eval" -> d13DedupEval,
     "t24_normalize" -> t24Normalize,
+    "k5_curation_funnel" -> k5CurationFunnel,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
