@@ -1104,6 +1104,22 @@ object PipelineOracles {
     // Matryoshka two-stage retrieval: the prefix shortlist and the
     // full-precision rerank are both recomputed exactly; the v1 rounding
     // convention (6 dp) absorbs summation-order ULPs on both scores
+    "v17_rrf_fusion" -> s"""
+      WITH $annEvalCtes,
+      fa AS (SELECT q_id, vec_id, rk AS rk_exact FROM rx WHERE rk <= 10),
+      fb AS (SELECT q_id, vec_id, rk AS rk_lsh FROM ra WHERE rk <= 5),
+      dd AS (SELECT ${PipelineQueries.RrfDisc.mkString("[", ",", "]")} AS d),
+      fu AS (SELECT q_id, vec_id, rk_exact, rk_lsh,
+                    CAST(coalesce(d[rk_exact], 0) + coalesce(d[rk_lsh], 0)
+                         AS BIGINT) AS rrf_e9
+             FROM fa FULL JOIN fb USING (q_id, vec_id), dd),
+      rr AS (SELECT q_id, vec_id, rk_exact, rk_lsh, rrf_e9,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY rrf_e9 DESC, vec_id) AS rk
+             FROM fu)
+      SELECT q_id, rk, vec_id, rk_exact, rk_lsh, rrf_e9
+      FROM rr WHERE rk <= 5 ORDER BY q_id, rk""",
+
     "v10_matryoshka" -> s"""
       WITH $embCte,
       p AS (SELECT vec_id, v[1:${MatDims}] AS p,

@@ -853,6 +853,54 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- V17: reciprocal-rank fusion (hybrid retrieval ensembling) -----------
+
+  /** RRF constant k = 60 (Cormack et al. 2009's convention). */
+  val RrfK = 60
+  /** Shared 1e9-scaled discount literals `round(1e9 / (k + r))` for ranks
+    * 1..10 — like v13's NDCG discounts, the VALUES are a convention both
+    * engines read from the same table, so the fused score is an exact
+    * integer sum with no floating division anywhere. */
+  val RrfDisc: Seq[Long] = (1 to 10).map(r => math.floor(1e9 / (RrfK + r) + 0.5).toLong)
+
+  /** Reciprocal Rank Fusion of two retrieval paths — the hybrid-search
+    * staple (Elastic/Vespa/OpenSearch all ship exactly this): each
+    * retriever contributes `1/(k + rank)` for the documents it returned,
+    * missing documents contribute 0, and the ensemble reranks by the
+    * sum. Fused here: v1's exact-cosine top-10 and v2's sign-LSH top-5 —
+    * COMPOSING the two proven operators (the v12/v13 eval discipline), so
+    * the fused list is the ensemble of the actual serving paths. Emits
+    * both source ranks so the fusion's corrections are visible.
+    *
+    * Scale shape: both inputs are top-k outputs (|queries| × k rows);
+    * everything past the component scans is broadcast-join-sized. The
+    * full-outer on (q_id, vec_id) is the fusion's defining shape — a doc
+    * found by either path must be scorable. */
+  val v17RrfFusion: Q = (spark, dir) => {
+    val discArr = RrfDisc.mkString("array(", "L,", "L)")
+    val a = v1CosineTopk(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rk").as("rk_exact"))
+    val b = v2AnnLsh(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rk").as("rk_lsh"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf_e9").desc, col("vec_id"))
+    a.join(b, Seq("q_id", "vec_id"), "full_outer")
+      // the null guard must be an explicit CASE: this Spark build's
+      // ElementAt codegen reads the value slot of an outer-join-null
+      // index (null bit set, slot garbage) and returns a wrong element
+      // instead of NULL — coalesce(element_at(arr, nullcol), 0) silently
+      // added disc(10) to every unmatched side until the oracle caught it
+      .withColumn("rrf_e9",
+        expr(s"(CASE WHEN rk_exact IS NULL THEN 0L" +
+          s" ELSE element_at($discArr, rk_exact) END) + " +
+          s"(CASE WHEN rk_lsh IS NULL THEN 0L" +
+          s" ELSE element_at($discArr, rk_lsh) END)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"),
+        col("rk_exact"), col("rk_lsh"), col("rrf_e9"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V8: BM25 lexical retrieval (the ANN family's sparse twin) -----------
 
   /** Literal retrieval queries: a handful of multi-term bags over the
@@ -3206,6 +3254,7 @@ object PipelineQueries {
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
+    "v17_rrf_fusion" -> v17RrfFusion,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
     "v10_matryoshka" -> v10MatryoshkaRerank,
