@@ -118,7 +118,7 @@ object PipelineOracles {
       |             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       |      FROM e)""".stripMargin
 
-  private val base: Map[String, String] = Map(
+  private val baseA: Map[String, String] = Map(
 
     "d1_exact_dedup" -> """
       SELECT doc_id, lang, source, n_chars FROM (
@@ -454,7 +454,15 @@ object PipelineOracles {
 
     // IVF-PQ: v3's literal-centroid cell assignment + probe selection prunes
     // candidates; v6's integer code distances rank them (asymmetric distance)
-    "v7_ivfpq" -> s"""
+    "v7_ivfpq" -> ivfpqSql("TRUE"))
+
+  /** The v7 IVF-PQ oracle, parameterized on a corpus-side predicate over
+    * the candidate alias `e2` — `TRUE` is v7 itself; v16 passes the
+    * survivor condition of its index DELETE so the served-after-maintenance
+    * result is graded against exactly the surviving corpus. The query side
+    * (`q0`) is NOT filtered: queries arrive with raw vectors at serving
+    * time, deleted or not, as on a real serving node. */
+  private def ivfpqSql(corpusCond: String): String = s"""
       WITH $embCte,
       ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
         c.map(d => BigDecimal(d).bigDecimal.toPlainString).mkString("[", ",", "]"))
@@ -493,12 +501,15 @@ object PipelineOracles {
       sc AS (SELECT q.q_id, e2.vec_id,
                     CAST(list_sum(list_transform(range(1, ${PipelineQueries.PqSub + 1}),
                       m -> q.dq[m][e2.code[m] + 1])) AS BIGINT) AS adc_dist
-             FROM enc e2 JOIN q ON e2.cell = q.probe AND e2.vec_id != q.q_id),
+             FROM enc e2 JOIN q ON e2.cell = q.probe AND e2.vec_id != q.q_id
+                  AND ($corpusCond)),
       r AS (SELECT q_id, vec_id, adc_dist,
                    row_number() OVER (PARTITION BY q_id
                                       ORDER BY adc_dist, vec_id) AS rk
             FROM sc)
-      SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk""",
+      SELECT q_id, rk, vec_id, adc_dist FROM r WHERE rk <= 5 ORDER BY q_id, rk"""
+
+  private val baseB: Map[String, String] = Map(
 
     // BM25 in exact fixed-point integer arithmetic: rational idf surrogate
     // (2N−2df+1)/(2df+1) and fraction-cleared tf normalization (k1=6/5,
@@ -1538,11 +1549,16 @@ object PipelineOracles {
              CAST(1 + doc_id % 768 AS BIGINT) AS height
       FROM documents ORDER BY doc_id""")
 
+  private val base: Map[String, String] = baseA ++ baseB
+
   val all: Map[String, String] = base ++ Map(
     // the streaming near-dup table must converge to d2's exact all-pairs
     // result — same oracle, different engine path
     "d2s_stream_neardup" -> base("d2_minhash_lsh"),
     // the persisted-and-incrementally-merged index must serve EXACTLY
     // what the per-query rebuild computes — same oracle, verbatim
-    "v15_persisted_ivfpq" -> base("v7_ivfpq"))
+    "v15_persisted_ivfpq" -> base("v7_ivfpq"),
+    // after the index table's row-level DELETE + OPTIMIZE, serving must
+    // equal the per-query rebuild over exactly the SURVIVING corpus
+    "v16_index_maintenance" -> ivfpqSql("e2.vec_id % 7 != 6"))
 }

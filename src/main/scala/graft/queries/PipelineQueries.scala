@@ -853,6 +853,73 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- V16: index maintenance — DELETE retired vectors, OPTIMIZE, serve ----
+
+  /** V16: the rest of the persisted index's lifecycle — v15 proves build +
+    * incremental merge; v16 proves RETIREMENT and MAINTENANCE. Vectors
+    * leave a real serving corpus continuously (takedowns, retention,
+    * re-embedding), and the deployed pattern is Delta's: a row-level
+    * DELETE against the index table, then OPTIMIZE to re-compact the
+    * surviving rows. Day 0 materializes the full IVF-PQ index through the
+    * incremental sink; a retention pass deletes the retired stripe
+    * (`vec_id % 7 = 6`) with the change feed ON (so a downstream replica
+    * could retract, the dag_cdc_apply pattern); OPTIMIZE rewrites the
+    * survivors; serving then runs v7's exact query shape against the
+    * compacted table. The oracle is the v7 rebuild restricted to the
+    * surviving corpus — served-after-maintenance must equal
+    * rebuilt-from-scratch, the invariant that makes in-place index
+    * maintenance trustworthy at all.
+    *
+    * Scale shape: DELETE rewrites only matching rows (here the table is
+    * unpartitioned; a date-partitioned index bounds the rewrite to
+    * matching partitions), OPTIMIZE is O(surviving bytes), and serving
+    * still touches only probed cells. Queries keep their RAW vectors at
+    * serving time (a deleted corpus vector can still be a query), so the
+    * query side recomputes its centroid scores + ADC table from the
+    * embeddings exactly as v15 does. */
+  val v16IndexMaintenance: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx-m").toString
+    try {
+      // day 0: the full corpus index through the incremental sink
+      SnapshotStore.merge(spark, root,
+        ivfAssigned(spark, dir)
+          .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+          .withColumn("dl", expr(pqDistListsSql))
+          .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+          .select(col("vec_id"), col("cell"), col("code")),
+        Seq("vec_id"))
+      // retirement: row-level DELETE of the retired stripe, CDF on so a
+      // downstream replica could retract the rows instead of re-diffing
+      SnapshotStore.delete(spark, root,
+        pmod(col("vec_id"), lit(7)) === 6, changeFeed = true)
+      // maintenance: re-compact the survivors (plain OPTIMIZE)
+      SnapshotStore.optimize(spark, root)
+      val index = SnapshotStore.read(spark, root).get
+        .localCheckpoint() // materialized before the temp tree is deleted
+      // serving: identical to v15 — the query derives everything from its
+      // own raw vector; the corpus side reads ONLY the compacted index
+      val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
+        .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+        .withColumn("dl", expr(pqDistListsSql))
+        .withColumn("s2",
+          expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+        .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+        .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+          explode(array(col("cell"), col("cell2"))).as("probe"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      index
+        .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- V17: reciprocal-rank fusion (hybrid retrieval ensembling) -----------
 
   /** RRF constant k = 60 (Cormack et al. 2009's convention). */
@@ -3254,6 +3321,7 @@ object PipelineQueries {
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
+    "v16_index_maintenance" -> v16IndexMaintenance,
     "v17_rrf_fusion" -> v17RrfFusion,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
