@@ -74,7 +74,8 @@ object Bench {
         - "dag_data_tests" - "dag_restore" - "dag_drift_audit"
         - "dag_source_freshness" - "dag_insert_overwrite" - "dag_microbatch"
         - "dag_cdc_apply" - "t8s_stream_decont" - "d2s_stream_neardup"
-        - "dag_state_modified" - "v15_persisted_ivfpq" - "dag_bloom_lookup")
+        - "dag_state_modified" - "v15_persisted_ivfpq" - "dag_bloom_lookup"
+        - "v16_index_maintenance")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
