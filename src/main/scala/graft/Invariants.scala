@@ -235,6 +235,29 @@ object Invariants {
       t11.unpersist()
     }
 
+    // ---- v15/v16: the persisted ANN index vs the store-free rebuild ----
+    // The independence is store-vs-recompute: one side reads parquet
+    // snapshots through the manifest (after merges, a row-level DELETE and
+    // an OPTIMIZE rewrite), the other never touches disk. At rehearsal
+    // tiers this replaces the DuckDB oracle (whose IVF-PQ SQL is priced
+    // for driver scales); set equality via except() stays distributed.
+    {
+      val v7 = PipelineQueries.v7IvfPq(spark, sfDir).localCheckpoint()
+      val v15 = PipelineQueries.v15PersistedIvfpq(spark, sfDir).localCheckpoint()
+      check("v15: persisted-index serving equals the per-query rebuild") {
+        v15.except(v7).isEmpty && v7.except(v15).isEmpty
+      }
+      val rebuilt = PipelineQueries.ivfpqRebuild(spark, sfDir,
+        pmod(col("vec_id"), lit(7)) =!= 6).localCheckpoint()
+      val v16 = PipelineQueries.v16IndexMaintenance(spark, sfDir).localCheckpoint()
+      check("v16: serving after DELETE+OPTIMIZE equals the survivor rebuild") {
+        v16.except(rebuilt).isEmpty && rebuilt.except(v16).isEmpty
+      }
+      check("v16: no retired vector is ever served") {
+        v16.filter(pmod(col("vec_id"), lit(7)) === 6).isEmpty
+      }
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)

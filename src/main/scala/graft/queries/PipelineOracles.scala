@@ -1560,5 +1560,8 @@ object PipelineOracles {
     "v15_persisted_ivfpq" -> base("v7_ivfpq"),
     // after the index table's row-level DELETE + OPTIMIZE, serving must
     // equal the per-query rebuild over exactly the SURVIVING corpus
-    "v16_index_maintenance" -> ivfpqSql("e2.vec_id % 7 != 6"))
+    "v16_index_maintenance" -> ivfpqSql("e2.vec_id % 7 != 6"),
+    // the STREAMING-maintained index (file-source micro-batches with a
+    // redelivered overlap) must converge to the same serving result
+    "v15s_stream_index" -> base("v7_ivfpq"))
 }

@@ -553,19 +553,37 @@ object PipelineQueries {
     * caller feeds it to ≥2 subtrees (corpus/query sides, join self-pairs). */
   private[graft] def ivfAssigned(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(spark)
+    assignCells(fanOut(spark, t(spark, dir, "embeddings")))
+      .localCheckpoint() // shared by corpus/query sides; GC-released (see d2)
+  }
+
+  /** The cell-assignment arithmetic of [[ivfAssigned]] over an arbitrary
+    * `(vec_id, embedding)` frame — split out so a STREAMING micro-batch
+    * can be assigned without a table read (the caller registers
+    * `vector_dot` and decides about fanOut/checkpointing). */
+  private[graft] def assignCells(emb: DataFrame): DataFrame = {
     def centroidSql(k: Int) =
       IvfCentroids(k).map(sqlDouble).mkString("array(", ",", ")")
     val scoreCols = (0 until IvfCells).map(k => expr(
       s"vector_dot(v, cast(${centroidSql(k)} as array<double>)) - ${sqlDouble(IvfHalfSq(k))}"))
-    fanOut(spark, t(spark, dir, "embeddings"))
+    emb
       .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
       .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
       .withColumn("s", array(scoreCols: _*))
       // ties break to the first maximal cell in BOTH engines
       // (array_position / list_position return the first match)
       .withColumn("cell", array_position(col("s"), array_max(col("s"))))
-      .localCheckpoint() // shared by corpus/query sides; GC-released (see d2)
   }
+
+  /** One `(vec_id, cell, code)` IVF-PQ index row per input vector — the
+    * projection v15 persists, over an arbitrary embeddings frame so the
+    * streaming ingest can index a micro-batch directly. */
+  private[graft] def ivfpqIndexRows(emb: DataFrame): DataFrame =
+    assignCells(emb)
+      .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+      .withColumn("dl", expr(pqDistListsSql))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .select(col("vec_id"), col("cell"), col("code"))
 
   /** V14: exact RANGE search (the ANN API's other half — every vector
     * with cosine ≥ τ of each query, not a top-k) with lossless IVF cell
@@ -830,27 +848,36 @@ object PipelineQueries {
         Seq("vec_id"))
       val index = SnapshotStore.read(spark, root).get
         .localCheckpoint() // materialized before the temp tree is deleted
-      // serving: the query side derives its centroid scores + ADC table
-      // from its own raw vector (exactly v7's query-side arithmetic)
-      val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
-        .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
-        .withColumn("dl", expr(pqDistListsSql))
-        .withColumn("s2",
-          expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
-        .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
-        .select(col("vec_id").as("q_id"), col("dl").as("dq"),
-          explode(array(col("cell"), col("cell2"))).as("probe"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-      index
-        .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-        .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
-        .orderBy(col("q_id"), col("rk"))
+      serveIvfpq(spark, dir, index)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** v7's serving shape over a PERSISTED index table: the query side
+    * derives its centroid scores + ADC lookup table from its own raw
+    * vector (exactly what a serving node holds at query time), the corpus
+    * side reads ONLY the `(vec_id, cell, code)` index rows. Shared by
+    * v15 / v16 / v15s — the build/maintenance paths differ, the serving
+    * contract doesn't. */
+  private def serveIvfpq(spark: SparkSession, dir: String,
+                         index: DataFrame): DataFrame = {
+    val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
+      .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+      .withColumn("dl", expr(pqDistListsSql))
+      .withColumn("s2",
+        expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+      .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    index
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   // ---- V16: index maintenance — DELETE retired vectors, OPTIMIZE, serve ----
@@ -899,25 +926,75 @@ object PipelineQueries {
         .localCheckpoint() // materialized before the temp tree is deleted
       // serving: identical to v15 — the query derives everything from its
       // own raw vector; the corpus side reads ONLY the compacted index
-      val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
-        .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
-        .withColumn("dl", expr(pqDistListsSql))
-        .withColumn("s2",
-          expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
-        .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
-        .select(col("vec_id").as("q_id"), col("dl").as("dq"),
-          explode(array(col("cell"), col("cell2"))).as("probe"))
-      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-      index
-        .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
-        .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
-        .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
-        .orderBy(col("q_id"), col("rk"))
+      serveIvfpq(spark, dir, index)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** V15s: the index maintained CONTINUOUSLY — v15's build through real
+    * Structured Streaming instead of scheduled runs. Embeddings arrive as
+    * three file-source micro-batches (batch 2 REDELIVERS part of batch 1:
+    * the merge-keyed sink must swallow the replay), each batch encodes its
+    * own index rows and merges them on vec_id
+    * ([[graft.streaming.StreamingIngest.annIndexIngest]]); serving from
+    * the converged table must hash-match v7's per-query-rebuild oracle
+    * verbatim — proving the index ARRIVES correct continuously, not just
+    * when rebuilt. Completes the retrieval lifecycle: batch build +
+    * incremental merge (v15), retirement + compaction (v16), streaming
+    * arrival (v15s) — all graded against the same rebuild contract. */
+  val v15sStreamIndex: Q = (spark, dir) => {
+    val emb = t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sannidx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sannidx-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sannidx-drops").toString
+    try {
+      streamDrops(spark, emb.schema, drops, Seq(
+        emb.filter(pmod(col("vec_id"), lit(3)) === 0),
+        emb.filter(pmod(col("vec_id"), lit(3)) === 1)
+          .unionByName(emb.filter(
+            pmod(col("vec_id"), lit(3)) === 0 && col("vec_id") < 20)),
+        emb.filter(pmod(col("vec_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.annIndexIngest(stream, root, ckpt)
+      }
+      val index = graft.incremental.SnapshotStore.read(spark, s"$root/ann_index").get
+        .localCheckpoint() // materialized before the temp trees are deleted
+      serveIvfpq(spark, dir, index)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
+  /** The v7 IVF-PQ top-k rebuilt in memory over a corpus-side predicate —
+    * the store-free twin [[graft.Invariants]] compares v15/v16's SERVED
+    * results against at rehearsal tiers where the DuckDB oracle is out of
+    * reach (all-pairs SQL cost). Kept separate from [[v7IvfPq]] so the
+    * pinned v7 surface is untouched; the query side is built BEFORE the
+    * predicate (queries keep their raw vectors at serving time). */
+  private[graft] def ivfpqRebuild(spark: SparkSession, dir: String,
+                                  corpusPred: Column): DataFrame = {
+    val enc = ivfAssigned(spark, dir)
+      .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+      .withColumn("dl", expr(pqDistListsSql))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .drop("u", "v", "nrm")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    val q = enc.filter(col("vec_id") < 5)
+      .withColumn("s2",
+        expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+      .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+        explode(array(col("cell"), col("cell2"))).as("probe"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.filter(corpusPred).select(col("vec_id"), col("cell"), col("code"))
+      .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   // ---- V17: reciprocal-rank fusion (hybrid retrieval ensembling) -----------
@@ -3322,6 +3399,7 @@ object PipelineQueries {
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
     "v16_index_maintenance" -> v16IndexMaintenance,
+    "v15s_stream_index" -> v15sStreamIndex,
     "v17_rrf_fusion" -> v17RrfFusion,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,

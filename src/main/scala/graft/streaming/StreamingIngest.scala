@@ -217,6 +217,30 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/nd_shingles", sh, Seq("doc_id"))
   }
 
+  /** Continuous maintenance of the persisted IVF-PQ ANN index (v15's
+    * table) from an embeddings stream: each micro-batch computes its own
+    * `(vec_id, cell, code)` index rows — per-vector arithmetic over
+    * literal centroids/codebook, no cross-batch state — and MERGES them
+    * on vec_id, so redelivered vectors upsert idempotently and the index
+    * converges to exactly the full-corpus build regardless of batch
+    * boundaries. The serving tier reads the snapshot table between
+    * merges; nothing here ever touches the driver.
+    *
+    * Scale shape: per batch, O(batch) encode work + a keyed merge that
+    * rewrites only matched partitions — the continuous version of the
+    * nightly index refresh, at ~12 B of persisted index per vector. */
+  def annIndexIngest(streamingEmbeddings: DataFrame, root: String,
+                     checkpointDir: String): StreamingQuery =
+    streamingEmbeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        graft.functions.GraftFunctions.ensureRegistered(spark)
+        SnapshotStore.merge(spark, s"$root/ann_index",
+          graft.queries.PipelineQueries.ivfpqIndexRows(batch), Seq("vec_id"))
+      }
+      .start()
+
   /** Continuous SCD2 dimension maintenance: each micro-batch folds into
     * the type-2 history via [[graft.incremental.Scd2.mergeBatch]]. A
     * stored high-water mark enforces Scd2's strict-append contract
