@@ -356,6 +356,33 @@ object DagOracles {
           s"""SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b
              |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
              |      ORDER BY transaction_digest, event_index""".stripMargin,
+        // E3 consumption SQL (README "Sample Queries"): the same SELECTs
+        // over the declaratively recomputed fct / loan model
+        "dag_show_pool_tvl" ->
+          s"""SELECT snapshot_date, coin_symbol, total_supply_usd AS tvl_usd,
+             |       total_borrow_usd, utilization_rate
+             |FROM (${fctOracle(includeLags = false)})
+             |WHERE coin_symbol = 'USDC'
+             |ORDER BY snapshot_date, margin_pool_id""".stripMargin,
+        "dag_show_total_tvl" ->
+          s"""SELECT snapshot_date,
+             |       sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
+             |         AS total_tvl_usd_e6,
+             |       sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
+             |         AS total_borrowed_usd_e6
+             |FROM (${fctOracle(includeLags = false)})
+             |GROUP BY 1
+             |ORDER BY 1 DESC""".stripMargin,
+        "dag_show_borrow_volume" ->
+          s"""SELECT snapshot_date, coin_symbol,
+             |       daily_borrow_volume_usd, daily_repay_volume_usd
+             |FROM (${fctOracle(includeLags = false)})
+             |ORDER BY snapshot_date DESC, margin_pool_id""".stripMargin,
+        "dag_show_recent_loans" ->
+          s"""SELECT make_timestamp((timestamp_ms // 1000) * 1000000) AS time,
+             |       margin_pool_id, loan_amount / 1e6 AS loan_amount_normalized
+             |FROM (${eventBody(EventModels.loanBorrowed)})
+             |ORDER BY timestamp_ms DESC, transaction_digest, event_index""".stripMargin,
         "dag_fct_pool_daily" -> fctOracle(includeLags = true),
         // lag columns excluded: the reference's own incremental runs
         // re-NULL them at the lookback boundary (see DagQueries)

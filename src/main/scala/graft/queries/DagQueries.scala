@@ -1143,8 +1143,67 @@ object DagQueries {
       graft.models.ReferenceSchema.auditSuite)
   }
 
+  // ---- E3: ad-hoc consumption SQL over the built models ("dbt show") -------
+
+  /** E3 (`SURVEY.md §3`): the reference README's four "Sample Queries"
+    * (`/root/reference/README.md:77-120`) run over the BUILT models — the
+    * Dune-UI / `dbt show` consumption surface. The real DAG builds the
+    * models, registers them as temp views, and the README SQL runs through
+    * `spark.sql` in its Spark-dialect rendering: the `dune.sui__tmp_.`
+    * catalog prefix becomes the view name, and Trino's truncating
+    * `from_unixtime(ms / 1000)` becomes `timestamp_seconds(ms div 1000)`
+    * (F5 — Spark `/` on bigints is a double, Spark `from_unixtime` returns
+    * a string). Determinism: every query gets a total ORDER BY (pool-id /
+    * digest tiebreaks on the reference's non-total sorts); the one
+    * aggregate query sums exact micro-USD integers — per-row
+    * `floor(x·1e6+0.5)` is a single-expression fold both engines compute
+    * identically (the fixed-point discipline), so no float summation
+    * order sits on the hashed surface. */
+  private def showQ(views: Map[String, Q], sql: String): Q = (spark, dir) => {
+    views.foreach { case (n, q) => q(spark, dir).createOrReplaceTempView(n) }
+    spark.sql(sql)
+  }
+
+  /** README "Pool TVL Over Time (USD)". */
+  val showPoolTvlQ: Q = showQ(Map("fct_deepbook_margin_pool_daily" -> fctQ),
+    """SELECT snapshot_date, coin_symbol, total_supply_usd AS tvl_usd,
+      |       total_borrow_usd, utilization_rate
+      |FROM fct_deepbook_margin_pool_daily
+      |WHERE coin_symbol = 'USDC'
+      |ORDER BY snapshot_date, margin_pool_id""".stripMargin)
+
+  /** README "Total TVL Across All Pools" (sums in exact micro-USD). */
+  val showTotalTvlQ: Q = showQ(Map("fct_deepbook_margin_pool_daily" -> fctQ),
+    """SELECT snapshot_date,
+      |       sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
+      |         AS total_tvl_usd_e6,
+      |       sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
+      |         AS total_borrowed_usd_e6
+      |FROM fct_deepbook_margin_pool_daily
+      |GROUP BY 1
+      |ORDER BY 1 DESC""".stripMargin)
+
+  /** README "Daily Borrow Volume by Pool (USD)". */
+  val showBorrowVolumeQ: Q = showQ(Map("fct_deepbook_margin_pool_daily" -> fctQ),
+    """SELECT snapshot_date, coin_symbol,
+      |       daily_borrow_volume_usd, daily_repay_volume_usd
+      |FROM fct_deepbook_margin_pool_daily
+      |ORDER BY snapshot_date DESC, margin_pool_id""".stripMargin)
+
+  /** README "Recent Loan Events". */
+  val showRecentLoansQ: Q = showQ(
+    Map("deepbook_margin_loan_borrowed" -> eventQ(EventModels.loanBorrowed)),
+    """SELECT timestamp_seconds(timestamp_ms div 1000) AS time,
+      |       margin_pool_id, loan_amount / 1e6 AS loan_amount_normalized
+      |FROM deepbook_margin_loan_borrowed
+      |ORDER BY timestamp_ms DESC, transaction_digest, event_index""".stripMargin)
+
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
+      Map("dag_show_pool_tvl" -> showPoolTvlQ,
+        "dag_show_total_tvl" -> showTotalTvlQ,
+        "dag_show_borrow_volume" -> showBorrowVolumeQ,
+        "dag_show_recent_loans" -> showRecentLoansQ) ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,
         "dag_fct_incremental" -> fctIncrementalQ,
         "dag_fct_maintenance" -> fctMaintenanceQ,
