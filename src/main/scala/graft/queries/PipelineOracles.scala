@@ -1547,7 +1547,49 @@ object PipelineOracles {
                   ELSE 'jpeg/baseline8' END AS codec,
              CAST(1 + n_chars % 1024 AS BIGINT) AS width,
              CAST(1 + doc_id % 768 AS BIGINT) AS height
-      FROM documents ORDER BY doc_id""")
+      FROM documents ORDER BY doc_id""",
+
+    // m5 aHash: every stage is engine-portable (md5 buckets, strict
+    // integer mean compare, integer band values), so the oracle replays
+    // the ENTIRE banded pipeline — fingerprint, candidates, Hamming and
+    // the exact-Jaccard verify — not just a ground-truth pair set
+    "m5_image_phash" -> s"""
+      WITH $shingleCte,
+      d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
+            FROM sh WHERE len(sh) >= 1),
+      px AS (SELECT doc_id, n,
+                    ('0x' || substr(md5(su), 1, 15))::BIGINT % 64 AS k
+             FROM (SELECT doc_id, n, unnest(sh) AS su FROM d) z),
+      hist AS (SELECT doc_id, n, k, CAST(count(*) AS BIGINT) AS c
+               FROM px GROUP BY doc_id, n, k),
+      setb AS (SELECT doc_id, k FROM hist WHERE 64 * c > n),
+      bsum AS (SELECT doc_id, k // 16 AS band,
+                      sum(1::BIGINT << CAST(k % 16 AS INT)) AS v
+               FROM setb GROUP BY doc_id, k // 16),
+      bandv AS (SELECT dd.doc_id, r.band, COALESCE(bsum.v, 0) AS v
+                FROM (SELECT DISTINCT doc_id FROM d) dd
+                CROSS JOIN (SELECT range AS band FROM range(0, 4)) r
+                LEFT JOIN bsum ON bsum.doc_id = dd.doc_id AND bsum.band = r.band),
+      bl AS (SELECT doc_id, list(v ORDER BY band) AS bv
+             FROM bandv GROUP BY doc_id),
+      cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                      CAST(list_sum(list_transform(range(1, 5),
+                        i -> bit_count(xor(x.bv[i], y.bv[i])))) AS BIGINT) AS hamming
+               -- a zero band never pairs (no above-mean signal in that
+               -- stripe) — mirrors the Spark side's v != 0 band filter
+               FROM bl x JOIN bl y ON x.doc_id < y.doc_id
+                 AND ((x.bv[1] = y.bv[1] AND x.bv[1] != 0)
+                      OR (x.bv[2] = y.bv[2] AND x.bv[2] != 0)
+                      OR (x.bv[3] = y.bv[3] AND x.bv[3] != 0)
+                      OR (x.bv[4] = y.bv[4] AND x.bv[4] != 0))),
+      j AS (SELECT c.a_id, c.b_id, c.hamming,
+                   CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                   CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+            FROM cand c
+            JOIN d a ON a.doc_id = c.a_id
+            JOIN d b ON b.doc_id = c.b_id)
+      SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
+      FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""")
 
   private val base: Map[String, String] = baseA ++ baseB
 

@@ -1624,8 +1624,10 @@ object PipelineQueries {
     * inside the imperative seam would pay interpreter + hex-formatting
     * cost for nothing); only the byte-level header parse runs in the
     * partition iterator. */
-  val m1MultimodalMeta: Q = (spark, dir) => {
-    import spark.implicits._
+  /** The planted media containers (even docs a valid PNG prefix, odd docs
+    * a valid JPEG prefix, payload = the text bytes) — shared by m1's
+    * metadata decode and m5's perceptual-hash decode. */
+  private def plantedMedia: Column = {
     val w = (lit(1) + pmod(col("n_chars"), lit(1024))).cast(LongType)
     val h = (lit(1) + pmod(col("doc_id"), lit(768))).cast(LongType)
     val pngHeader = concat(
@@ -1640,11 +1642,15 @@ object PipelineQueries {
       unhex(lpad(hex(h), 4, "0")),                    // height, big-endian 16-bit
       unhex(lpad(hex(w), 4, "0")),                    // width, big-endian 16-bit
       unhex(lit("03011100021101031101")))             // 3 components
-    val payload = concat(
+    concat(
       when(pmod(col("doc_id"), lit(2)) === 0, pngHeader).otherwise(jpegHeader),
       encode(col("text"), "UTF-8"))
+  }
+
+  val m1MultimodalMeta: Q = (spark, dir) => {
+    import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), payload.as("payload"),
+      .select(col("doc_id"), plantedMedia.as("payload"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
@@ -1692,6 +1698,126 @@ object PipelineQueries {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  // ---- M5: perceptual-hash near-dup over decoded images (aHash) ------------
+
+  final case class PHash(doc_id: Long, n_sh: Long,
+                         b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Image-dedup bridge between the multimodal and dedup ladders: the
+    * average-hash (aHash) pipeline every image-dedup stack runs —
+    * decode → downsample to a tiny luma grid → threshold at the mean →
+    * 64-bit fingerprint → Hamming-banded candidate pairs → exact verify.
+    * The decode seam parses m1's REAL containers (PNG fixed-offset IHDR
+    * walk / JPEG marker scan — the dispatch does not know which doc is
+    * which) and extracts the payload; the "luma grid" is the brief's
+    * sanctioned deterministic stand-in for pixel decoding (no codec libs
+    * ship in this container): pixel k = number of distinct payload
+    * 3-shingles whose md5 lands in bucket k of 64 — a feature-hashing
+    * grid with the locality aHash needs (shared shingles ⇒ shared
+    * buckets), computed from DECODED payload bytes only. Bit k is set iff
+    * 64·pixel_k > total (strict integer compare — no float mean), and the
+    * 64 bits split into 4×16-bit bands (d3's Hamming-LSH shape).
+    *
+    * Unlike d2 (whose xxhash signatures no second engine can recompute,
+    * so its oracle must be the exact ground truth), every stage here is
+    * engine-portable (md5 buckets, integer bits), so the DuckDB oracle
+    * replays the ENTIRE banded pipeline — candidates included — and the
+    * hash pins fingerprint, banding and verify, with no reliance on a
+    * probabilistic recall guarantee. Emitted pairs carry the Hamming
+    * distance and the exact shingle Jaccard (≥ ½ kept, d2's convention).
+    *
+    * Scale shape: the seam is one corpus pass (fanned out — md5-per-
+    * shingle is CPU-dense); candidates are an equi-join on (band, value)
+    * — near-dup clusters share buckets by design, the same bounded-skew
+    * shape as d5's sign-LSH buckets; the verify join touches candidates
+    * only, with shingle sets fetched by key. */
+  val m5ImagePhash: Q = (spark, dir) => {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), plantedMedia.as("payload"))
+      .as[(Long, Array[Byte])]
+    val ph = docs.mapPartitions { it =>
+      val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+      def be16(b: Array[Byte], off: Int): Int =
+        ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+      // content offset via a REAL header parse (PNG chunk / JPEG marker walk)
+      def contentOffset(b: Array[Byte]): Int =
+        if (b.length >= 33 && b.take(8).sameElements(pngSig) &&
+          new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR")
+          8 + 4 + 4 + ((b(8) & 0xff) << 24 | (b(9) & 0xff) << 16 |
+            (b(10) & 0xff) << 8 | (b(11) & 0xff)) + 4
+        else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+          var pos = 2
+          var content = -1
+          while (content < 0 && pos + 4 <= b.length && (b(pos) & 0xff) == 0xff) {
+            val marker = b(pos + 1) & 0xff
+            val segLen = be16(b, pos + 2)
+            if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+              marker != 0xc8 && marker != 0xcc) content = pos + 2 + segLen
+            else pos += 2 + segLen
+          }
+          content
+        } else -1
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def bucket(s: String): Int = {
+        md.reset()
+        val hx = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hx.substring(0, 15), 16) % 64L).toInt
+      }
+      it.map { case (id, bytes) =>
+        val off = contentOffset(bytes)
+        val text = if (off < 0 || off > bytes.length) ""
+          else new String(bytes, off, bytes.length - off,
+            java.nio.charset.StandardCharsets.UTF_8)
+        // d2's shingle convention: lowercase, split on ' ' (empties kept),
+        // distinct 3-word windows
+        val w = text.toLowerCase.split(" ", -1)
+        val sh = if (w.length < 3) Set.empty[String]
+          else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+        val luma = new Array[Long](64)
+        sh.foreach(s => luma(bucket(s)) += 1)
+        val n = sh.size.toLong
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (64L * luma(k) > n) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        PHash(id, n, bands(0), bands(1), bands(2), bands(3))
+      }
+    }.toDF().filter(col("n_sh") >= 1).localCheckpoint() // both sides of the self-join
+    // an all-zero band carries no perceptual signal (nothing above the
+    // mean in that 16-bucket stripe) — standard LSH practice skips it,
+    // which also removes the short-doc zero-band cross-pairing blowup
+    val sides = ph.select(col("doc_id"),
+      array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "bv", "band", "v")
+      .filter(col("v") =!= 0L)
+    val cand = sides.as("x").join(sides.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("aggregate(sequence(0, 3), 0L," +
+          " (acc, i) -> acc + bit_count(x.bv[i] ^ y.bv[i]))").as("hamming"))
+      .distinct()
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), expr("shingle_ids(text)").as("ids"))
+      .select(col("doc_id"), col("ids"), size(col("ids")).cast(LongType).as("n"))
+      .localCheckpoint() // fetched by BOTH pair sides
+    cand
+      .join(sh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast(LongType))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- M3: audio-container plumbing (WAV/RIFF chunk walk) ------------------
@@ -3353,6 +3479,7 @@ object PipelineQueries {
 
   val all: Map[String, Q] = Map(
     "m2_frame_sample" -> m2FrameSample,
+    "m5_image_phash" -> m5ImagePhash,
     "t17_ppl_buckets" -> t17PplBuckets,
     "d6_dedup_clusters" -> d6DedupClusters,
     "t5_chunk" -> t5Chunk,
