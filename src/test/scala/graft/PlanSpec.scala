@@ -99,7 +99,8 @@ class PlanSpec extends SparkSpec {
                           "d7" -> PipelineQueries.d7Semdedup,
                           "d8" -> PipelineQueries.d8SubstringDedup,
                           "d11" -> PipelineQueries.d11Containment,
-                          "d13" -> PipelineQueries.d13DedupEval)) {
+                          "d13" -> PipelineQueries.d13DedupEval,
+                          "m5" -> PipelineQueries.m5ImagePhash)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
