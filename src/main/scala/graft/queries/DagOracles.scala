@@ -356,6 +356,22 @@ object DagOracles {
           s"""SELECT * FROM (${eventBody(EventModels.loanBorrowed)}) b
              |      WHERE timestamp_ms <= ${DagQueries.AppendCutoffMs}
              |      ORDER BY transaction_digest, event_index""".stripMargin,
+        // dbt run_results: per-model status + materialized cardinality,
+        // each count recomputed from the model's declarative body
+        "dag_run_results" -> {
+          val eventRows = EventModels.all.map(m =>
+            s"""SELECT '${m.name}' AS model, 'success' AS status,
+               |  (SELECT CAST(count(*) AS BIGINT) FROM (${eventBody(m)})) AS n_rows""".stripMargin)
+          val stgRow =
+            s"""SELECT '${PoolObjectStg.name}' AS model, 'success' AS status,
+               |  (SELECT CAST(count(*) AS BIGINT) FROM ($stgBody)) AS n_rows""".stripMargin
+          val fctRow =
+            s"""SELECT '${PoolDailyFct.name}' AS model, 'success' AS status,
+               |  (SELECT CAST(count(*) AS BIGINT) FROM (${fctOracle(includeLags = false)})) AS n_rows""".stripMargin
+          (eventRows :+ stgRow :+ fctRow)
+            .mkString("SELECT model, status, n_rows FROM (\n", "\nUNION ALL\n",
+              "\n) ORDER BY model")
+        },
         // E3 consumption SQL (README "Sample Queries"): the same SELECTs
         // over the declaratively recomputed fct / loan model
         "dag_show_pool_tvl" ->

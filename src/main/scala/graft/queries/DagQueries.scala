@@ -1198,9 +1198,40 @@ object DagQueries {
       |FROM deepbook_margin_loan_borrowed
       |ORDER BY timestamp_ms DESC, transaction_digest, event_index""".stripMargin)
 
+  /** dbt's `run_results.json` artifact as a hard gate: one full DAG run
+    * through the real Runner + store, emitting per-model (status, rows
+    * materialized) — the completion of the dbt artifact triple the
+    * engine now serves (catalog/manifest = [[graft.incremental.Docs]],
+    * state = slim-CI's `_graft_state.json`, run results = this). The
+    * timing fields dbt also records are deliberately NOT on the hashed
+    * surface (wall-clock is not replayable); statuses and row counts
+    * are, and the oracle recomputes each model's cardinality
+    * declaratively. The assembly is a |models|-sized driver fold —
+    * run_results is a driver artifact in dbt too. */
+  val runResultsQ: Q = (spark, _) => {
+    import spark.implicits._
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft-runres").toString
+    try {
+      val report = DeepbookPipeline.runner(root)
+        .runReport(RunContext(spark, full, RunMode.FullRefresh, DeepbookFixtures.now))
+      val rows = report.statuses.toSeq.sortBy(_._1).map { case (m, st) =>
+        val status = st match {
+          case graft.incremental.ModelStatus.Success => "success"
+          case _: graft.incremental.ModelStatus.Error => "error"
+          case _: graft.incremental.ModelStatus.Skipped => "skipped"
+        }
+        (m, status, report.tables.get(m).map(_.count()).getOrElse(0L))
+      }
+      rows.toDF("model", "status", "n_rows").orderBy("model")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   val all: Map[String, Q] =
     EventModels.all.map(m => s"dag_${shortName(m.name)}" -> eventQ(m)).toMap ++
       Map("dag_show_pool_tvl" -> showPoolTvlQ,
+        "dag_run_results" -> runResultsQ,
         "dag_show_total_tvl" -> showTotalTvlQ,
         "dag_show_borrow_volume" -> showBorrowVolumeQ,
         "dag_show_recent_loans" -> showRecentLoansQ) ++
