@@ -216,9 +216,95 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** PIPE5: the curation pipeline INCREMENTALIZED through the store — the
+    * shape a growing 100 TB corpus actually runs, where "the corpus" is a
+    * snapshot table and each arrival batch flows through the per-document
+    * quality gate and exact-dedup ADMISSION against accumulated state,
+    * while the corpus-GLOBAL mixture stage re-runs over the admitted
+    * table after the last merge (its state is one |sources|-sized totals
+    * agg — re-running the cheap global stage while the expensive
+    * admission work stays incremental is exactly the production split).
+    * Three arrival batches by doc_id range (arrival order = id order, so
+    * first-arrival admission ≡ the one-shot min-id keeper), batch 2
+    * REDELIVERING part of batch 1 — the digest anti-join must swallow
+    * the replay. The final mixture output must hash-match a ONE-SHOT
+    * chained oracle over the full corpus: the incremental decomposition
+    * may change delivery, never results.
+    *
+    * Scale shape: per batch, the quality gate is map-only, within-batch
+    * dedup is a batch-sized digest groupBy, admission is a keyed
+    * anti-join against state (d9's Bloom prefilter is the proven 100 TB
+    * form of this join; the gate keeps the plain anti-join — zero moving
+    * parts, same result by d9's own equivalence proof), and the merge
+    * writes only new-digest rows. Identical text implies identical
+    * quality, so gate-then-dedup ≡ dedup-then-gate and the composition
+    * stays order-free. */
+  val pipe5IncrementalCorpus: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val docs = Sources.testdata(spark, dir)("documents")
+    val quality = docs
+      .withColumn("lw", split(lower(col("text")), " "))
+      .withColumn("nt", size(col("lw")).cast(LongType))
+      .withColumn("n_stop",
+        expr(s"size(filter(lw, x -> x in ${inListSql(StopEn)}))").cast(LongType))
+      .filter(expr("(least(100L, nt) * nt + 100L * n_stop) * 5000 div nt")
+        >= QualityMinPpm)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        sha2(col("text"), 256).as("digest"))
+    // batch boundaries only (a metadata-sized 1-row action, like d9's count)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val (t1, t2) = (maxId / 3, 2 * maxId / 3)
+    val batches = Seq(
+      quality.filter(col("doc_id") <= t1),
+      quality.filter(col("doc_id") > t1 && col("doc_id") <= t2)
+        .unionByName(quality.filter( // redelivered tail of batch 1
+          col("doc_id") <= t1 && pmod(col("doc_id"), lit(5)) === 0)),
+      quality.filter(col("doc_id") > t2))
+    val root = java.nio.file.Files.createTempDirectory("graft-pipe5").toString
+    try {
+      batches.foreach { b =>
+        val dedup = b.groupBy(col("digest"))
+          .agg(min_by(struct(col("doc_id"), col("source"), col("n_chars")),
+            col("doc_id")).as("keep"))
+          .select(col("digest"), col("keep.doc_id"), col("keep.source"),
+            col("keep.n_chars"))
+        val fresh = SnapshotStore.read(spark, root) match {
+          case Some(state) =>
+            dedup.join(state.select(col("digest")), Seq("digest"), "left_anti")
+          case None => dedup
+        }
+        SnapshotStore.merge(spark, root, fresh, Seq("digest"))
+      }
+      val corpus = SnapshotStore.read(spark, root).get
+        .select(col("doc_id"), col("source"),
+          ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+        .localCheckpoint() // feeds totals agg + membership; outlives the temp tree
+      val share = MixSharePermille.foldLeft(lit(MixShareDefault)) {
+        case (e, (s, r)) => when(col("source") === s, lit(r)).otherwise(e)
+      }
+      val bySrc = corpus.groupBy(col("source"))
+        .agg(sum(col("est_tokens")).as("src_tokens"))
+        .withColumn("share_pm", share)
+      val budget = bySrc.agg(min(expr("src_tokens * 1000 div share_pm")).as("budget"))
+      val rates = bySrc.crossJoin(broadcast(budget))
+        .withColumn("keep_pm",
+          least(lit(1000L), expr("budget * share_pm div src_tokens")))
+        .select(col("source"), col("keep_pm"))
+      corpus.join(broadcast(rates), "source")
+        .withColumn("h", expr(
+          "cast(conv(substring(md5(concat('mix:', cast(doc_id as string))),1,15),16,10) as bigint)"))
+        .filter(pmod(col("h"), lit(1000)) < col("keep_pm"))
+        .select(col("doc_id"), col("source"), col("est_tokens"), col("keep_pm"),
+          expr("1000000000 div keep_pm").as("weight_ppm"))
+        .orderBy(col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   val all: Map[String, Q] = Map(
     "pipe_corpus_prep" -> pipeCorpusPrep,
     "pipe2_curation" -> pipe2Curation,
     "pipe3_gated_quota" -> pipe3GatedQuota,
-    "pipe4_crawl_prep" -> pipe4CrawlPrep)
+    "pipe4_crawl_prep" -> pipe4CrawlPrep,
+    "pipe5_incremental_corpus" -> pipe5IncrementalCorpus)
 }

@@ -1589,7 +1589,39 @@ object PipelineOracles {
             JOIN d a ON a.doc_id = c.a_id
             JOIN d b ON b.doc_id = c.b_id)
       SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
-      FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""")
+      FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
+
+    // pipe5: the ONE-SHOT recomputation the incremental store run must
+    // equal — quality gate, min-id exact dedup over the gated corpus,
+    // then t12's measured-total mixture over the survivors
+    "pipe5_incremental_corpus" -> s"""
+      WITH lg AS (SELECT doc_id, string_split(lower(text), ' ') AS lw
+                  FROM documents),
+      q AS (SELECT d.doc_id, d.source, d.n_chars, d.text
+            FROM documents d JOIN lg ON lg.doc_id = d.doc_id
+            WHERE (least(100, len(lg.lw))::BIGINT * len(lg.lw)
+                   + 100 * len(list_filter(lg.lw, x -> x IN ${inList(StopEn)})))
+                  * 5000 // len(lg.lw) >= ${CorpusPrep.QualityMinPpm}),
+      keep AS (SELECT doc_id, source, n_chars FROM (
+                 SELECT doc_id, source, n_chars,
+                        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                 FROM q) t WHERE rn = 1),
+      dd AS (SELECT doc_id, source, ceil(n_chars / 4.0)::BIGINT AS est_tokens
+             FROM keep),
+      s AS (SELECT source, SUM(est_tokens)::BIGINT AS src_tokens,
+                   CASE ${PipelineQueries.MixSharePermille.map { case (s, r) =>
+        s"WHEN source = '$s' THEN $r" }.mkString(" ")}
+                        ELSE ${PipelineQueries.MixShareDefault} END AS share_pm
+            FROM dd GROUP BY source),
+      b AS (SELECT MIN(src_tokens * 1000 // share_pm) AS budget FROM s),
+      r AS (SELECT source, least(1000, b.budget * share_pm // src_tokens) AS keep_pm
+            FROM s, b)
+      SELECT dd.doc_id, dd.source, dd.est_tokens, r.keep_pm,
+             1000000000 // r.keep_pm AS weight_ppm
+      FROM dd JOIN r USING (source)
+      WHERE ('0x' || substr(md5('mix:' || dd.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+            < r.keep_pm
+      ORDER BY dd.doc_id""")
 
   private val base: Map[String, String] = baseA ++ baseB
 
