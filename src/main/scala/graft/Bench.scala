@@ -76,7 +76,8 @@ object Bench {
         - "dag_cdc_apply" - "t8s_stream_decont" - "d2s_stream_neardup"
         - "dag_state_modified" - "v15_persisted_ivfpq" - "dag_bloom_lookup"
         - "v16_index_maintenance" - "v15s_stream_index"
-        - "dag_run_results" - "pipe5_incremental_corpus")
+        - "dag_run_results" - "pipe5_incremental_corpus"
+        - "v18_partitioned_index")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -108,6 +108,16 @@ object SnapshotStore {
       if (df.columns.contains(PartCol)) df.drop(PartCol) else df
     }
 
+  /** [[read]] with the partition column KEPT (`_dt`, string) — for
+    * readers that prune on it: a filter or join key on `_dt` reaches the
+    * manifest file index as a partition filter (static or Spark's dynamic
+    * partition pruning), so the scan lists only matching partitions.
+    * The cell-partitioned ANN index serves through this (v18): probed
+    * cells are partition values, and the serving scan touches
+    * probes/cells of the table's files. */
+  def readWithPartition(spark: SparkSession, root: String): Option[DataFrame] =
+    currentSnapshot(root).map(s => snapshotDf(spark, Paths.get(root, s))._1)
+
   /** The snapshot's DataFrame (partition column KEPT) + whether it is
     * partitioned. Manifest-routed (no listing, no footer sweep); falls
     * back to the legacy `mergeSchema` listing read for pre-manifest

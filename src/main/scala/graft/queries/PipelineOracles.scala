@@ -1637,5 +1637,8 @@ object PipelineOracles {
     "v16_index_maintenance" -> ivfpqSql("e2.vec_id % 7 != 6"),
     // the STREAMING-maintained index (file-source micro-batches with a
     // redelivered overlap) must converge to the same serving result
-    "v15s_stream_index" -> base("v7_ivfpq"))
+    "v15s_stream_index" -> base("v7_ivfpq"),
+    // the cell-PARTITIONED index (DPP-pruned serving scan) must serve
+    // the same result — layout changes cost, never results
+    "v18_partitioned_index" -> base("v7_ivfpq"))
 }

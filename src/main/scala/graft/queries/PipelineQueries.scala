@@ -997,6 +997,59 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  // ---- V18: cell-partitioned index — partition-pruned serving --------------
+
+  /** V18: v15's persisted index laid out FOR serving — PARTITIONED BY
+    * CELL through the store (partition values = IVF cell ids). A query's
+    * two probed cells are two partition values, so the serving join's
+    * partition-column key lets Spark's DYNAMIC PARTITION PRUNING confine
+    * the index scan to the probed cells' files (manifest-routed, no
+    * listing): at 10⁹ vectors the read is probes/cells of the table, and
+    * an incremental vector batch rewrites only the cells it touches
+    * (partition-scoped merge) instead of the whole index. The gate
+    * REQUIRES the pruning in-plan (a dynamicpruning expression on the
+    * partition column — the dag_bloom_lookup in-gate discipline) and the
+    * served top-k must hash-match v7's rebuild oracle verbatim: layout
+    * may change cost, never results. */
+  val v18PartitionedIndex: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-annidx-p").toString
+    try {
+      SnapshotStore.merge(spark, root,
+        ivfAssigned(spark, dir)
+          .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+          .withColumn("dl", expr(pqDistListsSql))
+          .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+          .select(col("vec_id"), col("cell"), col("code")),
+        Seq("vec_id"), partitionDate = Some(col("cell")))
+      val index = SnapshotStore.readWithPartition(spark, root).get
+      val q = ivfAssigned(spark, dir).filter(col("vec_id") < 5)
+        .withColumn("u", expr("transform(v, x -> cast(floor(x * 1000000.0d + 0.5d) as bigint))"))
+        .withColumn("dl", expr(pqDistListsSql))
+        .withColumn("s2",
+          expr("transform(s, (x, i) -> IF(i = cell - 1, CAST(-1e18 AS DOUBLE), x))"))
+        .withColumn("cell2", array_position(col("s2"), array_max(col("s2"))))
+        .select(col("vec_id").as("q_id"), col("dl").as("dq"),
+          explode(array(col("cell"), col("cell2"))).as("probe"))
+        .withColumn("probe_s", col("probe").cast(StringType))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      val served = index
+        .join(broadcast(q),
+          col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      require(served.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "v18: the serving scan must be dynamic-partition-pruned to the probed cells")
+      served.localCheckpoint() // pruned scan executes HERE, before the tree is deleted
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- V17: reciprocal-rank fusion (hybrid retrieval ensembling) -----------
 
   /** RRF constant k = 60 (Cormack et al. 2009's convention). */
@@ -3527,6 +3580,7 @@ object PipelineQueries {
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
     "v16_index_maintenance" -> v16IndexMaintenance,
     "v15s_stream_index" -> v15sStreamIndex,
+    "v18_partitioned_index" -> v18PartitionedIndex,
     "v17_rrf_fusion" -> v17RrfFusion,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
