@@ -243,6 +243,48 @@ object PipelineOracles {
              count(*) FILTER (f_mix) AS n_after_mix
       FROM fm""",
 
+    // exact per-source-pair shingle-set Jaccard + the 32-slot MinHash
+    // estimate, both recomputed verbatim (md5 slot hashes are
+    // cross-engine — the t4 recipe — so the SKETCH itself is graded
+    // bit-for-bit, not just the exact join it approximates)
+    "k6_corpus_overlap" -> s"""
+      WITH docs AS (SELECT source, string_split(lower(text), ' ') AS w
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3),
+      g0 AS (SELECT source, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)]) AS s
+             FROM docs),
+      g AS (SELECT DISTINCT source, md5(s) AS sdig FROM g0),
+      sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      mins AS (SELECT source, i,
+                      MIN(md5(CAST(i AS VARCHAR) || ':' || sdig)) AS h
+               FROM g CROSS JOIN (SELECT unnest(range(0, ${PipelineQueries.OverlapSlots})) AS i) s
+               GROUP BY source, i),
+      km AS (SELECT a.source AS src_a, b.source AS src_b,
+                    COUNT(*) FILTER (WHERE a.h = b.h) AS k_matched
+             FROM mins a JOIN mins b ON a.i = b.i AND a.source < b.source
+             GROUP BY 1, 2),
+      ix AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+             FROM g a JOIN g b ON a.sdig = b.sdig AND a.source < b.source
+             GROUP BY 1, 2),
+      pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+                       a.n AS na, b.n AS nb
+                FROM sz a JOIN sz b ON a.source < b.source)
+      SELECT p.src_a, p.src_b, p.na, p.nb,
+             COALESCE(ix.inter, 0) AS inter,
+             p.na + p.nb - COALESCE(ix.inter, 0) AS uni,
+             COALESCE(ix.inter, 0) * 1000000
+               // (p.na + p.nb - COALESCE(ix.inter, 0)) AS jaccard_ppm,
+             km.k_matched,
+             km.k_matched * 1000000 // ${PipelineQueries.OverlapSlots} AS est_ppm,
+             abs(km.k_matched * 1000000 // ${PipelineQueries.OverlapSlots}
+                 - COALESCE(ix.inter, 0) * 1000000
+                     // (p.na + p.nb - COALESCE(ix.inter, 0))) AS err_ppm
+      FROM pairs p
+      JOIN km USING (src_a, src_b)
+      LEFT JOIN ix USING (src_a, src_b)
+      ORDER BY src_a, src_b""",
+
     "t24_normalize" -> """
       WITH n AS (SELECT doc_id, text,
                         lower(text) AS s1,

@@ -2537,6 +2537,81 @@ object PipelineQueries {
         count(when(col("f_mix"), lit(1))).as("n_after_mix"))
   }
 
+  // ---- K6: corpus-overlap audit (MinHash sketch vs exact, per source pair) --
+
+  /** Cross-corpus overlap audit: for every pair of sources, the exact
+    * Jaccard of their distinct word-3-gram shingle sets (md5-digest
+    * identity) AND a [[OverlapSlots]]-slot MinHash estimate of the same
+    * quantity. The sketch is what a 100 TB curation run actually serves —
+    * per-corpus signatures are O(K) strings, mergeable across shards (min
+    * is associative), and comparing two crawls never re-touches the
+    * shingle sets — graded here against the exact join so the estimator's
+    * error is a measured, hash-stable column rather than a claim.
+    *
+    * Scale shape: ONE distinct-shuffle builds the per-source shingle sets
+    * (map-side combine on (source, digest)); the signature is a single
+    * K-way min aggregate over that set (map-side combined, |sources|·K
+    * output cells, broadcast back); the exact intersection is a
+    * digest-keyed equi-join — the only term that grows with corpus size,
+    * and exactly the term the sketch replaces in production. Every
+    * emitted column is an integer (ppm via integer div) — no float ever
+    * touches the hashed surface.
+    *
+    * Slot hashes are md5 over a slot-prefixed digest with LEXICOGRAPHIC
+    * min — the cross-engine-recomputable recipe t4's winnowing
+    * fingerprint established, so DuckDB reproduces the sketch
+    * bit-for-bit (unlike d2's xxhash signatures, which only Spark can
+    * compute and whose oracle therefore grades the exact pairs instead). */
+  val OverlapSlots = 32
+
+  val k6CorpusOverlap: Q = (spark, dir) => {
+    // per-source DISTINCT shingle sets, digest identity: equality classes
+    // equal string-shingle equality (md5 collisions ≪ 1e-20 at any sf)
+    val sh = fanOut(spark, t(spark, dir, "documents"))
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("source"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
+      .select(col("source"),
+        md5(concat_ws(" ", col("w")(col("i")), col("w")(col("i") + 1),
+          col("w")(col("i") + 2))).as("sdig"))
+      .distinct()
+      .localCheckpoint() // feeds sizes + signature + both join sides (see d2)
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val minAggs = (0 until OverlapSlots).map(i =>
+      min(md5(concat(lit(s"$i:"), col("sdig")))).as(s"h$i"))
+    val sig = sh.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
+      .select(col("source"),
+        array((0 until OverlapSlots).map(i => col(s"h$i")): _*).as("sig"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sdig") === col("y.sdig") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    // the zero-overlap pairs must still appear: build the full pair frame
+    // from the (tiny) per-source size agg and left-join the intersection
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("na"))
+      .crossJoin(sizes.select(col("source").as("src_b"), col("n").as("nb")))
+      .filter(col("src_a") < col("src_b"))
+    val sigA = sig.select(col("source").as("src_a"), col("sig").as("sig_a"))
+    val sigB = sig.select(col("source").as("src_b"), col("sig").as("sig_b"))
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(broadcast(sigA), Seq("src_a"))
+      .join(broadcast(sigB), Seq("src_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .withColumn("k_matched",
+        expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)) as bigint)"))
+      .select(col("src_a"), col("src_b"), col("na"), col("nb"),
+        col("inter"), col("uni"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"),
+        col("k_matched"),
+        expr(s"k_matched * 1000000 div $OverlapSlots").as("est_ppm"))
+      .withColumn("err_ppm", abs(col("est_ppm") - col("jaccard_ppm")))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   // ---- T24: text normalization (the pass that precedes every hash) ---------
 
   /** CCNet/C4-style normalization pipeline, the pass every dedup/hash
@@ -3566,6 +3641,7 @@ object PipelineQueries {
     "d13_dedup_eval" -> d13DedupEval,
     "t24_normalize" -> t24Normalize,
     "k5_curation_funnel" -> k5CurationFunnel,
+    "k6_corpus_overlap" -> k6CorpusOverlap,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
