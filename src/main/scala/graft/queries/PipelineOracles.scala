@@ -285,6 +285,36 @@ object PipelineOracles {
       LEFT JOIN ix USING (src_a, src_b)
       ORDER BY src_a, src_b""",
 
+    // the 5 PageRank iterations unrolled as chained CTEs — integer fixed
+    // point end to end, so every iteration is bit-identical to Spark's
+    "g1_pagerank" -> {
+      val iters = (1 to PipelineQueries.G1Iters).map { i =>
+        s"""c$i AS (SELECT e.dst, CAST(SUM(r${i - 1}.r // 3) AS BIGINT) AS c
+           |        FROM e JOIN r${i - 1} ON e.src = r${i - 1}.doc_id GROUP BY 1),
+           |r$i AS (SELECT d.doc_id,
+           |               150000000 // nn.n + COALESCE(c$i.c, 0) * 85 // 100 AS r
+           |        FROM documents d CROSS JOIN nn
+           |        LEFT JOIN c$i ON c$i.dst = d.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""
+      WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+      e0 AS (SELECT doc_id AS src, nn.n,
+                    unnest([(doc_id * 1000003 + 7) % nn.n,
+                            (doc_id * 2000003 + 11) % nn.n,
+                            (doc_id * 3000017 + 13) % nn.n]) AS d0
+             FROM documents, nn),
+      e AS (SELECT src, CASE WHEN d0 = src THEN (d0 + 1) % n ELSE d0 END AS dst
+            FROM e0),
+      r0 AS (SELECT doc_id, 1000000000 // nn.n AS r FROM documents, nn),
+      $iters,
+      ind AS (SELECT dst AS doc_id, COUNT(*) AS in_deg FROM e GROUP BY 1)
+      SELECT r${PipelineQueries.G1Iters}.doc_id,
+             r${PipelineQueries.G1Iters}.r AS rank_ppb,
+             COALESCE(ind.in_deg, 0) AS in_deg
+      FROM r${PipelineQueries.G1Iters} LEFT JOIN ind USING (doc_id)
+      ORDER BY doc_id"""
+    },
+
     "t24_normalize" -> """
       WITH n AS (SELECT doc_id, text,
                         lower(text) AS s1,

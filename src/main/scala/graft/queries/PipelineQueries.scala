@@ -2612,6 +2612,63 @@ object PipelineQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ---- G1: link-graph PageRank (crawl-quality prior) ------------------------
+
+  /** PageRank over a deterministic synthetic link graph — the crawl-graph
+    * centrality signal web-corpus curation uses as a document-quality
+    * prior (Common Crawl publishes exactly this kind of host-level rank;
+    * quality-weighted sampling consumes it like t19's model score). The
+    * documents table has no link column, so the graph is planted by
+    * formula (three out-links per doc via affine maps mod n, self-loops
+    * deflected) — the m1/m5 discipline: synthesize the payload
+    * deterministically, keep every engine-side stage real.
+    *
+    * All arithmetic is integer fixed point (ranks in ppb, per-edge
+    * transfer `r div 3`, damping `*85 div 100`), so the 5 unrolled
+    * iterations are bit-reproducible in DuckDB — no float ever reaches
+    * the hashed surface, the discipline t16/v13 set.
+    *
+    * Scale shape: the classic distributed PageRank loop — per iteration
+    * ONE equi-join of ranks onto edges (both shuffled by doc key; on a
+    * cluster the edge table would be bucketed by src so the join
+    * co-locates) + one map-side-combined sum by dst. Each iteration is
+    * `localCheckpoint`ed: the frame feeds the next join twice removed,
+    * and without truncation the unrolled lineage re-executes all prior
+    * iterations per consumer (the d6/t21 lesson). */
+  private val G1Links = Seq((1000003L, 7L), (2000003L, 11L), (3000017L, 13L))
+  val G1Iters = 5
+
+  val g1PageRank: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id")).localCheckpoint()
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"), col("n"),
+        explode(array(G1Links.map { case (p, q) =>
+          (col("doc_id") * lit(p) + lit(q)) % col("n") }: _*)).as("d0"))
+      .select(col("src"),
+        when(col("d0") === col("src"), (col("d0") + 1) % col("n"))
+          .otherwise(col("d0")).as("dst"))
+      .localCheckpoint() // reused by all G1Iters joins + the in-degree agg
+    var r = docs.crossJoin(broadcast(n))
+      .select(col("doc_id"), expr("1000000000 div n").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to G1Iters) {
+      val contrib = edges.join(r, edges("src") === r("doc_id"))
+        .groupBy(col("dst")).agg(sum(expr("r div 3")).as("c"))
+      r = docs.crossJoin(broadcast(n))
+        .join(contrib, docs("doc_id") === contrib("dst"), "left")
+        .select(docs("doc_id"),
+          (expr("150000000 div n") + expr("coalesce(c, 0) * 85 div 100")).as("r"))
+        .localCheckpoint()
+    }
+    val indeg = edges.groupBy(col("dst").as("doc_id"))
+      .agg(count(lit(1)).as("in_deg"))
+    r.join(indeg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("r").as("rank_ppb"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T24: text normalization (the pass that precedes every hash) ---------
 
   /** CCNet/C4-style normalization pipeline, the pass every dedup/hash
@@ -3642,6 +3699,7 @@ object PipelineQueries {
     "t24_normalize" -> t24Normalize,
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
+    "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
