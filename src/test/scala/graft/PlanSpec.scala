@@ -376,4 +376,33 @@ class PlanSpec extends SparkSpec {
         s"$name: ranking windows must stay behind the checkpoint\n${p.take(1200)}")
     }
   }
+
+  test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.k6CorpusOverlap)
+    // the ONLY nested loop allowed is the tiny size-frame cross (|sources|²
+    // rows); the digest intersection self-join and the signature stitches
+    // must never degrade to it — that is the term that grows with corpus size
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 1 && !p.contains("CartesianProduct"),
+      s"k6: expected exactly the pair-frame nested loop, got $bnlj\n${p.take(1200)}")
+    // per-corpus signatures are |sources|-sized — they must broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"k6: signature joins must broadcast\n${p.take(1200)}")
+    // the shingle explode feeds four consumers behind one checkpoint
+    assert(!p.contains("Generate"),
+      s"k6: shingling must stay behind the checkpoint\n${p.take(1200)}")
+  }
+
+  test("g1: iteration lineage is checkpoint-truncated; the final stitch is an equi-join") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.g1PageRank)
+    // every iteration localCheckpoints: the final plan must read the last
+    // rank frame as a materialized RDD, not re-derive 5 iterations of
+    // joins (which would re-execute ~2^5 lineage paths per consumer)
+    assert(p.contains("Scan ExistingRDD"),
+      s"g1: final rank frame must be a checkpointed scan\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"g1: the in-degree stitch must stay an equi-join\n${p.take(1200)}")
+  }
 }
