@@ -188,7 +188,13 @@ object FileSkipping {
     import org.json4s._
     (v \ "m", v \ "k", v \ "b64") match {
       case (JInt(m), JInt(k), JString(b64)) =>
-        Some(BloomBits(m.toInt, k.toInt, java.util.Base64.getDecoder.decode(b64)))
+        // A truncated/hand-edited payload must degrade to "no bloom, keep
+        // the file", not throw inside mightContain at planning time: the
+        // bit array length must match m exactly and m/k must be sane.
+        scala.util.Try(java.util.Base64.getDecoder.decode(b64)).toOption
+          .filter(bits => m > 0 && m % 8 == 0 && k > 0 &&
+            bits.length == m.toInt / 8)
+          .map(bits => BloomBits(m.toInt, k.toInt, bits))
       case _ => None
     }
   }
@@ -248,11 +254,18 @@ object FileSkipping {
 
   /** The literal's canonical string — Catalyst `Cast(_, StringType)`, the
     * same expression the build side's `cast(col as string)` evaluates.
-    * None for NULL or a cast-unsupported type (probe keeps the file). */
+    * The cast timezone is the SESSION timezone, because that is what the
+    * build side's SQL `cast(col as string)` resolves to — pinning UTC
+    * here would make probe and build hash different strings for a
+    * timestamp column under any non-UTC session, falsely proving present
+    * values absent. None for NULL or a cast-unsupported type (probe keeps
+    * the file). */
   private[incremental] def bloomCanonical(l: Literal): Option[String] =
     if (l.value == null) None
     else scala.util.Try(
-      Cast(l, StringType, Some("UTC")).eval(null).asInstanceOf[UTF8String].toString
+      Cast(l, StringType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        .eval(null).asInstanceOf[UTF8String].toString
     ).toOption
 
   private def xxh(args: Seq[Expression]): Long =
@@ -339,10 +352,15 @@ object FileSkipping {
         // InSet carries INTERNAL values (UTF8String, Long, ...) — wrap with
         // the internal-value Literal constructor, not Literal.create
         vs.exists(v => pointHas(a, Literal(v, a.dataType), fs))
+      // nulls < 0 is the "unknown" sentinel (stats fabricated by
+      // analyzeBloom for a file whose footer stats never recorded the
+      // column) — both null tests must then keep the file: only a REAL
+      // footer-counted zero may prune `col IS NULL`.
       case IsNull(a: AttributeReference) =>
-        colStats(a, fs).forall(_.nulls > 0)
+        colStats(a, fs).forall(cs => cs.nulls != 0L)
       case IsNotNull(a: AttributeReference) =>
-        colStats(a, fs).forall(cs => fs.rows == 0 || cs.nulls < fs.rows)
+        colStats(a, fs).forall(cs =>
+          cs.nulls < 0L || fs.rows == 0 || cs.nulls < fs.rows)
       case StartsWith(a: AttributeReference, Literal(p: UTF8String, StringType)) =>
         // Any s with prefix p satisfies s >= p AND s's first |p| bytes
         // equal p. So skip iff max < p, or min truncated to |p| bytes

@@ -897,6 +897,17 @@ object SnapshotStore {
       val snapDir = Paths.get(root, c)
       val (df, _) = snapshotDf(spark, snapDir)
       require(df.columns.contains(column), s"no column '$column' to index")
+      // input_file_name() yields a URL-ENCODED URI; partition dir names
+      // come from arbitrary data (partitionDate cast to string), so any
+      // char that percent-encodes would make a raw string relativize miss
+      // the manifest path. Decode via java.net.URI → Path before
+      // relativizing, so the key is a real filesystem-relative path.
+      val absSnap = snapDir.toAbsolutePath.normalize()
+      def relKey(uriStr: String): String = {
+        val p = scala.util.Try(Paths.get(java.net.URI.create(uriStr)))
+          .getOrElse(Paths.get(uriStr))
+        absSnap.relativize(p.toAbsolutePath.normalize()).toString
+      }
       val rows = df.filter(col(column).isNotNull)
         .select(input_file_name().as("_f"),
           expr(s"xxhash64(cast(`$column` as string))").as("h1"),
@@ -909,8 +920,14 @@ object SnapshotStore {
             s" i -> pmod(pmod(h1, ${bits}L) + i * pmod(h2, ${bits}L), ${bits}L))")).as("bit"))
         .distinct()
         .collect() // (file, bit) positions — index-metadata-sized (see doc)
+      // The set of files the scan actually visited (independent of the
+      // isNotNull filter): ONLY these may receive the empty "proves every
+      // key absent" filter — a file the scan never touched (or whose key
+      // failed to resolve) gets NO bloom, never the empty one.
+      val scanned: Set[String] = df.select(input_file_name().as("_f"))
+        .distinct().collect().map(r => relKey(r.getString(0))).toSet
       val byFile: Map[String, Array[Byte]] = rows
-        .groupBy(r => snapDir.toUri.relativize(java.net.URI.create(r.getString(0))).toString)
+        .groupBy(r => relKey(r.getString(0)))
         .map { case (rel, rs) =>
           val arr = new Array[Byte](bits / 8)
           rs.foreach { r =>
@@ -921,22 +938,49 @@ object SnapshotStore {
         }
       def withBloom(st: Option[FileSkipping.FileStats], path: String)
           : Option[FileSkipping.FileStats] = {
-        val bloom = FileSkipping.BloomBits(bits, hashes,
-          byFile.getOrElse(path, new Array[Byte](bits / 8)))
-        val base = st.getOrElse(FileSkipping.FileStats(0L, Map.empty))
-        val cs = base.cols.getOrElse(column,
-          FileSkipping.ColStats(None, None, 0L))
-        Some(base.copy(cols = base.cols.updated(column, cs.copy(bloom = Some(bloom)))))
+        val bloomOpt = byFile.get(path).orElse(
+          // scanned but produced no non-null value → empty filter is a
+          // PROOF of absence; unscanned/unmatched → no bloom (keep file)
+          if (scanned.contains(path)) Some(new Array[Byte](bits / 8)) else None)
+          .map(FileSkipping.BloomBits(bits, hashes, _))
+        bloomOpt match {
+          case None => st
+          case Some(bloom) =>
+            // Fabricated stats use the nulls = -1 "unknown" sentinel: the
+            // IsNull/IsNotNull pruning cases must treat a file whose
+            // footer never counted this column as unknown (keep), while
+            // point lookups still use the bloom. A real ColStats keeps
+            // its footer-counted null count.
+            val base = st.getOrElse(FileSkipping.FileStats(0L, Map.empty))
+            val cs = base.cols.getOrElse(column,
+              FileSkipping.ColStats(None, None, nulls = -1L))
+            Some(base.copy(cols =
+              base.cols.updated(column, cs.copy(bloom = Some(bloom)))))
+        }
       }
       Manifest.read(snapDir) match {
         case Some(m) =>
+          // every scanned key must resolve to a manifest path — a miss
+          // means the URI→path decode diverged and the bloom layout is
+          // unsound; fail the ANALYZE rather than persist wrong pruning
+          val known = m.files.map(_.path).toSet
+          val orphans = scanned -- known
+          require(orphans.isEmpty,
+            s"analyzeBloom: scanned file keys missing from manifest: " +
+              orphans.take(3).mkString(", "))
           Manifest.write(snapDir, m.schema, m.partitioned,
             m.files.map(f => f.copy(stats = withBloom(f.stats, f.path))))
         case None =>
           val prior = FileSkipping.readSidecar(snapDir).getOrElse(Map.empty)
           val listed = Manifest.collectFiles(snapDir).map(_._1)
-          FileSkipping.writeSidecar(snapDir,
-            listed.map(p => p -> withBloom(prior.get(p), p).get).toMap)
+          val orphans = scanned -- listed.toSet
+          require(orphans.isEmpty,
+            s"analyzeBloom: scanned file keys missing from listing: " +
+              orphans.take(3).mkString(", "))
+          FileSkipping.writeSidecar(snapDir, listed.map { p =>
+            p -> withBloom(prior.get(p), p)
+              .getOrElse(FileSkipping.FileStats(0L, Map.empty))
+          }.toMap)
       }
     }
 

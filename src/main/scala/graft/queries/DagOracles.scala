@@ -382,10 +382,10 @@ object DagOracles {
              |ORDER BY snapshot_date, margin_pool_id""".stripMargin,
         "dag_show_total_tvl" ->
           s"""SELECT snapshot_date,
-             |       sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
-             |         AS total_tvl_usd_e6,
-             |       sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
-             |         AS total_borrowed_usd_e6
+             |       CAST(sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
+             |            AS BIGINT) AS total_tvl_usd_e6,
+             |       CAST(sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
+             |            AS BIGINT) AS total_borrowed_usd_e6
              |FROM (${fctOracle(includeLags = false)})
              |GROUP BY 1
              |ORDER BY 1 DESC""".stripMargin,

@@ -760,7 +760,8 @@ object PipelineOracles {
       sw AS (SELECT source, src_tokens,
                     CAST(floor(sqrt(src_tokens)) AS BIGINT) AS rw
              FROM s),
-      t AS (SELECT SUM(src_tokens) // 2 AS budget, SUM(rw) AS rsum FROM sw),
+      t AS (SELECT CAST(SUM(src_tokens) // 2 AS BIGINT) AS budget,
+                   CAST(SUM(rw) AS BIGINT) AS rsum FROM sw),
       r AS (SELECT source,
                    least(1000, (t.budget * rw // t.rsum) * 1000 // src_tokens)
                      AS keep_pm

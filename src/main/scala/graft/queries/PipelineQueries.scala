@@ -2425,7 +2425,7 @@ object PipelineQueries {
     * heap (the MemoryStream it replaces ate the whole corpus on the
     * driver). `processAllAvailable` between drops pins the batch
     * boundaries the redelivery semantics need. */
-  private def streamDrops(spark: SparkSession,
+  private[queries] def streamDrops(spark: SparkSession,
                           schema: org.apache.spark.sql.types.StructType,
                           watchDir: String, drops: Seq[DataFrame])
       (start: DataFrame => org.apache.spark.sql.streaming.StreamingQuery): Unit = {

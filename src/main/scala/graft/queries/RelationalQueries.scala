@@ -723,51 +723,56 @@ object RelationalQueries {
     * Streaming ([[graft.streaming.StreamingIngest.userSessions]] —
     * `session_window`, the gap-merged per-key window family the tumbling
     * `dag_stream_daily` gate cannot reach). The driver's events table
-    * replays time-ordered as three micro-batches — sessions STRADDLE the
-    * batch boundaries, so the gate exercises the cross-batch window-merge
-    * state, not just a windowed groupBy — and a far-future sentinel
+    * replays time-ordered as three FILE-SOURCE micro-batches (tercile
+    * time slices, each a distributed parquet drop — see
+    * [[PipelineQueries.streamDrops]]; no corpus collect) — sessions
+    * STRADDLE the batch boundaries, so the gate exercises the
+    * cross-batch window-merge state, not just a windowed groupBy — and a
+    * far-future sentinel
     * advances the watermark so append mode flushes every real session
     * (the sentinel's own session can never flush, so it is absent by the
     * operator's semantics, not a filter). Must hash-match DuckDB's
     * one-shot lag/cumsum sessionization of the same table, in exact
     * integer epoch-µs arithmetic. */
   val s14StreamSession: Q = (spark, dir) => {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val feed = t(spark, dir, "events")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-    val rows = feed.collect().toSeq.sortBy(r => (r.getLong(2), r.getLong(0)))
-    val sentinel = Row(-1L, -1L, rows.map(_.getLong(2)).max + 10L * 86400 * 1000000)
+    // Time-ordered micro-batches WITHOUT a corpus collect: the only
+    // driver-side values are three scalars (two exact time terciles + the
+    // max timestamp for the sentinel) — index-metadata-sized at any SF,
+    // where the MemoryStream feed this replaces held the whole events
+    // table on the driver heap. Time-sliced drops also guarantee the
+    // watermark only advances between batches (no false late-data drops).
+    val Array(t33, t66, tMax) = feed
+      .select(expr("percentile(ts_us, 0.3333)").cast("long"),
+        expr("percentile(ts_us, 0.6667)").cast("long"), max(col("ts_us")))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val sentinel = spark.range(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"),
+      lit(tMax + 10L * 86400 * 1000000).as("ts_us"))
     val root = java.nio.file.Files.createTempDirectory("graft-sess").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sess-drops").toString
     try {
-      implicit val enc: ExpressionEncoder[Row] =
-        ExpressionEncoder(RowEncoder.encoderFor(feed.schema))
-      val input = new MemoryStream[Row](71, spark)
-      val q = graft.streaming.StreamingIngest.userSessions(input.toDF())
-        .writeStream
-        .format("parquet")
-        .option("path", s"$root/sessions")
-        .option("checkpointLocation", ckpt)
-        .start()
-      try {
-        val third = rows.size / 3
-        input.addData(rows.take(third))
-        q.processAllAvailable()
-        input.addData(rows.slice(third, 2 * third))
-        q.processAllAvailable()
-        input.addData(rows.drop(2 * third))
-        q.processAllAvailable()
-        input.addData(Seq(sentinel)) // advances the watermark; never flushes
-        q.processAllAvailable()
-      } finally q.stop()
+      PipelineQueries.streamDrops(spark, feed.schema, drops, Seq(
+        feed.filter(col("ts_us") <= t33),
+        feed.filter(col("ts_us") > t33 && col("ts_us") <= t66),
+        feed.filter(col("ts_us") > t66),
+        sentinel)) { stream => // sentinel advances the watermark; never flushes
+        graft.streaming.StreamingIngest.userSessions(stream)
+          .writeStream
+          .format("parquet")
+          .option("path", s"$root/sessions")
+          .option("checkpointLocation", ckpt)
+          .start()
+      }
       spark.read.parquet(s"$root/sessions")
         .localCheckpoint() // materialized before the temp trees are deleted
         .orderBy(col("user_id"), col("session_start_us"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
     }
   }
 

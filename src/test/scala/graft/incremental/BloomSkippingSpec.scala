@@ -75,6 +75,91 @@ class BloomSkippingSpec extends SparkSpec {
       "carried files must keep their bloom stats after an unrelated merge")
   }
 
+  test("analyzeBloom never fabricates a null count: IS NULL after indexing " +
+      "a stats-less column keeps every row") {
+    val root = Files.createTempDirectory("graft-bloom-isnull").toString
+    // `extra` is null for half the rows; footer stats are collected for
+    // `k` ONLY, so analyzeBloom on `extra` attaches a bloom to files whose
+    // stats never recorded that column. The fabricated ColStats must read
+    // as "null count unknown" — an IS NULL scan afterwards may not prune.
+    val rows = (0 until 200).map(i =>
+      (digest(i), "2026-01-01", if (i % 2 == 0) null else s"e$i"))
+    SnapshotStore.merge(spark, root,
+      rows.toDF("k", "dt", "extra").repartition(4, col("k")),
+      Seq("k"), Some(to_date(col("dt"))))
+    SnapshotStore.analyze(spark, root, Seq("k")) // stats for k, NOT extra
+    SnapshotStore.analyzeBloom(spark, root, "extra")
+    val (sdf, _) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf.filter(col("extra").isNull).count() == 100,
+      "IS NULL over bloom-only stats must not prune rows")
+    assert(sdf.filter(col("extra").isNotNull).count() == 100)
+    // the bloom itself still serves point lookups on the indexed column
+    val (sdf2, idx2) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf2.filter(col("extra") === "e7").count() == 1)
+    assert(idx2.get.lastSkipped > 0, "bloom must still prune point lookups")
+  }
+
+  test("bloom keys survive percent-encoding partition dir names") {
+    val root = Files.createTempDirectory("graft-bloom-enc").toString
+    // a partition VALUE with a space: Spark escapes it in the dir name and
+    // input_file_name() percent-encodes the URI — a raw string relativize
+    // would miss the manifest path, hand the file the empty bloom, and
+    // "prove" every key absent. The lookup below must still find its row.
+    val rows = (0 until 120).map(i => (digest(i), s"part ${i % 2}", s"p$i"))
+    SnapshotStore.merge(spark, root,
+      rows.toDF("k", "pv", "payload").repartition(3, col("k")),
+      Seq("k"), Some(col("pv")))
+    SnapshotStore.analyzeBloom(spark, root, "k")
+    val (sdf, idx) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf.filter(col("k") === digest(57)).select("payload")
+      .as[String].collect().toSet == Set("p57"),
+      "encoded partition dirs must not break bloom keying")
+    assert(idx.get.lastSkipped > 0, "bloom should still prune other files")
+    // absent key still proves absence everywhere (empty blooms are only
+    // given to files the scan actually visited)
+    val (sdf3, idx3) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf3.filter(col("k") === digest(99999)).count() == 0)
+    assert(idx3.get.lastKept == 0)
+  }
+
+  test("parseBloom rejects truncated or malformed payloads conservatively") {
+    import org.json4s.jackson.JsonMethods.parse
+    val good = java.util.Base64.getEncoder.encodeToString(new Array[Byte](16))
+    assert(FileSkipping.parseBloom(
+      parse(s"""{"m":128,"k":4,"b64":"$good"}""")).isDefined)
+    // truncated bit array (8 bytes for m=128) → no bloom, keep the file
+    val short = java.util.Base64.getEncoder.encodeToString(new Array[Byte](8))
+    assert(FileSkipping.parseBloom(
+      parse(s"""{"m":128,"k":4,"b64":"$short"}""")).isEmpty)
+    // degenerate shapes
+    assert(FileSkipping.parseBloom(
+      parse(s"""{"m":0,"k":4,"b64":""}""")).isEmpty)
+    assert(FileSkipping.parseBloom(
+      parse(s"""{"m":124,"k":4,"b64":"$good"}""")).isEmpty) // m not ×8
+    assert(FileSkipping.parseBloom(
+      parse(s"""{"m":128,"k":0,"b64":"$good"}""")).isEmpty)
+    assert(FileSkipping.parseBloom(
+      parse("""{"m":128,"k":4,"b64":"%%not-base64%%"}""")).isEmpty)
+  }
+
+  test("timestamp bloom probe matches build under a non-UTC session timezone") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val root = Files.createTempDirectory("graft-bloom-tz").toString
+      val rows = (0 until 96).map(i => (digest(i), 1735689600000L + i * 3600000L))
+      val df = rows.toDF("k", "ms")
+        .select(col("k"), (col("ms") / 1000).cast("timestamp").as("ts"))
+        .repartition(3, col("k"))
+      SnapshotStore.merge(spark, root, df, Seq("k"), None)
+      SnapshotStore.analyzeBloom(spark, root, "ts")
+      val want = new java.sql.Timestamp(1735689600000L + 37 * 3600000L)
+      val (sdf, _) = SnapshotStore.readSkipping(spark, root).get
+      assert(sdf.filter(col("ts") === lit(want)).count() == 1,
+        "probe-side canonicalization must use the session timezone, like the build")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
   test("bloom canonical/hash round-trip: probe hashing equals the build SQL's") {
     // the probe evaluates Catalyst expressions; the build side runs SQL —
     // any drift here silently turns skipping lossy, so pin the identity
