@@ -258,6 +258,114 @@ object Invariants {
       }
     }
 
+    // ---- d13: the dedup-recall eval vs independently re-derived counts ----
+    // d13's DuckDB oracle embeds d2's all-pairs SQL, priced for driver
+    // scales; above them this block re-derives all three counts through
+    // DIFFERENT plans (bucket collect + in-bucket pair explosion instead
+    // of the band self-join; d2's pair frame as the exact side, itself
+    // tier-gated by the d6/d11 blocks above) and re-checks the ppm
+    // arithmetic — plus the banding GUARANTEE: a pair within Hamming
+    // distance < SimBands shares at least one untouched band, so every
+    // such exact pair MUST be a candidate (pigeonhole, not probability).
+    {
+      import graft.queries.PipelineQueries.{SimBandBits, SimBands}
+      val row = PipelineQueries.d13DedupEval(spark, sfDir).head
+      val sh = PipelineQueries.d3Simhash(spark, sfDir)
+        .select(col("doc_id"), col("simhash")).localCheckpoint()
+      val mask = (1L << SimBandBits) - 1
+      val bands = sh.select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, ${SimBands - 1}), b -> " +
+          s"struct(b AS band, shiftright(simhash, b * $SimBandBits) & $mask AS v))")).as("x"))
+        .select(col("doc_id"), col("x.band").as("band"), col("x.v").as("v"))
+      val candAlt = bands.groupBy(col("band"), col("v"))
+        .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ids, (x, i) -> " +
+            "transform(slice(ids, i + 2, size(ids)), y -> " +
+            "struct(x AS a_id, y AS b_id))))")).as("p"))
+        .select(col("p.a_id"), col("p.b_id")).distinct().localCheckpoint()
+      val exact = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val nCand = candAlt.count()
+      val nExact = exact.count()
+      val nHit = candAlt.join(exact, Seq("a_id", "b_id")).count()
+      check("d13: counts equal the bucket-exploded re-derivation") {
+        row.getLong(0) == nCand && row.getLong(1) == nExact && row.getLong(2) == nHit
+      }
+      check("d13: precision/recall ppm arithmetic recomputes") {
+        (nCand == 0 || row.getLong(3) == nHit * 1000000L / nCand) &&
+          (nExact == 0 || row.getLong(4) == nHit * 1000000L / nExact)
+      }
+      check("d13: every exact pair within Hamming < bands is a candidate") {
+        val shA = sh.select(col("doc_id").as("a_id"), col("simhash").as("sa"))
+        val shB = sh.select(col("doc_id").as("b_id"), col("simhash").as("sb"))
+        exact.join(shA, "a_id").join(shB, "b_id")
+          .filter(expr(s"bit_count(sa ^ sb) < $SimBands"))
+          .join(candAlt, Seq("a_id", "b_id"), "left_anti").isEmpty
+      }
+    }
+
+    // ---- k5: the funnel vs the standalone operators' own outputs ----
+    // k5's DuckDB oracle embeds d6's all-pairs SQL; above driver scales
+    // this block recomputes every funnel count by COMPOSING the gated
+    // standalone operators (d6 clusters, t8 contamination pairs, t1
+    // quality scores, t6's sample membership) plus an independent SQL
+    // re-derivation of the survivor-scoped mixture stage — the funnel is
+    // the pipeline's bookkeeping, so its counts must be reproducible
+    // from the pipeline's own parts.
+    {
+      import graft.queries.PipelineQueries.{DecontMod, MixShareDefault, MixSharePermille}
+      val row = PipelineQueries.k5CurationFunnel(spark, sfDir).head
+      val docs = Sources.testdata(spark, sfDir)("documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(DecontMod)) =!= 0)
+        .select(col("doc_id"), col("source"), col("n_chars")).localCheckpoint()
+      val nonCanon = PipelineQueries.d6DedupClusters(spark, sfDir)
+        .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
+      val afterDedup = train.join(nonCanon, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val contaminated = PipelineQueries.t8Decontaminate(spark, sfDir)
+        .select(col("train_id").as("doc_id")).distinct()
+      val afterDecont = afterDedup.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val qualityOk = PipelineQueries.t1TextStats(spark, sfDir)
+        .filter(col("quality_ppm") >= graft.queries.CorpusPrep.QualityMinPpm)
+        .select("doc_id")
+      val afterQuality = afterDecont.join(qualityOk, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      val sampled = PipelineQueries.t6SampleStratified(spark, sfDir).select("doc_id")
+      val afterSample = afterQuality.join(sampled, Seq("doc_id"), "left_semi")
+        .localCheckpoint()
+      check("k5: gate counts recompose from d6/t8/t1/t6 outputs") {
+        row.getLong(0) == docs.count() && row.getLong(1) == train.count() &&
+          row.getLong(2) == afterDedup.count() &&
+          row.getLong(3) == afterDecont.count() &&
+          row.getLong(4) == afterQuality.count() &&
+          row.getLong(5) == afterSample.count()
+      }
+      check("k5: the survivor-scoped mixture count re-derives via SQL") {
+        afterSample.createOrReplaceTempView("k5_survivors")
+        val shareCase = MixSharePermille.map { case (s, r) =>
+          s"WHEN source = '$s' THEN ${r}L" }.mkString(" ")
+        spark.sql(
+          s"""WITH s AS (SELECT doc_id, source,
+             |             cast(ceil(n_chars / 4.0d) as bigint) AS est_tokens
+             |           FROM k5_survivors),
+             |agg AS (SELECT source, sum(est_tokens) AS src_tokens,
+             |               CASE $shareCase ELSE ${MixShareDefault}L END AS share_pm
+             |        FROM s GROUP BY source),
+             |b AS (SELECT min(src_tokens * 1000 div share_pm) AS budget FROM agg),
+             |r AS (SELECT source,
+             |             least(1000L, budget * share_pm div src_tokens) AS keep_pm
+             |      FROM agg CROSS JOIN b)
+             |SELECT count(*) AS n FROM s JOIN r USING (source)
+             |WHERE pmod(cast(conv(substring(md5(concat('mix:',
+             |        cast(doc_id as string))), 1, 15), 16, 10) as bigint), 1000)
+             |      < keep_pm""".stripMargin)
+          .head.getLong(0) == row.getLong(6)
+      }
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)

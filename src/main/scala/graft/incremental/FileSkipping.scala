@@ -42,10 +42,17 @@ object FileSkipping {
     * double hashing `g_i = (h1 mod m + i·(h2 mod m)) mod m` over xxhash64 of the value's
     * CANONICAL STRING (`cast(col as string)`) with Spark's default seed —
     * the read side re-evaluates the identical Catalyst expression on the
-    * literal, so write and probe can never hash differently. Absence of a
-    * set bit PROVES the value absent from the file; a set bit proves
-    * nothing (classic Bloom), so skipping stays conservative. */
-  case class BloomBits(m: Int, k: Int, bits: Array[Byte]) {
+    * literal, so write and probe can never hash differently. `tz` is the
+    * BUILD session's timezone, persisted because the canonical string of
+    * a timestamp depends on it: a table analyzed under TZ A and probed
+    * under TZ B would otherwise hash different strings and falsely prove
+    * present timestamps absent. The probe uses the recorded zone; a
+    * legacy index without one falls back to the probe session's zone
+    * (the pre-persistence behavior, correct for same-session use).
+    * Absence of a set bit PROVES the value absent from the file; a set
+    * bit proves nothing (classic Bloom), so skipping stays conservative. */
+  case class BloomBits(m: Int, k: Int, bits: Array[Byte],
+                       tz: Option[String] = None) {
     def mightContain(h1: Long, h2: Long): Boolean = {
       val m1 = java.lang.Math.floorMod(h1, m.toLong)
       val m2 = java.lang.Math.floorMod(h2, m.toLong)
@@ -150,7 +157,8 @@ object FileSkipping {
     val cols = fs.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
       val bloomJson = cs.bloom.map { b =>
         val b64 = java.util.Base64.getEncoder.encodeToString(b.bits)
-        s""","bloom":{"m":${b.m},"k":${b.k},"b64":${jq(b64)}}"""
+        val tzJson = b.tz.map(z => s""","tz":${jq(z)}""").getOrElse("")
+        s""","bloom":{"m":${b.m},"k":${b.k}$tzJson,"b64":${jq(b64)}}"""
       }.getOrElse("")
       s"${jq(c)}:{" +
         cs.min.map(m => s""""min":${jq(m)},""").getOrElse("") +
@@ -191,10 +199,11 @@ object FileSkipping {
         // A truncated/hand-edited payload must degrade to "no bloom, keep
         // the file", not throw inside mightContain at planning time: the
         // bit array length must match m exactly and m/k must be sane.
+        val tz = (v \ "tz") match { case JString(z) => Some(z); case _ => None }
         scala.util.Try(java.util.Base64.getDecoder.decode(b64)).toOption
           .filter(bits => m > 0 && m % 8 == 0 && k > 0 &&
             bits.length == m.toInt / 8)
-          .map(bits => BloomBits(m.toInt, k.toInt, bits))
+          .map(bits => BloomBits(m.toInt, k.toInt, bits, tz))
       case _ => None
     }
   }
@@ -254,17 +263,23 @@ object FileSkipping {
 
   /** The literal's canonical string — Catalyst `Cast(_, StringType)`, the
     * same expression the build side's `cast(col as string)` evaluates.
-    * The cast timezone is the SESSION timezone, because that is what the
-    * build side's SQL `cast(col as string)` resolves to — pinning UTC
-    * here would make probe and build hash different strings for a
-    * timestamp column under any non-UTC session, falsely proving present
-    * values absent. None for NULL or a cast-unsupported type (probe keeps
+    * The cast timezone is the BUILD session's zone as recorded in the
+    * index ([[BloomBits.tz]] — analyzeBloom persists it next to m/k),
+    * because that is what the build side's SQL `cast(col as string)`
+    * resolved under: probing a timestamp column under a different
+    * session zone with the probe's own zone would hash a different
+    * canonical string and falsely prove present values absent. A legacy
+    * index with no recorded zone falls back to the probe session's zone
+    * (the pre-persistence behavior — correct when build and probe share
+    * a session). None for NULL or a cast-unsupported type (probe keeps
     * the file). */
-  private[incremental] def bloomCanonical(l: Literal): Option[String] =
+  private[incremental] def bloomCanonical(l: Literal,
+                                          buildTz: Option[String] = None): Option[String] =
     if (l.value == null) None
     else scala.util.Try(
       Cast(l, StringType,
-        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+        Some(buildTz.getOrElse(
+          org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)))
         .eval(null).asInstanceOf[UTF8String].toString
     ).toOption
 
@@ -355,9 +370,15 @@ object FileSkipping {
       // nulls < 0 is the "unknown" sentinel (stats fabricated by
       // analyzeBloom for a file whose footer stats never recorded the
       // column) — both null tests must then keep the file: only a REAL
-      // footer-counted zero may prune `col IS NULL`.
+      // footer-counted zero may prune `col IS NULL`. Sidecars written by
+      // the PRE-sentinel analyzeBloom fabricated nulls = 0: that vintage
+      // is recognizable (bloom present, no min/max — real footer stats
+      // with zero nulls always carry min/max unless the file is empty)
+      // and treated as unknown too, so an old index cannot keep
+      // incorrectly pruning `col IS NULL` until re-analyzed.
       case IsNull(a: AttributeReference) =>
-        colStats(a, fs).forall(cs => cs.nulls != 0L)
+        colStats(a, fs).forall(cs => cs.nulls != 0L ||
+          (cs.min.isEmpty && cs.max.isEmpty && cs.bloom.isDefined))
       case IsNotNull(a: AttributeReference) =>
         colStats(a, fs).forall(cs =>
           cs.nulls < 0L || fs.rows == 0 || cs.nulls < fs.rows)
@@ -441,7 +462,7 @@ object FileSkipping {
       * never disagree; unmodeled literals keep the file. */
     private def bloomHas(a: AttributeReference, l: Literal, fs: FileStats): Boolean =
       colStats(a, fs).forall(_.bloom.forall { b =>
-        FileSkipping.bloomCanonical(l).forall { s =>
+        FileSkipping.bloomCanonical(l, b.tz).forall { s =>
           b.mightContain(FileSkipping.bloomH1(s), FileSkipping.bloomH2(s))
         }
       })

@@ -54,8 +54,20 @@ object Manifest {
     }
   }
 
+  /** Persistent bucket layout of a table (Delta liquid-clustering /
+    * Hive-bucketing analog, declared once and preserved by every
+    * subsequent write): `n` buckets over `cols`, bucket id =
+    * `pmod(murmur3(cols), n)` — Spark's own HashPartitioning id, so a
+    * scan can expose `HashPartitioning(cols, n)` and a big-big join of
+    * two tables bucketed the same way needs NO shuffle exchange on
+    * either side. `sortCols` are the within-file sort (claimable as
+    * output ordering when each bucket has one file — then the
+    * sort-merge join needs no sort either). */
+  final case class Buckets(n: Int, cols: Seq[String], sortCols: Seq[String])
+
   final case class TableManifest(schema: StructType, partitioned: Boolean,
-                                 files: Seq[FileEntry]) {
+                                 files: Seq[FileEntry],
+                                 buckets: Option[Buckets] = None) {
     def statsMap: Map[String, FileSkipping.FileStats] =
       files.flatMap(f => f.stats.map(f.path -> _)).toMap
     /** Distinct `_dt` partition values present (directory-name-encoded). */
@@ -88,8 +100,12 @@ object Manifest {
   /** Atomic write (temp + rename), same protocol as the pointer swap: a
     * published snapshot must never be observed with a torn manifest. */
   def write(snapDir: Path, schema: StructType, partitioned: Boolean,
-            files: Seq[FileEntry]): Unit = {
+            files: Seq[FileEntry], buckets: Option[Buckets] = None): Unit = {
     import FileSkipping.{jq, statsBodyJson}
+    val bucketsJson = buckets.map { b =>
+      s""","buckets":{"n":${b.n},"cols":[${b.cols.map(jq).mkString(",")}],""" +
+        s""""sort":[${b.sortCols.map(jq).mkString(",")}]}"""
+    }.getOrElse("")
     val body = files.map { f =>
       val base = s"""{"path":${jq(f.path)},"size":${f.size},"mtime":${f.mtime}"""
       f.stats match {
@@ -97,7 +113,8 @@ object Manifest {
         case None     => base + "}"
       }
     }.mkString(
-      s"""{"version":1,"partitioned":$partitioned,"schema":${schema.json},"files":[""",
+      s"""{"version":1,"partitioned":$partitioned$bucketsJson,""" +
+        s""""schema":${schema.json},"files":[""",
       ",", "]}")
     val tmp = snapDir.resolve(ManifestName + ".tmp." + java.util.UUID.randomUUID)
     try {
@@ -140,7 +157,20 @@ object Manifest {
         }
         case _ => Nil
       }
-      Some(TableManifest(schema, partitioned, files))
+      def strList(v: JValue): Seq[String] = v match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _          => Nil
+      }
+      val buckets = (parsed \ "buckets") match {
+        case JObject(_) =>
+          val n = asLong(parsed \ "buckets" \ "n").toInt
+          val cols = strList(parsed \ "buckets" \ "cols")
+          if (n > 0 && cols.nonEmpty)
+            Some(Buckets(n, cols, strList(parsed \ "buckets" \ "sort")))
+          else None
+        case _ => None
+      }
+      Some(TableManifest(schema, partitioned, files, buckets))
     }
   }
 
@@ -189,7 +219,11 @@ object Manifest {
     * `skipping = true` and stats present, wraps the index in
     * [[FileSkipping.SkippingFileIndex]] so pushed data filters prune whole
     * files before any footer is opened. Returns the skip index (when
-    * active) for pruning audits. */
+    * active) for pruning audits. A manifest-declared bucket layout is
+    * surfaced as the relation's `BucketSpec`, so the scan reports
+    * `HashPartitioning(bucketCols, n)` and joins/aggregations keyed on
+    * the bucket columns plan with NO shuffle exchange — the layout's
+    * whole point. */
   def toDataFrame(spark: SparkSession, snapDir: Path, m: TableManifest,
                   skipping: Boolean)
       : (DataFrame, Option[FileSkipping.SkippingFileIndex]) = {
@@ -203,8 +237,10 @@ object Manifest {
           inner, spark, stats, dataSchema, snapDir.toUri)
         (s: org.apache.spark.sql.execution.datasources.FileIndex, Some(s))
       } else (inner, None)
+    val bucketSpec = m.buckets.map(b =>
+      org.apache.spark.sql.catalyst.catalog.BucketSpec(b.n, b.cols, b.sortCols))
     val relation = HadoopFsRelation(
-      idx, inner.partitionSchema, dataSchema, None,
+      idx, inner.partitionSchema, dataSchema, bucketSpec,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     (spark.baseRelationToDataFrame(relation), skipIdx)
   }

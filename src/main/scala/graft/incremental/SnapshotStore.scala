@@ -165,7 +165,8 @@ object SnapshotStore {
     * snapshot is therefore never observed without its manifest. */
   private def commit(root: String, snap: String, schema: StructType,
                      partitioned: Boolean,
-                     freshStats: Map[String, FileSkipping.FileStats] = Map.empty): Unit = {
+                     freshStats: Map[String, FileSkipping.FileStats] = Map.empty,
+                     buckets: Option[Manifest.Buckets] = None): Unit = {
     val snapDir = Paths.get(root, snap)
     val carried: Map[String, FileSkipping.FileStats] =
       currentSnapshot(root) // still the PRIOR pointer — not yet swapped
@@ -175,9 +176,17 @@ object SnapshotStore {
       Manifest.FileEntry(rel, size, mtime,
         freshStats.get(rel).orElse(carried.get(rel)))
     }
-    Manifest.write(snapDir, schema, partitioned, files)
+    Manifest.write(snapDir, schema, partitioned, files, buckets)
     publish(root, snap)
   }
+
+  /** The LIVE table's declared bucket layout, if any — every write path
+    * reads this so a layout declared once (merge `bucketBy`) is
+    * preserved by all subsequent merges/deletes/compactions, the same
+    * once-per-table contract as partitioning. */
+  def liveBuckets(root: String): Option[Manifest.Buckets] =
+    currentSnapshot(root)
+      .flatMap(c => Manifest.read(Paths.get(root, c))).flatMap(_.buckets)
 
   /** Directory value Spark uses for a null partition key. */
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
@@ -273,10 +282,48 @@ object SnapshotStore {
       .drop(clusterBy.indices.map(j => s"_zb$j") :+ "_zval": _*)
   }
 
+  /** Transient directory column carrying each row's bucket id through
+    * the write (never part of the data schema — partitionBy columns are
+    * not stored in the files). */
+  private val BucketCol = "_bucket"
+
+  /** Move every data file out of its transient `_bucket=<b>` directory
+    * into the parent, renamed with the `_<b>%05d` suffix
+    * `BucketingUtils.getBucketId` parses on the read side, and drop the
+    * emptied dirs. The bucket id comes from the DIRECTORY name — i.e.
+    * from the row-level `pmod(hash(cols), n)` column partitionBy grouped
+    * on — never from task indices, which the planner is free to rewire
+    * (an upstream shuffle on the same keys elides the repartition
+    * exchange, and AQE may coalesce what remains; both break any
+    * "task index == bucket id" assumption). */
+  private def promoteBucketDirs(snapDir: Path, n: Int): Unit = {
+    val walk = Files.walk(snapDir)
+    val bucketDirs =
+      try walk.iterator().asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"$BucketCol=")).toVector
+      finally walk.close()
+    bucketDirs.foreach { d =>
+      val bid = d.getFileName.toString.stripPrefix(s"$BucketCol=").toInt
+      require(bid >= 0 && bid < n, s"bucket dir $d outside range 0..${n - 1}")
+      withList(d)(_.toVector)
+        .filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet"))
+        .foreach { f =>
+          val stamped = f.getFileName.toString.stripSuffix(".parquet") +
+            f"_$bid%05d.parquet"
+          Files.move(f, d.getParent.resolve(stamped))
+        }
+      deleteRecursively(d)
+    }
+  }
+
   private def writeSnapshot(root: String, df: DataFrame, partitioned: Boolean,
                             compactTo: Option[Int],
                             clusterBy: Seq[String] = Nil,
-                            zorder: Boolean = false): String = {
+                            zorder: Boolean = false,
+                            buckets: Option[Manifest.Buckets] = None): String = {
+    require(buckets.isEmpty || (clusterBy.isEmpty && !zorder),
+      "bucketed layout and clusterBy/zorder are mutually exclusive")
     val snap = nextSnapshotName(root)
     // Generation fencing: the snapshot name is claimed ATOMICALLY before
     // any data is written, so two writers that both read the same
@@ -293,6 +340,32 @@ object SnapshotStore {
         throw new ConcurrentWriteException(
           s"snapshot generation $snap at $root already exists: concurrent " +
             "writer, or the orphan of a crashed one (unpublished - safe to delete)")
+    }
+    // Bucketed layout: each row's bucket id is computed EXPLICITLY as
+    // `pmod(hash(cols), n)` — the same Murmur3(seed 42) id
+    // `HashPartitioning(cols, n).partitionIdExpression` derives, which is
+    // what lets the manifest's BucketSpec claim HashPartitioning on read
+    // — and written as a transient partitionBy directory, then promoted
+    // into the bucket-suffixed file names. Grouping by DIRECTORY makes
+    // the id row-accurate by construction; it never depends on task
+    // indices (which an elided/coalesced exchange rewires — see
+    // promoteBucketDirs). The explicit repartition on the bucket keys is
+    // only a file-count optimization: it aligns tasks with buckets so
+    // each bucket dir gets ~one file instead of one per task.
+    buckets.foreach { bk =>
+      val withB = df.withColumn(BucketCol,
+        pmod(hash(bk.cols.map(col): _*), lit(bk.n)))
+      val dirCols = if (partitioned) Seq(PartCol, BucketCol) else Seq(BucketCol)
+      // directory columns lead the sort (satisfies the writer's required
+      // ordering so Spark stacks no non-stable sort of its own — same
+      // reasoning as the clusterBy sort below), then the declared
+      // within-file sort order
+      val sorted = withB.repartition(bk.n, bk.cols.map(col): _*)
+        .sortWithinPartitions((dirCols ++ bk.sortCols).map(col): _*)
+      sorted.write.mode(SaveMode.Overwrite)
+        .partitionBy(dirCols: _*).parquet(s"$root/$snap")
+      promoteBucketDirs(Paths.get(root, snap), bk.n)
+      return snap
     }
     val arranged = (partitioned, compactTo) match {
       // z-order: interleaved quantile ranks — each file gets a hypercube
@@ -491,26 +564,38 @@ object SnapshotStore {
     * additionally publishes the commit's row-level changes (Delta CDF
     * analog) readable via [[changesFor]]/[[changes]]; off by default —
     * the feed costs one extra key join over the touched partitions.
+    * `bucketBy` declares a persistent bucket layout at BOOTSTRAP (first
+    * merge); thereafter the live manifest's layout wins and every write
+    * path preserves it (see [[liveBuckets]]) — re-declaring a different
+    * layout on an existing table is refused rather than silently mixing
+    * bucket functions across files.
     */
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keys: Seq[String], partitionDate: Option[Column] = None,
             compactTo: Option[Int] = None,
             onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore,
-            changeFeed: Boolean = false): Unit = {
+            changeFeed: Boolean = false,
+            bucketBy: Option[Manifest.Buckets] = None): Unit = {
     Files.createDirectories(Paths.get(root))
+    val live = liveBuckets(root)
+    require(bucketBy.isEmpty || live.isEmpty || bucketBy == live,
+      s"table at $root already has bucket layout $live; cannot re-declare as $bucketBy")
+    val bk = live.orElse(bucketBy)
     val newDf = batch.dropDuplicates(keys)
     val cur = currentSnapshot(root)
     (cur, partitionDate) match {
       case (None, None) =>
-        val snap = writeSnapshot(root, newDf, partitioned = false, compactTo)
+        val snap = writeSnapshot(root, newDf, partitioned = false, compactTo,
+          buckets = bk)
         if (changeFeed) writeChanges(root, snap, changeRows(newDf, None, keys))
-        commit(root, snap, newDf.schema, partitioned = false)
+        commit(root, snap, newDf.schema, partitioned = false, buckets = bk)
 
       case (None, Some(pd)) =>
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
-        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo)
+        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo,
+          buckets = bk)
         if (changeFeed) writeChanges(root, snap, changeRows(batchP, None, keys))
-        commit(root, snap, batchP.schema, partitioned = true)
+        commit(root, snap, batchP.schema, partitioned = true, buckets = bk)
 
       case (Some(c), None) =>
         // Unpartitioned fallback: whole-table rewrite (only sensible for
@@ -521,10 +606,11 @@ object SnapshotStore {
           onSchemaChange)
         val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
         val merged = conform(newDf, target).unionByName(conform(survivors, target))
-        val snap = writeSnapshot(root, merged, partitioned = false, compactTo)
+        val snap = writeSnapshot(root, merged, partitioned = false, compactTo,
+          buckets = bk)
         if (changeFeed) writeChanges(root, snap,
           changeRows(conform(newDf, target), Some(conform(prev, target)), keys))
-        commit(root, snap, target, partitioned = false)
+        commit(root, snap, target, partitioned = false, buckets = bk)
 
       case (Some(c), Some(pd)) =>
         val snapDir = Paths.get(root, c)
@@ -548,13 +634,14 @@ object SnapshotStore {
           val survivors = prev.join(newDf.select(keys.map(col): _*), keys, "left_anti")
             .withColumn(PartCol, pd.cast(StringType))
           val merged = conform(batchP, target).unionByName(conform(survivors, target))
-          val snap = writeSnapshot(root, merged, partitioned = true, compactTo)
+          val snap = writeSnapshot(root, merged, partitioned = true, compactTo,
+            buckets = bk)
           if (changeFeed) {
             val prevP = prev.withColumn(PartCol, pd.cast(StringType))
             writeChanges(root, snap,
               changeRows(conform(batchP, target), Some(conform(prevP, target)), keys))
           }
-          commit(root, snap, target, partitioned = true)
+          commit(root, snap, target, partitioned = true, buckets = bk)
         } else {
           val target = resolveTarget(batchP.schema, liveSchema(spark, snapDir),
             onSchemaChange)
@@ -587,7 +674,8 @@ object SnapshotStore {
               val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
               conform(batchP, target).unionByName(conform(survivors, target))
           }
-          val snap = writeSnapshot(root, out, partitioned = true, compactTo)
+          val snap = writeSnapshot(root, out, partitioned = true, compactTo,
+            buckets = bk)
           if (changeFeed) writeChanges(root, snap,
             changeRows(conform(batchP, target),
               affectedOld.map(conform(_, target)), keys))
@@ -600,7 +688,7 @@ object SnapshotStore {
                   Paths.get(root, snap, s"$PartCol=$v"))
               }
           }
-          commit(root, snap, target, partitioned = true)
+          commit(root, snap, target, partitioned = true, buckets = bk)
         }
     }
   }
@@ -622,14 +710,16 @@ object SnapshotStore {
       val snapDir = Paths.get(root, c)
       val (df, partitioned) = snapshotDf(spark, snapDir)
       val schema = liveSchema(spark, snapDir)
+      val bk = liveBuckets(root)
       val keep = !coalesce(predicate, lit(false))
       if (!partitioned) {
         val matched = df.filter(coalesce(predicate, lit(false)))
         if (matched.limit(1).count() > 0) {
-          val snap = writeSnapshot(root, df.filter(keep), partitioned = false, None)
+          val snap = writeSnapshot(root, df.filter(keep), partitioned = false, None,
+            buckets = bk)
           if (changeFeed) writeChanges(root, snap,
             matched.withColumn(ChangeTypeCol, lit("delete")))
-          commit(root, snap, schema, partitioned = false)
+          commit(root, snap, schema, partitioned = false, buckets = bk)
         }
       } else {
         val matched = df.filter(coalesce(predicate, lit(false)))
@@ -659,7 +749,7 @@ object SnapshotStore {
             part.withColumn(PartCol, dtVal)
           }.reduce(_.unionByName(_, allowMissingColumns = true))
           val snap = writeSnapshot(root, affected.filter(keep),
-            partitioned = true, None)
+            partitioned = true, None, buckets = bk)
           manifestOpt match {
             case Some(m) =>
               linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
@@ -671,7 +761,7 @@ object SnapshotStore {
           }
           if (changeFeed) writeChanges(root, snap,
             matched.withColumn(ChangeTypeCol, lit("delete")))
-          commit(root, snap, schema, partitioned = true)
+          commit(root, snap, schema, partitioned = true, buckets = bk)
         }
       }
     }
@@ -691,11 +781,13 @@ object SnapshotStore {
                       partitionDate: Column, compactTo: Option[Int] = None,
                       onSchemaChange: OnSchemaChange = OnSchemaChange.Ignore): Unit = {
     Files.createDirectories(Paths.get(root))
+    val bk = liveBuckets(root)
     val batchP = batch.withColumn(PartCol, partitionDate.cast(StringType))
     currentSnapshot(root) match {
       case None =>
-        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo)
-        commit(root, snap, batchP.schema, partitioned = true)
+        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo,
+          buckets = bk)
+        commit(root, snap, batchP.schema, partitioned = true, buckets = bk)
       case Some(c) =>
         val snapDir = Paths.get(root, c)
         require(isPartitioned(snapDir),
@@ -706,7 +798,7 @@ object SnapshotStore {
         val touched = batchP.select(PartCol).distinct().collect()
           .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
         val snap = writeSnapshot(root, conform(batchP, target),
-          partitioned = true, compactTo)
+          partitioned = true, compactTo, buckets = bk)
         val manifestOpt = Manifest.read(snapDir).filter(_.partitioned)
         val untouched = (manifestOpt match {
           case Some(m) => m.partitionValues
@@ -721,7 +813,7 @@ object SnapshotStore {
                 Paths.get(root, snap, s"$PartCol=$v"))
             }
         }
-        commit(root, snap, target, partitioned = true)
+        commit(root, snap, target, partitioned = true, buckets = bk)
     }
   }
 
@@ -756,11 +848,18 @@ object SnapshotStore {
       case Some(pd) => batch.withColumn(PartCol, pd.cast(StringType))
       case None     => batch
     }
-    val snap = writeSnapshot(root, out, partitionDate.isDefined, compactTo)
+    // bucketed append: the NEW batch's files are bucketed and stamped by
+    // writeSnapshot (which runs before the prior files link in, so the
+    // stamping walk sees only them); each append adds one file per
+    // non-empty bucket — multi-file buckets are valid reads, and
+    // OPTIMIZE re-compacts to one per bucket
+    val bk = liveBuckets(root)
+    val snap = writeSnapshot(root, out, partitionDate.isDefined, compactTo,
+      buckets = bk)
     cur.foreach(c => linkInto(Paths.get(root, c), Paths.get(root, snap)))
     val schema = cur.map(c => schemaUnion(liveSchema(spark, Paths.get(root, c)),
       out.schema)).getOrElse(out.schema)
-    commit(root, snap, schema, partitionDate.isDefined)
+    commit(root, snap, schema, partitionDate.isDefined, buckets = bk)
   }
 
   /** S8: OPTIMIZE — compact the live snapshot's small files into
@@ -780,9 +879,15 @@ object SnapshotStore {
     currentSnapshot(root).foreach { c =>
       val snapDir = Paths.get(root, c)
       val (df, partitioned) = snapshotDf(spark, snapDir)
+      // a bucketed table's compaction unit IS the bucket: re-hash into n
+      // bucket files (collapsing any multi-file buckets appends left) and
+      // keep the declared layout; clusterBy/zorder stay refused on it
+      val bk = liveBuckets(root)
+      require(bk.isEmpty || (clusterBy.isEmpty && !zorder),
+        s"table at $root is bucketed; clusterBy/zorder would destroy its layout")
       val snap =
         writeSnapshot(root, df, partitioned, Some(filesPerPartition), clusterBy,
-          zorder)
+          zorder, buckets = bk)
       // file-level min/max stats for the cluster keys, from footers only
       // (O(files) metadata), straight into the new snapshot's manifest
       val fresh =
@@ -790,7 +895,7 @@ object SnapshotStore {
         else FileSkipping.collectStats(
           spark.sparkContext.hadoopConfiguration, Paths.get(root, snap),
           clusterBy.toSet)
-      commit(root, snap, df.schema, partitioned, fresh)
+      commit(root, snap, df.schema, partitioned, fresh, buckets = bk)
     }
 
   /** S8 variant: BIN-PACKING compaction — Delta's plain `OPTIMIZE` (no
@@ -812,6 +917,10 @@ object SnapshotStore {
                       targetFileBytes: Long = 128L << 20): Unit =
     currentSnapshot(root).foreach { c =>
       val snapDir = Paths.get(root, c)
+      // bin-packing coalesces arbitrary small files together, which would
+      // mix rows across bucket ids — a bucketed table compacts via
+      // [[optimize]] instead, whose unit is the bucket
+      if (liveBuckets(root).isDefined) { optimize(spark, root); return }
       Manifest.read(snapDir) match {
         case None => optimize(spark, root)
         case Some(m) =>
@@ -867,7 +976,8 @@ object SnapshotStore {
       Manifest.read(snapDir) match {
         case Some(m) =>
           Manifest.write(snapDir, m.schema, m.partitioned,
-            m.files.map(f => f.copy(stats = fresh.get(f.path).orElse(f.stats))))
+            m.files.map(f => f.copy(stats = fresh.get(f.path).orElse(f.stats))),
+            m.buckets)
         case None =>
           FileSkipping.writeSidecar(snapDir, fresh)
       }
@@ -936,13 +1046,19 @@ object SnapshotStore {
           }
           rel -> arr
         }
+      // The build SQL's `cast(col as string)` resolves under THIS
+      // session's timezone — persist it in the index so a probe under a
+      // different session zone canonicalizes timestamp literals with the
+      // build zone, not its own (ADVICE r9: unrecorded TZ made
+      // cross-session probes falsely prove present timestamps absent).
+      val buildTz = spark.sessionState.conf.sessionLocalTimeZone
       def withBloom(st: Option[FileSkipping.FileStats], path: String)
           : Option[FileSkipping.FileStats] = {
         val bloomOpt = byFile.get(path).orElse(
           // scanned but produced no non-null value → empty filter is a
           // PROOF of absence; unscanned/unmatched → no bloom (keep file)
           if (scanned.contains(path)) Some(new Array[Byte](bits / 8)) else None)
-          .map(FileSkipping.BloomBits(bits, hashes, _))
+          .map(FileSkipping.BloomBits(bits, hashes, _, Some(buildTz)))
         bloomOpt match {
           case None => st
           case Some(bloom) =>
@@ -969,7 +1085,8 @@ object SnapshotStore {
             s"analyzeBloom: scanned file keys missing from manifest: " +
               orphans.take(3).mkString(", "))
           Manifest.write(snapDir, m.schema, m.partitioned,
-            m.files.map(f => f.copy(stats = withBloom(f.stats, f.path))))
+            m.files.map(f => f.copy(stats = withBloom(f.stats, f.path))),
+            m.buckets)
         case None =>
           val prior = FileSkipping.readSidecar(snapDir).getOrElse(Map.empty)
           val listed = Manifest.collectFiles(snapDir).map(_._1)
@@ -1109,11 +1226,13 @@ object SnapshotStore {
         Files.createDirectories(Paths.get(dstRoot))
         val upP = upserts.withColumn(PartCol, partitionDate.cast(StringType))
         val delP = dels.withColumn(PartCol, partitionDate.cast(StringType))
+        val bk = liveBuckets(dstRoot)
         currentSnapshot(dstRoot) match {
           case None =>
             // bootstrap: nothing to retract from yet
-            val snap = writeSnapshot(dstRoot, upP, partitioned = true, None)
-            commit(dstRoot, snap, upP.schema, partitioned = true)
+            val snap = writeSnapshot(dstRoot, upP, partitioned = true, None,
+              buckets = bk)
+            commit(dstRoot, snap, upP.schema, partitioned = true, buckets = bk)
           case Some(c) =>
             val snapDir = Paths.get(dstRoot, c)
             val target = resolveTarget(upP.schema, liveSchema(spark, snapDir),
@@ -1148,7 +1267,8 @@ object SnapshotStore {
                 val survivors = old.join(changedKeys, keys, "left_anti")
                 conform(upP, target).unionByName(conform(survivors, target))
             }
-            val snap = writeSnapshot(dstRoot, out, partitioned = true, None)
+            val snap = writeSnapshot(dstRoot, out, partitioned = true, None,
+              buckets = bk)
             manifestOpt match {
               case Some(m) =>
                 linkFromManifest(m, untouchedVals.toSet, snapDir,
@@ -1159,7 +1279,7 @@ object SnapshotStore {
                     Paths.get(dstRoot, snap, s"$PartCol=$v"))
                 }
             }
-            commit(dstRoot, snap, target, partitioned = true)
+            commit(dstRoot, snap, target, partitioned = true, buckets = bk)
         }
         writeAppliedVersion(dstRoot, latestVer)
         latestVer
@@ -1200,7 +1320,7 @@ object SnapshotStore {
           Files.createDirectories(target.getParent)
           FileIO.get.carry(srcDir.resolve(f.path), target)
         }
-        Manifest.write(nextDir, m.schema, m.partitioned, m.files)
+        Manifest.write(nextDir, m.schema, m.partitioned, m.files, m.buckets)
         publish(root, next)
       case None => // pre-manifest target: link all, commit enumerates
         linkInto(srcDir, nextDir)
@@ -1234,7 +1354,7 @@ object SnapshotStore {
           Files.createDirectories(target.getParent)
           FileIO.get.carry(srcDir.resolve(f.path), target)
         }
-        Manifest.write(dstDir, m.schema, m.partitioned, m.files)
+        Manifest.write(dstDir, m.schema, m.partitioned, m.files, m.buckets)
         publish(dstRoot, snap)
       case None =>
         linkInto(srcDir, dstDir)

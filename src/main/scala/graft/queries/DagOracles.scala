@@ -389,6 +389,18 @@ object DagOracles {
              |FROM (${fctOracle(includeLags = false)})
              |GROUP BY 1
              |ORDER BY 1 DESC""".stripMargin,
+        // E3 served from the store AFTER incremental merge + lookback
+        // re-aggregation: must equal the declarative recomputation — the
+        // merge protocol is invisible to the consumption surface
+        "dag_show_tvl_incremental" ->
+          s"""SELECT snapshot_date,
+             |       CAST(sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
+             |            AS BIGINT) AS total_tvl_usd_e6,
+             |       CAST(sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
+             |            AS BIGINT) AS total_borrowed_usd_e6
+             |FROM (${fctOracle(includeLags = false)})
+             |GROUP BY 1
+             |ORDER BY 1 DESC""".stripMargin,
         "dag_show_borrow_volume" ->
           s"""SELECT snapshot_date, coin_symbol,
              |       daily_borrow_volume_usd, daily_repay_volume_usd

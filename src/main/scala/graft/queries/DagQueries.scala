@@ -100,6 +100,46 @@ object DagQueries {
 
   val fctIncrementalQ: Q = incrementalQ(maintenance = false)
 
+  /** E3 under INCREMENTAL state: the README "Total TVL Across All Pools"
+    * consumption query (`/root/reference/README.md:77-98`) served from
+    * the STORE table AFTER two watermarked incremental runs — merge +
+    * 7-day-lookback re-aggregation through the real Runner, then the
+    * exact `dbt show` SQL over the published snapshot. This is the state
+    * a real Dune user queries (the other `dag_show_*` gates run over
+    * full-refresh builds). Oracle = the same SQL over the declaratively
+    * recomputed fct: the merge protocol must be INVISIBLE to the
+    * consumption surface. The TVL query touches no lag column, so the
+    * lookback-boundary re-NULLing that exempts the lag trio from the
+    * incremental oracle (see [[incrementalQ]]) cannot leak in here. */
+  val showTvlIncrementalQ: Q = (spark, _) => {
+    val full = DeepbookFixtures.ensureWritten(spark)
+    val cutoffMs = java.time.Instant.parse("2026-01-06T23:59:59Z").toEpochMilli
+    val slice = Sources { name =>
+      val df = full(name)
+      val tsCol = if (name == "prices.day") unix_millis(col("timestamp"))
+                  else col("timestamp_ms")
+      df.filter(tsCol <= cutoffMs)
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-dagtvl").toString
+    try {
+      val runner = DeepbookPipeline.runner(root)
+      runner.run(RunContext(spark, slice, RunMode.Incremental, DeepbookFixtures.now))
+      runner.run(RunContext(spark, full, RunMode.Incremental, DeepbookFixtures.now))
+      SnapshotStore.read(spark, s"$root/${PoolDailyFct.name}").get
+        .createOrReplaceTempView("fct_pool_daily_store")
+      spark.sql(
+        """SELECT snapshot_date,
+          |       sum(CAST(floor(total_supply_usd * 1000000.0 + 0.5) AS BIGINT))
+          |         AS total_tvl_usd_e6,
+          |       sum(CAST(floor(total_borrow_usd * 1000000.0 + 0.5) AS BIGINT))
+          |         AS total_borrowed_usd_e6
+          |FROM fct_pool_daily_store
+          |GROUP BY 1
+          |ORDER BY 1 DESC""".stripMargin)
+        .localCheckpoint() // materialized before the temp tree is deleted
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   /** The Bloom file-skipping index inside the hard gate: the
     * loan_borrowed model materializes through the merge sink (one file
     * per event date), [[SnapshotStore.analyzeBloom]] indexes
@@ -1233,6 +1273,7 @@ object DagQueries {
       Map("dag_show_pool_tvl" -> showPoolTvlQ,
         "dag_run_results" -> runResultsQ,
         "dag_show_total_tvl" -> showTotalTvlQ,
+        "dag_show_tvl_incremental" -> showTvlIncrementalQ,
         "dag_show_borrow_volume" -> showBorrowVolumeQ,
         "dag_show_recent_loans" -> showRecentLoansQ) ++
       Map("dag_stg_pool_object" -> stgQ, "dag_fct_pool_daily" -> fctQ,

@@ -760,14 +760,15 @@ object PipelineOracles {
       sw AS (SELECT source, src_tokens,
                     CAST(floor(sqrt(src_tokens)) AS BIGINT) AS rw
              FROM s),
-      t AS (SELECT CAST(SUM(src_tokens) // 2 AS BIGINT) AS budget,
-                   CAST(SUM(rw) AS BIGINT) AS rsum FROM sw),
+      t AS (SELECT SUM(src_tokens) // 2 AS budget,
+                   SUM(rw) AS rsum FROM sw),
       r AS (SELECT source,
                    least(1000, (t.budget * rw // t.rsum) * 1000 // src_tokens)
                      AS keep_pm
             FROM sw, t)
-      SELECT d.doc_id, d.source, d.est_tokens, r.keep_pm,
-             1000000000 // r.keep_pm AS weight_ppm
+      SELECT d.doc_id, d.source, d.est_tokens,
+             CAST(r.keep_pm AS BIGINT) AS keep_pm,
+             CAST(1000000000 // r.keep_pm AS BIGINT) AS weight_ppm
       FROM d JOIN r USING (source)
       WHERE ('0x' || substr(md5('temp:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
             < r.keep_pm
@@ -1713,5 +1714,17 @@ object PipelineOracles {
     "v15s_stream_index" -> base("v7_ivfpq"),
     // the cell-PARTITIONED index (DPP-pruned serving scan) must serve
     // the same result — layout changes cost, never results
-    "v18_partitioned_index" -> base("v7_ivfpq"))
+    "v18_partitioned_index" -> base("v7_ivfpq"),
+    // the BUCKETED store layout (zero-exchange digest join through two
+    // bucketed tables) must serve the same rows as the declarative,
+    // unbucketed join — layout changes cost, never results
+    "dag_bucketed_join" -> """
+      WITH d AS (SELECT doc_id, sha256(text) AS digest, source FROM documents),
+      c AS (SELECT digest, MIN(doc_id) AS canonical_doc,
+                   COUNT(*) AS dup_count
+            FROM d GROUP BY digest)
+      SELECT d.doc_id, d.digest, d.source, c.canonical_doc, c.dup_count,
+             d.doc_id = c.canonical_doc AS is_canonical
+      FROM d JOIN c USING (digest)
+      ORDER BY d.doc_id""")
 }

@@ -2612,6 +2612,55 @@ object PipelineQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ---- DAG: bucketed store layout — the recurring join with NO shuffle -----
+
+  /** The bucketed-table serving join: both sides of the corpus's most
+    * recurring big-big join — the per-doc digest frame and the per-digest
+    * canonical-cluster frame (d1's dedup annotation, re-joined by every
+    * incremental batch) — persist through the snapshot store with a
+    * DECLARED bucket layout (`bucketBy` on the bootstrap merge: 8 buckets
+    * on `digest`, manifest-carried thereafter). On read the manifest's
+    * BucketSpec makes each scan report `HashPartitioning(digest, 8)`, so
+    * the join plans with ZERO `Exchange hashpartitioning` — at 100 TB the
+    * difference between re-shuffling both tables per run and reading
+    * co-located bucket files (the layout g1/t22/k6's scale notes assume;
+    * this gate is that claim, plan-pinned through the store). Broadcast is
+    * disabled during planning because at scale NEITHER side fits — the
+    * in-gate require fails if any hash exchange re-appears. Oracle = the
+    * same join computed declaratively, unbucketed: layout changes cost,
+    * never results. */
+  val dagBucketedJoin: Q = (spark, dir) => {
+    import graft.incremental.{Manifest, SnapshotStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"), sha2(col("text"), 256).as("digest"), col("source"))
+      val bk = Some(Manifest.Buckets(8, Seq("digest"), Seq("digest")))
+      SnapshotStore.merge(spark, s"$root/docs", docs, Seq("doc_id"), bucketBy = bk)
+      val canon = docs.groupBy(col("digest"))
+        .agg(min(col("doc_id")).as("canonical_doc"), count(lit(1)).as("dup_count"))
+      SnapshotStore.merge(spark, s"$root/canon", canon, Seq("digest"), bucketBy = bk)
+      val a = SnapshotStore.read(spark, s"$root/docs").get
+      val b = SnapshotStore.read(spark, s"$root/canon").get
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val served = a.join(b, Seq("digest"))
+        .select(col("doc_id"), col("digest"), col("source"),
+          col("canonical_doc"), col("dup_count"),
+          (col("doc_id") === col("canonical_doc")).as("is_canonical"))
+      val plan = served.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"bucketed serving join must sort-merge, got:\n${plan.take(800)}")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed store tables must join with no shuffle exchange:\n${plan.take(1500)}")
+      served.localCheckpoint() // zero-exchange join executes HERE
+        .orderBy(col("doc_id"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   // ---- G1: link-graph PageRank (crawl-quality prior) ------------------------
 
   /** PageRank over a deterministic synthetic link graph — the crawl-graph
@@ -3699,6 +3748,7 @@ object PipelineQueries {
     "t24_normalize" -> t24Normalize,
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
+    "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d11_containment" -> d11Containment,

@@ -161,15 +161,32 @@ object RelationalOracles {
     // only as bounded-error booleans whose oracle twin asserts TRUE — a
     // sketch drifting outside its published envelope flips the boolean and
     // fails the hash, without the hash ever depending on estimate digits
+    // n_mh_est replays the engine's 128-slot md5 MinHash distinct
+    // estimator bit-for-bit (slot-prefixed md5 min, first 48 bits,
+    // K·2^48 // (Σ+1) − 1 in integer arithmetic) — the estimate itself
+    // is hash-graded; only the Datasketches HLL stays a bounded-error
+    // boolean (its internals are engine-specific)
     "k1_sketches" -> """
-      SELECT event_type,
-             count(DISTINCT user_id) AS n_exact,
-             round(quantile_cont(value, 0.5), 6) AS p50_exact,
+      WITH x AS (SELECT event_type,
+                        count(DISTINCT user_id) AS n_exact,
+                        round(quantile_cont(value, 0.5), 6) AS p50_exact
+                 FROM events GROUP BY event_type),
+      m AS (SELECT event_type, s.i,
+                   MIN(('0x' || substr(md5(s.i::VARCHAR || ':' ||
+                        user_id::VARCHAR), 1, 12))::BIGINT) AS v
+            FROM events CROSS JOIN (SELECT unnest(range(0, 128)) AS i) s
+            GROUP BY event_type, s.i),
+      e AS (SELECT event_type,
+                   128 * 281474976710656 // (SUM(v) + 1) - 1 AS est
+            FROM m GROUP BY event_type)
+      SELECT x.event_type, x.n_exact, x.p50_exact,
              TRUE AS hll_within_5pct,
-             TRUE AS p50_within_eps
-      FROM events
-      GROUP BY event_type
-      ORDER BY event_type""",
+             TRUE AS p50_within_eps,
+             CAST(e.est AS BIGINT) AS n_mh_est,
+             CAST(abs(e.est - x.n_exact) * 1000000 // x.n_exact AS BIGINT)
+               AS mh_err_ppm
+      FROM x JOIN e USING (event_type)
+      ORDER BY x.event_type""",
 
     "k2_table_stats" -> """
       WITH o AS (SELECT o_custkey, o_orderstatus,

@@ -818,6 +818,20 @@ object RelationalQueries {
     * sketch estimates sit inside their published error envelopes, without
     * ever hashing an estimate digit. SketchSpec additionally pins the raw
     * estimates' error and the merge identity on this full frame. */
+  /** Slot count of the cross-engine MinHash distinct estimator (k6's
+    * md5 slot-min recipe applied to cardinality): per slot i, min over
+    * the group of `md5(concat(i, ':', user_id))`; the first 48 bits of a
+    * slot's min, read as a fraction m of 2^48, estimate n via
+    * E[min of n uniforms] = 1/(n+1), averaged across slots in INTEGER
+    * arithmetic — `K·2^48 div (Σ minᵢ + 1) − 1`. RSE ≈ 1/√K ≈ 8.8% at
+    * K = 128. Unlike the Datasketches HLL (whose internals only Spark
+    * can compute, so only its error BOUND is gated), every step here is
+    * engine-portable — DuckDB recomputes the estimate bit-for-bit and
+    * the estimate itself sits on the hashed surface. Mergeable like any
+    * MinHash: slot-wise min is associative, so per-shard signatures
+    * union into the global estimate without rescanning. */
+  val MhSlots = 128
+
   private[graft] val k1SketchesFull: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
     // DISTINCT aggregation and imperative sketch aggregates in ONE groupBy
@@ -831,17 +845,35 @@ object RelationalQueries {
       .agg(
         expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n_hll"),
         round(expr("percentile_approx(value, 0.5, 10000)"), 6).as("p50_approx"))
+    // the hash-verifiable distinct estimator ([[MhSlots]]): K slot-min
+    // aggregates over the raw (non-distinct) stream — min is duplicate-
+    // insensitive, so no expand, and the aggs map-side combine. Each
+    // slot value is parsed to its 48-bit integer BEFORE the min (long
+    // buffers keep the whole aggregation in HashAggregate — a string
+    // min's immutable buffer would demote it to SortAggregate; and
+    // truncation is monotonic, so min-of-int48 ≡ int48-of-min).
+    val mhAggs = (0 until MhSlots).map(i =>
+      min(expr("cast(conv(substring(md5(concat('" + i + ":', " +
+        "cast(user_id as string))),1,12),16,10) as bigint)")).as(s"m$i"))
+    val mhSum = (0 until MhSlots).map(i => s"m$i").mkString(" + ")
+    val minhash = ev.groupBy(col("event_type")).agg(mhAggs.head, mhAggs.tail: _*)
+      .withColumn("n_mh_est", // K·2^48 div (Σ + 1) − 1, all int64
+        expr(s"${MhSlots}L * 281474976710656L div (($mhSum) + 1L) - 1L"))
+      .select(col("event_type"), col("n_mh_est"))
     // exact ground truth via the codegen'd rank-location path (a5's
     // exactPctls) — percentile()'s ObjectHashAggregate buffer is the one
     // interpreted aggregate this query doesn't need to pay for
     distincts
       .join(sketches, "event_type")
+      .join(minhash, "event_type")
       .join(exactPctls(ev, "event_type", "value", Seq(0.5 -> "p50_exact"), scale = 6),
         "event_type")
       .withColumn("hll_rel_err",
         round(abs(col("n_hll") - col("n_exact")).cast(DoubleType) / col("n_exact"), 6))
-      .select(col("event_type"), col("n_exact"), col("n_hll"),
-        col("p50_exact"), col("p50_approx"), col("hll_rel_err"))
+      .withColumn("mh_err_ppm",
+        expr("abs(n_mh_est - n_exact) * 1000000L div n_exact"))
+      .select(col("event_type"), col("n_exact"), col("n_hll"), col("n_mh_est"),
+        col("p50_exact"), col("p50_approx"), col("hll_rel_err"), col("mh_err_ppm"))
       .orderBy(col("event_type"))
   }
 
@@ -859,7 +891,11 @@ object RelationalQueries {
       .select(col("event_type"), col("n_exact"), col("p50_exact"),
         (col("hll_rel_err") <= 0.05).as("hll_within_5pct"),
         (abs(col("p50_approx") - col("p50_exact")) <=
-          lit(0.05) * greatest(lit(1.0), abs(col("p50_exact")))).as("p50_within_eps"))
+          lit(0.05) * greatest(lit(1.0), abs(col("p50_exact")))).as("p50_within_eps"),
+        // the MinHash estimate and its error are HASH-verified, not just
+        // bounded — the DuckDB oracle recomputes both bit-for-bit
+        // ([[MhSlots]]'s cross-engine recipe)
+        col("n_mh_est"), col("mh_err_ppm"))
       .orderBy(col("event_type"))
 
   /** GROUPING SETS with explicit set membership flags — the third grouping

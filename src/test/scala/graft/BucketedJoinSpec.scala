@@ -36,4 +36,71 @@ class BucketedJoinSpec extends SparkSpec {
       assert(viaBuckets == viaPlain && viaBuckets > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("snapshot-store bucketed layout: declared once, zero-exchange join, " +
+      "survives merge and optimize") {
+    import graft.incremental.{Manifest, SnapshotStore}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketstore").toString
+    val dir = "/root/testdata/sf0.001"
+    val bk = Some(Manifest.Buckets(8, Seq("k"), Seq("k")))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey").as("k"), col("o_totalprice"))
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+    SnapshotStore.merge(spark, s"$root/orders", orders, Seq("o_orderkey"), bucketBy = bk)
+    SnapshotStore.merge(spark, s"$root/cust", cust, Seq("k"), bucketBy = bk)
+    // layout recorded and every data file carries a parseable bucket id
+    assert(SnapshotStore.liveBuckets(s"$root/orders") == bk)
+    val m = Manifest.read(java.nio.file.Paths.get(s"$root/orders",
+      SnapshotStore.currentSnapshot(s"$root/orders").get)).get
+    assert(m.files.nonEmpty && m.files.forall { f =>
+      val n = f.path.split('/').last
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(n).exists(b => b >= 0 && b < 8)
+    }, s"every file needs a bucket suffix: ${m.files.map(_.path).take(3)}")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    def joined() = SnapshotStore.read(spark, s"$root/orders").get
+      .join(SnapshotStore.read(spark, s"$root/cust").get, Seq("k"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = joined().queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(500))
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"store-bucketed join must not shuffle:\n${plan.take(1500)}")
+      val expected = orders.join(cust, Seq("k")).count()
+      assert(joined().count() == expected && expected > 0)
+
+      // a later merge preserves the layout without re-declaring it —
+      // and the rewritten files keep bucket ids (rows move buckets never)
+      SnapshotStore.merge(spark, s"$root/orders",
+        orders.limit(10).withColumn("o_totalprice", col("o_totalprice") + 1),
+        Seq("o_orderkey"))
+      assert(SnapshotStore.liveBuckets(s"$root/orders") == bk)
+      assert(joined().count() == expected)
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+
+      // OPTIMIZE keeps the layout (bucket = compaction unit); binPack
+      // delegates rather than mixing buckets
+      SnapshotStore.optimize(spark, s"$root/orders")
+      assert(SnapshotStore.liveBuckets(s"$root/orders") == bk)
+      assert(joined().count() == expected)
+      SnapshotStore.optimizeBinPack(spark, s"$root/cust")
+      assert(SnapshotStore.liveBuckets(s"$root/cust") == bk)
+      assert(joined().count() == expected)
+      assert(!joined().queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning"))
+
+      // re-declaring a DIFFERENT layout on a live table is refused
+      intercept[IllegalArgumentException] {
+        SnapshotStore.merge(spark, s"$root/cust", cust, Seq("k"),
+          bucketBy = Some(Manifest.Buckets(4, Seq("k"), Nil)))
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }

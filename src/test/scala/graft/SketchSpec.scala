@@ -12,17 +12,46 @@ class SketchSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("k1: HLL estimates within 5% of exact; approx median within 2% of exact") {
-    val rows = RelationalQueries.k1SketchesFull(spark, dir).collect()
+  test("k1: HLL estimates within 5% of exact; approx median within 2% of exact; " +
+      "MinHash estimator within its 4-sigma envelope") {
+    val df = RelationalQueries.k1SketchesFull(spark, dir)
+    val rows = df.collect()
+    val idx = df.columns.zipWithIndex.toMap
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (exact, est) = (r.getLong(1), r.getLong(2))
+      val (exact, est) = (r.getLong(idx("n_exact")), r.getLong(idx("n_hll")))
       assert(math.abs(est - exact).toDouble / exact < 0.05,
         s"${r.getString(0)}: hll $est vs exact $exact")
-      val (p50e, p50a) = (r.getDouble(3), r.getDouble(4))
+      val (p50e, p50a) =
+        (r.getDouble(idx("p50_exact")), r.getDouble(idx("p50_approx")))
       assert(math.abs(p50a - p50e) <= 0.02 * math.max(1.0, math.abs(p50e)),
         s"${r.getString(0)}: approx p50 $p50a vs exact $p50e")
+      // 128-slot MinHash distinct estimator: RSE ≈ 1/√128 ≈ 8.8%; gate
+      // at 4σ ≈ 35% — loose enough to never flip on a regenerated tier,
+      // tight enough to catch a broken estimator (the VALUE is already
+      // hash-gated by the k1 oracle; this pins the statistics)
+      val mh = r.getLong(idx("n_mh_est"))
+      assert(math.abs(mh - exact).toDouble / exact < 0.35,
+        s"${r.getString(0)}: minhash $mh vs exact $exact")
     }
+  }
+
+  test("k1: per-shard MinHash slot-mins merge into exactly the global estimate") {
+    val ev = Sources.testdata(spark, dir)("events")
+    val K = RelationalQueries.MhSlots
+    def slotMins(d: org.apache.spark.sql.DataFrame) = {
+      val aggs = (0 until K).map(i =>
+        min(expr("cast(conv(substring(md5(concat('" + i + ":', " +
+          "cast(user_id as string))),1,12),16,10) as bigint)")).as(s"m$i"))
+      d.agg(aggs.head, aggs.tail: _*).head.toSeq.map(_.asInstanceOf[Long])
+    }
+    val direct = slotMins(ev)
+    // shard-wise signatures (slot-wise min is associative) — min of the
+    // per-shard mins must equal the one-pass mins
+    val shards = (0 until 3).map(s =>
+      slotMins(ev.filter(pmod(col("event_id"), lit(3)) === s)))
+    val merged = (0 until K).map(i => shards.map(_(i)).min)
+    assert(direct == merged, "shard-merged slot mins must equal one-pass mins")
   }
 
   test("k1: per-partition HLL sketches union into exactly the global estimate") {

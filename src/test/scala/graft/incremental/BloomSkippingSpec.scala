@@ -160,6 +160,57 @@ class BloomSkippingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.session.timeZone", prior)
   }
 
+  test("timestamp bloom probe under a DIFFERENT session timezone than the " +
+      "build uses the persisted build zone") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    val root = Files.createTempDirectory("graft-bloom-xtz").toString
+    try {
+      // build the index under Tokyo ...
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+      val rows = (0 until 96).map(i => (digest(i), 1735689600000L + i * 3600000L))
+      val df = rows.toDF("k", "ms")
+        .select(col("k"), (col("ms") / 1000).cast("timestamp").as("ts"))
+        .repartition(3, col("k"))
+      SnapshotStore.merge(spark, root, df, Seq("k"), None)
+      SnapshotStore.analyzeBloom(spark, root, "ts")
+      // ... probe under New York: the canonical string of the SAME instant
+      // differs by zone, so without the persisted build zone the probe
+      // would hash a different string and falsely prove the row absent
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val want = new java.sql.Timestamp(1735689600000L + 37 * 3600000L)
+      val (sdf, _) = SnapshotStore.readSkipping(spark, root).get
+      assert(sdf.filter(col("ts") === lit(want)).count() == 1,
+        "cross-session probe must canonicalize with the BUILD timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("legacy pre-sentinel index (fabricated nulls=0) no longer prunes IS NULL") {
+    val root = Files.createTempDirectory("graft-bloom-legacy").toString
+    val rows = (0 until 200).map(i =>
+      (digest(i), "2026-01-01", if (i % 2 == 0) null else s"e$i"))
+    SnapshotStore.merge(spark, root,
+      rows.toDF("k", "dt", "extra").repartition(4, col("k")),
+      Seq("k"), Some(to_date(col("dt"))))
+    SnapshotStore.analyzeBloom(spark, root, "extra")
+    // simulate the OLD analyzeBloom vintage, which fabricated nulls = 0
+    // instead of the -1 sentinel for files whose footer never recorded
+    // the column — rewrite the manifest in place
+    val snapDir = java.nio.file.Paths.get(root,
+      SnapshotStore.currentSnapshot(root).get)
+    val mf = snapDir.resolve(Manifest.ManifestName)
+    Files.writeString(mf,
+      Files.readString(mf).replace("\"nulls\":-1", "\"nulls\":0"))
+    val (sdf, _) = SnapshotStore.readSkipping(spark, root).get
+    // bloom present + no min/max + nulls=0 is exactly the legacy
+    // signature: IS NULL must treat it as unknown and keep every file
+    assert(sdf.filter(col("extra").isNull).count() == 100,
+      "legacy fabricated zero null-counts must not prune IS NULL")
+    // point lookups on the legacy index still prune
+    val (sdf2, idx2) = SnapshotStore.readSkipping(spark, root).get
+    assert(sdf2.filter(col("extra") === "e7").count() == 1)
+    assert(idx2.get.lastSkipped > 0)
+  }
+
   test("bloom canonical/hash round-trip: probe hashing equals the build SQL's") {
     // the probe evaluates Catalyst expressions; the build side runs SQL —
     // any drift here silently turns skipping lossy, so pin the identity

@@ -65,20 +65,71 @@ def norm(v):
 
 def fetch(con, sql):
     """Rows as python objects (duckdb fetchall keeps int vs float exact,
-    unlike pandas which floats nullable ints) + declared column types."""
-    rel = con.execute(f"DESCRIBE {sql}")
-    types = {r[0]: r[1] for r in rel.fetchall()}
+    unlike pandas which floats nullable ints) + declared column types.
+    Types are carried POSITIONALLY through the same sort order as the
+    columns (DESCRIBE rows come back in output-column order), so a
+    duplicate output name can never collapse two types into one — and a
+    duplicate name is itself a hard failure: the driver's sorted-column
+    hash would pair values with the wrong column."""
+    types = [r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()]
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    if len(set(cols)) != len(cols):
+        dupes = sorted({c for c in cols if cols.count(c) > 1})
+        raise RuntimeError(f"duplicate output column name(s) {dupes} — "
+                           "the sorted-column compare cannot pair types/values")
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     scols = [cols[i] for i in order]
     srows = [tuple(norm(r[i]) for i in order) for r in rows]
-    return scols, [types[c] for c in scols], srows
+    return scols, [types[i] for i in order], srows
+
+TYPES_SNAPSHOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "oracle_types.json")
+
+def audit_type_snapshot(oracle_types, update):
+    """Regression guard: every oracle's declared output TYPE CLASSES are
+    pinned in a committed snapshot (tools/oracle_types.json). Any class
+    drift (e.g. the HUGEINT class sneaking back via an edited CAST, or an
+    int column turning float) fails the run until the snapshot is
+    deliberately regenerated with --update-types — so a type regression
+    is always a reviewed diff, never a silent change."""
+    current = {name: {c: type_class(t) for c, t in cols}
+               for name, cols in oracle_types.items()}
+    if update:
+        json.dump(current, open(TYPES_SNAPSHOT, "w"), indent=1, sort_keys=True)
+        print(f"type snapshot updated: {TYPES_SNAPSHOT} ({len(current)} oracles)")
+        return 0
+    if not os.path.exists(TYPES_SNAPSHOT):
+        print(f"TYPE SNAPSHOT MISSING: {TYPES_SNAPSHOT} — run with --update-types")
+        return 1
+    pinned = json.load(open(TYPES_SNAPSHOT))
+    bad = 0
+    for name in sorted(set(pinned) | set(current)):
+        if name not in current:
+            print(f"TYPE SNAPSHOT: oracle '{name}' pinned but gone — "
+                  "regenerate with --update-types")
+            bad += 1
+        elif name not in pinned:
+            print(f"TYPE SNAPSHOT: new oracle '{name}' not pinned — "
+                  "regenerate with --update-types")
+            bad += 1
+        else:
+            for c in sorted(set(pinned[name]) | set(current[name])):
+                a, b = pinned[name].get(c), current[name].get(c)
+                if a != b:
+                    print(f"TYPE SNAPSHOT DRIFT: {name}.{c}: "
+                          f"pinned={a} now={b}")
+                    bad += 1
+    if bad == 0:
+        print(f"type snapshot OK ({len(current)} oracles match {TYPES_SNAPSHOT})")
+    return bad
 
 def main():
-    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    update_types = "--update-types" in sys.argv
+    argv = [a for a in sys.argv if a != "--update-types"]
+    sfdir = argv[1] if len(argv) > 1 else "/root/testdata/sf0.01"
+    outdir = argv[2] if len(argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sfdir}/{t}.parquet"
@@ -90,8 +141,11 @@ def main():
             continue
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
         if t == "events":
-            # ScaleGen tiers carry ts as raw INT64 micros; normalize the
-            # view to the TIMESTAMP the driver testdata presents
+            # ScaleGen tiers carry ts as raw INT64 NANOS; make_timestamp
+            # takes MICROS, so `ts // 1000` is the nanos->micros
+            # conversion that normalizes the view to the TIMESTAMP the
+            # driver testdata presents (confirmed by the engine shim:
+            # Sources.readEvents does timestamp_micros(ts div 1000))
             (ts_type,) = [r[1] for r in con.execute("DESCRIBE events").fetchall()
                           if r[0] == "ts"]
             if ts_type == "BIGINT":
@@ -104,12 +158,14 @@ def main():
 
     # ---- gate 1: oracle output-type audit over ALL oracles ----
     banned = []
+    oracle_types = {}
     for name, sql in sorted(oracle.items()):
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
         except Exception as e:
             banned.append((name, "*", f"DESCRIBE failed: {e}"))
             continue
+        oracle_types[name] = [(col, typ) for col, typ, *_ in desc]
         for col, typ, *_ in desc:
             if BANNED_TYPES.search(typ):
                 banned.append((name, col, typ))
@@ -120,6 +176,9 @@ def main():
         failures += len(banned)
     else:
         print(f"type audit OK ({len(oracle)} oracles, no HUGEINT/DECIMAL output)")
+
+    # ---- gate 1b: declared types must match the committed snapshot ----
+    failures += audit_type_snapshot(oracle_types, update_types)
 
     names = sorted(d for d in os.listdir(outdir)
                    if os.path.isdir(os.path.join(outdir, d)))
