@@ -98,9 +98,68 @@ class BucketedJoinSpec extends SparkSpec {
         SnapshotStore.merge(spark, s"$root/cust", cust, Seq("k"),
           bucketBy = Some(Manifest.Buckets(4, Seq("k"), Nil)))
       }
+
+      // bucket PRUNING: a point filter on the bucket column confines the
+      // scan to ONE of the 8 buckets (Spark's optionalBucketSet — free
+      // once the BucketSpec is exposed; at 100 TB a keyed point lookup
+      // reads 1/n of the table before any file/row-group pruning).
+      // DisableUnnecessaryBucketedScan keeps bare scans un-bucketed for
+      // parallelism (same as catalog tables); opt out to pin the pruning.
+      val prevAuto =
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+        val pointPlan = SnapshotStore.read(spark, s"$root/cust").get
+          .filter(col("k") === 42).queryExecution.executedPlan.toString
+        assert(pointPlan.contains("SelectedBucketsCount: 1 out of 8"),
+          s"point lookup must prune to one bucket:\n${pointPlan.take(1200)}")
+      } finally spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", prevAuto)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
+  }
+
+  test("partitioned AND bucketed store table: partition-scoped merge keeps " +
+      "both layouts; reads stay correct") {
+    import graft.incremental.{Manifest, SnapshotStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-pb").toString
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val bk = Some(Manifest.Buckets(4, Seq("k"), Seq("k")))
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("k"),
+          col("o_orderdate").cast("date").as("d"), col("o_totalprice"))
+      SnapshotStore.merge(spark, root, orders, Seq("o_orderkey"),
+        partitionDate = Some(col("d")), bucketBy = bk)
+      val m = Manifest.read(java.nio.file.Paths.get(root,
+        SnapshotStore.currentSnapshot(root).get)).get
+      assert(m.partitioned && m.buckets == bk)
+      // every file sits in a _dt dir AND carries a bucket suffix
+      assert(m.files.nonEmpty && m.files.forall { f =>
+        f.partitionValue.isDefined &&
+          org.apache.spark.sql.execution.datasources.BucketingUtils
+            .getBucketId(f.path.split('/').last).exists(b => b >= 0 && b < 4)
+      }, m.files.map(_.path).take(3).toString)
+      val before = SnapshotStore.read(spark, root).get.count()
+      assert(before == orders.count())
+      // partition-scoped rewrite: touched partitions re-bucket, the
+      // carried files keep their suffixes, the whole table still reads
+      val one = orders.limit(1)
+      SnapshotStore.merge(spark, root,
+        one.withColumn("o_totalprice", col("o_totalprice") + 1),
+        Seq("o_orderkey"), partitionDate = Some(col("d")))
+      assert(SnapshotStore.liveBuckets(root) == bk)
+      val after = SnapshotStore.read(spark, root).get
+      assert(after.count() == before)
+      val m2 = Manifest.read(java.nio.file.Paths.get(root,
+        SnapshotStore.currentSnapshot(root).get)).get
+      assert(m2.files.forall { f =>
+        org.apache.spark.sql.execution.datasources.BucketingUtils
+          .getBucketId(f.path.split('/').last).isDefined
+      })
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 }
