@@ -121,6 +121,66 @@ class BucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("iterative consumer: a bucketed edge table feeds every PageRank-style " +
+      "iteration without ever shuffling the edges") {
+    // g1/SCALE.md claim, plan-pinned: the BIG static side of an iterative
+    // graph loop (edges) persists bucketed on the join key; each
+    // iteration's rank⋈edges join then reads co-located buckets — only
+    // the (small) per-iteration rank aggregate shuffles, the edge table
+    // never moves. The edges scan appearing under an Exchange in ANY
+    // iteration is a regression.
+    import graft.incremental.{Manifest, SnapshotStore}
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bucketiter").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val n = 1000L
+      val edges = spark.range(n).toDF("src")
+        .select(col("src"), explode(array(
+          (col("src") * 7 + 1) % n, (col("src") * 11 + 3) % n)).as("dst"))
+      SnapshotStore.merge(spark, root, edges, Seq("src", "dst"),
+        bucketBy = Some(Manifest.Buckets(8, Seq("src"), Seq("src"))))
+      val edgeT = SnapshotStore.read(spark, root).get
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      var ranks = spark.range(n).toDF("src").withColumn("r", lit(1000000L))
+      (1 to 3).foreach { _ =>
+        val contrib = edgeT.join(ranks.repartition(8, col("src")), Seq("src"))
+          .select(col("dst").as("src"), (col("r") / 2).cast("long").as("c"))
+        ranks = contrib.groupBy(col("src")).agg(sum(col("c")).as("r"))
+          .localCheckpoint()
+      }
+      val planStr = {
+        // re-derive one more iteration WITHOUT checkpointing so the whole
+        // join subtree is visible in a single plan
+        val it = edgeT.join(ranks.repartition(8, col("src")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("r")).as("r"))
+        it.queryExecution.executedPlan.toString
+      }
+      // the scan side must join bucket-aligned: no exchange may sit
+      // between the parquet scan of the edge table and the join
+      val scanToJoin = planStr.split("SortMergeJoin")
+      assert(planStr.contains("SortMergeJoin"), planStr.take(800))
+      assert(scanToJoin.last.contains("FileScan parquet"), planStr.take(1500))
+      // exactly two exchanges: the RANK side's repartition and the
+      // post-join sum-by-dst aggregate — never a third for the edges
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(planStr).length
+      assert(exchanges == 2,
+        s"only the rank side and the dst aggregate may shuffle, found " +
+          s"$exchanges exchanges:\n${planStr.take(2000)}")
+      // and the edges branch is Sort-over-FileScan directly (no exchange
+      // between the bucketed scan and the join)
+      val edgesBranch = planStr.substring(planStr.indexOf("SortMergeJoin"))
+        .linesIterator.takeWhile(!_.contains("Exchange hashpartitioning"))
+        .mkString("\n")
+      assert(edgesBranch.contains("FileScan parquet"),
+        s"edges scan must sit under the join with no exchange:\n$edgesBranch")
+      assert(ranks.agg(sum(col("r"))).head.getLong(0) > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
+
   test("partitioned AND bucketed store table: partition-scoped merge keeps " +
       "both layouts; reads stay correct") {
     import graft.incremental.{Manifest, SnapshotStore}
