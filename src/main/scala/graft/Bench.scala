@@ -77,7 +77,12 @@ object Bench {
         - "dag_state_modified" - "v15_persisted_ivfpq" - "dag_bloom_lookup"
         - "v16_index_maintenance" - "v15s_stream_index"
         - "dag_run_results" - "pipe5_incremental_corpus"
-        - "v18_partitioned_index")
+        - "v18_partitioned_index"
+        // same protocol-not-query class, added round 10: two full DAG
+        // runs through the disk merge sink (show_tvl_incremental) and a
+        // double store bootstrap (bucketed_join) — their timings are
+        // sink fsync on tiny fixtures, not engine throughput
+        - "dag_show_tvl_incremental" - "dag_bucketed_join")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -161,23 +161,32 @@ object RelationalOracles {
     // only as bounded-error booleans whose oracle twin asserts TRUE — a
     // sketch drifting outside its published envelope flips the boolean and
     // fails the hash, without the hash ever depending on estimate digits
-    // n_mh_est replays the engine's 128-slot md5 MinHash distinct
-    // estimator bit-for-bit (slot-prefixed md5 min, first 48 bits,
-    // K·2^48 // (Σ+1) − 1 in integer arithmetic) — the estimate itself
-    // is hash-graded; only the Datasketches HLL stays a bounded-error
+    // n_mh_est replays the engine's 128-slot MinHash distinct estimator
+    // bit-for-bit: ONE md5 per row (first 48 bits mod the prime
+    // p = 2^31−1), then per slot i the affine permutation
+    // (aᵢ·h + bᵢ) mod p with aᵢ = (i+1)·2654435761 mod p,
+    // bᵢ = (i·1013904223 + 12345) mod p — the same constants
+    // RelationalQueries.mhSlotExpr derives — and
+    // K·p // (Σ+1) − 1 in integer arithmetic. The estimate itself is
+    // hash-graded; only the Datasketches HLL stays a bounded-error
     // boolean (its internals are engine-specific)
     "k1_sketches" -> """
       WITH x AS (SELECT event_type,
                         count(DISTINCT user_id) AS n_exact,
                         round(quantile_cont(value, 0.5), 6) AS p50_exact
                  FROM events GROUP BY event_type),
+      h AS (SELECT event_type,
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 12))::BIGINT
+                     % 2147483647 AS h
+            FROM events),
       m AS (SELECT event_type, s.i,
-                   MIN(('0x' || substr(md5(s.i::VARCHAR || ':' ||
-                        user_id::VARCHAR), 1, 12))::BIGINT) AS v
-            FROM events CROSS JOIN (SELECT unnest(range(0, 128)) AS i) s
+                   MIN(((((s.i + 1)::BIGINT * 2654435761) % 2147483647) * h
+                        + ((s.i::BIGINT * 1013904223 + 12345) % 2147483647))
+                       % 2147483647) AS v
+            FROM h CROSS JOIN (SELECT unnest(range(0, 128)) AS i) s
             GROUP BY event_type, s.i),
       e AS (SELECT event_type,
-                   128 * 281474976710656 // (SUM(v) + 1) - 1 AS est
+                   128::BIGINT * 2147483647 // (SUM(v) + 1) - 1 AS est
             FROM m GROUP BY event_type)
       SELECT x.event_type, x.n_exact, x.p50_exact,
              TRUE AS hll_within_5pct,

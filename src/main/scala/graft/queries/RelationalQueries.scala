@@ -819,18 +819,46 @@ object RelationalQueries {
     * ever hashing an estimate digit. SketchSpec additionally pins the raw
     * estimates' error and the merge identity on this full frame. */
   /** Slot count of the cross-engine MinHash distinct estimator (k6's
-    * md5 slot-min recipe applied to cardinality): per slot i, min over
-    * the group of `md5(concat(i, ':', user_id))`; the first 48 bits of a
-    * slot's min, read as a fraction m of 2^48, estimate n via
-    * E[min of n uniforms] = 1/(n+1), averaged across slots in INTEGER
-    * arithmetic — `K·2^48 div (Σ minᵢ + 1) − 1`. RSE ≈ 1/√K ≈ 8.8% at
-    * K = 128. Unlike the Datasketches HLL (whose internals only Spark
-    * can compute, so only its error BOUND is gated), every step here is
+    * md5 recipe applied to cardinality). ONE md5 per row — `h` = the
+    * first 48 bits of `md5(user_id)` reduced mod p = 2^31−1 — then each
+    * slot i applies its own Carter–Wegman affine permutation
+    * `vᵢ = (aᵢ·h + bᵢ) mod p` (aᵢ ≠ 0 mod the prime p, so each slot is
+    * a genuine permutation of Z_p; constants derive arithmetically from
+    * i, below). A slot's group-min, read as a fraction of p, estimates
+    * n via E[min of n uniforms] = 1/(n+1), averaged across slots in
+    * INTEGER arithmetic — `K·p div (Σ minᵢ + 1) − 1`. RSE ≈ 1/√K ≈
+    * 8.8% at K = 128. The earlier per-slot-md5 form (`md5(i:user_id)`
+    * × 128 per row) was semantically identical but 128 string hashes
+    * per row — measured ~4 s per run at sf0.1 vs ~0.3 s for this one;
+    * the affine family keeps the hot loop in whole-stage-codegen'd
+    * long arithmetic (all products < 2^62, no overflow under ANSI).
+    * Unlike the Datasketches HLL (whose internals only Spark can
+    * compute, so only its error BOUND is gated), every step here is
     * engine-portable — DuckDB recomputes the estimate bit-for-bit and
     * the estimate itself sits on the hashed surface. Mergeable like any
     * MinHash: slot-wise min is associative, so per-shard signatures
     * union into the global estimate without rescanning. */
   val MhSlots = 128
+
+  /** 2^31 − 1 (Mersenne prime): the modulus of the affine slot family.
+    * Small enough that aᵢ·h stays under 2^62 in int64. */
+  val MhP = 2147483647L
+
+  /** The per-row base hash: 48 bits of md5, reduced mod [[MhP]]. Shared
+    * with SketchSpec's merge-identity test so spec and query can never
+    * drift apart. */
+  private[graft] val MhBaseExpr =
+    s"cast(conv(substring(md5(cast(user_id as string)),1,12),16,10) as bigint) % ${MhP}L"
+
+  /** Slot i's affine permutation of the base hash column `mh_h`. The
+    * multiplier (i+1)·2654435761 mod p is nonzero (product of nonzero
+    * elements mod a prime), so the map is a permutation of Z_p. The
+    * DuckDB oracle derives the same constants from i in SQL. */
+  private[graft] def mhSlotExpr(i: Int): String = {
+    val a = ((i + 1).toLong * 2654435761L) % MhP
+    val b = (i.toLong * 1013904223L + 12345L) % MhP
+    s"(${a}L * mh_h + ${b}L) % ${MhP}L"
+  }
 
   private[graft] val k1SketchesFull: Q = (spark, dir) => {
     val ev = t(spark, dir, "events")
@@ -845,20 +873,19 @@ object RelationalQueries {
       .agg(
         expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").as("n_hll"),
         round(expr("percentile_approx(value, 0.5, 10000)"), 6).as("p50_approx"))
-    // the hash-verifiable distinct estimator ([[MhSlots]]): K slot-min
-    // aggregates over the raw (non-distinct) stream — min is duplicate-
-    // insensitive, so no expand, and the aggs map-side combine. Each
-    // slot value is parsed to its 48-bit integer BEFORE the min (long
-    // buffers keep the whole aggregation in HashAggregate — a string
-    // min's immutable buffer would demote it to SortAggregate; and
-    // truncation is monotonic, so min-of-int48 ≡ int48-of-min).
-    val mhAggs = (0 until MhSlots).map(i =>
-      min(expr("cast(conv(substring(md5(concat('" + i + ":', " +
-        "cast(user_id as string))),1,12),16,10) as bigint)")).as(s"m$i"))
+    // the hash-verifiable distinct estimator ([[MhSlots]]): ONE md5 per
+    // row ([[MhBaseExpr]]), then K affine slot-min aggregates over the
+    // raw (non-distinct) stream — min is duplicate-insensitive, so no
+    // expand, and the aggs map-side combine. Long buffers keep the
+    // whole aggregation in HashAggregate (a string min's immutable
+    // buffer would demote it to SortAggregate), and the K slot values
+    // are codegen'd long multiply-adds, not K string hashes.
+    val mhAggs = (0 until MhSlots).map(i => min(expr(mhSlotExpr(i))).as(s"m$i"))
     val mhSum = (0 until MhSlots).map(i => s"m$i").mkString(" + ")
-    val minhash = ev.groupBy(col("event_type")).agg(mhAggs.head, mhAggs.tail: _*)
-      .withColumn("n_mh_est", // K·2^48 div (Σ + 1) − 1, all int64
-        expr(s"${MhSlots}L * 281474976710656L div (($mhSum) + 1L) - 1L"))
+    val minhash = ev.withColumn("mh_h", expr(MhBaseExpr))
+      .groupBy(col("event_type")).agg(mhAggs.head, mhAggs.tail: _*)
+      .withColumn("n_mh_est", // K·p div (Σ + 1) − 1, all int64
+        expr(s"${MhSlots}L * ${MhP}L div (($mhSum) + 1L) - 1L"))
       .select(col("event_type"), col("n_mh_est"))
     // exact ground truth via the codegen'd rank-location path (a5's
     // exactPctls) — percentile()'s ObjectHashAggregate buffer is the one

@@ -40,10 +40,12 @@ class SketchSpec extends SparkSpec {
     val ev = Sources.testdata(spark, dir)("events")
     val K = RelationalQueries.MhSlots
     def slotMins(d: org.apache.spark.sql.DataFrame) = {
+      // the query's own base-hash + affine-slot expressions, so this
+      // merge-identity pin can never drift from the gated recipe
       val aggs = (0 until K).map(i =>
-        min(expr("cast(conv(substring(md5(concat('" + i + ":', " +
-          "cast(user_id as string))),1,12),16,10) as bigint)")).as(s"m$i"))
-      d.agg(aggs.head, aggs.tail: _*).head.toSeq.map(_.asInstanceOf[Long])
+        min(expr(RelationalQueries.mhSlotExpr(i))).as(s"m$i"))
+      d.withColumn("mh_h", expr(RelationalQueries.MhBaseExpr))
+        .agg(aggs.head, aggs.tail: _*).head.toSeq.map(_.asInstanceOf[Long])
     }
     val direct = slotMins(ev)
     // shard-wise signatures (slot-wise min is associative) — min of the
