@@ -147,6 +147,20 @@ object PipelineOracles {
              min(doc_id) OVER (PARTITION BY canonical_url) AS canonical_doc,
              CAST(doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) AS INT) AS is_dup
       FROM c ORDER BY doc_id""",
+    // exact ALL-PAIRS Levenshtein ≤ 1 — deliberately independent of the
+    // engine's SymSpell deletion-neighborhood blocking, so the oracle
+    // genuinely tests recall (a dropped candidate reds the hash). The
+    // length band |len a − len b| ≤ 1 is implied by lev ≤ 1 (each edit
+    // moves length by at most one) — a lossless speedup, not blocking.
+    "d14_fuzzy_join" -> """
+      SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+             CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      FROM customer a JOIN customer b
+        ON a.c_custkey < b.c_custkey
+       AND abs(length(a.c_name) - length(b.c_name)) <= 1
+       AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY a_id, b_id""",
+
     "d11_containment" -> s"""
       WITH $shingleCte
       SELECT a_id, b_id, inter * 1000000 // na AS containment_ppm FROM (

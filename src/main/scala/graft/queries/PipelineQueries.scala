@@ -483,6 +483,59 @@ object PipelineQueries {
       .orderBy(col("source"), col("a_id"), col("b_id"))
   }
 
+  // ---- D14: fuzzy record-linkage join (Levenshtein ≤ 1) --------------------
+
+  /** Entity resolution / fuzzy-key join: every record pair whose name
+    * field is within Levenshtein distance 1 — the data-cleaning primitive
+    * behind near-identical title/URL/author linkage across crawls — via a
+    * SYMMETRIC-DELETE neighborhood block (SymSpell, Garbe 2012) and a
+    * fused threshold-Levenshtein verify.
+    *
+    * Deletion neighborhood N(s) = {s} ∪ {s with char i deleted}. Any two
+    * strings with lev(a,b) ≤ 1 SHARE a member: a substitution at i means
+    * deleting i from both yields the same string; an insert/delete means
+    * the longer side's deletion IS the shorter string, which sits in its
+    * own neighborhood. So the equi-join on neighborhood members misses no
+    * true pair — completeness is structural, not probabilistic (the spec
+    * proves it against an all-pairs brute force). Precision comes from the
+    * verify: `levenshtein(name, name, 1)` (the thresholded form early-
+    * exits outside the ±1 band, O(len) not O(len²)) filters the distance-2
+    * pairs that merely share a deletion (e.g. "abc"/"bcd" share "bc").
+    *
+    * Scale (100 TB): the neighborhood explode is a map-only (len+1)× row
+    * expansion — members travel as xxhash64 LONGS, so the operator's one
+    * big shuffle moves (id, 8 B) rows on uniform keys; a hash collision
+    * can only ADD a candidate, which the verify removes. The candidate
+    * generator is a pure equi-join (PlanSpec pins no nested loop), pairs
+    * dedup BEFORE the per-pair verify, and the (id, hash) frame is
+    * localCheckpoint'ed because it feeds both sides of a self-join (the
+    * d2/d4 lesson: a self-join never reuses its own exchange). Higher k
+    * uses the standard SymSpell practice — k-deletion neighborhoods over a
+    * bounded match-field prefix — same plan shape, O(len^k) expansion. */
+  val d14FuzzyJoin: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // i = 0 keeps the string itself; i = 1..len deletes char i. (id, vh)
+    // dedups the duplicate deletions repeated characters produce.
+    val nb = cust.select(col("id"), col("name"), explode(expr(
+        "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 THEN name " +
+          "ELSE concat(substring(name, 1, i - 1), substring(name, i + 1)) END)"))
+        .as("v"))
+      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+      .distinct()
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    val cand = nb.as("x").join(nb.as("y"),
+        col("x.vh") === col("y.vh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("x.name").as("a_name"),
+        col("y.id").as("b_id"), col("y.name").as("b_name"))
+      .distinct() // a pair can share several members; verify each pair once
+    cand
+      .withColumn("dist", expr("levenshtein(a_name, b_name, 1)"))
+      .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- V1: brute-force cosine top-k (correctness baseline) -----------------
 
   /** Cosine top-10 for query vectors (vec_id < 5) over all embeddings —
@@ -3751,6 +3804,7 @@ object PipelineQueries {
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d14_fuzzy_join" -> d14FuzzyJoin,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,

@@ -100,6 +100,7 @@ class PlanSpec extends SparkSpec {
                           "d8" -> PipelineQueries.d8SubstringDedup,
                           "d11" -> PipelineQueries.d11Containment,
                           "d13" -> PipelineQueries.d13DedupEval,
+                          "d14" -> PipelineQueries.d14FuzzyJoin,
                           "m5" -> PipelineQueries.m5ImagePhash)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
@@ -375,6 +376,11 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Window"),
         s"$name: ranking windows must stay behind the checkpoint\n${p.take(1200)}")
     }
+    // d14's neighborhood explode feeds both sides of its candidate
+    // self-join through the same checkpoint — same leak symptom
+    val p14 = planOf(PipelineQueries.d14FuzzyJoin)
+    assert(!p14.contains("Generate"),
+      s"d14: deletion-neighborhood explode must stay behind the checkpoint\n${p14.take(1200)}")
   }
 
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
