@@ -1546,6 +1546,39 @@ object PipelineOracles {
              c1, c2, pf, n_types
       FROM agg ORDER BY pf DESC, c1, c2 LIMIT ${BpeK}""",
 
+    // DSIR replayed verbatim: same 512-bucket md5 hash space, add-one
+    // smoothed target/raw hashed-unigram LMs, ln on the identical
+    // smoothed-ratio doubles, the same md5-derived Gumbel perturbation,
+    // and ordering on the FLOORED integer key (doc_id tiebreak) so the
+    // top-125 membership and ranks are engine-exact.
+    "t25_dsir_resample" -> s"""
+      WITH tok AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS term
+                   FROM documents),
+      tb AS (SELECT doc_id, lang,
+                    ('0x' || substr(md5(term), 1, 15))::BIGINT % ${PipelineQueries.DsirBuckets} AS b
+             FROM tok),
+      nb AS (SELECT doc_id, lang, b, COUNT(*)::BIGINT AS n FROM tb GROUP BY 1, 2, 3),
+      ct AS (SELECT b, COUNT(*)::BIGINT AS c_t FROM tb
+             WHERE lang = '${PipelineQueries.DsirTargetLang}' GROUP BY 1),
+      cr AS (SELECT b, COUNT(*)::BIGINT AS c_r FROM tb GROUP BY 1),
+      nt AS (SELECT COUNT(*)::BIGINT AS n_t FROM tb
+             WHERE lang = '${PipelineQueries.DsirTargetLang}'),
+      nr AS (SELECT COUNT(*)::BIGINT AS n_r FROM tb),
+      lw AS (SELECT nb.doc_id, nb.lang,
+                    SUM(nb.n * ln(((COALESCE(ct.c_t, 0) + 1) * (nr.n_r + ${PipelineQueries.DsirBuckets}))::DOUBLE
+                                / ((cr.c_r + 1) * (nt.n_t + ${PipelineQueries.DsirBuckets}))::DOUBLE)) AS lw
+             FROM nb JOIN cr USING (b) LEFT JOIN ct USING (b), nt, nr
+             GROUP BY 1, 2),
+      keyed AS (SELECT doc_id, lang,
+                       CAST(floor(lw * 1000000.0 + 0.5) AS BIGINT) AS lw_e6,
+                       CAST(floor((lw - ln(-ln(((('0x' || substr(md5('dsir:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000) + 0.5) / 1000.0)))
+                                  * 1000000.0 + 0.5) AS BIGINT) AS key_e6
+                FROM lw),
+      top AS (SELECT * FROM keyed ORDER BY key_e6 DESC, doc_id LIMIT ${PipelineQueries.DsirK})
+      SELECT CAST(row_number() OVER (ORDER BY key_e6 DESC, doc_id) AS BIGINT) AS rk,
+             doc_id, lang, lw_e6, key_e6
+      FROM top ORDER BY rk""",
+
     "t15_lm_score" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
                    FROM documents),

@@ -3764,7 +3764,87 @@ object PipelineQueries {
     pplBuckets(lmScores(fanOut(spark, t(spark, dir, "documents"))))
       .orderBy(col("doc_id"))
 
+  // ---- T25: DSIR importance resampling -------------------------------------
+
+  /** Hashed-feature space: every term maps to one of [[DsirBuckets]]
+    * buckets, so BOTH language models are fixed-size regardless of corpus
+    * scale — the trick that makes DSIR's LM tables broadcastable at
+    * 100 TB where a vocabulary table would not be. */
+  val DsirBuckets = 512
+  /** The target domain whose distribution raw data is scored against. */
+  val DsirTargetLang = "de"
+  /** Documents selected (sampling without replacement via Gumbel-top-k). */
+  val DsirK = 125
+
+  /** Data Selection via Importance Resampling (DSIR — Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * a TARGET-domain hashed-unigram LM finds its tokens than the raw-
+    * corpus LM, then sample [[DsirK]] documents without replacement with
+    * probability ∝ the importance weight — the principled replacement
+    * for the t6/t12 heuristics when "what to train on" is defined by an
+    * exemplar corpus rather than hand-set rates.
+    *
+    * Weight: lw(d) = Σ_b n_d(b)·ln(p_t(b)/p_r(b)) over [[DsirBuckets]]
+    * md5-hashed term buckets (the d3/t6 engine-portable 60-bit idiom),
+    * add-one smoothed. Sampling: Gumbel-top-k (Vieira 2014) — perturb
+    * each lw with g = −ln(−ln(u)), u the md5-hash-derived permille of
+    * the doc id (deterministic, reproducible across engines/retries,
+    * like every sampling stage here), and take the top [[DsirK]] by the
+    * perturbed key: exactly sampling-without-replacement ∝ softmax(lw).
+    * ln() sits on the hashed surface under t15's contract — both engines
+    * evaluate it on identical doubles (counts are exact longs; the
+    * smoothed-ratio products stay < 2^53 at test scale) and the 6-dp
+    * floor-scale absorbs the ≤1-ulp libm skew; ORDER uses the FLOORED
+    * integer key with doc_id tiebreak, so ranking is engine-exact. At
+    * 100 TB the ratio factors into per-term ln differences (the products
+    * would pass 2^53); same plan, one more ln per bucket.
+    *
+    * Scale shape: one corpus-sized shuffle (the (doc, lang, bucket)
+    * count); both LM tables are ≤[[DsirBuckets]] rows → broadcast-hash
+    * joins; totals ride 1-row broadcast crosses; selection is
+    * TakeOrderedAndProject (per-partition top-k heap, never a global
+    * sort); the final rank window runs over [[DsirK]] rows. */
+  val t25DsirResample: Q = (spark, dir) => {
+    val B = DsirBuckets
+    val tb = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .select(col("doc_id"), col("lang"),
+        pmod(expr("cast(conv(substring(md5(term),1,15),16,10) as bigint)"),
+          lit(B.toLong)).as("b"))
+      .localCheckpoint() // feeds the per-doc counts AND both LM tables
+    val nb = tb.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("n"))
+    val ct = tb.filter(col("lang") === DsirTargetLang)
+      .groupBy(col("b")).agg(count(lit(1)).as("c_t"))
+    val cr = tb.groupBy(col("b")).agg(count(lit(1)).as("c_r"))
+    val nt = ct.agg(sum(col("c_t")).as("n_t"))
+    val nr = cr.agg(sum(col("c_r")).as("n_r"))
+    val lw = nb
+      .join(broadcast(cr), "b") // every observed bucket is in cr
+      .join(broadcast(ct), Seq("b"), "left") // target may have missed it
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nr))
+      .withColumn("term_lw", col("n") * log(
+        ((coalesce(col("c_t"), lit(0L)) + 1L) * (col("n_r") + B)).cast(DoubleType) /
+          ((col("c_r") + 1L) * (col("n_t") + B)).cast(DoubleType)))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("term_lw")).as("lw"))
+    lw
+      .withColumn("u",
+        (pmod(expr("cast(conv(substring(md5(concat('dsir:', cast(doc_id as string))),1,15),16,10) as bigint)"),
+          lit(1000L)).cast(DoubleType) + lit(0.5)) / lit(1000.0))
+      .withColumn("lw_e6", floor(col("lw") * lit(1e6) + lit(0.5)).cast("long"))
+      .withColumn("key_e6",
+        floor((col("lw") - log(-log(col("u")))) * lit(1e6) + lit(0.5)).cast("long"))
+      .orderBy(col("key_e6").desc, col("doc_id")).limit(DsirK)
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("key_e6").desc, col("doc_id"))).cast("long"))
+      .select(col("rk"), col("doc_id"), col("lang"), col("lw_e6"), col("key_e6"))
+      .orderBy(col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "t25_dsir_resample" -> t25DsirResample,
     "m2_frame_sample" -> m2FrameSample,
     "m5_image_phash" -> m5ImagePhash,
     "t17_ppl_buckets" -> t17PplBuckets,

@@ -383,6 +383,16 @@ class PlanSpec extends SparkSpec {
       s"d14: deletion-neighborhood explode must stay behind the checkpoint\n${p14.take(1200)}")
   }
 
+  test("t25: bucket-sized LM tables broadcast, selection is a top-k heap, token explode stays checkpointed") {
+    val p = planOf(graft.queries.PipelineQueries.t25DsirResample)
+    assert(!p.contains("SortMergeJoin"),
+      s"t25: the ${graft.queries.PipelineQueries.DsirBuckets}-row LM joins must broadcast\n${p.take(1200)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"t25: the top-${graft.queries.PipelineQueries.DsirK} must be a heap, not a global sort\n${p.take(1200)}")
+    assert(!p.contains("Generate"),
+      s"t25: the token explode must stay behind the checkpoint (3 consumers)\n${p.take(1200)}")
+  }
+
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.k6CorpusOverlap)
