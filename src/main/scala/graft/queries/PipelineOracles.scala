@@ -1203,6 +1203,45 @@ object PipelineOracles {
     // Matryoshka two-stage retrieval: the prefix shortlist and the
     // full-precision rerank are both recomputed exactly; the v1 rounding
     // convention (6 dp) absorbs summation-order ULPs on both scores
+    // binary-quantized Hamming retrieval: sign bits pack as two 32-bit
+    // words (DuckDB's checked << refuses bit 63), Hamming distance is
+    // bit_count(xor(lo)) + bit_count(xor(hi)) — integer end-to-end, so
+    // the shortlist ranking is engine-exact; the 16-deep shortlist then
+    // reranks under the shared v1 exact-cosine rounding convention
+    "v19_binary_ann" -> s"""
+      WITH $embCte,
+      c AS (SELECT vec_id,
+                   CAST(list_sum(list_transform(range(0, 32),
+                        j -> CASE WHEN v[j + 1] > 0 THEN 1::BIGINT << j
+                                  ELSE 0::BIGINT END)) AS BIGINT) AS code_lo,
+                   CAST(list_sum(list_transform(range(0, 32),
+                        j -> CASE WHEN v[j + 33] > 0 THEN 1::BIGINT << j
+                                  ELSE 0::BIGINT END)) AS BIGINT) AS code_hi
+            FROM n),
+      q AS (SELECT vec_id AS q_id, code_lo AS q_lo, code_hi AS q_hi
+            FROM c WHERE vec_id < 5),
+      h AS (SELECT q.q_id, c.vec_id,
+                   CAST(bit_count(xor(c.code_lo, q.q_lo))
+                        + bit_count(xor(c.code_hi, q.q_hi)) AS BIGINT) AS ham
+            FROM c, q WHERE c.vec_id != q.q_id),
+      s AS (SELECT q_id, vec_id, ham,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ham, vec_id) AS hrk
+            FROM h),
+      sl AS (SELECT q_id, vec_id, ham FROM s WHERE hrk <= ${BinShortlist}),
+      qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      r AS (SELECT sl.q_id, sl.vec_id, sl.ham,
+                   CAST(floor(list_sum(list_transform(range(1, len(d.v) + 1),
+                           i -> d.v[i] * qf.qv[i])) / (d.nrm * qf.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+            FROM sl JOIN n d ON d.vec_id = sl.vec_id
+            JOIN qf ON qf.q_id = sl.q_id),
+      rr AS (SELECT q_id, vec_id, ham, cos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_e6 DESC, vec_id) AS rk
+             FROM r)
+      SELECT q_id, rk, vec_id, ham, cos_e6 FROM rr
+      WHERE rk <= ${BinK} ORDER BY q_id, rk""",
+
     "v17_rrf_fusion" -> s"""
       WITH $annEvalCtes,
       fa AS (SELECT q_id, vec_id, rk AS rk_exact FROM rx WHERE rk <= 10),

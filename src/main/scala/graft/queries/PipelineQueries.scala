@@ -1103,6 +1103,74 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- V19: binary-quantized Hamming retrieval (1-bit ANN tier) ------------
+
+  /** Hamming shortlist size fed to the exact rerank. */
+  val BinShortlist = 16
+  /** Final neighbours returned per query after the rerank. */
+  val BinK = 5
+
+  /** Binary quantization — the floor of the compression ladder (float32 →
+    * v4 int8 → v6 PQ 4-bit → 1 BIT per dimension, 64× smaller than
+    * float32): each vector collapses to its 64 sign bits, candidates rank
+    * by Hamming distance (XOR + popcount — the instruction-level kernel
+    * binary-quantized stores like FAISS's `IndexBinaryFlat` and the
+    * Qdrant/Weaviate "binary quantization + rescore" tier run), and a
+    * [[BinShortlist]]-deep shortlist is re-scored with exact cosine, v10's
+    * two-stage contract. sign(⟨q,d⟩-ish) survives binarization well on
+    * centered embeddings, so Hamming top-16 ⊇ cosine top-5 in practice —
+    * and the emitted pair (ham, cos_e6) makes the rerank's corrections
+    * visible, v10's discipline.
+    *
+    * The 64 bits pack as TWO 32-bit words (`code_lo`/`code_hi`): a single
+    * 64-bit word would need bit 63 — the sign bit — which DuckDB's
+    * checked `<<` refuses (`1::BIGINT << 63` overflows), and real
+    * popcount kernels are word-striped anyway. Hamming is then
+    * `bit_count(lo⊕lo') + bit_count(hi⊕hi')` — integer end-to-end, so
+    * ranking is engine-exact (no float ties), tiebreak on vec_id.
+    *
+    * Scale shape: the index is 8 B + id per vector (10⁹ vectors ≈ 12 GB —
+    * RAM-resident beside v7's PQ codes); the corpus-side pass computes
+    * codes in the scan stage (map-only, codegen'd), the Hamming stage is
+    * a broadcast-query cross over 2×int words (no float array traffic),
+    * the top-16 is the two-phase WindowGroupLimit shape, and ONLY the 80
+    * shortlist rows (queries × 16) fetch their float vectors back — a
+    * broadcast semi-fetch, so the full-precision corpus is scanned once
+    * and shuffled never. */
+  val v19BinaryAnn: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val e = t(spark, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+      .localCheckpoint() // feeds codes, shortlist fetch, and query side
+    def word(lo: Int): Column = expr(
+      s"""aggregate(transform(sequence(0, 31), j ->
+         |  CASE WHEN v[j + $lo] > 0D THEN shiftleft(1L, j) ELSE 0L END),
+         |  0L, (acc, bit) -> acc + bit)""".stripMargin)
+    val coded = e.select(col("vec_id"), word(0).as("code_lo"), word(32).as("code_hi"))
+    val q = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("code_lo").as("q_lo"), col("code_hi").as("q_hi"))
+    val wHam = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("vec_id"))
+    val shortlist = coded.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("bit_count(code_lo ^ q_lo) + bit_count(code_hi ^ q_hi)").cast("long"))
+      .withColumn("hrk", row_number().over(wHam))
+      .filter(col("hrk") <= BinShortlist)
+      .select(col("q_id"), col("vec_id"), col("ham"))
+    val qf = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wFull = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
+    e.join(broadcast(shortlist), "vec_id") // float vectors: shortlist rows only
+      .join(broadcast(qf), "q_id")
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
+      .withColumn("rk", row_number().over(wFull))
+      .filter(col("rk") <= BinK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("ham"), col("cos_e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   // ---- V17: reciprocal-rank fusion (hybrid retrieval ensembling) -----------
 
   /** RRF constant k = 60 (Cormack et al. 2009's convention). */
@@ -3900,6 +3968,7 @@ object PipelineQueries {
     "v15s_stream_index" -> v15sStreamIndex,
     "v18_partitioned_index" -> v18PartitionedIndex,
     "v17_rrf_fusion" -> v17RrfFusion,
+    "v19_binary_ann" -> v19BinaryAnn,
     "v8_bm25" -> v8Bm25,
     "v9_maxsim_rerank" -> v9MaxsimRerank,
     "v10_matryoshka" -> v10MatryoshkaRerank,

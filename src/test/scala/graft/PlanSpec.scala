@@ -393,6 +393,19 @@ class PlanSpec extends SparkSpec {
       s"t25: the token explode must stay behind the checkpoint (3 consumers)\n${p.take(1200)}")
   }
 
+  test("v19: Hamming stage crosses only the broadcast 5-query frame; floats fetched by broadcast semi-fetch") {
+    val p = planOf(graft.queries.PipelineQueries.v19BinaryAnn)
+    // one sanctioned nested loop: the corpus codes × the 5-row query-code
+    // frame (2×int words per row — no float array traffic). The shortlist
+    // fetch and query-vector joins must be broadcast hash equi-joins, so
+    // the full-precision corpus is never shuffled.
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj == 1 && !p.contains("CartesianProduct"),
+      s"v19: exactly one nested loop (query-code frame), got $bnlj\n${p.take(1200)}")
+    assert("BroadcastHashJoin".r.findAllIn(p).length == 2 && !p.contains("SortMergeJoin"),
+      s"v19: shortlist + query-vector fetches must both broadcast\n${p.take(1200)}")
+  }
+
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.k6CorpusOverlap)
