@@ -137,6 +137,32 @@ object PipelineOracles {
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
       WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
 
+    // incremental admission graded DECLARATIVELY: admitted ⇔ no verified
+    // near-dup with a smaller doc_id (the admitted set is
+    // batch-partition-invariant — the bucket join is symmetric and
+    // "earlier" is doc_id order), so the oracle needs no store replay;
+    // uni > 0 guards the both-empty-shingle pair the engine's bucket
+    // path structurally never generates
+    "d15_incremental_neardup" -> s"""
+      WITH $shingleCte,
+      nd AS (SELECT count(*) AS n FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+          AND 2 * len(list_intersect(a.sh, b.sh))
+              >= len(list_distinct(list_concat(a.sh, b.sh)))),
+      blk AS (SELECT b_id, min(a_id) AS blocker_id, count(*) AS n_blockers
+              FROM pairs GROUP BY b_id)
+      SELECT d.doc_id,
+             CAST(least(${D15Batches - 1},
+                        d.doc_id * $D15Batches // (SELECT n FROM nd)) AS INT) AS batch,
+             blk.blocker_id IS NULL AS admitted,
+             CAST(coalesce(blk.n_blockers, 0) AS BIGINT) AS n_blockers,
+             blk.blocker_id
+      FROM documents d LEFT JOIN blk ON blk.b_id = d.doc_id
+      ORDER BY d.doc_id""",
+
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
     // lossless for containment >= t, so no candidate logic is mirrored)
@@ -261,6 +287,36 @@ object PipelineOracles {
     // estimate, both recomputed verbatim (md5 slot hashes are
     // cross-engine — the t4 recipe — so the SKETCH itself is graded
     // bit-for-bit, not just the exact join it approximates)
+    // Count-Min grid replayed bit-for-bit: same md5 row-prefixed bucket
+    // hashes (60-bit positive, so % == pmod), same per-cell integer sums,
+    // same min-over-rows estimate — the estimates sit on the hashed
+    // surface, not behind an error-bound boolean
+    "k7_count_min" -> s"""
+      WITH toks AS (SELECT t.tok
+                    FROM documents d,
+                         unnest(string_split(lower(d.text), ' ')) AS t(tok)
+                    WHERE len(t.tok) > 0),
+      counts AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+      rws AS (SELECT unnest(range(0, ${PipelineQueries.CmDepth})) AS r),
+      cells AS (SELECT r.r,
+                       ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT
+                         % ${PipelineQueries.CmWidth} AS b,
+                       count(*) AS cell
+                FROM toks t CROSS JOIN rws r GROUP BY 1, 2),
+      top AS (SELECT tok, n,
+                     row_number() OVER (ORDER BY n DESC, tok) AS rk
+              FROM counts),
+      probes AS (SELECT top.tok, top.n, top.rk, r.r,
+                        ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || top.tok), 1, 15))::BIGINT
+                          % ${PipelineQueries.CmWidth} AS b
+                 FROM top CROSS JOIN rws r
+                 WHERE top.rk <= ${PipelineQueries.CmTopK})
+      SELECT p.rk, p.tok, CAST(p.n AS BIGINT) AS n,
+             CAST(min(c.cell) AS BIGINT) AS cm_est,
+             CAST(min(c.cell) - p.n AS BIGINT) AS overcount
+      FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
+      GROUP BY p.rk, p.tok, p.n ORDER BY p.rk""",
+
     "k6_corpus_overlap" -> s"""
       WITH docs AS (SELECT source, string_split(lower(text), ' ') AS w
                     FROM documents

@@ -245,6 +245,27 @@ object PipelineQueries {
     * all-pairs result the oracle computes — without the O(n²) cross join
     * that would be impossible at scale. (Pairs near the 0.5 threshold
     * would need more bands; this corpus is bimodal at 0.9 vs 0.07.) */
+  /** LSH band-bucket rows of a (doc_id, ids) shingle frame — the
+    * signature runs as explode + [[NumHashes]] codegen'd min() aggregates
+    * (an order of magnitude faster than per-row higher-order lambdas,
+    * which Spark evaluates interpreted, and the same map-side-combine
+    * shape a cluster wants; the shingle ids are already 31-bit-maskable
+    * longs, so no per-row string hash), then [[Bands]] bands of 4 slots
+    * xxhash64'd into bucket keys. Shared by d2's one-shot near-dup join
+    * and d15's incremental admission — one recipe, no drift. */
+  private def lshBuckets(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("ids")).as("sid"))
+      .withColumn("x", expr(s"sid & $MinhashP"))
+    val minAggs = (0 until NumHashes).map(k =>
+      min(pmod(lit(hashA(k)) * col("x") + lit(hashB(k)), lit(MinhashP))).as(s"m$k"))
+    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
+    val bandCols = (0 until Bands).map(b =>
+      xxhash64(lit(b), col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
+        col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
+    sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
+      .toDF("doc_id", "band", "bucket")
+  }
+
   val d2MinhashLsh: Q = (spark, dir) => {
     // localCheckpoint (not persist): three consumers share the shingling
     // pass, and the materialized blocks are released by the ContextCleaner
@@ -254,24 +275,10 @@ object PipelineQueries {
     val sh = shingled(spark, dir)
       .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
       .localCheckpoint()
-    // signature via explode + 64 codegen'd min() aggregates — an order of
-    // magnitude faster than per-row higher-order lambdas (interpreted),
-    // and the same map-side-combine shape a cluster wants; the shingle ids
-    // are already 31-bit-maskable longs, so no per-row string hash here
-    val ex = sh.select(col("doc_id"), explode(col("ids")).as("sid"))
-      .withColumn("x", expr(s"sid & $MinhashP"))
-    val minAggs = (0 until NumHashes).map(k =>
-      min(pmod(lit(hashA(k)) * col("x") + lit(hashB(k)), lit(MinhashP))).as(s"m$k"))
-    val sig = ex.groupBy(col("doc_id")).agg(minAggs.head, minAggs.tail: _*)
-    val bandCols = (0 until Bands).map(b =>
-      xxhash64(lit(b), col(s"m${4 * b}"), col(s"m${4 * b + 1}"),
-        col(s"m${4 * b + 2}"), col(s"m${4 * b + 3}")))
     // localCheckpoint: buckets feeds BOTH sides of the band self-join, and
     // without it each side re-runs the explode + 64-min-agg signature pass
     // (a self-join never reuses its own exchange — the d4 lesson)
-    val buckets = sig.select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "bucket")
-      .localCheckpoint()
+    val buckets = lshBuckets(sh).localCheckpoint()
     // keep the pre-verify distinct: a true near-dup pair collides in ~10 of
     // 16 bands, so dedup here shrinks the verify input ~10×
     val cand = buckets.as("x").join(buckets.as("y"),
@@ -534,6 +541,89 @@ object PipelineQueries {
       .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- D15: incremental near-dup admission through the store ---------------
+
+  /** Arrival batches the corpus replays as (doc_id-ordered terciles). */
+  val D15Batches = 3
+
+  /** Incremental near-duplicate ADMISSION — the dedup twin of v15's
+    * persisted ANN index: the corpus arrives as [[D15Batches]]
+    * doc_id-ordered batches and the near-dup state (LSH band buckets +
+    * shingle-id sets of every doc SEEN so far, admitted or rejected —
+    * dedup-against-seen, so rejection chains still block) persists in the
+    * snapshot store between runs. A doc is admitted iff no earlier doc is
+    * a verified near-dup: candidates from the band-bucket equi-join of
+    * the batch against state ∪ itself, verified at d2's exact integer
+    * threshold (2·|∩| ≥ |∪|). The admitted set is provably
+    * batch-partition-invariant (the bucket join is symmetric and
+    * "earlier" is doc_id order), which is exactly what lets a DECLARATIVE
+    * oracle grade an incremental pipeline.
+    *
+    * Scale shape: per batch, signatures are computed for BATCH docs only
+    * (the one-shot d2 pass re-signs the corpus every run); the candidate
+    * join is batch-buckets × colliding-state (state side never
+    * self-joins), verify joins fetch only candidate docs' shingle rows
+    * from the store by key; the buckets merge redelivers the previous
+    * batch's head rows to prove the keyed merge swallows replays (v15's
+    * discipline). State is ~17 rows/doc (16 band longs + 1 shingle array)
+    * — at 10¹⁰ docs a bucketable, incrementally-merged table, never
+    * recomputed. */
+  val d15IncrementalNeardup: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    try {
+      val sh = shingled(spark, dir)
+        .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
+        .localCheckpoint()
+      val nDocs = math.max(sh.count(), 1L) // 1-row action, like d9's count
+      def inBatch(b: Int): Column =
+        expr(s"least(${D15Batches - 1}, doc_id * $D15Batches div $nDocs)") === b
+      val perBatch = (0 until D15Batches).map { b =>
+        val batchSh = sh.filter(inBatch(b)).localCheckpoint()
+        val batchBk = lshBuckets(batchSh).localCheckpoint() // join + merge feeds
+        val stateBk = SnapshotStore.read(spark, s"$root/buckets")
+        val stateSh = SnapshotStore.read(spark, s"$root/shingles")
+        val crossCand = stateBk.map(s => s.as("x").join(batchBk.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id")))
+        val withinCand = batchBk.as("x").join(batchBk.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        val cand = crossCand.fold(withinCand)(_ unionByName withinCand).distinct()
+        val aSh = stateSh.fold(batchSh)(_ unionByName batchSh)
+          .select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+        val bSh = batchSh
+          .select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+        val blocked = cand.join(aSh, "a_id").join(bSh, "b_id")
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .withColumn("uni", col("na") + col("nb") - col("inter"))
+          .filter(lit(2) * col("inter") >= col("uni"))
+          .groupBy(col("b_id"))
+          .agg(min(col("a_id")).as("blocker_id"),
+            count(lit(1)).cast(LongType).as("n_blockers"))
+        val result = batchSh.select(col("doc_id"))
+          .join(blocked, col("doc_id") === col("b_id"), "left")
+          .select(col("doc_id"), lit(b).as("batch"),
+            col("blocker_id").isNull.as("admitted"),
+            coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
+            col("blocker_id"))
+          .localCheckpoint() // freeze BEFORE the state merges move the store
+        // redeliver the previous merge's head rows: the keyed merge must
+        // swallow the replay (at-least-once delivery, v15's overlap)
+        val redelivered = stateBk.map(s =>
+          batchBk.unionByName(s.filter(pmod(col("doc_id"), lit(53)) === 0)))
+          .getOrElse(batchBk)
+        SnapshotStore.merge(spark, s"$root/buckets", redelivered,
+          Seq("doc_id", "band"))
+        SnapshotStore.merge(spark, s"$root/shingles", batchSh, Seq("doc_id"))
+        result
+      }
+      perBatch.reduce(_ unionByName _).orderBy(col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   // ---- V1: brute-force cosine top-k (correctness baseline) -----------------
@@ -2733,6 +2823,76 @@ object PipelineQueries {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  // ---- K7: Count-Min heavy hitters — fixed-memory frequency audit ----------
+
+  /** Sketch depth (independent hash rows) / width (counters per row). */
+  val CmDepth = 4
+  val CmWidth = 128
+  /** Heavy hitters reported: top tokens by exact count. */
+  val CmTopK = 20
+
+  /** Count-Min heavy-hitter audit (Cormode & Muthukrishnan 2005): token
+    * frequencies estimated from a [[CmDepth]]×[[CmWidth]] counter grid —
+    * cell(i, h_i(tok)) += 1 per occurrence, estimate = min_i of the
+    * token's cells — graded against the exact vocabulary count, k6's
+    * discipline: the sketch is what a 100 TB run keeps (D×W integer
+    * cells, map-side combined per partition and `+`-mergeable across
+    * shards/days/crawls, memory independent of vocabulary size), the
+    * exact count is the graded-against term, and the estimator's
+    * overcount surfaces as a measured integer column rather than a
+    * claim (structurally `cm_est ≥ n` — CM never undercounts — the
+    * spec asserts it on every row).
+    *
+    * Row hashes are md5 over a row-prefixed token (t4/k6's cross-engine
+    * recipe), so DuckDB rebuilds the identical grid bit-for-bit and the
+    * ESTIMATES sit on the hashed surface, not behind an error-bound
+    * boolean (the k1 lesson).
+    *
+    * Scale shape: the token explode stays in the scan stage; the D-way
+    * row fan-out feeds a hash aggregate whose partial side caps each map
+    * task's output at D×W cells regardless of input rows, so the sketch
+    * shuffle is O(partitions·D·W), not O(tokens); candidate selection is
+    * a TakeOrderedAndProject heap over the exact counts; the estimate
+    * join probes the broadcast D×W grid with the K·D candidate frame. */
+  /** The (row, bucket) probe frame of one token — the query's own hash
+    * recipe, exposed so SketchSpec's merge-identity pin can never drift
+    * from the gated grid. */
+  def cmProbeFrame(tok: Column): Column = {
+    def bucket(row: Int): Column =
+      pmod(conv(substring(md5(concat(lit(s"$row:"), tok)), 1, 15), 16, 10)
+        .cast(LongType), lit(CmWidth.toLong))
+    explode(array((0 until CmDepth).map(i =>
+      struct(lit(i).as("r"), bucket(i).as("b"))): _*))
+  }
+
+  /** Builds the D×W counter grid from a one-column `tok` frame. */
+  def cmCells(toks: DataFrame): DataFrame =
+    toks.select(cmProbeFrame(col("tok")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cell"))
+
+  val k7CountMin: Q = (spark, dir) => {
+    val toks = fanOut(spark, t(spark, dir, "documents"))
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint() // feeds the exact count AND the sketch build
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val cells = cmCells(toks)
+    val top = counts.orderBy(col("n").desc, col("tok")).limit(CmTopK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+    top
+      .select(col("tok"), col("n"), col("rk"), cmProbeFrame(col("tok")).as("rb"))
+      .select(col("tok"), col("n"), col("rk"),
+        col("rb.r").as("r"), col("rb.b").as("b"))
+      .join(broadcast(cells), Seq("r", "b"))
+      .groupBy(col("rk"), col("tok"), col("n"))
+      .agg(min(col("cell")).as("cm_est"))
+      .withColumn("overcount", col("cm_est") - col("n"))
+      .select(col("rk"), col("tok"), col("n"), col("cm_est"), col("overcount"))
+      .orderBy(col("rk"))
+  }
+
   // ---- DAG: bucketed store layout — the recurring join with NO shuffle -----
 
   /** The bucketed-table serving join: both sides of the corpus's most
@@ -3943,12 +4103,14 @@ object PipelineQueries {
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
     "d9_incremental_dedup" -> d9IncrementalDedup,
+    "d15_incremental_neardup" -> d15IncrementalNeardup,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d13_dedup_eval" -> d13DedupEval,
     "t24_normalize" -> t24Normalize,
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
+    "k7_count_min" -> k7CountMin,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,

@@ -32,6 +32,30 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
+    val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val blk = pairs.groupBy(_._2).map { case (b, ps) =>
+      b -> (ps.map(_._1).min, ps.length.toLong)
+    }
+    val got = PipelineQueries.d15IncrementalNeardup(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val doc = r.getLong(0)
+      blk.get(doc) match {
+        case Some((blocker, n)) =>
+          assert(!r.getBoolean(2) && r.getLong(3) == n && r.getLong(4) == blocker,
+            s"doc $doc: expected blocked by $blocker ($n blockers), got $r")
+        case None =>
+          assert(r.getBoolean(2) && r.getLong(3) == 0L && r.isNullAt(4),
+            s"doc $doc: expected admitted, got $r")
+      }
+    }
+    // every doc appears exactly once, across all batches
+    assert(got.map(_.getLong(0)).distinct.length == got.length)
+  }
+
   test("d6: an all-unique corpus (empty pair graph) yields an empty cluster table, not a crash") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-d6-empty").toString
     val schema = new org.apache.spark.sql.types.StructType()

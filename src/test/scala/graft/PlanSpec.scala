@@ -406,6 +406,14 @@ class PlanSpec extends SparkSpec {
       s"v19: shortlist + query-vector fetches must both broadcast\n${p.take(1200)}")
   }
 
+  test("k7: candidate selection is a top-k heap; the D×W grid probes by broadcast") {
+    val p = planOf(graft.queries.PipelineQueries.k7CountMin)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"k7: the top-${graft.queries.PipelineQueries.CmTopK} must be a heap, not a global sort\n${p.take(1200)}")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"k7: the ${graft.queries.PipelineQueries.CmDepth}×${graft.queries.PipelineQueries.CmWidth} grid must broadcast to the probe frame\n${p.take(1200)}")
+  }
+
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.k6CorpusOverlap)

@@ -71,6 +71,30 @@ class SketchSpec extends SparkSpec {
     assert(direct == again)
   }
 
+  test("k7: Count-Min never undercounts, and per-shard grids sum into the global grid") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.k7CountMin(spark, dir).collect()
+    assert(rows.length == PipelineQueries.CmTopK)
+    rows.foreach { r =>
+      val (n, est) = (r.getLong(2), r.getLong(3))
+      assert(est >= n, s"CM undercounted '${r.getString(1)}': est=$est exact=$n")
+      assert(r.getLong(4) == est - n)
+    }
+    // merge identity: cell-wise SUM of per-shard grids == one-pass grid
+    // (what makes the sketch shippable across shards/days/crawls) — built
+    // through the query's own cmCells/cmProbeFrame recipe
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("tok"), col("doc_id"))
+      .filter(length(col("tok")) > 0)
+    def grid(d: org.apache.spark.sql.DataFrame): Map[(Int, Long), Long] =
+      PipelineQueries.cmCells(d.select("tok")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = grid(toks)
+    val shards = (0 until 3).map(s => grid(toks.filter(pmod(col("doc_id"), lit(3)) === s)))
+    val merged = shards.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+    assert(direct == merged, "shard-summed CM grids must equal the one-pass grid")
+  }
+
   test("k2: null counts, NDVs and min/max renderings on a fixture WITH nulls") {
     // the driver testdata has no NULLs, so the profile's null path needs
     // its own fixture
