@@ -1018,6 +1018,37 @@ object PipelineOracles {
              CAST(SUM(covered) AS BIGINT) * 1000000 // n_words AS dup_ppm
       FROM c GROUP BY doc_id, n_words ORDER BY doc_id""",
 
+    // the cut replayed over gram STRINGS (t8's bijection argument: xxhash64
+    // gram identity == string identity at word boundaries); the anti-join
+    // is a LEFT JOIN + IS NULL for engine portability, the rebuild a
+    // position-ordered string_agg
+    "d16_substring_cut" -> s"""
+      WITH lg AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words FROM lg),
+      ex AS (SELECT doc_id, unnest(range(0, len(w) - ${DupSpanGram} + 1)) AS i, w
+             FROM lg WHERE len(w) >= ${DupSpanGram}),
+      g AS (SELECT doc_id, i,
+                   array_to_string(w[i + 1:i + ${DupSpanGram}], ' ') AS gram
+            FROM ex),
+      occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      mk AS (SELECT g.doc_id, g.i FROM g JOIN occ USING (gram)),
+      cov AS (SELECT DISTINCT mk.doc_id, mk.i + u.u AS p
+              FROM mk, (SELECT unnest(range(0, ${DupSpanGram})) AS u) u),
+      wd AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w FROM d),
+      wd2 AS (SELECT doc_id, p, w[p + 1] AS word FROM wd),
+      kept AS (SELECT wd2.doc_id, count(*) AS kept_words,
+                      string_agg(wd2.word, ' ' ORDER BY wd2.p) AS ktext
+               FROM wd2 LEFT JOIN cov
+                 ON cov.doc_id = wd2.doc_id AND cov.p = wd2.p
+               WHERE cov.p IS NULL
+               GROUP BY wd2.doc_id)
+      SELECT d.doc_id, d.n_words,
+             CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
+             CAST(d.n_words - coalesce(k.kept_words, 0) AS BIGINT) AS cut_tokens,
+             md5(coalesce(k.ktext, '')) AS kept_md5
+      FROM d LEFT JOIN kept k USING (doc_id)
+      ORDER BY d.doc_id""",
+
     // linear quality model in exact integer arithmetic: every division has
     // a non-negative numerator, so DuckDB's floor-div `//` agrees with
     // Spark's trunc-div; the 'g' flag makes regexp_replace global like

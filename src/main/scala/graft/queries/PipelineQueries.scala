@@ -3198,6 +3198,61 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- D16: repeated-substring CUT — the dedup as a transformation ---------
+
+  /** d8 emits the MEASURE (how much suffix-array dedup would cut); d16
+    * emits the TRANSFORMATION — the text with every covered span deleted,
+    * which is what Lee et al. 2022 (arXiv:2107.06499) actually do to the
+    * training corpus. Covered positions are the same d8 L-gram marks
+    * (position p is cut iff some repeated [[DupSpanGram]]-gram starts in
+    * (p−L, p]); the kept text is the uncovered words re-joined in
+    * position order, emitted as an md5 so the whole rewritten corpus sits
+    * on the hashed surface (the canonical form is lowercased
+    * space-joined — the same normalization every d/t gram operator uses).
+    *
+    * Scale shape: gram explode + corpus occurrence count as in d8; the
+    * covered-position explode is a bounded ≤ L× fan-out of MARKED grams
+    * only (true-dup volume, not corpus volume), distinct'd on the
+    * (doc, position) key; the rebuild joins the position-word frame
+    * anti-covered and reassembles per doc — doc-confined memory (the
+    * same bound as holding the document), which text reassembly
+    * inherently needs. No global window anywhere. */
+  val d16SubstringCut: Q = (spark, dir) => {
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .withColumn("n_words", size(col("w")).cast(LongType))
+      .localCheckpoint() // feeds the gram explode AND the position-word frame
+    val ex = docs.filter(col("n_words") >= DupSpanGram)
+      .select(col("doc_id"), col("w"),
+        explode(sequence(lit(0L), col("n_words") - DupSpanGram)).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64((0 until DupSpanGram).map(k =>
+          col("w")(col("i") + k)): _*).as("g"))
+      .localCheckpoint() // feeds the occurrence count AND the mark join (see d8)
+    val rep = ex.groupBy(col("g")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") >= 2)
+    val covered = ex.join(rep.select(col("g")), "g")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + (DupSpanGram - 1))).as("p"))
+      .distinct()
+    val words = docs
+      .select(col("doc_id"), posexplode(col("w")))
+      .toDF("doc_id", "p", "word")
+      .withColumn("p", col("p").cast(LongType))
+    val kept = words.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_words"),
+        expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, word))), s -> s.word))")
+          .as("ktext"))
+    docs.select(col("doc_id"), col("n_words"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
+        (col("n_words") - coalesce(col("kept_words"), lit(0L))).as("cut_tokens"),
+        md5(coalesce(col("ktext"), lit(""))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- T19: fixed-weight quality classifier (model-based filtering) --------
 
   /** t19 model constants, shared with the oracle verbatim: integer weights
@@ -4102,6 +4157,7 @@ object PipelineQueries {
     "d1_exact_dedup" -> d1ExactDedup,
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
+    "d16_substring_cut" -> d16SubstringCut,
     "d9_incremental_dedup" -> d9IncrementalDedup,
     "d15_incremental_neardup" -> d15IncrementalNeardup,
     "d2_minhash_lsh" -> d2MinhashLsh,

@@ -77,4 +77,48 @@ class D8SequentialReferenceSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("d16 cut text ≡ sequential reference (kept words at uncovered positions), partition-invariant") {
+    val schema = new StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try (1 to 5).foreach { i =>
+      val docs = corpus(Gen.Parameters.default, Seed(900L + i)).get
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d16-prop").toString
+      val rows = docs.map { case (id, w) =>
+        Row(id, w.mkString(" "), "en", "s0", w.mkString(" ").length.toLong)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // sequential cut: covered = union of [i, i+G) over repeated-gram starts
+      val grams = docs.flatMap { case (id, w) =>
+        if (w.size < G) Nil
+        else (0 to w.size - G).map(j => (id, j, w.slice(j, j + G).mkString(" ")))
+      }
+      val occ = grams.groupBy(_._3).filter(_._2.size >= 2).keySet
+      val coveredBy = grams.filter(g => occ(g._3))
+        .groupBy(_._1)
+        .map { case (id, ms) => id -> ms.flatMap(m => m._2 until m._2 + G).toSet }
+      val expected = docs.map { case (id, w) =>
+        val cov = coveredBy.getOrElse(id, Set.empty[Int])
+        val keptW = w.zipWithIndex.filter { case (_, p) => !cov(p) }.map(_._1)
+        id -> (w.size.toLong, keptW.size.toLong,
+          (w.size - keptW.size).toLong, md5hex(keptW.mkString(" ")))
+      }.toMap
+      assert(expected.values.exists(_._3 > 0), s"case $i drew a corpus with no cuts")
+      for (parts <- Seq("1", "7", "32")) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        val got = PipelineQueries.d16SubstringCut(spark, tmp).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+          .toMap
+        assert(got == expected,
+          s"case $i, $parts partitions: cut text diverged from the sequential reference")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
