@@ -3213,10 +3213,13 @@ object PipelineQueries {
     * Scale shape: gram explode + corpus occurrence count as in d8; the
     * covered-position explode is a bounded ≤ L× fan-out of MARKED grams
     * only (true-dup volume, not corpus volume), distinct'd on the
-    * (doc, position) key; the rebuild joins the position-word frame
-    * anti-covered and reassembles per doc — doc-confined memory (the
-    * same bound as holding the document), which text reassembly
-    * inherently needs. No global window anywhere. */
+    * (doc, position) key. The word-level rebuild — the only stage that
+    * shuffles text word-by-word — runs ONLY for docs that actually have
+    * cuts (a left-semi on the covered doc set): every untouched doc's
+    * kept_md5 is a map-only md5 of its canonical text, so rebuild volume
+    * is true-dup volume, not corpus volume. Reassembly is doc-confined
+    * memory (the same bound as holding the document). No global window
+    * anywhere. */
   val d16SubstringCut: Q = (spark, dir) => {
     val docs = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
@@ -3235,21 +3238,29 @@ object PipelineQueries {
       .select(col("doc_id"),
         explode(sequence(col("i"), col("i") + (DupSpanGram - 1))).as("p"))
       .distinct()
+      .localCheckpoint() // feeds the cut-doc set AND the anti-join
+    val cutDocs = covered.select(col("doc_id")).distinct()
     val words = docs
+      .join(cutDocs, Seq("doc_id"), "left_semi") // rebuild cut docs only
       .select(col("doc_id"), posexplode(col("w")))
       .toDF("doc_id", "p", "word")
       .withColumn("p", col("p").cast(LongType))
-    val kept = words.join(covered, Seq("doc_id", "p"), "left_anti")
+    val rebuilt = words.join(covered, Seq("doc_id", "p"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("kept_words"),
         expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, word))), s -> s.word))")
           .as("ktext"))
-    docs.select(col("doc_id"), col("n_words"))
-      .join(kept, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
-        coalesce(col("kept_words"), lit(0L)).as("kept_words"),
-        (col("n_words") - coalesce(col("kept_words"), lit(0L))).as("cut_tokens"),
-        md5(coalesce(col("ktext"), lit(""))).as("kept_md5"))
+    // a FULLY-covered doc is a cut doc with no rebuilt row (the anti-join
+    // drops every word): kept = 0 / md5(""), not the untouched fallback
+    docs.select(col("doc_id"), col("n_words"), col("w"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .join(cutDocs.withColumn("is_cut", lit(true)), Seq("doc_id"), "left")
+      .withColumn("kept_words", when(col("is_cut").isNull, col("n_words"))
+        .otherwise(coalesce(col("kept_words"), lit(0L))))
+      .select(col("doc_id"), col("n_words"), col("kept_words"),
+        (col("n_words") - col("kept_words")).as("cut_tokens"),
+        when(col("is_cut").isNull, md5(concat_ws(" ", col("w"))))
+          .otherwise(md5(coalesce(col("ktext"), lit("")))).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
 

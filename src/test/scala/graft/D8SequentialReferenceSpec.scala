@@ -121,4 +121,24 @@ class D8SequentialReferenceSpec extends SparkSpec {
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
+
+  test("d16: a FULLY-covered doc reports kept=0 / md5(''), an untouched doc its full canonical text") {
+    val schema = new StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val dup = "a b c d e f g h" // exactly G words, repeated verbatim in two docs
+    val uniq = "q w e r t y u i o p z x" // no repeated 8-gram anywhere
+    val rows = Seq(
+      Row(0L, dup, "en", "s0", dup.length.toLong),
+      Row(1L, dup, "en", "s0", dup.length.toLong),
+      Row(2L, uniq, "en", "s0", uniq.length.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d16-full").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = PipelineQueries.d16SubstringCut(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(got(0L) == ((0L, 8L, md5hex(""))), s"doc 0: ${got(0L)}")
+    assert(got(1L) == ((0L, 8L, md5hex(""))), s"doc 1: ${got(1L)}")
+    assert(got(2L) == ((12L, 0L, md5hex(uniq))), s"doc 2: ${got(2L)}")
+  }
 }
