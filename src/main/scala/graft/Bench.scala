@@ -82,7 +82,10 @@ object Bench {
         // runs through the disk merge sink (show_tvl_incremental) and a
         // double store bootstrap (bucketed_join) — their timings are
         // sink fsync on tiny fixtures, not engine throughput
-        - "dag_show_tvl_incremental" - "dag_bucketed_join")
+        - "dag_show_tvl_incremental" - "dag_bucketed_join"
+        // three incremental replays through the disk merge sink (six
+        // store merges on tiny fixtures) — v15's protocol class
+        - "d15_incremental_neardup")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -366,6 +366,75 @@ object Invariants {
       }
     }
 
+    // ---- d15: incremental admission ≡ one-shot dedup-against-seen ----
+    // (its DuckDB oracle embeds the all-pairs join, so past sf0.1 the
+    // store-backed incremental path is gated HERE against the one-shot
+    // d2 pair list — a pure-Spark except-equivalence, no row collect)
+    {
+      val oneShot = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(min(col("a_id")).as("blocker_id"),
+          count(lit(1)).cast("long").as("n_blockers"))
+        .localCheckpoint()
+      val d15 = PipelineQueries.d15IncrementalNeardup(spark, sfDir)
+        .localCheckpoint()
+      val expected = d15.select(col("doc_id"), col("batch"))
+        .join(oneShot, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("batch"),
+          col("blocker_id").isNull.as("admitted"),
+          coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
+          col("blocker_id"))
+      check("d15: equals the one-shot dedup-against-seen (except-empty both ways)") {
+        d15.except(expected).isEmpty && expected.except(d15).isEmpty
+      }
+    }
+
+    // ---- d16: the cut recomposes from d8's measures ----
+    {
+      val d16 = PipelineQueries.d16SubstringCut(spark, sfDir).localCheckpoint()
+      val d8 = PipelineQueries.d8SubstringDedup(spark, sfDir)
+        .select(col("doc_id"), col("dup_tokens"))
+      check("d16: cut_tokens equals d8's dup_tokens on affected docs, 0 elsewhere") {
+        d16.join(d8, Seq("doc_id"), "left")
+          .filter(col("cut_tokens") =!= coalesce(col("dup_tokens"), lit(0L)))
+          .isEmpty
+      }
+      check("d16: untouched docs keep their full canonical text's md5") {
+        val docsCanon = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"),
+            md5(concat_ws(" ", split(lower(col("text")), " "))).as("canon_md5"))
+        d16.filter(col("cut_tokens") === 0L)
+          .join(docsCanon, Seq("doc_id"))
+          .filter(col("kept_md5") =!= col("canon_md5"))
+          .isEmpty
+      }
+    }
+
+    // ---- k7: Count-Min never undercounts at any tier ----
+    check("k7: cm_est >= exact count on every reported heavy hitter") {
+      val rows = PipelineQueries.k7CountMin(spark, sfDir).collect()
+      rows.length == PipelineQueries.CmTopK &&
+        rows.forall(r => r.getLong(3) >= r.getLong(2))
+    }
+
+    // ---- v19: rerank scores re-derive via a differently-shaped cosine ----
+    check("v19: emitted cos_e6 matches an independent HOF recompute; ham in [0,64]") {
+      val v19 = PipelineQueries.v19BinaryAnn(spark, sfDir).localCheckpoint()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+        .selectExpr("vec_id",
+          "v", "sqrt(aggregate(v, 0D, (a, x) -> a + x * x)) AS nrm")
+      val re = v19
+        .join(e.select(col("vec_id"), col("v").as("dv"), col("nrm").as("dn")), "vec_id")
+        .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+        .withColumn("cos2",
+          floor(expr("aggregate(zip_with(dv, qv, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+            / (col("dn") * col("qn")) * lit(1e6) + lit(0.5)))
+      re.filter(col("cos2") =!= col("cos_e6") ||
+        col("ham") < 0 || col("ham") > 64).isEmpty &&
+        !v19.isEmpty
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)

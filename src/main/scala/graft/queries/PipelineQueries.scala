@@ -571,7 +571,7 @@ object PipelineQueries {
     * — at 10¹⁰ docs a bucketable, incrementally-merged table, never
     * recomputed. */
   val d15IncrementalNeardup: Q = (spark, dir) => {
-    import graft.incremental.SnapshotStore
+    import graft.incremental.{Manifest, SnapshotStore}
     val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     try {
       val sh = shingled(spark, dir)
@@ -616,9 +616,19 @@ object PipelineQueries {
         val redelivered = stateBk.map(s =>
           batchBk.unionByName(s.filter(pmod(col("doc_id"), lit(53)) === 0)))
           .getOrElse(batchBk)
+        // both state tables persist BUCKETED on their probe keys (the
+        // round-10 store layout): the candidate join clusters on the full
+        // (band, bucket) key — co-partitioning requires ALL cluster keys
+        // by default — and the verify fetch on doc_id, so at scale each
+        // batch re-shuffles only ITSELF; the corpus-sized state reads
+        // co-located bucket files (BucketedJoinSpec pins the
+        // one-exchange shape)
         SnapshotStore.merge(spark, s"$root/buckets", redelivered,
-          Seq("doc_id", "band"))
-        SnapshotStore.merge(spark, s"$root/shingles", batchSh, Seq("doc_id"))
+          Seq("doc_id", "band"),
+          bucketBy = Some(Manifest.Buckets(8, Seq("band", "bucket"),
+            Seq("band", "bucket"))))
+        SnapshotStore.merge(spark, s"$root/shingles", batchSh, Seq("doc_id"),
+          bucketBy = Some(Manifest.Buckets(8, Seq("doc_id"), Seq("doc_id"))))
         result
       }
       perBatch.reduce(_ unionByName _).orderBy(col("doc_id"))

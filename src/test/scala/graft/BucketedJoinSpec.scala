@@ -222,4 +222,50 @@ class BucketedJoinSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("d15-shaped state join: bucketed LSH state never shuffles — only the " +
+      "arriving batch exchanges") {
+    // d15's scale claim, plan-pinned: the corpus-sized bucket state
+    // persists bucketed on the full (band, bucket) join key
+    // (co-partitioning requires ALL cluster keys by default) — the state
+    // scan sits under the join with NO exchange, the (small) batch side
+    // re-partitions to match. At 10^10 docs that is the difference
+    // between re-shuffling 160 GB of state per arrival batch and
+    // shuffling just the batch.
+    import graft.incremental.{Manifest, SnapshotStore}
+    val root = java.nio.file.Files.createTempDirectory("graft-d15bucket").toString
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      val n = 2000L
+      val state = spark.range(n).toDF("doc_id")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bucket", xxhash64(col("doc_id") % 40, col("band")))
+      SnapshotStore.merge(spark, root, state, Seq("doc_id", "band"),
+        bucketBy = Some(Manifest.Buckets(8, Seq("band", "bucket"),
+          Seq("band", "bucket"))))
+      val stateT = SnapshotStore.read(spark, root).get
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val batch = spark.range(n, n + 100).toDF("doc_id")
+        .select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band"))
+        .withColumn("bucket", xxhash64(col("doc_id") % 40, col("band")))
+      val cand = stateT.as("x").join(batch.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      val p = cand.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(800))
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(exchanges == 1,
+        s"only the batch side may shuffle, found $exchanges exchanges:\n${p.take(2000)}")
+      // the state branch is Sort-over-FileScan with no exchange between
+      val stateBranch = p.substring(p.indexOf("SortMergeJoin"))
+        .linesIterator.takeWhile(!_.contains("Exchange hashpartitioning"))
+        .mkString("\n")
+      assert(stateBranch.contains("FileScan parquet"),
+        s"state scan must sit under the join with no exchange:\n$stateBranch")
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+  }
 }
