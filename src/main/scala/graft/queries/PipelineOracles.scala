@@ -317,6 +317,22 @@ object PipelineOracles {
       FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
       GROUP BY p.rk, p.tok, p.n ORDER BY p.rk""",
 
+    // the STREAMED grid must equal the one-shot grid: same cells CTE as
+    // k7, emitted raw — any double-counted redelivery or dropped batch
+    // shifts a cell and reds the hash
+    "k7s_stream_sketch" -> s"""
+      WITH toks AS (SELECT t.tok
+                    FROM documents d,
+                         unnest(string_split(lower(d.text), ' ')) AS t(tok)
+                    WHERE len(t.tok) > 0),
+      rws AS (SELECT unnest(range(0, ${PipelineQueries.CmDepth})) AS r)
+      SELECT r.r,
+             ('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || t.tok), 1, 15))::BIGINT
+               % ${PipelineQueries.CmWidth} AS b,
+             count(*) AS cell
+      FROM toks t CROSS JOIN rws r
+      GROUP BY 1, 2 ORDER BY r, b""",
+
     "k6_corpus_overlap" -> s"""
       WITH docs AS (SELECT source, string_split(lower(text), ' ') AS w
                     FROM documents

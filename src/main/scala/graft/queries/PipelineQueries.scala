@@ -2684,6 +2684,38 @@ object PipelineQueries {
     }
   }
 
+  /** k7's Count-Min grid accumulated through REAL Structured Streaming
+    * ([[graft.streaming.StreamingIngest.countMinIngest]]): three
+    * file-source drops, drop 2 REDELIVERING part of drop 1 — the
+    * seen-doc_id state must swallow the replay, because an additive
+    * sketch double-counts it otherwise (the one hazard `+`-mergeability
+    * doesn't cover). The final streamed grid must hash-match the
+    * one-shot grid k7's oracle rebuilds — a streaming sketch graded
+    * bit-for-bit, not bounded-error. */
+  val k7sStreamSketch: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-scm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scm-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-scm-drops").toString
+    try {
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.countMinIngest(stream, root, ckpt)
+      }
+      graft.incremental.SnapshotStore.read(spark, s"$root/cm_grid").get
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("r"), col("b"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
   // ---- K5: curation funnel (per-stage survivor counts, one corpus pass) ----
 
   /** The observability row every curation RUN dashboards: how many
@@ -4188,6 +4220,7 @@ object PipelineQueries {
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
     "k7_count_min" -> k7CountMin,
+    "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,

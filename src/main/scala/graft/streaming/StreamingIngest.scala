@@ -169,6 +169,49 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, _: Long) => nearDupBatch(batch, root, thresholdPpm) }
       .start()
 
+  /** k7's Count-Min grid through REAL Structured Streaming: per
+    * micro-batch, arriving docs dedup against a seen-doc_id state table
+    * (an ADDITIVE sketch must not double-count an at-least-once
+    * redelivery — the one hazard `+`-mergeability doesn't cover), the
+    * batch's partial D×W grid computes map-side from fresh docs only,
+    * and the running grid updates cell-wise (`+` IS the sketch's merge
+    * operator). The final grid is bit-identical to the one-shot batch
+    * grid, which is what lets k7's DuckDB oracle grade a STREAMING
+    * sketch. Scale shape: state is the D×W grid (constant) plus the
+    * seen-key table the admission layer needs anyway; a batch's work is
+    * batch-sized — the corpus is never re-read. */
+  def countMinIngest(streamingDocs: DataFrame, root: String,
+                     checkpointDir: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => countMinBatch(batch, root) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[countMinIngest]]. */
+  def countMinBatch(batch: DataFrame, root: String): Unit = {
+    import graft.queries.PipelineQueries
+    val spark = batch.sparkSession
+    val ids = batch.select(col("doc_id")).distinct()
+    val fresh = SnapshotStore.read(spark, s"$root/cm_seen")
+      .map(s => ids.join(s, Seq("doc_id"), "left_anti")).getOrElse(ids)
+      .localCheckpoint() // frozen BEFORE the seen merge moves the store
+    val toks = batch.join(fresh, Seq("doc_id"), "left_semi")
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val partial = PipelineQueries.cmCells(toks)
+    val merged = SnapshotStore.read(spark, s"$root/cm_grid") match {
+      case Some(g) =>
+        g.select(col("r"), col("b"), col("cell").as("prev"))
+          .join(partial, Seq("r", "b"), "full_outer")
+          .select(col("r"), col("b"),
+            (coalesce(col("prev"), lit(0L)) + coalesce(col("cell"), lit(0L))).as("cell"))
+      case None => partial
+    }
+    val frozen = merged.localCheckpoint() // before the grid merge moves the store
+    SnapshotStore.merge(spark, s"$root/cm_grid", frozen, Seq("r", "b"))
+    SnapshotStore.merge(spark, s"$root/cm_seen", fresh, Seq("doc_id"))
+  }
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted
