@@ -1452,6 +1452,31 @@ object PipelineOracles {
              (cum_tokens - est_tokens) // ${ShardBudget} AS shard_id
       FROM c ORDER BY doc_id""",
 
+    // packing replayed over the plain window cumsum (the engine's
+    // two-level cumsum must equal it — t7's identity, reused); every
+    // emitted column is exact integer arithmetic off the prefix sums
+    "t26_sequence_pack" -> s"""
+      WITH d AS (SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS est_tokens
+                 FROM documents WHERE ceil(n_chars / 4.0) >= 1),
+      c AS (SELECT doc_id, est_tokens,
+                   CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM d),
+      s AS (SELECT doc_id, cum_tokens,
+                   cum_tokens - est_tokens AS strt FROM c),
+      x AS (SELECT doc_id, strt, cum_tokens,
+                   unnest(range(strt // ${SeqLen},
+                                (cum_tokens - 1) // ${SeqLen} + 1)) AS seq_id
+            FROM s)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             CAST(greatest(strt, seq_id * ${SeqLen}) - strt AS BIGINT) AS doc_from,
+             CAST(least(cum_tokens, (seq_id + 1) * ${SeqLen}) - strt AS BIGINT) AS doc_to,
+             CAST(greatest(strt, seq_id * ${SeqLen}) - seq_id * ${SeqLen} AS BIGINT)
+               AS pos_from,
+             CAST(least(cum_tokens, (seq_id + 1) * ${SeqLen})
+                  - greatest(strt, seq_id * ${SeqLen}) AS BIGINT) AS n_toks
+      FROM x ORDER BY seq_id, pos_from""",
+
     // the full corpus-prep composition: dedup-drop → decontaminate →
     // quality ≥ 0.3 → stratified sample → chunk → pack, one CTE chain
     // the round-4 curation chain: t16 clean-gate → t15 scores over the

@@ -3835,6 +3835,48 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T26: fixed-context sequence packing ---------------------------------
+
+  /** Fixed context length (estimated tokens) of one training sequence. */
+  val SeqLen = 512L
+
+  /** Sequence packing — the layout step GPT-style pretraining actually
+    * runs (t7 assigns whole docs to ~budget SHARDS; t26 packs the token
+    * stream into FIXED-length contexts, splitting documents across
+    * context boundaries so no context carries padding): in doc_id order,
+    * doc d occupies global token interval [cum − n, cum), and every
+    * [[SeqLen]]-aligned context it overlaps gets a span row
+    * (seq_id, doc_id, doc_from, doc_to, pos_from, n_toks) — enough to
+    * materialize the packed batch AND its attention-mask document
+    * boundaries. Deterministic in doc_id order, so re-runs produce
+    * byte-identical packing.
+    *
+    * Scale shape: the running total is [[distributedCumsum]] (two-level,
+    * range-partitioned — never a single-partition window); the span
+    * explode is bounded by ⌈n/[[SeqLen]]⌉ + 1 rows per doc (stream
+    * volume ÷ context length, the output's own size); everything after
+    * the cumsum is map-only arithmetic in the scan stage. All columns
+    * integer — the packing sits on the hashed surface exactly. */
+  val t26SequencePack: Q = (spark, dir) => {
+    val d = t(spark, dir, "documents")
+      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
+      .filter(col("est_tokens") >= 1)
+    distributedCumsum(d, "est_tokens", Seq(col("doc_id")))
+      .withColumn("strt", col("cum_tokens") - col("est_tokens"))
+      .select(col("doc_id"), col("strt"), col("cum_tokens"),
+        explode(sequence(expr(s"strt div $SeqLen"),
+          expr(s"(cum_tokens - 1) div $SeqLen"))).as("seq_id"))
+      .withColumn("doc_from",
+        greatest(col("strt"), col("seq_id") * SeqLen) - col("strt"))
+      .withColumn("doc_to",
+        least(col("cum_tokens"), (col("seq_id") + 1) * SeqLen) - col("strt"))
+      .withColumn("pos_from",
+        greatest(col("strt"), col("seq_id") * SeqLen) - col("seq_id") * SeqLen)
+      .select(col("seq_id"), col("doc_id"), col("doc_from"), col("doc_to"),
+        col("pos_from"), (col("doc_to") - col("doc_from")).as("n_toks"))
+      .orderBy(col("seq_id"), col("pos_from"))
+  }
+
   // ---- T13: PII detection + redaction --------------------------------------
 
   /** Escape-free regexes (no `\b`/`\.`) so the identical pattern string is
@@ -4217,6 +4259,7 @@ object PipelineQueries {
     "d3_simhash" -> d3Simhash,
     "d13_dedup_eval" -> d13DedupEval,
     "t24_normalize" -> t24Normalize,
+    "t26_sequence_pack" -> t26SequencePack,
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
     "k7_count_min" -> k7CountMin,

@@ -56,6 +56,39 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).distinct.length == got.length)
   }
 
+  test("t26: every context except the last is exactly full; per-doc spans tile [0, est_tokens)") {
+    val rows = PipelineQueries.t26SequencePack(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val maxSeq = rows.map(_._1).max
+    // contexts are gap-free and, except the last, carry exactly SeqLen tokens
+    rows.groupBy(_._1).foreach { case (seq, spans) =>
+      val total = spans.map(_._6).sum
+      if (seq < maxSeq)
+        assert(total == PipelineQueries.SeqLen, s"context $seq holds $total tokens")
+      // spans within a context tile [0, SeqLen) contiguously in pos order
+      val sorted = spans.sortBy(_._5)
+      assert(sorted.head._5 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._6 == b._5, s"gap inside context $seq")
+        case _ =>
+      }
+    }
+    // per doc, spans concatenate to exactly [0, est_tokens) in order
+    val est = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "cast(ceil(n_chars / 4.0) as long) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._2).foreach { case (doc, spans) =>
+      val sorted = spans.sortBy(_._3)
+      assert(sorted.head._3 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, s"gap inside doc $doc")
+        case _ =>
+      }
+      assert(sorted.last._4 == est(doc), s"doc $doc spans end at ${sorted.last._4}")
+    }
+  }
+
   test("d6: an all-unique corpus (empty pair graph) yields an empty cluster table, not a crash") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-d6-empty").toString
     val schema = new org.apache.spark.sql.types.StructType()
