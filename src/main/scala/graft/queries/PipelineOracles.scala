@@ -770,6 +770,49 @@ object PipelineOracles {
              CAST(sum(d2u) AS BIGINT) AS inertia_u
       FROM a1 GROUP BY 1 ORDER BY 1""",
 
+    // PQ codebook training retrained END-TO-END: same offset units, same
+    // integer HALF_UP centroid means, same (dist, code) tie-break — the
+    // oracle recomputes the Lloyd step itself, not just the report
+    "v20_pq_train" -> s"""
+      WITH $embCte,
+      q AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                                          + ${PipelineQueries.KmOff}) AS u
+            FROM e),
+      cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(_.map(cs =>
+        cs.map(x => (x + PipelineQueries.KmOff).toString).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")} AS c),
+      sub AS (SELECT vec_id, mm.m AS m,
+                     u[mm.m * ${PipelineQueries.PqDim} + 1 :
+                       mm.m * ${PipelineQueries.PqDim} + ${PipelineQueries.PqDim}] AS su
+              FROM q, (SELECT unnest(range(0, ${PipelineQueries.PqSub})) AS m) mm),
+      a0 AS (SELECT vec_id, m, su,
+                    CAST(list_position(s, list_min(s)) AS INTEGER) AS code0
+             FROM (SELECT sub.vec_id, sub.m, sub.su,
+                     [list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                        i -> (su[i] - c[m+1][k+1][i]) * (su[i] - c[m+1][k+1][i])))
+                      for k in range(0, ${PipelineQueries.PqK})] AS s
+                   FROM sub, cb) t0),
+      upd AS (SELECT m, code0 AS code, g.i, sum(su[g.i]) AS susum, count(*) AS n
+              FROM a0, generate_series(1, ${PipelineQueries.PqDim}) g(i)
+              GROUP BY 1, 2, 3),
+      cent1 AS (SELECT m, code,
+                       list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
+                FROM upd GROUP BY m, code, n),
+      s1 AS (SELECT a0.vec_id, a0.m, a0.code0, c.code,
+                    list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                      i -> (a0.su[i] - c.cent[i]) * (a0.su[i] - c.cent[i]))) AS dist
+             FROM a0 JOIN cent1 c ON c.m = a0.m),
+      a1 AS (SELECT vec_id, m, code0, code AS code1,
+                    CAST((dist + 500000) // 1000000 AS BIGINT) AS d2u
+             FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                             ORDER BY dist ASC, code) AS rn FROM s1)
+             WHERE rn = 1)
+      SELECT CAST(m AS BIGINT) AS m, code1 AS code, count(*) AS n_members,
+             CAST(sum(CASE WHEN code1 <> code0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+             CAST(sum(d2u) AS BIGINT) AS inertia_u
+      FROM a1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
     // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""
       WITH $embCte,

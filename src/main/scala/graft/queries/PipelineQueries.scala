@@ -1691,6 +1691,86 @@ object PipelineQueries {
       .orderBy(col("cell"))
   }
 
+  // ---- V20: PQ codebook training (per-subspace Lloyd refinement) -----------
+
+  /** The [[PqCodebook]] literals stand in for TRAINED sub-quantizers
+    * (v6's doc note: "a real deployment trains them"); v20 IS that
+    * training — one exact-integer Lloyd refinement per subspace, v5's
+    * machinery applied to each of the [[PqSub]] 8-dim slices: offset
+    * 1e-6-unit subvectors (all-positive, so trunc-div ≡ floor-div — the
+    * v5 argument), assign to the nearest initial sub-centroid, recompute
+    * centroids as HALF_UP integer means, reassign, and emit per
+    * (subspace, code): member count, moved count, and the summed
+    * distortion — the quantities a codebook-training loop monitors for
+    * convergence. Lloyd's descent property (distortion never increases)
+    * is pinned in-spec against the initial assignment's distortion.
+    *
+    * Scale shape: slicing + both assignment passes are map-only over the
+    * scan (the codebook is a literal / collected-means broadcast of
+    * cells×dims ≤ 1024 integers — v5's sanctioned metadata collect); the
+    * update is one map-side-combined (m, code, dim) aggregate — ≤
+    * [[PqSub]]·[[PqK]]·[[PqDim]] output cells regardless of corpus size.
+    * Every surface is exact integer, so the oracle retrains the codebook
+    * bit-for-bit. */
+  val v20PqTrain: Q = (spark, dir) => {
+    def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
+    val cbSql = PqCodebookQ.map(_.map(cs => cLit(cs.map(_ + KmOff)))
+      .mkString("array(", ",", ")"))
+      .mkString("cast(array(", ",", ") as array<array<array<bigint>>>)")
+    val sub = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("m"), col("u"))
+      .withColumn("su", expr(s"slice(u, m * $PqDim + 1, $PqDim)"))
+      .drop("u")
+      .localCheckpoint() // feeds assignment 0, the update agg AND reassignment
+    val a0 = sub
+      .withColumn("s", expr(
+        s"""transform(sequence(1, $PqK), k ->
+           |  aggregate(zip_with(su, element_at(element_at($cbSql, m + 1), k),
+           |    (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))""".stripMargin))
+      .withColumn("code0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
+      .drop("s")
+      .localCheckpoint() // shared by the update agg and the reassignment
+    // Lloyd update: exact integer unit sums per (m, code, dim); the collect
+    // is the per-iteration centroid broadcast — ≤ Sub·K·Dim rows
+    val upd = a0
+      .select(col("m"), col("code0"), posexplode(col("su")).as(Seq("i", "uv")))
+      .groupBy(col("m"), col("code0"), col("i"))
+      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+      .collect()
+    val byM: Seq[(Int, Seq[(Int, Seq[Long])])] = upd.groupBy(_.getInt(0)).toSeq
+      .map { case (m, rows) =>
+        m -> rows.groupBy(_.getInt(1)).toSeq.map { case (code, cr) =>
+          val n = cr.head.getLong(4)
+          val cent = new Array[Long](PqDim)
+          // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
+          cr.foreach(r => cent(r.getInt(2)) = (2 * r.getLong(3) + n) / (2 * n))
+          (code, cent.toSeq)
+        }.sortBy(_._1) // ascending codes: first-min tie-break = lowest code
+      }.sortBy(_._1)
+    val codes1Sql = byM.map { case (_, cs) =>
+      cs.map(_._1.toString).mkString("array(", ",", ")")
+    }.mkString("cast(array(", ",", ") as array<array<int>>)")
+    val cents1Sql = byM.map { case (_, cs) =>
+      cs.map(c => cLit(c._2)).mkString("array(", ",", ")")
+    }.mkString("cast(array(", ",", ") as array<array<array<bigint>>>)")
+    a0
+      .withColumn("s1", expr(
+        s"""transform(element_at($cents1Sql, m + 1), c ->
+           |  aggregate(zip_with(su, c, (a, b) -> (a - b) * (a - b)),
+           |    0L, (acc, x) -> acc + x))""".stripMargin))
+      .withColumn("p", array_position(col("s1"), array_min(col("s1"))).cast(IntegerType))
+      .withColumn("code1", expr(s"element_at(element_at($codes1Sql, m + 1), p)"))
+      // 1e-12-unit squared distance → 1e-6 units, floor(x+0.5) per vector
+      .withColumn("d2u", expr("(element_at(s1, p) + 500000L) div 1000000L"))
+      .groupBy(col("m"), col("code1").as("code"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("code1") =!= col("code0"), 1L).otherwise(0L)).as("n_moved"),
+        sum(col("d2u")).as("inertia_u"))
+      .orderBy(col("m"), col("code"))
+  }
+
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
 
   /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
@@ -4276,6 +4356,7 @@ object PipelineQueries {
     "v3_ann_ivf" -> v3AnnIvf,
     "v4_quantized_topk" -> v4QuantizedTopk,
     "v5_kmeans" -> v5Kmeans,
+    "v20_pq_train" -> v20PqTrain,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

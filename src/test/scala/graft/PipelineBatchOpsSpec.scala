@@ -89,6 +89,34 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v20: one Lloyd step never increases total distortion (rounding slack ≤ 1 unit/subvector)") {
+    import PipelineQueries._
+    // initial distortion: assignment-0 against the INITIAL codebook,
+    // recomputed sequentially with the same offset units and the same
+    // per-subvector HALF_UP rounding; Lloyd guarantees the RAW total is
+    // non-increasing, so the rounded totals differ by < 1 unit/subvector
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id",
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L) AS u")
+      .collect().map(_.getSeq[Long](1).toArray)
+    val cb = PqCodebookQ.map(_.map(_.map(_ + KmOff).toArray))
+    def d(su: Array[Long], c: Array[Long]): Long =
+      su.indices.map(i => { val t = su(i) - c(i); t * t }).sum
+    var init = 0L
+    var nSub = 0L
+    for (u <- vecs; m <- 0 until PqSub) {
+      val su = u.slice(m * PqDim, m * PqDim + PqDim)
+      val best = (0 until PqK).map(k => d(su, cb(m)(k).toArray)).min
+      init += (best + 500000L) / 1000000L
+      nSub += 1
+    }
+    val rows = v20PqTrain(spark, dir).collect()
+    val trained = rows.map(_.getLong(4)).sum
+    assert(trained <= init + nSub, s"distortion rose: $trained > $init + $nSub")
+    // and every subvector is accounted for exactly once
+    assert(rows.map(_.getLong(2)).sum == nSub)
+  }
+
   test("d6: an all-unique corpus (empty pair graph) yields an empty cluster table, not a crash") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-d6-empty").toString
     val schema = new org.apache.spark.sql.types.StructType()
