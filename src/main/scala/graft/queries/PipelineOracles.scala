@@ -111,6 +111,38 @@ object PipelineOracles {
                                        ORDER BY cos_e6 DESC, vec_id) AS rk
              FROM sa)"""
 
+  /** Shared CTE chain of v20's Lloyd refinement (offset units, HALF_UP
+    * integer means, first-min/lowest-code tie-breaks): `q` → `cb` (the
+    * offset initial codebook literal) → `sub` (8-dim slices) → `a0`
+    * (assignment 0) → `upd` → `cent1` (the trained sub-centroids).
+    * Reused verbatim by v21's serve oracle — one training, no drift.
+    * Requires `e` from [[embCte]] upstream. */
+  private lazy val pqTrainCtes: String = s"""
+      q AS (SELECT vec_id,
+                   list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
+                                          + ${PipelineQueries.KmOff}) AS u
+            FROM e),
+      cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(_.map(cs =>
+        cs.map(x => (x + PipelineQueries.KmOff).toString).mkString("[", ",", "]"))
+        .mkString("[", ",", "]")).mkString("[", ",", "]")} AS c),
+      sub AS (SELECT vec_id, mm.m AS m,
+                     u[mm.m * ${PipelineQueries.PqDim} + 1 :
+                       mm.m * ${PipelineQueries.PqDim} + ${PipelineQueries.PqDim}] AS su
+              FROM q, (SELECT unnest(range(0, ${PipelineQueries.PqSub})) AS m) mm),
+      a0 AS (SELECT vec_id, m, su,
+                    CAST(list_position(s, list_min(s)) AS INTEGER) AS code0
+             FROM (SELECT sub.vec_id, sub.m, sub.su,
+                     [list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                        i -> (su[i] - c[m+1][k+1][i]) * (su[i] - c[m+1][k+1][i])))
+                      for k in range(0, ${PipelineQueries.PqK})] AS s
+                   FROM sub, cb) t0),
+      upd AS (SELECT m, code0 AS code, g.i, sum(su[g.i]) AS susum, count(*) AS n
+              FROM a0, generate_series(1, ${PipelineQueries.PqDim}) g(i)
+              GROUP BY 1, 2, 3),
+      cent1 AS (SELECT m, code,
+                       list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
+                FROM upd GROUP BY m, code, n)"""
+
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings),
@@ -770,35 +802,41 @@ object PipelineOracles {
              CAST(sum(d2u) AS BIGINT) AS inertia_u
       FROM a1 GROUP BY 1 ORDER BY 1""",
 
+    // the closed train→encode→serve loop: the SAME retrain CTEs as v20,
+    // then every vector re-encodes against the trained sub-centroid lists
+    // (code-ascending, so positional indexes align across engines) and
+    // ranks by asymmetric distance exactly as v6 — a drifting centroid or
+    // a misaligned code index anywhere in the loop reds the hash
+    "v21_trained_pq_serve" -> s"""
+      WITH $embCte,
+      $pqTrainCtes,
+      cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
+      dl AS (SELECT s.vec_id, s.m,
+                    list_transform(c.cl, cc ->
+                      list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
+             FROM sub s JOIN cents c ON c.m = s.m),
+      co AS (SELECT vec_id, m,
+                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
+             FROM dl),
+      qd AS (SELECT vec_id AS q_id, m, dl FROM dl WHERE vec_id < 5),
+      contrib AS (SELECT qd.q_id, co.vec_id, qd.dl[co.ci] AS dpart
+                  FROM co JOIN qd ON qd.m = co.m AND co.vec_id != qd.q_id),
+      adc AS (SELECT q_id, vec_id, CAST(sum(dpart) AS BIGINT) AS adc_dist
+              FROM contrib GROUP BY 1, 2),
+      rr AS (SELECT q_id, vec_id, adc_dist,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_dist, vec_id) AS rk
+             FROM adc)
+      SELECT q_id, rk, vec_id, adc_dist FROM rr
+      WHERE rk <= 5 ORDER BY q_id, rk""",
+
     // PQ codebook training retrained END-TO-END: same offset units, same
     // integer HALF_UP centroid means, same (dist, code) tie-break — the
     // oracle recomputes the Lloyd step itself, not just the report
     "v20_pq_train" -> s"""
       WITH $embCte,
-      q AS (SELECT vec_id,
-                   list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
-                                          + ${PipelineQueries.KmOff}) AS u
-            FROM e),
-      cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(_.map(cs =>
-        cs.map(x => (x + PipelineQueries.KmOff).toString).mkString("[", ",", "]"))
-        .mkString("[", ",", "]")).mkString("[", ",", "]")} AS c),
-      sub AS (SELECT vec_id, mm.m AS m,
-                     u[mm.m * ${PipelineQueries.PqDim} + 1 :
-                       mm.m * ${PipelineQueries.PqDim} + ${PipelineQueries.PqDim}] AS su
-              FROM q, (SELECT unnest(range(0, ${PipelineQueries.PqSub})) AS m) mm),
-      a0 AS (SELECT vec_id, m, su,
-                    CAST(list_position(s, list_min(s)) AS INTEGER) AS code0
-             FROM (SELECT sub.vec_id, sub.m, sub.su,
-                     [list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
-                        i -> (su[i] - c[m+1][k+1][i]) * (su[i] - c[m+1][k+1][i])))
-                      for k in range(0, ${PipelineQueries.PqK})] AS s
-                   FROM sub, cb) t0),
-      upd AS (SELECT m, code0 AS code, g.i, sum(su[g.i]) AS susum, count(*) AS n
-              FROM a0, generate_series(1, ${PipelineQueries.PqDim}) g(i)
-              GROUP BY 1, 2, 3),
-      cent1 AS (SELECT m, code,
-                       list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
-                FROM upd GROUP BY m, code, n),
+      $pqTrainCtes,
       s1 AS (SELECT a0.vec_id, a0.m, a0.code0, c.code,
                     list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
                       i -> (a0.su[i] - c.cent[i]) * (a0.su[i] - c.cent[i]))) AS dist

@@ -1712,7 +1712,15 @@ object PipelineQueries {
     * [[PqSub]]·[[PqK]]·[[PqDim]] output cells regardless of corpus size.
     * Every surface is exact integer, so the oracle retrains the codebook
     * bit-for-bit. */
-  val v20PqTrain: Q = (spark, dir) => {
+  /** One Lloyd refinement of [[PqCodebookQ]] in OFFSET 1e-6 units: returns
+    * the assignment-0 frame (vec_id, m, su, code0 — localCheckpointed)
+    * and, per subspace, the surviving (code, trained centroid) list in
+    * ascending code order. Shared by v20 (the training report) and v21
+    * (serving on the trained codebook) — one training, no drift. The
+    * collect is the per-iteration centroid broadcast, ≤ Sub·K·Dim rows
+    * (v5's sanctioned metadata collect). */
+  private def pqTrainLloyd(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])]) = {
     def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
     val cbSql = PqCodebookQ.map(_.map(cs => cLit(cs.map(_ + KmOff)))
       .mkString("array(", ",", ")"))
@@ -1723,7 +1731,6 @@ object PipelineQueries {
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("m"), col("u"))
       .withColumn("su", expr(s"slice(u, m * $PqDim + 1, $PqDim)"))
       .drop("u")
-      .localCheckpoint() // feeds assignment 0, the update agg AND reassignment
     val a0 = sub
       .withColumn("s", expr(
         s"""transform(sequence(1, $PqK), k ->
@@ -1732,14 +1739,13 @@ object PipelineQueries {
       .withColumn("code0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
       .drop("s")
       .localCheckpoint() // shared by the update agg and the reassignment
-    // Lloyd update: exact integer unit sums per (m, code, dim); the collect
-    // is the per-iteration centroid broadcast — ≤ Sub·K·Dim rows
+    // Lloyd update: exact integer unit sums per (m, code, dim)
     val upd = a0
       .select(col("m"), col("code0"), posexplode(col("su")).as(Seq("i", "uv")))
       .groupBy(col("m"), col("code0"), col("i"))
       .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
       .collect()
-    val byM: Seq[(Int, Seq[(Int, Seq[Long])])] = upd.groupBy(_.getInt(0)).toSeq
+    val byM = upd.groupBy(_.getInt(0)).toSeq
       .map { case (m, rows) =>
         m -> rows.groupBy(_.getInt(1)).toSeq.map { case (code, cr) =>
           val n = cr.head.getLong(4)
@@ -1749,6 +1755,12 @@ object PipelineQueries {
           (code, cent.toSeq)
         }.sortBy(_._1) // ascending codes: first-min tie-break = lowest code
       }.sortBy(_._1)
+    (a0, byM)
+  }
+
+  val v20PqTrain: Q = (spark, dir) => {
+    def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
+    val (a0, byM) = pqTrainLloyd(spark, dir)
     val codes1Sql = byM.map { case (_, cs) =>
       cs.map(_._1.toString).mkString("array(", ",", ")")
     }.mkString("cast(array(", ",", ") as array<array<int>>)")
@@ -1769,6 +1781,51 @@ object PipelineQueries {
         sum(when(col("code1") =!= col("code0"), 1L).otherwise(0L)).as("n_moved"),
         sum(col("d2u")).as("inertia_u"))
       .orderBy(col("m"), col("code"))
+  }
+
+  /** V21: the closed loop — v6's ADC serving on v20's TRAINED codebook.
+    * Train (one Lloyd refinement per subspace), re-encode every vector
+    * against the trained sub-centroids (ragged lists — empty codes
+    * dropped; serving indexes by position within each subspace's
+    * surviving-code list, so original code ids never matter), and rank
+    * by asymmetric distance exactly as v6 does. Proves
+    * train → encode → serve COMPOSES: the oracle retrains end-to-end and
+    * then replays the encode/ADC/rank, so a drifting centroid, a
+    * misaligned code index or a tie-break mismatch anywhere in the loop
+    * reds the hash.
+    *
+    * Scale shape: v6's — the scan side carries codes only, the query's
+    * distance table is the broadcast ADC lookup, the trained codebook is
+    * the v5-sanctioned metadata collect. Distances run in OFFSET units
+    * (offset-invariant for squared differences), so all arithmetic stays
+    * all-positive exact integer. */
+  val v21TrainedPqServe: Q = (spark, dir) => {
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    val distSql = byM.map { case (m, cs) =>
+      cs.map { case (_, cent) =>
+        s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
+           |  cast(array(${cent.mkString(",")}) as array<bigint>),
+           |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
+      }.mkString("array(", ",", ")")
+    }.mkString("array(", ",", ")")
+    val enc = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .withColumn("dl", expr(distSql))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .drop("u")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    val q = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.drop("dl").crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -4357,6 +4414,7 @@ object PipelineQueries {
     "v4_quantized_topk" -> v4QuantizedTopk,
     "v5_kmeans" -> v5Kmeans,
     "v20_pq_train" -> v20PqTrain,
+    "v21_trained_pq_serve" -> v21TrainedPqServe,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
