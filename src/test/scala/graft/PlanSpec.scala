@@ -414,6 +414,19 @@ class PlanSpec extends SparkSpec {
       s"k7: the ${graft.queries.PipelineQueries.CmDepth}×${graft.queries.PipelineQueries.CmWidth} grid must broadcast to the probe frame\n${p.take(1200)}")
   }
 
+  test("v20/v21: the Lloyd report joins nothing; trained serving crosses only the broadcast query frame") {
+    val p20 = planOf(graft.queries.PipelineQueries.v20PqTrain)
+    // reassignment runs off the checkpointed a0 against collected-centroid
+    // literals: no join anywhere — the only shuffles are the final report agg
+    assert(!p20.contains("SortMergeJoin") && !p20.contains("BroadcastNestedLoopJoin") &&
+      !p20.contains("CartesianProduct"),
+      s"v20: the trained-centroid reassignment must be join-free\n${p20.take(1200)}")
+    val p21 = planOf(graft.queries.PipelineQueries.v21TrainedPqServe)
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p21).length
+    assert(bnlj == 1 && !p21.contains("SortMergeJoin") && !p21.contains("CartesianProduct"),
+      s"v21: serving must cross only the 5-row broadcast ADC frame, got $bnlj nested loops\n${p21.take(1200)}")
+  }
+
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.k6CorpusOverlap)
