@@ -301,10 +301,24 @@ object CorpusPrep {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  /** pipe6: dedup-as-TRANSFORMATION feeding the batch layout — d16 cuts
+    * every corpus-repeated span out of the text, then t26 packs the
+    * SURVIVING token stream into fixed contexts (what Lee et al.'s
+    * pipeline actually ships to training: the cut corpus, packed). The
+    * composition is the point: packing consumes the rewritten counts, so
+    * a single mis-cut token anywhere shifts every later context boundary
+    * and reds the whole hash — stage interactions are gated, not just
+    * stages. Docs cut to zero tokens drop out (nothing left to pack). */
+  val pipe6CutPack: Q = (spark, dir) =>
+    PipelineQueries.packSequences(
+      PipelineQueries.d16CutReport(spark, dir)
+        .select(col("doc_id"), col("kept_words").as("est_tokens")))
+
   val all: Map[String, Q] = Map(
     "pipe_corpus_prep" -> pipeCorpusPrep,
     "pipe2_curation" -> pipe2Curation,
     "pipe3_gated_quota" -> pipe3GatedQuota,
     "pipe4_crawl_prep" -> pipe4CrawlPrep,
-    "pipe5_incremental_corpus" -> pipe5IncrementalCorpus)
+    "pipe5_incremental_corpus" -> pipe5IncrementalCorpus,
+    "pipe6_cut_pack" -> pipe6CutPack)
 }

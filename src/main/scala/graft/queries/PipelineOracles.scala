@@ -143,6 +143,32 @@ object PipelineOracles {
                        list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
                 FROM upd GROUP BY m, code, n)"""
 
+  /** Shared CTE chain of d16's repeated-substring cut (gram marks →
+    * covered positions → per-doc surviving words + rebuilt text): ends at
+    * `kept` (doc_id, kept_words, ktext — docs cut to zero absent) with
+    * `d` (doc_id, w, n_words) still in scope. Reused by pipe6, which
+    * packs the cut corpus. */
+  private lazy val d16CutCtes: String = s"""
+      lg AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words FROM lg),
+      ex AS (SELECT doc_id, unnest(range(0, len(w) - ${PipelineQueries.DupSpanGram} + 1)) AS i, w
+             FROM lg WHERE len(w) >= ${PipelineQueries.DupSpanGram}),
+      g AS (SELECT doc_id, i,
+                   array_to_string(w[i + 1:i + ${PipelineQueries.DupSpanGram}], ' ') AS gram
+            FROM ex),
+      occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+      mk AS (SELECT g.doc_id, g.i FROM g JOIN occ USING (gram)),
+      cov AS (SELECT DISTINCT mk.doc_id, mk.i + u.u AS p
+              FROM mk, (SELECT unnest(range(0, ${PipelineQueries.DupSpanGram})) AS u) u),
+      wd AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w FROM d),
+      wd2 AS (SELECT doc_id, p, w[p + 1] AS word FROM wd),
+      kept AS (SELECT wd2.doc_id, count(*) AS kept_words,
+                      string_agg(wd2.word, ' ' ORDER BY wd2.p) AS ktext
+               FROM wd2 LEFT JOIN cov
+                 ON cov.doc_id = wd2.doc_id AND cov.p = wd2.p
+               WHERE cov.p IS NULL
+               GROUP BY wd2.doc_id)"""
+
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings),
@@ -1120,25 +1146,7 @@ object PipelineOracles {
     // is a LEFT JOIN + IS NULL for engine portability, the rebuild a
     // position-ordered string_agg
     "d16_substring_cut" -> s"""
-      WITH lg AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
-      d AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_words FROM lg),
-      ex AS (SELECT doc_id, unnest(range(0, len(w) - ${DupSpanGram} + 1)) AS i, w
-             FROM lg WHERE len(w) >= ${DupSpanGram}),
-      g AS (SELECT doc_id, i,
-                   array_to_string(w[i + 1:i + ${DupSpanGram}], ' ') AS gram
-            FROM ex),
-      occ AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
-      mk AS (SELECT g.doc_id, g.i FROM g JOIN occ USING (gram)),
-      cov AS (SELECT DISTINCT mk.doc_id, mk.i + u.u AS p
-              FROM mk, (SELECT unnest(range(0, ${DupSpanGram})) AS u) u),
-      wd AS (SELECT doc_id, unnest(range(0, len(w))) AS p, w FROM d),
-      wd2 AS (SELECT doc_id, p, w[p + 1] AS word FROM wd),
-      kept AS (SELECT wd2.doc_id, count(*) AS kept_words,
-                      string_agg(wd2.word, ' ' ORDER BY wd2.p) AS ktext
-               FROM wd2 LEFT JOIN cov
-                 ON cov.doc_id = wd2.doc_id AND cov.p = wd2.p
-               WHERE cov.p IS NULL
-               GROUP BY wd2.doc_id)
+      WITH $d16CutCtes
       SELECT d.doc_id, d.n_words,
              CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
              CAST(d.n_words - coalesce(k.kept_words, 0) AS BIGINT) AS cut_tokens,
@@ -1959,6 +1967,33 @@ object PipelineOracles {
             JOIN d b ON b.doc_id = c.b_id)
       SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
       FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
+
+    // pipe6: the cut corpus, packed — d16's CTE chain verbatim, then
+    // t26's packing arithmetic over the SURVIVING word counts; one chained
+    // oracle so a single mis-cut token shifting every later context
+    // boundary is caught as a stage INTERACTION, not just per stage
+    "pipe6_cut_pack" -> s"""
+      WITH $d16CutCtes,
+      dd AS (SELECT doc_id, CAST(kept_words AS BIGINT) AS est_tokens
+             FROM kept WHERE kept_words >= 1),
+      c AS (SELECT doc_id, est_tokens,
+                   CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+            FROM dd),
+      s AS (SELECT doc_id, cum_tokens,
+                   cum_tokens - est_tokens AS strt FROM c),
+      x AS (SELECT doc_id, strt, cum_tokens,
+                   unnest(range(strt // ${PipelineQueries.SeqLen},
+                                (cum_tokens - 1) // ${PipelineQueries.SeqLen} + 1)) AS seq_id
+            FROM s)
+      SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+             CAST(greatest(strt, seq_id * ${PipelineQueries.SeqLen}) - strt AS BIGINT) AS doc_from,
+             CAST(least(cum_tokens, (seq_id + 1) * ${PipelineQueries.SeqLen}) - strt AS BIGINT) AS doc_to,
+             CAST(greatest(strt, seq_id * ${PipelineQueries.SeqLen})
+                  - seq_id * ${PipelineQueries.SeqLen} AS BIGINT) AS pos_from,
+             CAST(least(cum_tokens, (seq_id + 1) * ${PipelineQueries.SeqLen})
+                  - greatest(strt, seq_id * ${PipelineQueries.SeqLen}) AS BIGINT) AS n_toks
+      FROM x ORDER BY seq_id, pos_from""",
 
     // pipe5: the ONE-SHOT recomputation the incremental store run must
     // equal — quality gate, min-id exact dedup over the gated corpus,

@@ -3399,7 +3399,12 @@ object PipelineQueries {
     * is true-dup volume, not corpus volume. Reassembly is doc-confined
     * memory (the same bound as holding the document). No global window
     * anywhere. */
-  val d16SubstringCut: Q = (spark, dir) => {
+  val d16SubstringCut: Q = (spark, dir) =>
+    d16CutReport(spark, dir).orderBy(col("doc_id"))
+
+  /** d16's full per-doc cut report, unsorted — shared with pipe6, which
+    * packs the CUT corpus instead of re-measuring it. */
+  private[queries] def d16CutReport(spark: SparkSession, dir: String): DataFrame = {
     val docs = fanOut(spark, t(spark, dir, "documents"))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .withColumn("n_words", size(col("w")).cast(LongType))
@@ -3440,7 +3445,6 @@ object PipelineQueries {
         (col("n_words") - col("kept_words")).as("cut_tokens"),
         when(col("is_cut").isNull, md5(concat_ws(" ", col("w"))))
           .otherwise(md5(coalesce(col("ktext"), lit("")))).as("kept_md5"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- T19: fixed-weight quality classifier (model-based filtering) --------
@@ -3994,11 +3998,14 @@ object PipelineQueries {
     * volume ÷ context length, the output's own size); everything after
     * the cumsum is map-only arithmetic in the scan stage. All columns
     * integer — the packing sits on the hashed surface exactly. */
-  val t26SequencePack: Q = (spark, dir) => {
-    val d = t(spark, dir, "documents")
-      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens"))
-      .filter(col("est_tokens") >= 1)
-    distributedCumsum(d, "est_tokens", Seq(col("doc_id")))
+  val t26SequencePack: Q = (spark, dir) =>
+    packSequences(t(spark, dir, "documents")
+      .select(col("doc_id"), ceil(col("n_chars") / 4.0).cast(LongType).as("est_tokens")))
+
+  /** t26's packing over any (doc_id, est_tokens) frame — shared with
+    * pipe6, which packs the d16-CUT corpus's surviving token counts. */
+  private[queries] def packSequences(d: DataFrame): DataFrame =
+    distributedCumsum(d.filter(col("est_tokens") >= 1), "est_tokens", Seq(col("doc_id")))
       .withColumn("strt", col("cum_tokens") - col("est_tokens"))
       .select(col("doc_id"), col("strt"), col("cum_tokens"),
         explode(sequence(expr(s"strt div $SeqLen"),
@@ -4012,7 +4019,6 @@ object PipelineQueries {
       .select(col("seq_id"), col("doc_id"), col("doc_from"), col("doc_to"),
         col("pos_from"), (col("doc_to") - col("doc_from")).as("n_toks"))
       .orderBy(col("seq_id"), col("pos_from"))
-  }
 
   // ---- T13: PII detection + redaction --------------------------------------
 
