@@ -85,7 +85,8 @@ object Bench {
         - "dag_show_tvl_incremental" - "dag_bucketed_join"
         // three incremental replays through the disk merge sink (six
         // store merges on tiny fixtures) — v15's protocol class
-        - "d15_incremental_neardup" - "k7s_stream_sketch")
+        - "d15_incremental_neardup" - "k7s_stream_sketch"
+        - "d17_incremental_cut")
       .keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -410,6 +410,13 @@ object Invariants {
       }
     }
 
+    // ---- d17: retroactive incremental cut converges to the one-shot ----
+    check("d17: incremental cut equals d16's one-shot report (except-empty both ways)") {
+      val inc = PipelineQueries.d17IncrementalCut(spark, sfDir).localCheckpoint()
+      val one = PipelineQueries.d16SubstringCut(spark, sfDir).localCheckpoint()
+      inc.except(one).isEmpty && one.except(inc).isEmpty
+    }
+
     // ---- k7: Count-Min never undercounts at any tier ----
     check("k7: cm_est >= exact count on every reported heavy hitter") {
       val rows = PipelineQueries.k7CountMin(spark, sfDir).collect()

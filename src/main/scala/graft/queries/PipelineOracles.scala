@@ -169,6 +169,17 @@ object PipelineOracles {
                WHERE cov.p IS NULL
                GROUP BY wd2.doc_id)"""
 
+  /** d16's full one-shot cut report — also d17's oracle (the incremental
+    * run must converge to exactly this). */
+  private lazy val d16CutSql: String = s"""
+      WITH $d16CutCtes
+      SELECT d.doc_id, d.n_words,
+             CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
+             CAST(d.n_words - coalesce(k.kept_words, 0) AS BIGINT) AS cut_tokens,
+             md5(coalesce(k.ktext, '')) AS kept_md5
+      FROM d LEFT JOIN kept k USING (doc_id)
+      ORDER BY d.doc_id"""
+
   private val embCte =
     """e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |      FROM embeddings),
@@ -1145,14 +1156,12 @@ object PipelineOracles {
     // gram identity == string identity at word boundaries); the anti-join
     // is a LEFT JOIN + IS NULL for engine portability, the rebuild a
     // position-ordered string_agg
-    "d16_substring_cut" -> s"""
-      WITH $d16CutCtes
-      SELECT d.doc_id, d.n_words,
-             CAST(coalesce(k.kept_words, 0) AS BIGINT) AS kept_words,
-             CAST(d.n_words - coalesce(k.kept_words, 0) AS BIGINT) AS cut_tokens,
-             md5(coalesce(k.ktext, '')) AS kept_md5
-      FROM d LEFT JOIN kept k USING (doc_id)
-      ORDER BY d.doc_id""",
+    "d16_substring_cut" -> d16CutSql,
+
+    // d17 must converge to EXACTLY the one-shot cut — same oracle; the
+    // incremental machinery (additive gram counts, crosser detection,
+    // retroactive re-cut through the store) is all on the Spark side
+    "d17_incremental_cut" -> d16CutSql,
 
     // linear quality model in exact integer arithmetic: every division has
     // a non-negative numerator, so DuckDB's floor-div `//` agrees with

@@ -3447,6 +3447,129 @@ object PipelineQueries {
           .otherwise(md5(coalesce(col("ktext"), lit("")))).as("kept_md5"))
   }
 
+  // ---- D17: incremental substring cut — retroactive invalidation -----------
+
+  /** d16 through arrival batches — the NON-MONOTONE incremental class:
+    * a new document can complete a corpus-wide gram repeat and thereby
+    * change the cut of a document ingested long ago, so unlike d15's
+    * admission (monotone: decisions never revisit) the state must
+    * support RETROACTIVE invalidation. The machinery: gram counts
+    * accumulate additively through the store (k7s's full-outer add,
+    * behind a seen-doc_id dedup so an at-least-once redelivery can't
+    * fake a repeat); a batch's CROSSERS are the grams whose global count
+    * first reaches 2 in this batch; the docs to (re-)cut are the batch's
+    * own plus every stored doc touching a crosser (a gram→doc membership
+    * table keyed (g, doc) answers that); their reports recompute against
+    * the NEW global counts and the keyed merge replaces the stale rows.
+    * Counts only grow, so a doc's covered set only grows, and docs not
+    * touching a crosser are provably unchanged — re-cut volume is
+    * true-retroactive volume, not corpus volume.
+    *
+    * The final report table must equal d16's one-shot output exactly —
+    * the oracle IS d16's (same SQL), and the retroactive case is pinned
+    * by a fixture where the repeat's two halves arrive two batches
+    * apart. */
+  val d17IncrementalCut: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-inccut").toString
+    try {
+      val docs = t(spark, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .withColumn("n_words", size(col("w")).cast(LongType))
+        .localCheckpoint()
+      val nDocs = math.max(docs.count(), 1L) // 1-row action, like d15's
+      def inBatch(b: Int): Column =
+        expr(s"least(${D15Batches - 1}, doc_id * $D15Batches div $nDocs)") === b
+      (0 until D15Batches).foreach { b =>
+        // drop 1 REDELIVERS part of drop 0: the seen-doc dedup must
+        // swallow it, or the doubled gram counts would fake a repeat
+        val arriving =
+          if (b == 1) docs.filter(inBatch(1))
+            .unionByName(docs.filter(inBatch(0) && pmod(col("doc_id"), lit(7)) === 0))
+          else docs.filter(inBatch(b))
+        val fresh = SnapshotStore.read(spark, s"$root/docw") match {
+          case Some(s) =>
+            arriving.join(s.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          case None => arriving
+        }
+        val freshC = fresh.localCheckpoint() // feeds grams, targets AND the docw merge
+        def gramsOf(d: DataFrame): DataFrame = d
+          .filter(col("n_words") >= DupSpanGram)
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(0L), col("n_words") - DupSpanGram)).as("i"))
+          .select(col("doc_id"), col("i"),
+            xxhash64((0 until DupSpanGram).map(k => col("w")(col("i") + k)): _*).as("g"))
+        val exB = gramsOf(freshC).localCheckpoint() // counts + membership merge
+        val gcB = exB.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        val newCnt = (SnapshotStore.read(spark, s"$root/gramcnt") match {
+          case Some(old) => old.select(col("g"), col("cnt").as("prev"))
+            .join(gcB, Seq("g"), "full_outer")
+            .select(col("g"),
+              (coalesce(col("prev"), lit(0L)) + coalesce(col("c"), lit(0L))).as("cnt"),
+              coalesce(col("c"), lit(0L)).as("c_batch"))
+          case None => gcB.select(col("g"), col("c").as("cnt"), col("c").as("c_batch"))
+        }).localCheckpoint() // frozen BEFORE the gramcnt merge moves the store
+        // crossers: global count first reached 2 in THIS batch
+        val crossers = newCnt
+          .filter(col("cnt") >= 2 && (col("cnt") - col("c_batch")) < 2 &&
+            col("c_batch") >= 1)
+          .select(col("g"))
+        val affectedOld = SnapshotStore.read(spark, s"$root/gramdocs") match {
+          case Some(gd) => gd.join(crossers, Seq("g"), "left_semi")
+            .select(col("doc_id")).distinct()
+          case None => freshC.select(col("doc_id")).limit(0)
+        }
+        val targets = freshC.select(col("doc_id"))
+          .unionByName(affectedOld).distinct()
+        val allW = (SnapshotStore.read(spark, s"$root/docw") match {
+          case Some(s) => s.unionByName(freshC)
+          case None => freshC
+        }).join(targets, Seq("doc_id"), "left_semi")
+          .localCheckpoint() // grams, word frame AND the report stitch
+        // re-cut targets against the NEW global counts (d16's machinery)
+        val rep2 = newCnt.filter(col("cnt") >= 2).select(col("g"))
+        val covered = gramsOf(allW).join(rep2, Seq("g"), "left_semi")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + (DupSpanGram - 1))).as("p"))
+          .distinct()
+          .localCheckpoint() // cut-doc set AND the anti-join
+        val cutDocs = covered.select(col("doc_id")).distinct()
+        val words = allW
+          .join(cutDocs, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), posexplode(col("w")))
+          .toDF("doc_id", "p", "word")
+          .withColumn("p", col("p").cast(LongType))
+        val rebuilt = words.join(covered, Seq("doc_id", "p"), "left_anti")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("kept_words"),
+            expr("concat_ws(' ', transform(array_sort(collect_list(struct(p, word))), s -> s.word))")
+              .as("ktext"))
+        val reportB = allW
+          .join(rebuilt, Seq("doc_id"), "left")
+          .join(cutDocs.withColumn("is_cut", lit(true)), Seq("doc_id"), "left")
+          .withColumn("kept_words", when(col("is_cut").isNull, col("n_words"))
+            .otherwise(coalesce(col("kept_words"), lit(0L))))
+          .select(col("doc_id"), col("n_words"), col("kept_words"),
+            (col("n_words") - col("kept_words")).as("cut_tokens"),
+            when(col("is_cut").isNull, md5(concat_ws(" ", col("w"))))
+              .otherwise(md5(coalesce(col("ktext"), lit("")))).as("kept_md5"))
+          .localCheckpoint() // frozen BEFORE the state merges move the store
+        SnapshotStore.merge(spark, s"$root/report", reportB, Seq("doc_id"))
+        // only grams the batch actually touched — the upsert keeps the
+        // rest, so the state merge is batch-sized, never state-sized
+        SnapshotStore.merge(spark, s"$root/gramcnt",
+          newCnt.filter(col("c_batch") >= 1).select(col("g"), col("cnt")), Seq("g"))
+        SnapshotStore.merge(spark, s"$root/gramdocs",
+          exB.select(col("g"), col("doc_id")).distinct(), Seq("g", "doc_id"))
+        SnapshotStore.merge(spark, s"$root/docw", freshC, Seq("doc_id"))
+      }
+      SnapshotStore.read(spark, s"$root/report").get
+        .localCheckpoint() // materialized before the temp tree is deleted
+        .orderBy(col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- T19: fixed-weight quality classifier (model-based filtering) --------
 
   /** t19 model constants, shared with the oracle verbatim: integer weights
@@ -4396,6 +4519,7 @@ object PipelineQueries {
     "d7_semdedup" -> d7Semdedup,
     "d8_substring_dedup" -> d8SubstringDedup,
     "d16_substring_cut" -> d16SubstringCut,
+    "d17_incremental_cut" -> d17IncrementalCut,
     "d9_incremental_dedup" -> d9IncrementalDedup,
     "d15_incremental_neardup" -> d15IncrementalNeardup,
     "d2_minhash_lsh" -> d2MinhashLsh,

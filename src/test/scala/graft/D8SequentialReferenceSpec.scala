@@ -122,6 +122,38 @@ class D8SequentialReferenceSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("d17: a later arrival RETROACTIVELY re-cuts an earlier doc (the non-monotone case)") {
+    // three docs = three single-doc batches (tercile split of ids 0/1/2):
+    // doc 0 and doc 2 share an 8-gram, doc 1 is unrelated. When doc 0
+    // arrives its gram count is 1 — nothing to cut. Doc 2's arrival in
+    // the LAST batch completes the repeat; d17 must re-open doc 0's
+    // report and cut it, converging to d16's one-shot answer.
+    val schema = new StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d0 = shared + " tail0 tail1"
+    val d1 = "u1 u2 u3 u4 u5 u6 u7 u8 u9"
+    val d2 = "head0 " + shared
+    val rows = Seq(
+      Row(0L, d0, "en", "s0", d0.length.toLong),
+      Row(1L, d1, "en", "s0", d1.length.toLong),
+      Row(2L, d2, "en", "s0", d2.length.toLong))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d17-retro").toString
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val inc = PipelineQueries.d17IncrementalCut(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    val oneShot = PipelineQueries.d16SubstringCut(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(inc == oneShot, s"incremental $inc != one-shot $oneShot")
+    // and the retroactive cut actually happened: doc 0 lost the 8 shared
+    // words it carried cut-free through the first two batches
+    assert(inc(0L)._2 == 8L, s"doc 0 must be retroactively cut: ${inc(0L)}")
+    assert(inc(1L)._2 == 0L)
+    assert(inc(2L)._2 == 8L)
+  }
+
   test("d16: a FULLY-covered doc reports kept=0 / md5(''), an untouched doc its full canonical text") {
     val schema = new StructType()
       .add("doc_id", "long").add("text", "string")
