@@ -1939,6 +1939,60 @@ object PipelineOracles {
     // integer mean compare, integer band values), so the oracle replays
     // the ENTIRE banded pipeline — fingerprint, candidates, Hamming and
     // the exact-Jaccard verify — not just a ground-truth pair set
+    // m6: the audio pipeline replayed END-TO-END from the planted PCM
+    // (decode is an identity over the data chunk, so the char-domain CDC
+    // equals the parse-side split): rolling-window boundaries, chunk ids,
+    // 64-bucket histogram, above-mean bits, banded candidates AND the
+    // distinct-chunk-set Jaccard verify
+    "m6_audio_fingerprint" -> s"""
+      WITH p AS (SELECT doc_id, repeat(text, 1 + CAST(doc_id % 4 AS INT)) AS pcm
+                 FROM documents),
+      f0 AS (SELECT doc_id, pcm,
+                    [p for p in range(${PipelineQueries.AfpCdcW}, length(pcm) + 1)
+                     if ('0x' || substr(md5(substr(pcm, CAST(p - ${PipelineQueries.AfpCdcW} + 1 AS INT),
+                                                  ${PipelineQueries.AfpCdcW})), 1, 15))::BIGINT
+                        % ${PipelineQueries.AfpCdcD} = 0] AS bnds
+             FROM p WHERE length(pcm) >= ${PipelineQueries.AfpCdcW}),
+      f AS (SELECT doc_id, pcm,
+                   CASE WHEN len(bnds) = 0 THEN [0, length(pcm)]
+                        WHEN bnds[-1] = length(pcm) THEN list_prepend(0, bnds)
+                        ELSE list_append(list_prepend(0, bnds), length(pcm)) END AS cuts
+            FROM f0),
+      fh0 AS (SELECT doc_id, CAST(len(cuts) - 1 AS BIGINT) AS nf,
+                     [('0x' || substr(md5(substr(pcm, CAST(cuts[j] + 1 AS INT),
+                                                 CAST(cuts[j + 1] - cuts[j] AS INT))), 1, 15))::BIGINT
+                      for j in range(1, len(cuts))] AS fidl
+              FROM f),
+      fh AS (SELECT doc_id, nf, unnest(fidl) AS fid FROM fh0),
+      hist AS (SELECT doc_id, nf, fid % 64 AS k, CAST(count(*) AS BIGINT) AS c
+               FROM fh GROUP BY 1, 2, 3),
+      setb AS (SELECT doc_id, k FROM hist WHERE 64 * c > nf),
+      bsum AS (SELECT doc_id, k // 16 AS band,
+                      sum(1::BIGINT << CAST(k % 16 AS INT)) AS v
+               FROM setb GROUP BY doc_id, k // 16),
+      bandv AS (SELECT dd.doc_id, r.band, COALESCE(bsum.v, 0) AS v
+                FROM (SELECT DISTINCT doc_id FROM f) dd
+                CROSS JOIN (SELECT range AS band FROM range(0, 4)) r
+                LEFT JOIN bsum ON bsum.doc_id = dd.doc_id AND bsum.band = r.band),
+      bl AS (SELECT doc_id, list(v ORDER BY band) AS bv FROM bandv GROUP BY doc_id),
+      cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                      CAST(list_sum(list_transform(range(1, 5),
+                        i -> bit_count(xor(x.bv[i], y.bv[i])))) AS BIGINT) AS hamming
+               FROM bl x JOIN bl y ON x.doc_id < y.doc_id
+                 AND ((x.bv[1] = y.bv[1] AND x.bv[1] != 0)
+                      OR (x.bv[2] = y.bv[2] AND x.bv[2] != 0)
+                      OR (x.bv[3] = y.bv[3] AND x.bv[3] != 0)
+                      OR (x.bv[4] = y.bv[4] AND x.bv[4] != 0))),
+      fs AS (SELECT doc_id, list_distinct(list(fid)) AS fids FROM fh GROUP BY doc_id),
+      dn AS (SELECT doc_id, fids, CAST(len(fids) AS BIGINT) AS n FROM fs),
+      j AS (SELECT c.a_id, c.b_id, c.hamming,
+                   CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS inter,
+                   a.n + b.n - CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS uni
+            FROM cand c JOIN dn a ON a.doc_id = c.a_id
+            JOIN dn b ON b.doc_id = c.b_id)
+      SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
+      FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
+
     "m5_image_phash" -> s"""
       WITH $shingleCte,
       d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n

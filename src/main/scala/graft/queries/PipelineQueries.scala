@@ -2263,15 +2263,17 @@ object PipelineQueries {
     * planting formulas, so a hash match proves `parse ∘ plant ≡ id`
     * through the walk. The content digest stays a codegen'd `sha2`
     * column (m1's split: relational work outside the imperative seam). */
-  val m3AudioMeta: Q = (spark, dir) => {
-    import spark.implicits._
+  /** PCM stand-in = the text repeated 1-4× — long enough that the
+    * 25 ms / 10 ms window count exercises the hop arithmetic, not just
+    * the zero/one boundary. Shared by m3's meta walk and m6's
+    * fingerprint (one plant, no drift). */
+  private def wavPcm: Column = expr("repeat(text, 1 + cast(doc_id % 4 as int))")
+
+  /** m3's WAV plant (RIFF/fmt/LIST-with-pad/data) over [[wavPcm]]. */
+  private def wavPayload: Column = {
     val channels = (lit(1) + pmod(col("doc_id"), lit(2))).cast(LongType)
     val rate = (lit(8000) * (lit(1) + pmod(col("doc_id"), lit(3)))).cast(LongType)
-    // PCM stand-in = the text repeated 1-4× — long enough that the
-    // 25 ms / 10 ms window count exercises the hop arithmetic, not just
-    // the zero/one boundary
-    val pcm = expr("repeat(text, 1 + cast(doc_id % 4 as int))")
-    val dataSize = length(encode(pcm, "UTF-8")).cast(LongType)
+    val dataSize = length(encode(wavPcm, "UTF-8")).cast(LongType)
     val fmtChunk = concat(
       lit("fmt ".getBytes("US-ASCII")), le32(lit(16)),
       le16(lit(1)),                       // PCM
@@ -2281,15 +2283,19 @@ object PipelineQueries {
     val listChunk = concat(               // odd size 5 ⇒ one pad byte
       lit("LIST".getBytes("US-ASCII")), le32(lit(5)),
       lit("INFOx".getBytes("US-ASCII")), unhex(lit("00")))
-    val payload = concat(
+    concat(
       lit("RIFF".getBytes("US-ASCII")), le32(dataSize + 50),
       lit("WAVE".getBytes("US-ASCII")),
       fmtChunk, listChunk,
       lit("data".getBytes("US-ASCII")), le32(dataSize),
-      encode(pcm, "UTF-8"))
+      encode(wavPcm, "UTF-8"))
+  }
+
+  val m3AudioMeta: Q = (spark, dir) => {
+    import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), payload.as("payload"),
-        sha2(encode(pcm, "UTF-8"), 256).as("sha256_hex"))
+      .select(col("doc_id"), wavPayload.as("payload"),
+        sha2(encode(wavPcm, "UTF-8"), 256).as("sha256_hex"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
         def le16(b: Array[Byte], off: Int): Long =
@@ -2328,6 +2334,136 @@ object PipelineQueries {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  // ---- M6: audio fingerprint near-dup (chromaprint-shaped) -----------------
+
+  /** CDC rolling-window width / boundary divisor (expected chunk =
+    * [[AfpCdcD]] units). */
+  val AfpCdcW = 8
+  val AfpCdcD = 16
+
+  final case class AFp(doc_id: Long, n_fr: Long,
+                       b0: Long, b1: Long, b2: Long, b3: Long,
+                       fids: Array[Long])
+
+  /** Audio near-dup — the m-ladder's audio twin of m5 (dedup podcasts /
+    * re-uploaded tracks in an audio corpus): m3's WAV containers are
+    * opened by the REAL RIFF chunk walk (fmt parse, pad rule, data
+    * chunk), then the decoded stream splits by CONTENT-DEFINED CHUNKING
+    * — a boundary wherever the rolling [[AfpCdcW]]-window hash ≡ 0 mod
+    * [[AfpCdcD]], the storage-dedup primitive (LBFS/Rabin CDC) — so a
+    * local edit or a shifted re-encode perturbs only neighboring chunks
+    * while fixed-offset frames would desync everywhere after it. Chunk
+    * ids histogram into 64 buckets, above-mean buckets set bits, 4×16-bit
+    * Hamming-LSH bands generate candidates (zero bands skipped — no
+    * signal, and it kills the short-clip cross-pairing blowup), and
+    * candidates verify with exact Jaccard over each clip's DISTINCT
+    * chunk-id set — the audio-domain verify (m5 verified on text
+    * shingles). One 60-bit md5 long per chunk serves bucket (`cid % 64`),
+    * band bits and verify identity, and the oracle replays the ENTIRE
+    * pipeline from the planted PCM — no probabilistic recall assumption
+    * anywhere. Streams shorter than the CDC window carry no fingerprint.
+    *
+    * Scale shape: fingerprinting is map-only in the scan stage (one
+    * container parse + rolling-hash pass per clip, 4 band longs out);
+    * the candidate join is a band-bucket equi-join; only candidate pairs
+    * fetch chunk sets. */
+  val m6AudioFingerprint: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), wavPayload.as("payload"))
+      .as[(Long, Array[Byte])]
+    val fp = docs.mapPartitions { it =>
+      def le16(b: Array[Byte], off: Int): Long =
+        (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+      def le32(b: Array[Byte], off: Int): Long =
+        le16(b, off) | (le16(b, off + 2) << 16)
+      def tag(b: Array[Byte], off: Int): String =
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // == parseLong(hexDigest.substring(0, 15), 16): the first 15 hex
+      // nibbles are the big-endian first-8-bytes value >>> 4 — computed
+      // straight from the digest bytes (no per-call hex formatting; this
+      // runs once per ROLLING-WINDOW POSITION, ~corpus-length times).
+      // A production CDC uses an O(1) rolling Rabin here; the md5 window
+      // keeps the boundary rule cross-engine-exact for the oracle.
+      def fid(s: String): Long = {
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+          ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      }
+      def chunkIds(s: String): Array[Long] = {
+        if (s.length < AfpCdcW) return Array.empty
+        val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var prev = 0
+        var p = AfpCdcW
+        while (p <= s.length) {
+          if (fid(s.substring(p - AfpCdcW, p)) % AfpCdcD == 0) {
+            ids += fid(s.substring(prev, p)); prev = p
+          }
+          p += 1
+        }
+        if (prev < s.length) ids += fid(s.substring(prev))
+        ids.toArray
+      }
+      it.map { case (id, bytes) =>
+        // m3's walk: locate the data chunk through the RIFF pad rule
+        var stream = ""
+        if (bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE") {
+          var pos = 12
+          var done = false
+          while (!done && pos + 8 <= bytes.length) {
+            val id4 = tag(bytes, pos)
+            val size = le32(bytes, pos + 4).toInt
+            if (id4 == "data") {
+              stream = new String(bytes, pos + 8, math.min(size, bytes.length - pos - 8),
+                java.nio.charset.StandardCharsets.UTF_8)
+              done = true
+            } else pos += 8 + size + (size & 1)
+          }
+        }
+        val cids = chunkIds(stream)
+        val hist = new Array[Long](64)
+        cids.foreach(c => hist((c % 64L).toInt) += 1)
+        val bands = new Array[Long](4)
+        var k = 0
+        while (k < 64) {
+          if (64L * hist(k) > cids.length) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        // the DISTINCT chunk-id set rides along for the verify join —
+        // same pass, so the whole audio path runs off the parsed bytes
+        // (and never re-hashes positions in an interpreted SQL lambda)
+        AFp(id, cids.length.toLong, bands(0), bands(1), bands(2), bands(3),
+          cids.distinct.sorted)
+      }
+    }.toDF().filter(col("n_fr") >= 1).localCheckpoint() // both sides of the self-join
+    val sides = fp.select(col("doc_id"),
+      array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "bv", "band", "v")
+      .filter(col("v") =!= 0L)
+    val fids = fp.select(col("doc_id"), col("fids"),
+      size(col("fids")).cast(LongType).as("n"))
+    val cand = sides.as("x").join(sides.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("aggregate(sequence(0, 3), 0L," +
+          " (acc, i) -> acc + bit_count(x.bv[i] ^ y.bv[i]))").as("hamming"))
+      .distinct()
+    cand
+      .join(fids.select(col("doc_id").as("a_id"), col("fids").as("fa"), col("n").as("na")), "a_id")
+      .join(fids.select(col("doc_id").as("b_id"), col("fids").as("fb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast(LongType))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- M4: video-container plumbing (MP4/ISO-BMFF box walk) ----------------
@@ -4566,5 +4702,6 @@ object PipelineQueries {
     "t4_fingerprint" -> t4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m3_audio_meta" -> m3AudioMeta,
+    "m6_audio_fingerprint" -> m6AudioFingerprint,
     "m4_video_meta" -> m4VideoMeta)
 }

@@ -101,7 +101,8 @@ class PlanSpec extends SparkSpec {
                           "d11" -> PipelineQueries.d11Containment,
                           "d13" -> PipelineQueries.d13DedupEval,
                           "d14" -> PipelineQueries.d14FuzzyJoin,
-                          "m5" -> PipelineQueries.m5ImagePhash)) {
+                          "m5" -> PipelineQueries.m5ImagePhash,
+                          "m6" -> PipelineQueries.m6AudioFingerprint)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
