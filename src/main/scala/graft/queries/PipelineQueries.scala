@@ -522,25 +522,50 @@ object PipelineQueries {
   val d14FuzzyJoin: Q = (spark, dir) => {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    // i = 0 keeps the string itself; i = 1..len deletes char i. (id, vh)
+    // collapse exact duplicates FIRST (standard record-linkage practice —
+    // and the scale guard: on a tier where every name replicates k×, the
+    // neighborhood join otherwise pays k² per bucket while verifying the
+    // SAME string pair k² times): the (len+1)× explode, the candidate
+    // self-join and the levenshtein verify all run once per DISTINCT
+    // name, keyed by a representative id so every downstream shuffle is
+    // an 8-byte long, and id pairs expand from verified NAME pairs at
+    // the end. The expansion is output-sized — the answer itself is
+    // (a dup-replicated tier multiplies true pairs by k², so the sf1
+    // reading is output-BOUND: ~27M id pairs from 262k name pairs).
+    val reps = cust.groupBy(col("name")).agg(min(col("id")).as("rid"))
+      .localCheckpoint() // feeds the explode AND both verify name fetches
+    val rmap = cust.join(reps, "name").select(col("id"), col("rid"))
+      .localCheckpoint() // feeds both expansion fetches AND the exact-dup join
+    // i = 0 keeps the string itself; i = 1..len deletes char i. (rid, vh)
     // dedups the duplicate deletions repeated characters produce.
-    val nb = cust.select(col("id"), col("name"), explode(expr(
+    val nb = reps.select(col("rid"), explode(expr(
         "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 THEN name " +
           "ELSE concat(substring(name, 1, i - 1), substring(name, i + 1)) END)"))
         .as("v"))
-      .select(col("id"), col("name"), xxhash64(col("v")).as("vh"))
+      .select(col("rid"), xxhash64(col("v")).as("vh"))
       .distinct()
       .localCheckpoint() // feeds both sides of the candidate self-join
-    val cand = nb.as("x").join(nb.as("y"),
-        col("x.vh") === col("y.vh") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a_id"), col("x.name").as("a_name"),
-        col("y.id").as("b_id"), col("y.name").as("b_name"))
+    val candR = nb.as("x").join(nb.as("y"),
+        col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("a_rid"), col("y.rid").as("b_rid"))
       .distinct() // a pair can share several members; verify each pair once
-    cand
+      .join(reps.select(col("rid").as("a_rid"), col("name").as("a_name")), "a_rid")
+      .join(reps.select(col("rid").as("b_rid"), col("name").as("b_name")), "b_rid")
       .withColumn("dist", expr("levenshtein(a_name, b_name, 1)"))
       .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
-      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
-      .orderBy(col("a_id"), col("b_id"))
+    // expand verified name pairs to id pairs (disjoint groups — each
+    // unordered pair appears exactly once, canonicalized a_id < b_id) ...
+    val cross = candR
+      .join(rmap.select(col("rid").as("a_rid"), col("id").as("ia")), "a_rid")
+      .join(rmap.select(col("rid").as("b_rid"), col("id").as("ib")), "b_rid")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("dist").cast("long").as("dist"))
+    // ... plus the exact-duplicate pairs (identical names, distance 0):
+    // a rid-keyed self-join over duplicate-group-sized buckets
+    val same = rmap.as("x").join(rmap.as("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"), lit(0L).as("dist"))
+    cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- D15: incremental near-dup admission through the store ---------------
