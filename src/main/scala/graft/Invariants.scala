@@ -378,7 +378,18 @@ object Invariants {
         .localCheckpoint()
       val d15 = PipelineQueries.d15IncrementalNeardup(spark, sfDir)
         .localCheckpoint()
-      val expected = d15.select(col("doc_id"), col("batch"))
+      // batch is recomputed HERE from doc_id + the documents count (the
+      // engine's tercile formula, PipelineQueries d15), never echoed from
+      // d15's own output — at the tiers where the DuckDB oracle doesn't
+      // run, a drifting inBatch assignment must red this gate, not pass
+      // as self-consistent
+      val nDocs = math.max(
+        spark.read.parquet(s"$sfDir/documents.parquet").count(), 1L)
+      val nB = PipelineQueries.D15Batches
+      val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          expr(s"cast(least(${nB - 1}, doc_id * $nB div $nDocs) as int)")
+            .as("batch"))
         .join(oneShot, Seq("doc_id"), "left")
         .select(col("doc_id"), col("batch"),
           col("blocker_id").isNull.as("admitted"),

@@ -225,7 +225,8 @@ object PipelineOracles {
               FROM pairs GROUP BY b_id)
       SELECT d.doc_id,
              CAST(least(${D15Batches - 1},
-                        d.doc_id * $D15Batches // (SELECT n FROM nd)) AS INT) AS batch,
+                        d.doc_id * $D15Batches
+                          // greatest((SELECT n FROM nd), 1)) AS INT) AS batch,
              blk.blocker_id IS NULL AS admitted,
              CAST(coalesce(blk.n_blockers, 0) AS BIGINT) AS n_blockers,
              blk.blocker_id

@@ -2450,6 +2450,14 @@ object PipelineQueries {
             } else pos += 8 + size + (size & 1)
           }
         }
+        // Boundary-rule parity: the rolling window below indexes by Java
+        // UTF-16 code units while the DuckDB oracle's substr counts
+        // codepoints — identical for every BMP string (1 unit = 1
+        // codepoint) and divergent only across surrogate pairs. The
+        // corpus is ASCII; fail loudly on non-BMP input rather than let
+        // chunk boundaries silently drift between engine and oracle.
+        require(!stream.exists(Character.isSurrogate),
+          s"m6: non-BMP text in doc $id — code-unit vs codepoint chunk boundaries would diverge")
         val cids = chunkIds(stream)
         val hist = new Array[Long](64)
         cids.foreach(c => hist((c % 64L).toInt) += 1)
@@ -3004,7 +3012,7 @@ object PipelineQueries {
         docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
         graft.streaming.StreamingIngest.countMinIngest(stream, root, ckpt)
       }
-      graft.incremental.SnapshotStore.read(spark, s"$root/cm_grid").get
+      graft.streaming.StreamingIngest.countMinGrid(spark, root).get
         .localCheckpoint() // materialized before the temp trees are deleted
         .orderBy(col("r"), col("b"))
     } finally {

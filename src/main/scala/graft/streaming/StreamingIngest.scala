@@ -3,7 +3,7 @@ package graft.streaming
 import graft.incremental.SnapshotStore
 import graft.models.EventModels
 import graft.models.EventModels.EventModel
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import java.time.Instant
@@ -184,11 +184,34 @@ object StreamingIngest {
                      checkpointDir: String): StreamingQuery =
     streamingDocs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) => countMinBatch(batch, root) }
+      .foreachBatch { (batch: DataFrame, id: Long) => countMinBatch(batch, root, id) }
       .start()
 
-  /** One micro-batch (or one incremental run) of [[countMinIngest]]. */
-  def countMinBatch(batch: DataFrame, root: String): Unit = {
+  /** One micro-batch (or one incremental run) of [[countMinIngest]].
+    *
+    * The grid is persisted as PER-BATCH DELTAS keyed by
+    * `(batch_id, r, b)`, not as a running sum, so the sketch advances in
+    * ONE store commit. The seen-table only covers source-level
+    * redelivery (the same doc arriving in a LATER batch); a checkpointed
+    * foreachBatch RE-EXECUTION of the same batch — crash after the grid
+    * commit, before the seen commit — replays with `cm_seen` unchanged,
+    * recomputes the identical `fresh` set, and the keyed merge UPSERTS
+    * the same delta rows instead of re-adding them. A replay after both
+    * commits sees `fresh` empty and upserts nothing, leaving the
+    * already-committed delta intact. Either way the additive sketch
+    * never double-counts. The delta merge must run BEFORE the seen
+    * merge: the reverse order would make a mid-crash replay see its own
+    * ids in `cm_seen` and drop the batch (undercount). Readers sum the
+    * deltas cell-wise via [[countMinGrid]] — `+` is the sketch's merge
+    * operator, so the summed grid is bit-identical to the one-shot one.
+    *
+    * `commitSeen = false` is the spec's crash-injection seam: it stops
+    * the batch exactly inside the hazard window (grid committed, seen
+    * not), so `StreamingIngestSpec` can prove the subsequent replay
+    * upserts rather than double-counts. Production callers never pass
+    * it. */
+  def countMinBatch(batch: DataFrame, root: String, batchId: Long,
+                    commitSeen: Boolean = true): Unit = {
     import graft.queries.PipelineQueries
     val spark = batch.sparkSession
     val ids = batch.select(col("doc_id")).distinct()
@@ -198,19 +221,19 @@ object StreamingIngest {
     val toks = batch.join(fresh, Seq("doc_id"), "left_semi")
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
-    val partial = PipelineQueries.cmCells(toks)
-    val merged = SnapshotStore.read(spark, s"$root/cm_grid") match {
-      case Some(g) =>
-        g.select(col("r"), col("b"), col("cell").as("prev"))
-          .join(partial, Seq("r", "b"), "full_outer")
-          .select(col("r"), col("b"),
-            (coalesce(col("prev"), lit(0L)) + coalesce(col("cell"), lit(0L))).as("cell"))
-      case None => partial
-    }
-    val frozen = merged.localCheckpoint() // before the grid merge moves the store
-    SnapshotStore.merge(spark, s"$root/cm_grid", frozen, Seq("r", "b"))
-    SnapshotStore.merge(spark, s"$root/cm_seen", fresh, Seq("doc_id"))
+    val delta = PipelineQueries.cmCells(toks)
+      .withColumn("batch_id", lit(batchId))
+      .select(col("batch_id"), col("r"), col("b"), col("cell"))
+    SnapshotStore.merge(spark, s"$root/cm_grid", delta, Seq("batch_id", "r", "b"))
+    if (commitSeen)
+      SnapshotStore.merge(spark, s"$root/cm_seen", fresh, Seq("doc_id"))
   }
+
+  /** The Count-Min grid as readers consume it: the per-batch deltas
+    * summed cell-wise. None until the first batch commits. */
+  def countMinGrid(spark: SparkSession, root: String): Option[DataFrame] =
+    SnapshotStore.read(spark, s"$root/cm_grid").map(
+      _.groupBy(col("r"), col("b")).agg(sum(col("cell")).as("cell")))
 
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million

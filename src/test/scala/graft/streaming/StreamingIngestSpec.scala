@@ -289,4 +289,32 @@ class StreamingIngestSpec extends SparkSpec {
     }
     assert(spanning > 0, "no matched pair spans micro-batches - gate is vacuous")
   }
+
+  test("count-min commit is idempotent under foreachBatch re-execution " +
+      "(crash between grid and seen commits must not double-count)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-cmcrash").toString
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha alpha epsilon"), (4L, "gamma gamma gamma zeta"),
+      (5L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") <= 2)
+    // batch 1 REDELIVERS doc 2 (source-level replay: the seen-table's job)
+    val b1 = docs.filter(col("doc_id") >= 2)
+    StreamingIngest.countMinBatch(b0, root, 0L)
+    // crash-injection: batch 1 commits its grid delta, dies BEFORE the
+    // seen commit — then the checkpointed sink re-executes the batch
+    StreamingIngest.countMinBatch(b1, root, 1L, commitSeen = false)
+    StreamingIngest.countMinBatch(b1, root, 1L)
+    // and a full post-commit replay (checkpoint not yet advanced)
+    StreamingIngest.countMinBatch(b1, root, 1L)
+    val streamed = StreamingIngest.countMinGrid(spark, root).get
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val oneShot = graft.queries.PipelineQueries.cmCells(
+      docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == oneShot,
+      "replayed batch must upsert its delta, not re-add it")
+  }
 }
