@@ -41,6 +41,10 @@ object Profile {
             q(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             spark.sqlContext.clearCache()
+            // deterministic release (see Bench): dead localCheckpoint
+            // blocks drop NOW, not when the async cleaner gets to them
+            spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = true))
             System.gc() // reap dead localCheckpoints between runs
             sec
           }

@@ -111,17 +111,46 @@ object PipelineOracles {
                                        ORDER BY cos_e6 DESC, vec_id) AS rk
              FROM sa)"""
 
-  /** Shared CTE chain of v20's Lloyd refinement (offset units, HALF_UP
-    * integer means, first-min/lowest-code tie-breaks): `q` → `cb` (the
-    * offset initial codebook literal) → `sub` (8-dim slices) → `a0`
-    * (assignment 0) → `upd` → `cent1` (the trained sub-centroids).
-    * Reused verbatim by v21's serve oracle — one training, no drift.
-    * Requires `e` from [[embCte]] upstream. */
-  private lazy val pqTrainCtes: String = s"""
+  /** The once-per-vector 1e-6 offset quantization (v5's fixed-point
+    * discipline) — `q` (vec_id, u). Requires `e` from [[embCte]]
+    * upstream; shared by every exact-integer training chain. */
+  private lazy val quantCte: String = s"""
       q AS (SELECT vec_id,
                    list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
                                           + ${PipelineQueries.KmOff}) AS u
-            FROM e),
+            FROM e)"""
+
+  /** Shared CTE chain of the COARSE quantizer's Lloyd refinement
+    * (v5's step): `kct` (offset literal seeds) → `ka0` (assignment 0) →
+    * `kupd` → `kcent1` (the trained cells, HALF_UP integer means).
+    * `k`-prefixed so it composes with [[pqTrainCtes]] in one query
+    * (v22 trains BOTH quantizers). Requires [[quantCte]] upstream.
+    * Reused by v5's report and v22's serve — one training, no drift. */
+  private lazy val kmTrainCtes: String = s"""
+      kct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
+        c.map(d => (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
+          .mkString("[", ",", "]")).mkString("[", ",", "]")} AS cq),
+      ka0 AS (SELECT vec_id, u,
+                     CAST(list_position(s, list_min(s)) AS INTEGER) AS cell0
+              FROM (SELECT q.vec_id, q.u,
+                      [list_sum(list_transform(range(1, 65),
+                         i -> (u[i] - cq[k+1][i]) * (u[i] - cq[k+1][i])))
+                       for k in range(0, ${PipelineQueries.IvfCells})] AS s
+                    FROM q, kct) t0),
+      kupd AS (SELECT cell0 AS cell, g.i, sum(u[g.i]) AS su, count(*) AS n
+               FROM ka0, generate_series(1, 64) g(i)
+               GROUP BY 1, 2),
+      kcent1 AS (SELECT cell, list(CAST((2*su + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
+                 FROM kupd GROUP BY cell, n)"""
+
+  /** Shared CTE chain of v20's Lloyd refinement (offset units, HALF_UP
+    * integer means, first-min/lowest-code tie-breaks): `cb` (the offset
+    * initial codebook literal) → `sub` (8-dim slices) → `a0`
+    * (assignment 0) → `upd` → `cent1` (the trained sub-centroids).
+    * Reused verbatim by v21's and v22's serve oracles — one training,
+    * no drift. Requires [[quantCte]] (and therefore [[embCte]])
+    * upstream. */
+  private lazy val pqTrainCtes: String = s"""
       cb AS (SELECT ${PipelineQueries.PqCodebookQ.map(_.map(cs =>
         cs.map(x => (x + PipelineQueries.KmOff).toString).mkString("[", ",", "]"))
         .mkString("[", ",", "]")).mkString("[", ",", "]")} AS c),
@@ -807,29 +836,12 @@ object PipelineOracles {
     // anywhere, so no engine/version rounding policy can enter the hash
     "v5_kmeans" -> s"""
       WITH $embCte,
-      q AS (SELECT vec_id,
-                   list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)
-                                          + ${PipelineQueries.KmOff}) AS u
-            FROM e),
-      ct AS (SELECT ${PipelineQueries.IvfCentroids.map(c =>
-        c.map(d => (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
-          .mkString("[", ",", "]")).mkString("[", ",", "]")} AS cq),
-      a0 AS (SELECT vec_id, u,
-                    CAST(list_position(s, list_min(s)) AS INTEGER) AS cell0
-             FROM (SELECT q.vec_id, q.u,
-                     [list_sum(list_transform(range(1, 65),
-                        i -> (u[i] - cq[k+1][i]) * (u[i] - cq[k+1][i])))
-                      for k in range(0, ${PipelineQueries.IvfCells})] AS s
-                   FROM q, ct) t0),
-      upd AS (SELECT cell0 AS cell, g.i, sum(u[g.i]) AS su, count(*) AS n
-              FROM a0, generate_series(1, 64) g(i)
-              GROUP BY 1, 2),
-      cent1 AS (SELECT cell, list(CAST((2*su + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
-                FROM upd GROUP BY cell, n),
-      s1 AS (SELECT a0.vec_id, a0.cell0, c.cell,
+      $quantCte,
+      $kmTrainCtes,
+      s1 AS (SELECT ka0.vec_id, ka0.cell0, c.cell,
                     list_sum(list_transform(range(1, 65),
-                      i -> (a0.u[i] - c.cent[i]) * (a0.u[i] - c.cent[i]))) AS dist
-             FROM a0, cent1 c),
+                      i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
+             FROM ka0, kcent1 c),
       a1 AS (SELECT vec_id, cell0, cell AS cell1,
                     CAST((dist + 500000) // 1000000 AS BIGINT) AS d2u
              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
@@ -847,6 +859,7 @@ object PipelineOracles {
     // a misaligned code index anywhere in the loop reds the hash
     "v21_trained_pq_serve" -> s"""
       WITH $embCte,
+      $quantCte,
       $pqTrainCtes,
       cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
       dl AS (SELECT s.vec_id, s.m,
@@ -874,6 +887,7 @@ object PipelineOracles {
     // oracle recomputes the Lloyd step itself, not just the report
     "v20_pq_train" -> s"""
       WITH $embCte,
+      $quantCte,
       $pqTrainCtes,
       s1 AS (SELECT a0.vec_id, a0.m, a0.code0, c.code,
                     list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
@@ -888,6 +902,57 @@ object PipelineOracles {
              CAST(sum(CASE WHEN code1 <> code0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
              CAST(sum(d2u) AS BIGINT) AS inertia_u
       FROM a1 GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the FULLY-trained IVF-PQ serving path retrained END-TO-END: the
+    // coarse cells via the kmTrainCtes Lloyd step, the codebook via the
+    // pqTrainCtes step (both shared verbatim with v5/v20/v21 — one
+    // training, no drift), then assign → probe → ADC → rank replayed
+    // declaratively. Candidates come ONLY from each query's IvfProbe
+    // best trained cells, so a probe tie-break or assignment drift in
+    // either engine reds the hash, not just a distance error.
+    "v22_trained_ivf_serve" -> s"""
+      WITH $embCte,
+      $quantCte,
+      $kmTrainCtes,
+      $pqTrainCtes,
+      s1c AS (SELECT ka0.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
+              FROM ka0, kcent1 c),
+      asg AS (SELECT vec_id, cell AS vcell
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell) AS rn FROM s1c)
+              WHERE rn = 1),
+      probe AS (SELECT vec_id AS q_id, cell
+                FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, cell) AS crk
+                      FROM s1c WHERE vec_id < 5)
+                WHERE crk <= ${PipelineQueries.IvfProbe}),
+      cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
+      dl AS (SELECT s.vec_id, s.m,
+                    list_transform(c.cl, cc ->
+                      list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
+             FROM sub s JOIN cents c ON c.m = s.m),
+      co AS (SELECT vec_id, m,
+                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
+             FROM dl),
+      qd AS (SELECT vec_id AS q_id, m, dl FROM dl WHERE vec_id < 5),
+      cand AS (SELECT p.q_id, a.vec_id, a.vcell
+               FROM probe p JOIN asg a ON a.vcell = p.cell
+               WHERE a.vec_id <> p.q_id),
+      contrib AS (SELECT cand.q_id, cand.vec_id, cand.vcell, qd.dl[co.ci] AS dpart
+                  FROM cand
+                  JOIN co ON co.vec_id = cand.vec_id
+                  JOIN qd ON qd.q_id = cand.q_id AND qd.m = co.m),
+      adc AS (SELECT q_id, vec_id, vcell, CAST(sum(dpart) AS BIGINT) AS adc_dist
+              FROM contrib GROUP BY 1, 2, 3),
+      rr AS (SELECT q_id, vec_id, vcell, adc_dist,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_dist, vec_id) AS rk
+             FROM adc)
+      SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
+      WHERE rk <= 5 ORDER BY q_id, rk""",
 
     // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""

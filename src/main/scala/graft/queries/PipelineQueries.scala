@@ -1670,16 +1670,29 @@ object PipelineQueries {
     * and the 1e-6-unit inertia — is pure integer arithmetic, immune to any
     * engine's float-summation order or rounding policy. Ties break to the
     * lowest cell id. */
-  val v5Kmeans: Q = (spark, dir) => {
+  /** Squared L2 distance of the offset-unit vector column `u` to one
+    * quantized centroid, as a single codegen'd higher-order expression. */
+  private def kmCentLit(c: Seq[Long]) =
+    c.mkString("cast(array(", ",", ") as array<bigint>)")
+  private def kmDistExpr(c: Seq[Long]) = expr(
+    s"aggregate(zip_with(u, ${kmCentLit(c)}, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+
+  /** One Lloyd refinement of the COARSE quantizer from the
+    * [[IvfCentroids]] literal seeds, in offset 1e-6 units: returns the
+    * assignment-0 frame (vec_id, u, cell0 — localCheckpointed) and the
+    * surviving (cell, trained centroid) list in ascending cell order.
+    * Shared by v5 (the clustering report) and v22 (serving on the
+    * trained cells) — one training, no drift; the v20/[[pqTrainLloyd]]
+    * discipline applied one level up, to the cell quantizer. The collect
+    * is the per-iteration centroid broadcast, ≤ cells×dims rows. */
+  private def ivfTrainLloyd(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, Seq[Long])]) = {
     def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong + KmOff
-    def cLit(c: Seq[Long]) = c.mkString("cast(array(", ",", ") as array<bigint>)")
-    def distExpr(c: Seq[Long]) = expr(
-      s"aggregate(zip_with(u, ${cLit(c)}, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
     val cq0 = IvfCentroids.map(_.map(quant))
     val a0 = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
-      .withColumn("s", array(cq0.map(distExpr): _*))
+      .withColumn("s", array(cq0.map(kmDistExpr): _*))
       // first-min position = lowest cell id on ties
       .withColumn("cell0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
       .drop("s")
@@ -1699,9 +1712,14 @@ object PipelineQueries {
         rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
         (cell, cent.toSeq)
     }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell id
+    (a0, byCell)
+  }
+
+  val v5Kmeans: Q = (spark, dir) => {
+    val (a0, byCell) = ivfTrainLloyd(spark, dir)
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
-    val centArr = expr(byCell.map { case (_, c) => cLit(c) }.mkString("array(", ",", ")"))
-    a0.withColumn("s1", array(byCell.map { case (_, c) => distExpr(c) }: _*))
+    val centArr = expr(byCell.map { case (_, c) => kmCentLit(c) }.mkString("array(", ",", ")"))
+    a0.withColumn("s1", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
       .withColumn("p", array_position(col("s1"), array_min(col("s1"))).cast(IntegerType))
       .withColumn("cell1", element_at(cellIds, col("p")))
       .withColumn("cent", element_at(centArr, col("p")))
@@ -1824,15 +1842,22 @@ object PipelineQueries {
     * the v5-sanctioned metadata collect. Distances run in OFFSET units
     * (offset-invariant for squared differences), so all arithmetic stays
     * all-positive exact integer. */
-  val v21TrainedPqServe: Q = (spark, dir) => {
-    val (_, byM) = pqTrainLloyd(spark, dir)
-    val distSql = byM.map { case (m, cs) =>
+  /** Per-subspace distance lists of the offset-unit `u` column to a
+    * TRAINED codebook (v20's `byM`), as one nested-array SQL expression:
+    * `dl[m][k]` = squared L2 of subvector m to the k-th surviving
+    * trained sub-centroid. Shared by v21 and v22's serving paths. */
+  private def pqDistSql(byM: Seq[(Int, Seq[(Int, Seq[Long])])]): String =
+    byM.map { case (m, cs) =>
       cs.map { case (_, cent) =>
         s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
            |  cast(array(${cent.mkString(",")}) as array<bigint>),
            |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
       }.mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
+
+  val v21TrainedPqServe: Q = (spark, dir) => {
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    val distSql = pqDistSql(byM)
     val enc = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
@@ -1850,6 +1875,69 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** V22: the FULLY-TRAINED IVF-PQ serving path — no literal quantizer
+    * anywhere between a query and its answer. v21 closed the codebook
+    * loop but still served over the whole corpus (plain ADC); v3/v7/v15/
+    * v18 route through cells but assign against the hard-coded
+    * [[IvfCentroids]]. v22 composes BOTH trainings: the coarse cells are
+    * [[ivfTrainLloyd]]'s one exact-integer Lloyd refinement (v5's step —
+    * the literals survive only as k-means SEEDS, the standard role of an
+    * init), the codebook is [[pqTrainLloyd]]'s (v20), and serving is the
+    * real IVF-PQ read path — assign every vector to its nearest TRAINED
+    * cell, a query probes its [[IvfProbe]] best TRAINED cells, and only
+    * the probed cells' members rank by asymmetric distance over the
+    * TRAINED codebook. The oracle retrains coarse + codebook end-to-end
+    * and replays assign → probe → ADC → rank, so a drifting centroid in
+    * EITHER quantizer, a probe tie-break mismatch, or a misaligned code
+    * index reds the hash.
+    *
+    * Scale shape: three embeddings scans (coarse train, codebook train,
+    * encode) — the phases a real index build pays; both trainings end in
+    * a ≤ cells×dims metadata collect (the sanctioned per-iteration
+    * centroid broadcast); the encode scan computes cell AND codes
+    * map-side in one pass; serving joins the corpus to a BROADCAST
+    * (queries × probe)-sized frame on the cell key, so the candidate
+    * stream is |probed cells| of the corpus — never corpus × queries
+    * (v21's cross join) and never a shuffle of the corpus itself.
+    * Everything is exact integer end-to-end (the v5 argument). */
+  val v22TrainedIvfServe: Q = (spark, dir) => {
+    val (_, byCell) = ivfTrainLloyd(spark, dir)
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
+    val enc = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      // coarse: distances to the TRAINED cells; assignment = first min
+      // (lowest cell id on ties — ivfTrainLloyd's byCell is ascending)
+      .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
+      .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
+      .withColumn("cell", element_at(cellIds, col("p")))
+      // PQ: distance lists + codes on the TRAINED codebook (v21's encode)
+      .withColumn("dl", expr(pqDistSql(byM)))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .drop("u", "p")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    // queries probe their IvfProbe best trained cells (dist, cell) asc
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
+    val probe = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"), posexplode(col("ks")))
+      .toDF("q_id", "dq", "pos", "kdist")
+      .withColumn("cell", element_at(cellIds, col("pos") + 1))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= IvfProbe)
+      .select(col("q_id"), col("cell"), col("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.select(col("vec_id"), col("cell"), col("code"))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -4714,6 +4802,7 @@ object PipelineQueries {
     "v5_kmeans" -> v5Kmeans,
     "v20_pq_train" -> v20PqTrain,
     "v21_trained_pq_serve" -> v21TrainedPqServe,
+    "v22_trained_ivf_serve" -> v22TrainedIvfServe,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

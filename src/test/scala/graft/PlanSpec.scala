@@ -428,6 +428,21 @@ class PlanSpec extends SparkSpec {
       s"v21: serving must cross only the 5-row broadcast ADC frame, got $bnlj nested loops\n${p21.take(1200)}")
   }
 
+  test("v22: fully-trained IVF-PQ serves by broadcast cell EQUI-join — the corpus is never crossed or shuffled") {
+    val p = planOf(graft.queries.PipelineQueries.v22TrainedIvfServe)
+    // the IVF win over v21: candidates come from an equi-join on the cell
+    // key against the broadcast (queries × IvfProbe) frame — if this ever
+    // degrades to a nested loop/cross, serving is back to scanning every
+    // code for every query; if it sort-merges, the corpus index shuffles
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin") &&
+      !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"v22: cell-probe must be a broadcast hash equi-join\n${p.take(1200)}")
+    // corpus + query sides both read the one checkpointed encode pass —
+    // without it the self-join re-runs the double-training scan twice
+    assert(p.contains("Scan ExistingRDD"),
+      s"v22: serving must read the checkpointed encode frame\n${p.take(1200)}")
+  }
+
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.k6CorpusOverlap)
