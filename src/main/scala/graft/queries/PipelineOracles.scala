@@ -286,6 +286,26 @@ object PipelineOracles {
        AND levenshtein(a.c_name, b.c_name) <= 1
       ORDER BY a_id, b_id""",
 
+    // exact ALL-PAIRS Levenshtein ≤ 2 over DISTINCT names — independent
+    // of the engine's 2-deletion-neighborhood blocking, so a dropped
+    // candidate reds the hash. The |len a − len b| ≤ 2 band is implied
+    // by lev ≤ 2 — lossless speedup, not blocking. Name-pair level
+    // (rep ids + group sizes + implied id-pair count) by design: the
+    // k = 2 id expansion is k²-output-bound on replicated tiers.
+    "d14b_fuzzy_join_k2" -> """
+      WITH g AS (SELECT c_name AS name, min(c_custkey) AS rid,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM customer GROUP BY c_name)
+      SELECT a.rid AS a_id, b.rid AS b_id,
+             CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+             a.n AS a_n, b.n AS b_n,
+             CAST(a.n * b.n AS BIGINT) AS n_id_pairs
+      FROM g a JOIN g b
+        ON a.rid < b.rid
+       AND abs(length(a.name) - length(b.name)) <= 2
+       AND levenshtein(a.name, b.name) <= 2
+      ORDER BY a_id, b_id""",
+
     "d11_containment" -> s"""
       WITH $shingleCte
       SELECT a_id, b_id, inter * 1000000 // na AS containment_ppm FROM (

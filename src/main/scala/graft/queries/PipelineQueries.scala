@@ -568,6 +568,87 @@ object PipelineQueries {
     cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
   }
 
+  /** SymSpell match-field bound for [[d14bFuzzyJoinK2]]: deletions are
+    * generated only inside the first [[D14bPrefix]] characters — the
+    * documented SymSpell space/recall dial (neighborhood size is
+    * O(prefix²) instead of O(len²) for long fields). For strings no
+    * longer than the prefix the neighborhood is the FULL 2-deletion set,
+    * so completeness is provable, not statistical (`FuzzyJoinSpec`'s
+    * member-sharing property); the fixture's 18-char names sit well
+    * inside it. */
+  val D14bPrefix = 24
+
+  /** D14 at Levenshtein ≤ 2 — the k = 2 record-linkage tier d14's doc
+    * names (k-deletion neighborhoods over a bounded match-field prefix,
+    * the standard SymSpell generalization). Structural recall: if
+    * lev(a,b) ≤ k, an optimal alignment has s substitutions, d
+    * deletions, i insertions with s+d+i ≤ k; dropping the substituted +
+    * deleted chars from `a` (≤ k deletions) and the substituted +
+    * inserted chars from `b` (≤ k deletions) leaves the SAME string, so
+    * the ≤2-deletion neighborhoods of any true pair intersect — the
+    * equi-join on neighborhood members misses nothing (proved against
+    * all-pairs brute force in `FuzzyJoinSpec`). Precision is the fused
+    * `levenshtein(a, b, 2)` verify, which also kills the hash-collision
+    * and shared-member-but-distance-3/4 candidates.
+    *
+    * Output is NAME-pair level — representative ids, thresholded
+    * distance, both group sizes, and the implied id-pair count — not the
+    * exploded id×id pairs d14 emits at k = 1. That is the deliberate
+    * k = 2 scale choice: on a dup-replicated tier the id expansion is
+    * k²·|name pairs| rows of pure output (d14's sf1 reading is already
+    * output-bound at lev ≤ 1, and lev ≤ 2 has ~20× the name pairs), while
+    * the name-level report — what a linkage pipeline actually persists —
+    * stays |distinct-name pairs|-sized at every tier. The id expansion
+    * remains a trivial keyed join against `rmap`, demonstrated by d14.
+    *
+    * Scale (100 TB): dup-collapse first (all work per DISTINCT name);
+    * the (1 + L + L(L−1)/2)× neighborhood explode is map-only and
+    * members travel as xxhash64 LONGS (the one big shuffle is (rid, 8 B)
+    * rows); candidates dedup before the per-pair verify; the
+    * neighborhood frame is localCheckpoint'ed for its self-join (the
+    * d2/d4 lesson). */
+  val d14bFuzzyJoinK2: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val reps = cust.groupBy(col("name"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("n"))
+      .localCheckpoint() // feeds the explode AND both verify name fetches
+    // match field: the first D14bPrefix chars. L = its length; deletion
+    // position sets S ⊆ {1..L}, |S| ≤ 2. sequence() descends when start >
+    // stop, so the two-deletion block is guarded for L < 2 (and the
+    // single-deletion block for empty names).
+    val nb = reps.select(col("rid"), explode(expr(
+        s"""concat(
+           |  array(name),
+           |  CASE WHEN length(name) >= 1 THEN
+           |    transform(sequence(1, least(length(name), $D14bPrefix)),
+           |      i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))
+           |  ELSE array() END,
+           |  CASE WHEN least(length(name), $D14bPrefix) >= 2 THEN
+           |    flatten(transform(sequence(1, least(length(name), $D14bPrefix) - 1),
+           |      i -> transform(sequence(i + 1, least(length(name), $D14bPrefix)),
+           |        j -> concat(substring(name, 1, i - 1),
+           |                    substring(name, i + 1, j - i - 1),
+           |                    substring(name, j + 1)))))
+           |  ELSE array() END)""".stripMargin)).as("v"))
+      .select(col("rid"), xxhash64(col("v")).as("vh"))
+      .distinct() // repeated chars produce duplicate deletions
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    nb.as("x").join(nb.as("y"),
+        col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid"))
+      .select(col("x.rid").as("a_id"), col("y.rid").as("b_id"))
+      .distinct() // a pair shares many members; verify each pair once
+      .join(reps.select(col("rid").as("a_id"), col("name").as("a_name"),
+        col("n").as("a_n")), "a_id")
+      .join(reps.select(col("rid").as("b_id"), col("name").as("b_name"),
+        col("n").as("b_n")), "b_id")
+      .withColumn("dist", expr("levenshtein(a_name, b_name, 2)"))
+      .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
+        col("a_n"), col("b_n"), (col("a_n") * col("b_n")).as("n_id_pairs"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ---- D15: incremental near-dup admission through the store ---------------
 
   /** Arrival batches the corpus replays as (doc_id-ordered terciles). */
@@ -4792,6 +4873,7 @@ object PipelineQueries {
     "g1_pagerank" -> g1PageRank,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
+    "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,

@@ -101,6 +101,7 @@ class PlanSpec extends SparkSpec {
                           "d11" -> PipelineQueries.d11Containment,
                           "d13" -> PipelineQueries.d13DedupEval,
                           "d14" -> PipelineQueries.d14FuzzyJoin,
+                          "d14b" -> PipelineQueries.d14bFuzzyJoinK2,
                           "m5" -> PipelineQueries.m5ImagePhash,
                           "m6" -> PipelineQueries.m6AudioFingerprint)) {
       val p = planOf(q)
@@ -382,6 +383,9 @@ class PlanSpec extends SparkSpec {
     val p14 = planOf(PipelineQueries.d14FuzzyJoin)
     assert(!p14.contains("Generate"),
       s"d14: deletion-neighborhood explode must stay behind the checkpoint\n${p14.take(1200)}")
+    val p14b = planOf(PipelineQueries.d14bFuzzyJoinK2)
+    assert(!p14b.contains("Generate"),
+      s"d14b: the O(L²) 2-deletion explode must stay behind the checkpoint\n${p14b.take(1200)}")
   }
 
   test("t25: bucket-sized LM tables broadcast, selection is a top-k heap, token explode stays checkpointed") {
