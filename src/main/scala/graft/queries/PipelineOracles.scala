@@ -2079,6 +2079,53 @@ object PipelineOracles {
       SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
       FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
 
+    // the ENTIRE frame-sampled video pipeline replayed from the planted
+    // boxes: the mdat stream is the text by construction (m4's plant),
+    // frames are fixed-stride substr windows, features the same
+    // 15-nibble md5 longs, then m6's hist/band/LSH/verify tail verbatim
+    // — recall is graded, never assumed
+    "m7_video_fingerprint" -> s"""
+      WITH p AS (SELECT doc_id, text AS stream FROM documents
+                 WHERE length(text) >= ${PipelineQueries.M7FrameW}),
+      fh0 AS (SELECT doc_id,
+                     CAST((length(stream) - ${PipelineQueries.M7FrameW})
+                          // ${PipelineQueries.M7FrameHop} + 1 AS BIGINT) AS nf,
+                     [('0x' || substr(md5(substr(stream,
+                          CAST(k * ${PipelineQueries.M7FrameHop} + 1 AS INT),
+                          ${PipelineQueries.M7FrameW})), 1, 15))::BIGINT
+                      for k in range(0, (length(stream) - ${PipelineQueries.M7FrameW})
+                                        // ${PipelineQueries.M7FrameHop} + 1)] AS fidl
+              FROM p),
+      fh AS (SELECT doc_id, nf, unnest(fidl) AS fid FROM fh0),
+      hist AS (SELECT doc_id, nf, fid % 64 AS k, CAST(count(*) AS BIGINT) AS c
+               FROM fh GROUP BY 1, 2, 3),
+      setb AS (SELECT doc_id, k FROM hist WHERE 64 * c > nf),
+      bsum AS (SELECT doc_id, k // 16 AS band,
+                      sum(1::BIGINT << CAST(k % 16 AS INT)) AS v
+               FROM setb GROUP BY doc_id, k // 16),
+      bandv AS (SELECT dd.doc_id, r.band, COALESCE(bsum.v, 0) AS v
+                FROM (SELECT DISTINCT doc_id FROM fh0) dd
+                CROSS JOIN (SELECT range AS band FROM range(0, 4)) r
+                LEFT JOIN bsum ON bsum.doc_id = dd.doc_id AND bsum.band = r.band),
+      bl AS (SELECT doc_id, list(v ORDER BY band) AS bv FROM bandv GROUP BY doc_id),
+      cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+                      CAST(list_sum(list_transform(range(1, 5),
+                        i -> bit_count(xor(x.bv[i], y.bv[i])))) AS BIGINT) AS hamming
+               FROM bl x JOIN bl y ON x.doc_id < y.doc_id
+                 AND ((x.bv[1] = y.bv[1] AND x.bv[1] != 0)
+                      OR (x.bv[2] = y.bv[2] AND x.bv[2] != 0)
+                      OR (x.bv[3] = y.bv[3] AND x.bv[3] != 0)
+                      OR (x.bv[4] = y.bv[4] AND x.bv[4] != 0))),
+      fs AS (SELECT doc_id, list_distinct(list(fid)) AS fids FROM fh GROUP BY doc_id),
+      dn AS (SELECT doc_id, fids, CAST(len(fids) AS BIGINT) AS n FROM fs),
+      j AS (SELECT c.a_id, c.b_id, c.hamming,
+                   CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS inter,
+                   a.n + b.n - CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS uni
+            FROM cand c JOIN dn a ON a.doc_id = c.a_id
+            JOIN dn b ON b.doc_id = c.b_id)
+      SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
+      FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
+
     "m5_image_phash" -> s"""
       WITH $shingleCte,
       d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n

@@ -2686,8 +2686,11 @@ object PipelineQueries {
     * `trak`s wherever they sit. Duration math is integer over PARSED
     * fields; the oracle recomputes the planting formulas, so the hash
     * proves `parse ∘ plant ≡ id` through nested binary structure. */
-  val m4VideoMeta: Q = (spark, dir) => {
-    import spark.implicits._
+  /** m4's ISO-BMFF plant (ftyp / moov[mvhd + 1-3 nested traks] / mdat
+    * carrying the text bytes), big-endian box headers, fully codegen'd.
+    * Shared by m4's meta walk and m7's fingerprint — one plant, no
+    * drift. */
+  private def mp4Payload: Column = {
     def be32(c: Column): Column = unhex(lpad(hex(c.cast(LongType)), 8, "0"))
     val timescale = (lit(600) * (lit(1) + pmod(col("doc_id"), lit(4)))).cast(LongType)
     val durUnits = (col("n_chars") * (lit(1) + pmod(col("doc_id"), lit(3)))).cast(LongType)
@@ -2705,7 +2708,7 @@ object PipelineQueries {
     val mdatPayload = encode(col("text"), "UTF-8")
     val mdat = concat(be32(lit(8) + length(mdatPayload)),
       lit("mdat".getBytes("US-ASCII")), mdatPayload)
-    val payload = concat(ftyp,
+    concat(ftyp,
       be32(moovSize), lit("moov".getBytes("US-ASCII")), mvhd,
       // 1-3 planted traks: concat of conditionally-empty copies keeps the
       // build codegen'd (no higher-order byte lambda)
@@ -2713,8 +2716,12 @@ object PipelineQueries {
       when(nTraks >= 2, trak).otherwise(lit(Array.emptyByteArray)),
       when(nTraks >= 3, trak).otherwise(lit(Array.emptyByteArray)),
       mdat)
+  }
+
+  val m4VideoMeta: Q = (spark, dir) => {
+    import spark.implicits._
     t(spark, dir, "documents")
-      .select(col("doc_id"), payload.as("payload"),
+      .select(col("doc_id"), mp4Payload.as("payload"),
         sha2(encode(col("text"), "UTF-8"), 256).as("sha256_hex"))
       .as[(Long, Array[Byte], String)]
       .mapPartitions { it =>
@@ -2754,6 +2761,124 @@ object PipelineQueries {
       }
       .toDF()
       .orderBy(col("doc_id"))
+  }
+
+  // ---- M7: video perceptual near-dup (frame-sampled fingerprints) ----------
+
+  final case class VFp(doc_id: Long, n_fr: Long,
+                       b0: Long, b1: Long, b2: Long, b3: Long, fids: Seq[Long])
+
+  /** m7's frame sampler: a window every [[M7FrameHop]] stream positions,
+    * [[M7FrameW]] wide — fixed STRIDE, not m2's evenly-spaced division,
+    * so a tail edit leaves every earlier frame's offset (and feature)
+    * intact. The deliberate contrast with m6: fixed-stride sampling is
+    * the standard video practice (sample every Δt) and is robust to
+    * APPEND/tail edits but desyncs after an insertion — m6's CDC is the
+    * shift-robust alternative; together they are both halves of the
+    * fingerprinting trade-off. */
+  val M7FrameHop = 48
+  val M7FrameW = 32
+
+  /** Video near-dup — the third leg of the multimodal dedup triple (m5
+    * image aHash, m6 audio CDC fingerprint): m4's recursive ISO-BMFF box
+    * walk locates the `mdat` stream inside real nested boxes, fixed-
+    * stride frame windows hash to 60-bit md5 features (the m5/m6 grid
+    * stand-in for a pixel decoder — no codec libs ship in this
+    * container), features histogram into 64 buckets, above-mean buckets
+    * set bits, 4×16-bit Hamming-LSH bands generate candidates (zero
+    * bands skipped), and candidates verify with exact Jaccard over each
+    * clip's DISTINCT frame-feature set. Every stage is engine-portable
+    * (md5 buckets, integer thresholds), so the DuckDB oracle replays the
+    * ENTIRE pipeline from the planted boxes — recall is graded, never
+    * assumed.
+    *
+    * Scale shape: fingerprinting is map-only in the scan stage (one box
+    * walk + |stream|/hop md5s per clip — cheaper than m6's per-position
+    * window); the candidate join is a band-bucket equi-join; only
+    * candidate pairs fetch frame sets. */
+  val m7VideoFingerprint: Q = (spark, dir) => {
+    import spark.implicits._
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), mp4Payload.as("payload"))
+      .as[(Long, Array[Byte])]
+    val fp = docs.mapPartitions { it =>
+      def be32(b: Array[Byte], off: Int): Long =
+        ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+          ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+      def tag(b: Array[Byte], off: Int): String =
+        new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      // first 15 hex nibbles of md5 as a long (m6's fid convention)
+      def fid(s: String): Long = {
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+          ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      }
+      it.map { case (id, bytes) =>
+        // m4's walk, fingerprint edition: hop top-level boxes by their
+        // size fields to the mdat (ftyp/moov skipped by size — the same
+        // length-honoring traversal, no offset guessing)
+        var stream = ""
+        var pos = 0
+        while (pos + 8 <= bytes.length) {
+          val size = be32(bytes, pos).toInt
+          if (size < 8 || pos + size > bytes.length) pos = bytes.length
+          else {
+            if (tag(bytes, pos + 4) == "mdat")
+              stream = new String(bytes, pos + 8, size - 8,
+                java.nio.charset.StandardCharsets.UTF_8)
+            pos += size
+          }
+        }
+        // same BMP guard as m6: the stride below walks UTF-16 code units,
+        // the oracle's substr counts codepoints
+        require(!stream.exists(Character.isSurrogate),
+          s"m7: non-BMP text in doc $id — code-unit vs codepoint frame offsets would diverge")
+        val nFr = if (stream.length >= M7FrameW)
+          (stream.length - M7FrameW) / M7FrameHop + 1 else 0
+        val ids = new Array[Long](nFr)
+        var k = 0
+        while (k < nFr) {
+          ids(k) = fid(stream.substring(k * M7FrameHop, k * M7FrameHop + M7FrameW))
+          k += 1
+        }
+        val hist = new Array[Long](64)
+        ids.foreach(c => hist((c % 64L).toInt) += 1)
+        val bands = new Array[Long](4)
+        k = 0
+        while (k < 64) {
+          if (64L * hist(k) > nFr) bands(k / 16) |= 1L << (k % 16)
+          k += 1
+        }
+        VFp(id, nFr.toLong, bands(0), bands(1), bands(2), bands(3),
+          ids.distinct.sorted)
+      }
+    }.toDF().filter(col("n_fr") >= 1).localCheckpoint() // both sides of the self-join
+    val sides = fp.select(col("doc_id"),
+      array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
+      .toDF("doc_id", "bv", "band", "v")
+      .filter(col("v") =!= 0L)
+    val fids = fp.select(col("doc_id"), col("fids"),
+      size(col("fids")).cast(LongType).as("n"))
+    val cand = sides.as("x").join(sides.as("y"),
+        col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        expr("aggregate(sequence(0, 3), 0L," +
+          " (acc, i) -> acc + bit_count(x.bv[i] ^ y.bv[i]))").as("hamming"))
+      .distinct()
+    cand
+      .join(fids.select(col("doc_id").as("a_id"), col("fids").as("fa"), col("n").as("na")), "a_id")
+      .join(fids.select(col("doc_id").as("b_id"), col("fids").as("fb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast(LongType))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select(col("a_id"), col("b_id"), col("hamming"),
+        expr("inter * 1000000 div uni").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- M2: frame sampling (one row per sampled frame) ----------------------
@@ -4907,5 +5032,6 @@ object PipelineQueries {
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m3_audio_meta" -> m3AudioMeta,
     "m6_audio_fingerprint" -> m6AudioFingerprint,
-    "m4_video_meta" -> m4VideoMeta)
+    "m4_video_meta" -> m4VideoMeta,
+    "m7_video_fingerprint" -> m7VideoFingerprint)
 }

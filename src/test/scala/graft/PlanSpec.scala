@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
                           "d14" -> PipelineQueries.d14FuzzyJoin,
                           "d14b" -> PipelineQueries.d14bFuzzyJoinK2,
                           "m5" -> PipelineQueries.m5ImagePhash,
-                          "m6" -> PipelineQueries.m6AudioFingerprint)) {
+                          "m6" -> PipelineQueries.m6AudioFingerprint,
+                          "m7" -> PipelineQueries.m7VideoFingerprint)) {
       val p = planOf(q)
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
         s"$name candidate generation must stay a bucket equi-join\n${p.take(1200)}")
