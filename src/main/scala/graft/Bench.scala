@@ -41,7 +41,10 @@ object Bench {
     // (show_tvl_incremental), a double store bootstrap (bucketed_join),
     // and three-replay incremental state machines
     "dag_show_tvl_incremental", "dag_bucketed_join",
-    "d15_incremental_neardup", "k7s_stream_sketch", "d17_incremental_cut")
+    "d15_incremental_neardup", "k7s_stream_sketch", "d17_incremental_cut",
+    // round 11: admission run + store DELETE + bounded re-admission —
+    // five store commits on tiny fixtures
+    "d18_delete_readmission")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

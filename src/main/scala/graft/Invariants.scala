@@ -400,6 +400,44 @@ object Invariants {
       }
     }
 
+    // ---- d18: delete-aware admission ≡ declarative recompute over survivors
+    // (same reason as d15: the DuckDB oracle embeds the all-pairs join,
+    // so past sf0.1 the delete+readmit protocol is gated HERE against
+    // the one-shot d2 pair list — pure-Spark except-equivalence)
+    {
+      val mod = PipelineQueries.D18RetireMod
+      val rem = PipelineQueries.D18RetireRem
+      val pairs = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val d18 = PipelineQueries.d18DeleteReadmission(spark, sfDir)
+        .localCheckpoint()
+      val blkS = pairs
+        .filter(pmod(col("a_id"), lit(mod)) =!= rem &&
+          pmod(col("b_id"), lit(mod)) =!= rem)
+        .groupBy(col("b_id").as("doc_id"))
+        .agg(min(col("a_id")).as("blocker_id"),
+          count(lit(1)).cast("long").as("nb"))
+      val blkF = pairs.select(col("b_id").as("doc_id"))
+        .distinct().withColumn("was_blocked", lit(true))
+      val expected = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(mod)) =!= rem)
+        .join(blkS, Seq("doc_id"), "left")
+        .join(blkF, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("blocker_id").isNull.as("admitted"),
+          coalesce(col("nb"), lit(0L)).as("n_blockers"),
+          col("blocker_id"),
+          (coalesce(col("was_blocked"), lit(false)) &&
+            col("blocker_id").isNull).as("readmitted"))
+      check("d18: equals declarative recompute over survivors (except-empty both ways)") {
+        d18.except(expected).isEmpty && expected.except(d18).isEmpty
+      }
+      check("d18: the retirement actually un-blocks docs (non-vacuous)") {
+        d18.filter(col("readmitted")).limit(1).count() > 0
+      }
+    }
+
     // ---- d16: the cut recomposes from d8's measures ----
     {
       val d16 = PipelineQueries.d16SubstringCut(spark, sfDir).localCheckpoint()

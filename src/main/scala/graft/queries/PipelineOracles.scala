@@ -262,6 +262,36 @@ object PipelineOracles {
       FROM documents d LEFT JOIN blk ON blk.b_id = d.doc_id
       ORDER BY d.doc_id""",
 
+    // delete-aware admission graded DECLARATIVELY end-to-end: admitted ⇔
+    // no verified near-dup among SURVIVING smaller docs; readmitted ⇔
+    // blocked in the full corpus but admitted among survivors. The
+    // engine's store DELETE + bounded re-admission protocol must land on
+    // exactly this — no replay of the state machine anywhere.
+    "d18_delete_readmission" -> s"""
+      WITH $shingleCte,
+      pairs AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+          AND 2 * len(list_intersect(a.sh, b.sh))
+              >= len(list_distinct(list_concat(a.sh, b.sh)))),
+      blks AS (SELECT b_id, min(a_id) AS blocker_id, count(*) AS n_blockers
+               FROM pairs
+               WHERE a_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem}
+                 AND b_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem}
+               GROUP BY b_id),
+      blkf AS (SELECT DISTINCT b_id FROM pairs)
+      SELECT d.doc_id,
+             blks.blocker_id IS NULL AS admitted,
+             CAST(coalesce(blks.n_blockers, 0) AS BIGINT) AS n_blockers,
+             blks.blocker_id,
+             (blkf.b_id IS NOT NULL AND blks.blocker_id IS NULL) AS readmitted
+      FROM documents d
+      LEFT JOIN blks ON blks.b_id = d.doc_id
+      LEFT JOIN blkf ON blkf.b_id = d.doc_id
+      WHERE d.doc_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem}
+      ORDER BY d.doc_id""",
+
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
     // lossless for containment >= t, so no candidate logic is mirrored)

@@ -676,10 +676,17 @@ object PipelineQueries {
     * discipline). State is ~17 rows/doc (16 band longs + 1 shingle array)
     * — at 10¹⁰ docs a bucketable, incrementally-merged table, never
     * recomputed. */
-  val d15IncrementalNeardup: Q = (spark, dir) => {
+  /** The [[D15Batches]]-batch admission state machine (d15's body):
+    * replays the corpus as doc_id-ordered terciles through the
+    * bucket/shingle state tables under `root` and returns one
+    * `(doc_id, batch, admitted, n_blockers, blocker_id)` row per doc
+    * (each batch's frame checkpointed before its merges). Shared by d15
+    * (the admission report) and d18 (which then RETIRES docs and
+    * re-admits their rejects) — one state machine, no drift. The caller
+    * owns `root`. */
+  private def admissionRun(spark: SparkSession, dir: String, root: String): DataFrame = {
     import graft.incremental.{Manifest, SnapshotStore}
-    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
-    try {
+    {
       val sh = shingled(spark, dir)
         .select(col("doc_id"), col("ids"), size(col("ids")).as("n"))
         .localCheckpoint()
@@ -737,7 +744,108 @@ object PipelineQueries {
           bucketBy = Some(Manifest.Buckets(8, Seq("doc_id"), Seq("doc_id"))))
         result
       }
-      perBatch.reduce(_ unionByName _).orderBy(col("doc_id"))
+      perBatch.reduce(_ unionByName _)
+    }
+  }
+
+  val d15IncrementalNeardup: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    try admissionRun(spark, dir, root).orderBy(col("doc_id"))
+    finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---- D18: delete-aware admission (retirement un-blocks rejects) ----------
+
+  /** Docs retired after the admission run: every 7th by id — enough
+    * overlap with the planted near-dup clusters that retirements
+    * actually un-block rejects (graded, not assumed: the oracle computes
+    * readmissions declaratively). */
+  val D18RetireMod = 7
+  val D18RetireRem = 3
+
+  /** The non-monotone incremental class for the SIMILARITY ladder —
+    * d17 proved retroactive invalidation for substring dedup; d18 is
+    * the analogous hazard for d15's admission under DELETION: when a
+    * doc is retired (takedown/GDPR), the docs it was blocking must be
+    * RE-ADMITTED unless some other surviving smaller near-dup still
+    * blocks them. Flow: d15's three-batch admission state machine
+    * ([[admissionRun]] — shared, no drift), then a store-level
+    * row-DELETE of the retired docs from BOTH state tables (the same
+    * `SnapshotStore.delete` the retention gate drives), then a BOUNDED
+    * re-admission pass: a blocked survivor needs re-checking only if it
+    * shares a band bucket with a retired doc (every blocker pair shares
+    * a bucket, so the affected set provably covers every doc whose
+    * blocker list changed — d17's bounded-recompute argument); affected
+    * docs re-verify against the SURVIVING state only, unaffected rows
+    * carry over untouched.
+    *
+    * The final report is declarative — admitted ⇔ no surviving smaller
+    * verified near-dup — so the DuckDB oracle grades the whole
+    * delete+readmit protocol from the corpus alone, including the
+    * `readmitted` flag (blocked in the full corpus, admitted among
+    * survivors).
+    *
+    * Scale shape: the DELETE rewrites only matching partitions
+    * (hard-link carry elsewhere); the affected-set probe and the
+    * re-verify are equi-joins sized by |retired docs' buckets|, never a
+    * state self-join; at 10¹⁰ docs a takedown batch costs
+    * O(retired + affected), not O(corpus). */
+  val d18DeleteReadmission: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-readmit").toString
+    try {
+      val retireP = pmod(col("doc_id"), lit(D18RetireMod)) === D18RetireRem
+      val pre = admissionRun(spark, dir, root).localCheckpoint()
+      // capture the retiring docs' bucket rows BEFORE the delete — the
+      // affected-set probe needs them, and reading them now costs one
+      // bucket-pruned store read (doc_id is a cluster key)
+      val retiredBk = SnapshotStore.read(spark, s"$root/buckets").get
+        .filter(retireP).localCheckpoint()
+      SnapshotStore.delete(spark, s"$root/buckets", retireP)
+      SnapshotStore.delete(spark, s"$root/shingles", retireP)
+      val survBk = SnapshotStore.read(spark, s"$root/buckets").get
+      val survSh = SnapshotStore.read(spark, s"$root/shingles").get
+        .select(col("doc_id"), col("ids"), col("n"))
+      // affected = blocked survivors sharing ANY band bucket with a
+      // retired doc (⊇ docs with a retired blocker: blocker pairs share
+      // a bucket by construction)
+      val blockedIds = pre.filter(!col("admitted") && !retireP)
+        .select(col("doc_id"))
+      val affected = survBk.join(blockedIds, Seq("doc_id"), "left_semi")
+        .as("x").join(retiredBk.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id")).distinct().localCheckpoint() // probe + carry-over split
+      // re-verify affected docs against the SURVIVING state only
+      val affBk = survBk.join(affected, Seq("doc_id"), "left_semi")
+      val cand = survBk.as("x").join(affBk.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val aSh = survSh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+      val bSh = survSh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+      val blocked2 = cand.join(aSh, "a_id").join(bSh, "b_id")
+        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+        .withColumn("uni", col("na") + col("nb") - col("inter"))
+        .filter(lit(2) * col("inter") >= col("uni"))
+        .groupBy(col("b_id"))
+        .agg(min(col("a_id")).as("blocker_id"),
+          count(lit(1)).cast(LongType).as("n_blockers"))
+      val recomputed = affected
+        .join(blocked2, col("doc_id") === col("b_id"), "left")
+        .select(col("doc_id"),
+          col("blocker_id").isNull.as("admitted"),
+          coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
+          col("blocker_id"),
+          col("blocker_id").isNull.as("readmitted")) // all affected were blocked
+      val carried = pre.filter(!retireP)
+        .join(affected, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("admitted"), col("n_blockers"),
+          col("blocker_id"), lit(false).as("readmitted"))
+      carried.unionByName(recomputed)
+        .localCheckpoint() // materialized before the temp store tree dies
+        .orderBy(col("doc_id"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
@@ -4985,6 +5093,7 @@ object PipelineQueries {
     "d17_incremental_cut" -> d17IncrementalCut,
     "d9_incremental_dedup" -> d9IncrementalDedup,
     "d15_incremental_neardup" -> d15IncrementalNeardup,
+    "d18_delete_readmission" -> d18DeleteReadmission,
     "d2_minhash_lsh" -> d2MinhashLsh,
     "d3_simhash" -> d3Simhash,
     "d13_dedup_eval" -> d13DedupEval,
