@@ -2112,8 +2112,9 @@ object PipelineOracles {
     // the ENTIRE frame-sampled video pipeline replayed from the planted
     // boxes: the mdat stream is the text by construction (m4's plant),
     // frames are fixed-stride substr windows, features the same
-    // 15-nibble md5 longs, then m6's hist/band/LSH/verify tail verbatim
-    // — recall is graded, never assumed
+    // 15-nibble md5 longs, then the dual candidate channel (bands gated
+    // at bit_count >= 2 + the small-clip exact-frame join) and the
+    // Jaccard verify — recall is graded, never assumed
     "m7_video_fingerprint" -> s"""
       WITH p AS (SELECT doc_id, text AS stream FROM documents
                  WHERE length(text) >= ${PipelineQueries.M7FrameW}),
@@ -2138,20 +2139,28 @@ object PipelineOracles {
                 CROSS JOIN (SELECT range AS band FROM range(0, 4)) r
                 LEFT JOIN bsum ON bsum.doc_id = dd.doc_id AND bsum.band = r.band),
       bl AS (SELECT doc_id, list(v ORDER BY band) AS bv FROM bandv GROUP BY doc_id),
-      cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-                      CAST(list_sum(list_transform(range(1, 5),
-                        i -> bit_count(xor(x.bv[i], y.bv[i])))) AS BIGINT) AS hamming
-               FROM bl x JOIN bl y ON x.doc_id < y.doc_id
-                 AND ((x.bv[1] = y.bv[1] AND x.bv[1] != 0)
-                      OR (x.bv[2] = y.bv[2] AND x.bv[2] != 0)
-                      OR (x.bv[3] = y.bv[3] AND x.bv[3] != 0)
-                      OR (x.bv[4] = y.bv[4] AND x.bv[4] != 0))),
       fs AS (SELECT doc_id, list_distinct(list(fid)) AS fids FROM fh GROUP BY doc_id),
       dn AS (SELECT doc_id, fids, CAST(len(fids) AS BIGINT) AS n FROM fs),
+      canda AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM bl x JOIN bl y ON x.doc_id < y.doc_id
+                  AND ((x.bv[1] = y.bv[1] AND bit_count(x.bv[1]) >= 2)
+                       OR (x.bv[2] = y.bv[2] AND bit_count(x.bv[2]) >= 2)
+                       OR (x.bv[3] = y.bv[3] AND bit_count(x.bv[3]) >= 2)
+                       OR (x.bv[4] = y.bv[4] AND bit_count(x.bv[4]) >= 2))),
+      sm AS (SELECT doc_id, unnest(fids) AS fid FROM dn
+             WHERE n <= ${PipelineQueries.M7SmallMax}),
+      candb AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                FROM sm x JOIN sm y ON x.fid = y.fid AND x.doc_id < y.doc_id),
+      cand AS (SELECT a_id, b_id FROM canda UNION SELECT a_id, b_id FROM candb),
+      ch AS (SELECT c.a_id, c.b_id,
+                    CAST(list_sum(list_transform(range(1, 5),
+                      i -> bit_count(xor(x.bv[i], y.bv[i])))) AS BIGINT) AS hamming
+             FROM cand c JOIN bl x ON x.doc_id = c.a_id
+             JOIN bl y ON y.doc_id = c.b_id),
       j AS (SELECT c.a_id, c.b_id, c.hamming,
                    CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS inter,
                    a.n + b.n - CAST(len(list_intersect(a.fids, b.fids)) AS BIGINT) AS uni
-            FROM cand c JOIN dn a ON a.doc_id = c.a_id
+            FROM ch c JOIN dn a ON a.doc_id = c.a_id
             JOIN dn b ON b.doc_id = c.b_id)
       SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
       FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",

@@ -2886,6 +2886,12 @@ object PipelineQueries {
     * fingerprinting trade-off. */
   val M7FrameHop = 48
   val M7FrameW = 32
+  /** Small-clip cutoff for the exact-frame candidate channel: a J ≥ ½
+    * pair whose smaller side has n ≤ [[M7SmallMax]] distinct frames
+    * must share ≥ ⌈uni/2⌉ ≥ 1 exact frame id (2·min ≥ max ⇒ inter ≥ 1),
+    * so joining small clips on shared fid is COMPLETE for that class —
+    * the class band patterns are too sparse to witness. */
+  val M7SmallMax = 4
 
   /** Video near-dup — the third leg of the multimodal dedup triple (m5
     * image aHash, m6 audio CDC fingerprint): m4's recursive ISO-BMFF box
@@ -2893,20 +2899,47 @@ object PipelineQueries {
     * stride frame windows hash to 60-bit md5 features (the m5/m6 grid
     * stand-in for a pixel decoder — no codec libs ship in this
     * container), features histogram into 64 buckets, above-mean buckets
-    * set bits, 4×16-bit Hamming-LSH bands generate candidates (zero
-    * bands skipped), and candidates verify with exact Jaccard over each
-    * clip's DISTINCT frame-feature set. Every stage is engine-portable
-    * (md5 buckets, integer thresholds), so the DuckDB oracle replays the
-    * ENTIRE pipeline from the planted boxes — recall is graded, never
-    * assumed.
+    * set bits, and candidates come from TWO exact channels — 4×16-bit
+    * Hamming-LSH bands gated at bit_count ≥ 2 (a 1-bit band is a single
+    * bucket, not a pattern; ungated it cross-pairs sparse clips
+    * quadratically), plus an exact-shared-frame join for small clips
+    * (≤ [[M7SmallMax]] distinct frames), which is provably complete for
+    * that class at J ≥ ½ — then candidates verify with exact Jaccard
+    * over each clip's DISTINCT frame-feature set. Every stage is
+    * engine-portable (md5 buckets, integer thresholds, popcounts), so
+    * the DuckDB oracle replays the ENTIRE pipeline from the planted
+    * boxes — recall is graded, never assumed.
     *
     * Scale shape: fingerprinting is map-only in the scan stage (one box
     * walk + |stream|/hop md5s per clip — cheaper than m6's per-position
     * window); the candidate join is a band-bucket equi-join; only
-    * candidate pairs fetch frame sets. */
+    * candidate pairs fetch frame sets. Exact duplicates COLLAPSE FIRST
+    * (d14's discipline — the fingerprint is a pure function of the mdat
+    * stream, i.e. the text): on a clone-replicated tier every stage
+    * from the box walk to the verify runs once per DISTINCT clip, and
+    * id pairs expand from verified rep pairs at the end — the k² term
+    * pays output size, not walk/verify work (the sf1 sweep read 30 s
+    * pre-collapse: candidate pairs grow quadratically in the clone
+    * factor). Intra-group pairs (identical clips) emit hamming 0 /
+    * Jaccard 1e6 directly — exactly what the per-id pipeline computed
+    * for them — and only for groups whose rep carries a nonzero band,
+    * matching the banded path's no-signal exclusion. */
   val m7VideoFingerprint: Q = (spark, dir) => {
     import spark.implicits._
-    val docs = fanOut(spark, t(spark, dir, "documents"))
+    val keyed = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("n_chars"),
+        md5(col("text")).as("tkey"))
+    val reps = keyed.groupBy(col("tkey"))
+      .agg(min_by(struct(col("doc_id"), col("text"), col("n_chars")),
+        col("doc_id")).as("r"))
+      .select(col("tkey"), col("r.doc_id").as("doc_id"),
+        col("r.text").as("text"), col("r.n_chars").as("n_chars"))
+      .localCheckpoint() // feeds the fingerprint scan AND the rid map
+    val rmap = keyed.select(col("doc_id"), col("tkey"))
+      .join(reps.select(col("tkey"), col("doc_id").as("rid")), "tkey")
+      .select(col("doc_id"), col("rid"))
+      .localCheckpoint() // both expansion fetches + the intra self-join
+    val docs = fanOut(spark, reps)
       .select(col("doc_id"), mp4Payload.as("payload"))
       .as[(Long, Array[Byte])]
     val fp = docs.mapPartitions { it =>
@@ -2964,29 +2997,70 @@ object PipelineQueries {
           ids.distinct.sorted)
       }
     }.toDF().filter(col("n_fr") >= 1).localCheckpoint() // both sides of the self-join
+    // Channel A — banded Hamming-LSH, but a band is a match witness
+    // only when it carries a PATTERN: bit_count(v) >= 2. A 1-bit band
+    // is a single bucket, and sparse clips sharing one hot bucket
+    // cross-pair quadratically (measured 22M candidate pairs at sf1,
+    // 2.7M with the popcount gate — the same class of blowup the
+    // zero-band skip removes, one bit further).
     val sides = fp.select(col("doc_id"),
       array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"),
       posexplode(array(col("b0"), col("b1"), col("b2"), col("b3"))))
       .toDF("doc_id", "bv", "band", "v")
-      .filter(col("v") =!= 0L)
+      .filter(expr("bit_count(v)") >= 2)
     val fids = fp.select(col("doc_id"), col("fids"),
       size(col("fids")).cast(LongType).as("n"))
-    val cand = sides.as("x").join(sides.as("y"),
+    val candA = sides.as("x").join(sides.as("y"),
         col("x.band") === col("y.band") && col("x.v") === col("y.v") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        expr("aggregate(sequence(0, 3), 0L," +
-          " (acc, i) -> acc + bit_count(x.bv[i] ^ y.bv[i]))").as("hamming"))
-      .distinct()
-    cand
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    // Channel B — the sparse clips the popcount gate excludes: for a
+    // J >= 1/2 pair whose smaller side has n <= M7SmallMax distinct
+    // frames, 2*min >= max forces >= 1 EXACT shared frame id, so the
+    // small-small join on fid is complete for that class (see
+    // M7SmallMax). Small side is tiny, fid values are 60-bit hashes —
+    // the join output is true-shared-frame pairs, never a cross.
+    val small = fids.filter(col("n") <= M7SmallMax)
+      .select(col("doc_id"), explode(col("fids")).as("fid"))
+    val candB = small.as("x").join(small.as("y"),
+        col("x.fid") === col("y.fid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+    val cand = candA.unionByName(candB).distinct()
+    val bvOf = fp.select(col("doc_id"),
+      array(col("b0"), col("b1"), col("b2"), col("b3")).as("bv"))
+    val repPairs = cand
+      .join(bvOf.select(col("doc_id").as("a_id"), col("bv").as("bva")), "a_id")
+      .join(bvOf.select(col("doc_id").as("b_id"), col("bv").as("bvb")), "b_id")
+      .withColumn("hamming", expr("aggregate(sequence(0, 3), 0L," +
+        " (acc, i) -> acc + bit_count(bva[i] ^ bvb[i]))"))
       .join(fids.select(col("doc_id").as("a_id"), col("fids").as("fa"), col("n").as("na")), "a_id")
       .join(fids.select(col("doc_id").as("b_id"), col("fids").as("fb"), col("n").as("nb")), "b_id")
       .withColumn("inter", size(array_intersect(col("fa"), col("fb"))).cast(LongType))
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(lit(2) * col("inter") >= col("uni"))
-      .select(col("a_id"), col("b_id"), col("hamming"),
+      .select(col("a_id").as("a_rid"), col("b_id").as("b_rid"), col("hamming"),
         expr("inter * 1000000 div uni").as("jaccard_ppm"))
-      .orderBy(col("a_id"), col("b_id"))
+    // expand verified rep pairs to id pairs (disjoint groups — each
+    // unordered pair appears exactly once; hamming/Jaccard are symmetric
+    // so the least/greatest canonicalization changes nothing) ...
+    val cross = repPairs
+      .join(rmap.select(col("rid").as("a_rid"), col("doc_id").as("ia")), "a_rid")
+      .join(rmap.select(col("rid").as("b_rid"), col("doc_id").as("ib")), "b_rid")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        col("hamming"), col("jaccard_ppm"))
+    // ... plus the identical-clip pairs within each group whose rep is
+    // reachable by EITHER candidate channel (a ≥2-bit band pattern, or
+    // small enough for the exact-frame join) — the same gate a same-
+    // fingerprint pair of distinct docs passes
+    val active = rmap.join(
+      sides.select(col("doc_id")).unionByName(small.select(col("doc_id")))
+        .distinct().withColumnRenamed("doc_id", "rid"), Seq("rid"), "left_semi")
+    val intra = active.as("x").join(active.as("y"),
+        col("x.rid") === col("y.rid") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        lit(0L).as("hamming"), lit(1000000L).as("jaccard_ppm"))
+    cross.unionByName(intra).orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- M2: frame sampling (one row per sampled frame) ----------------------
