@@ -491,9 +491,15 @@ object PipelineOracles {
              FROM docs),
       g AS (SELECT DISTINCT source, md5(s) AS sdig FROM g0),
       sz AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source),
+      gb AS (SELECT source,
+                    ('0x' || substr(sdig, 1, 12))::BIGINT
+                      % ${PipelineQueries.OverlapP} AS base
+             FROM g),
       mins AS (SELECT source, i,
-                      MIN(md5(CAST(i AS VARCHAR) || ':' || sdig)) AS h
-               FROM g CROSS JOIN (SELECT unnest(range(0, ${PipelineQueries.OverlapSlots})) AS i) s
+                      MIN((((i + 1) * 2654435761 % ${PipelineQueries.OverlapP}) * base
+                           + (i * 1013904223 + 12345) % ${PipelineQueries.OverlapP})
+                          % ${PipelineQueries.OverlapP}) AS h
+               FROM gb CROSS JOIN (SELECT unnest(range(0, ${PipelineQueries.OverlapSlots})) AS i) s
                GROUP BY source, i),
       km AS (SELECT a.source AS src_a, b.source AS src_b,
                     COUNT(*) FILTER (WHERE a.h = b.h) AS k_matched

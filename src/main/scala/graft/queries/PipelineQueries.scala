@@ -3592,12 +3592,18 @@ object PipelineQueries {
     * emitted column is an integer (ppm via integer div) — no float ever
     * touches the hashed surface.
     *
-    * Slot hashes are md5 over a slot-prefixed digest with LEXICOGRAPHIC
-    * min — the cross-engine-recomputable recipe t4's winnowing
-    * fingerprint established, so DuckDB reproduces the sketch
-    * bit-for-bit (unlike d2's xxhash signatures, which only Spark can
-    * compute and whose oracle therefore grades the exact pairs instead). */
+    * Slot hashes are k1's affine family over ONE 48-bit parse of the
+    * digest (itself an md5): slot_i = (a_i·base + b_i) mod 2³¹−1, each a
+    * permutation of Z_p, integer min per slot — cross-engine-exact like
+    * the previous md5-per-slot recipe (DuckDB reproduces the sketch
+    * bit-for-bit; unlike d2's xxhash signatures, which only Spark can
+    * compute and whose oracle therefore grades the exact pairs instead)
+    * but K× cheaper: the md5 recipe burned K·|digests| md5 calls (160M
+    * at sf1) where the affine family pays pure integer arithmetic. */
   val OverlapSlots = 32
+  /** Mersenne prime 2^31−1 — modulus of k6's affine slot-hash family
+    * (k1's recipe applied to the overlap signature). */
+  val OverlapP = 2147483647L
 
   val k6CorpusOverlap: Q = (spark, dir) => {
     // per-source DISTINCT shingle sets, digest identity: equality classes
@@ -3613,9 +3619,23 @@ object PipelineQueries {
       .distinct()
       .localCheckpoint() // feeds sizes + signature + both join sides (see d2)
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    // K-slot MinHash signature via ONE base value + K affine permutations
+    // of Z_p (k1's family — multiplier (i+1)·2654435761 mod p is nonzero,
+    // so each map is a permutation). sdig IS an md5 hex string already,
+    // so the base is a 48-bit substring parse and the K slots are pure
+    // integer arithmetic — the previous md5-per-slot recipe burned
+    // K×|digests| md5 calls (160M at sf1) for the same cross-engine
+    // exactness the affine family gives for free.
+    val withBase = sh.withColumn("ovh",
+      expr(s"cast(conv(substring(sdig, 1, 12), 16, 10) as bigint) % ${OverlapP}L"))
+    def slotExpr(i: Int): String = {
+      val a = ((i + 1).toLong * 2654435761L) % OverlapP
+      val b = (i.toLong * 1013904223L + 12345L) % OverlapP
+      s"(${a}L * ovh + ${b}L) % ${OverlapP}L"
+    }
     val minAggs = (0 until OverlapSlots).map(i =>
-      min(md5(concat(lit(s"$i:"), col("sdig")))).as(s"h$i"))
-    val sig = sh.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
+      min(expr(slotExpr(i))).as(s"h$i"))
+    val sig = withBase.groupBy(col("source")).agg(minAggs.head, minAggs.tail: _*)
       .select(col("source"),
         array((0 until OverlapSlots).map(i => col(s"h$i")): _*).as("sig"))
     val inter = sh.as("x")
