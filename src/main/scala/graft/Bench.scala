@@ -43,8 +43,9 @@ object Bench {
     "dag_show_tvl_incremental", "dag_bucketed_join",
     "d15_incremental_neardup", "k7s_stream_sketch", "d17_incremental_cut",
     // round 11: admission run + store DELETE + bounded re-admission —
-    // five store commits on tiny fixtures
-    "d18_delete_readmission")
+    // five store commits on tiny fixtures; and the persisted trained
+    // index (double training + two store merges per run)
+    "d18_delete_readmission", "v23_persisted_trained_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2130,6 +2130,76 @@ object PipelineQueries {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** V23: v22's fully-trained index PERSISTED through the snapshot
+    * store — the last literal retired from a PERSISTED serving path
+    * (v15/v18 persist the literal-quantizer index; v22 serves trained
+    * but rebuilds per run). Train coarse + codebook, then the index
+    * rows `(vec_id, cell, code)` — ~12 B/vector, the RAM-resident tier
+    * at 10⁹ vectors — MERGE through the store in two batches with a
+    * redelivered overlap (v15's at-least-once discipline: the keyed
+    * merge must swallow the replay), and SERVING READS ONLY THE
+    * PERSISTED TABLE: the query side recomputes its own probe cells and
+    * ADC table from its raw vector against the TRAINED
+    * collected-centroid literals — exactly what a serving node holds —
+    * and candidates come from the broadcast cell equi-join. The result
+    * must hash-match v22's per-run-rebuild oracle VERBATIM: a
+    * mis-merged row, a dropped overlap or any train/serve drift through
+    * the persistence boundary reds the hash.
+    *
+    * Scale shape: v22's serving plan over a store read; the index build
+    * is incremental (each batch encodes only itself — the corpus is
+    * never re-encoded), so the nightly refresh costs O(new vectors).
+    * v18's partition-by-cell + DPP layout applies orthogonally. */
+  val v23PersistedTrainedIvf: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-tidx").toString
+    try {
+      val (_, byCell) = ivfTrainLloyd(spark, dir)
+      val (_, byM) = pqTrainLloyd(spark, dir)
+      val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
+      def withTrained(src: DataFrame): DataFrame = src
+        .select(col("vec_id"), expr(
+          s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+        .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
+        .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
+        .withColumn("cell", element_at(cellIds, col("p")))
+        .withColumn("dl", expr(pqDistSql(byM)))
+        .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      val emb = fanOut(spark, t(spark, dir, "embeddings"))
+      def enc(src: DataFrame) =
+        withTrained(src).select(col("vec_id"), col("cell"), col("code"))
+      // day-0 build minus a stripe, then the stripe + a REDELIVERED
+      // overlap of the day-0 rows (the keyed merge must swallow it)
+      SnapshotStore.merge(spark, root,
+        enc(emb.filter(pmod(col("vec_id"), lit(5)) =!= 3)), Seq("vec_id"))
+      SnapshotStore.merge(spark, root,
+        enc(emb.filter(pmod(col("vec_id"), lit(5)) === 3 ||
+          pmod(col("vec_id"), lit(31)) === 0)), Seq("vec_id"))
+      val idx = SnapshotStore.read(spark, root).get
+      // query side: raw vectors only — probe cells + ADC table recomputed
+      // against the TRAINED literals, never read from the index
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
+      val probe = withTrained(emb.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("q_id"), col("dl").as("dq"), posexplode(col("ks")))
+        .toDF("q_id", "dq", "pos", "kdist")
+        .withColumn("cell", element_at(cellIds, col("pos") + 1))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= IvfProbe)
+        .select(col("q_id"), col("cell"), col("dq"))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      idx.join(broadcast(probe), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+        .localCheckpoint() // materialized before the temp store tree dies
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
 
   /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
@@ -5213,6 +5283,7 @@ object PipelineQueries {
     "v20_pq_train" -> v20PqTrain,
     "v21_trained_pq_serve" -> v21TrainedPqServe,
     "v22_trained_ivf_serve" -> v22TrainedIvfServe,
+    "v23_persisted_trained_ivf" -> v23PersistedTrainedIvf,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,
