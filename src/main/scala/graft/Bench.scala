@@ -45,7 +45,10 @@ object Bench {
     // round 11: admission run + store DELETE + bounded re-admission —
     // five store commits on tiny fixtures; and the persisted trained
     // index (double training + two store merges per run)
-    "d18_delete_readmission", "v23_persisted_trained_ivf")
+    "d18_delete_readmission", "v23_persisted_trained_ivf",
+    // round 12: the deployed index shape — trained index merged
+    // partitionBy(cell) with DPP-required serving (two store merges/run)
+    "v24_partitioned_trained_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -80,19 +83,30 @@ object Bench {
     // getPersistentRDDs, so between runs — when nothing can reference
     // them — a blocking unpersist drops every block NOW, no GC involved.
     val release = sys.env.getOrElse("SPARK_GRAFT_BENCH_UNPERSIST", "1") == "1"
+    // name -> failed-run count; a query that crashes may NOT masquerade as
+    // a fast one (a crash typically returns in milliseconds), so failures
+    // are carried into the JSON ledger alongside the timings
+    val failures = scala.collection.mutable.Map[String, Int]()
     def materialize(name: String): Double = {
       val times = (1 to runs).map { _ =>
+        // snapshot persisted-RDD ids BEFORE the run: the release below must
+        // drop only blocks this run created (dead localCheckpoint seams),
+        // never a block some future cross-query state still references —
+        // localCheckpoint blocks are unrecoverable once unpersisted
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failures(name) = failures.getOrElse(name, 0) + 1
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache() // drop per-query caches between runs
         if (release)
-          spark.sparkContext.getPersistentRDDs.values
-            .foreach(_.unpersist(blocking = true))
+          spark.sparkContext.getPersistentRDDs
+            .filterNot { case (id, _) => before.contains(id) }
+            .values.foreach(_.unpersist(blocking = true))
         System.gc() // lets the ContextCleaner reap dead localCheckpoints NOW
         sec
       }
@@ -114,12 +128,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (worstName, worst) = results.maxBy(_._2)
+    // empty on a healthy run; a query with ANY crashed run is listed with
+    // its failed-run count so its (fast) median can't read as a speedup
+    val failedJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     // metric "total_full" (not "total"): only ONE line may carry the
     // canonical metric name, or a parser that sums/collects every metric
     // line would double-count the run. The short summary line below is the
     // canonical "total"; this full line is the complete per-query record.
     val line =
-      s"""{"metric":"total_full","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
+      s"""{"metric":"total_full","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"failed_runs":$failedJson,"queries":$qs}"""
     println(line)
     // The driver's artifact keeps the END of stdout and clips the head, so
     // a long line loses whatever is printed first (BENCH_r05's tail started
@@ -131,7 +149,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$slowest}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"failed_runs":$failedJson,"queries":$slowest}""")
     // persist the full line so every per-query number survives the round
     // (BENCH_r03 lost its first 10 alphabetical entries to a 2000-char cut)
     try {

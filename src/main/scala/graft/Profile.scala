@@ -37,14 +37,17 @@ object Profile {
           System.err.println(s"$n: unknown query (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
         case Some(q) =>
           val times = (1 to repeats).map { _ =>
+            val before = spark.sparkContext.getPersistentRDDs.keySet
             val t0 = System.nanoTime()
             q(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - t0) / 1e9
             spark.sqlContext.clearCache()
             // deterministic release (see Bench): dead localCheckpoint
-            // blocks drop NOW, not when the async cleaner gets to them
-            spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = true))
+            // blocks drop NOW, not when the async cleaner gets to them —
+            // scoped to blocks THIS run created (Bench's invariant)
+            spark.sparkContext.getPersistentRDDs
+              .filterNot { case (id, _) => before.contains(id) }
+              .values.foreach(_.unpersist(blocking = true))
             System.gc() // reap dead localCheckpoints between runs
             sec
           }

@@ -31,18 +31,28 @@ object ProtocolBench {
     catch { case _: Throwable => () }
     // protocol queries own their temp store trees; between runs only the
     // session-level residue (caches, dead checkpoint blocks) is released
+    // name -> failed-run count (Bench's discipline): a store-path query
+    // that crashes returns fast, so without the marker a regression-to-
+    // crash would read as a speedup on this ledger
+    val failures = scala.collection.mutable.Map[String, Int]()
     def timeOne(name: String): Double = {
       val times = (1 to runs).map { _ =>
+        // only blocks created by THIS run are released (see Bench): a
+        // localCheckpoint block referenced by future cross-query state
+        // would be unrecoverable once unpersisted
+        val before = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          failures(name) = failures.getOrElse(name, 0) + 1
           System.err.println(s"[protocol-bench] $name failed: ${e.getMessage}")
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.sqlContext.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = true))
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => before.contains(id) }
+          .values.foreach(_.unpersist(blocking = true))
         System.gc()
         sec
       }
@@ -57,8 +67,10 @@ object ProtocolBench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val (worstName, worst) = results.maxBy(_._2)
+    val failedJson = failures.toSeq.sortBy(_._1)
+      .map { case (k, n) => "\"" + k + "\":" + n }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"protocol_total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"queries":$qs}"""
+      s"""{"metric":"protocol_total","value":$total,"unit":"sec","worst":$worst,"worst_query":"$worstName","sf":"$sfDir","runs_per_query":$runs,"failed_runs":$failedJson,"queries":$qs}"""
     println(line)
     try {
       val out = java.nio.file.Paths.get("target/protocol_bench.json")

@@ -172,6 +172,55 @@ object PipelineOracles {
                        list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
                 FROM upd GROUP BY m, code, n)"""
 
+  /** v22's end-to-end fully-trained IVF-PQ serve, retrained declaratively
+    * (coarse cells via [[kmTrainCtes]], codebook via [[pqTrainCtes]]) and
+    * replayed assign → probe → ADC → rank. Shared VERBATIM by v22, v23
+    * (store-persisted index) and v24 (cell-partitioned + DPP layout):
+    * persistence and layout may change cost, never a single ranked row. */
+  private lazy val trainedIvfServeSql: String = s"""
+      WITH $embCte,
+      $quantCte,
+      $kmTrainCtes,
+      $pqTrainCtes,
+      s1c AS (SELECT ka0.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
+              FROM ka0, kcent1 c),
+      asg AS (SELECT vec_id, cell AS vcell
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell) AS rn FROM s1c)
+              WHERE rn = 1),
+      probe AS (SELECT vec_id AS q_id, cell
+                FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, cell) AS crk
+                      FROM s1c WHERE vec_id < 5)
+                WHERE crk <= ${PipelineQueries.IvfProbe}),
+      cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
+      dl AS (SELECT s.vec_id, s.m,
+                    list_transform(c.cl, cc ->
+                      list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
+                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
+             FROM sub s JOIN cents c ON c.m = s.m),
+      co AS (SELECT vec_id, m,
+                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
+             FROM dl),
+      qd AS (SELECT vec_id AS q_id, m, dl FROM dl WHERE vec_id < 5),
+      cand AS (SELECT p.q_id, a.vec_id, a.vcell
+               FROM probe p JOIN asg a ON a.vcell = p.cell
+               WHERE a.vec_id <> p.q_id),
+      contrib AS (SELECT cand.q_id, cand.vec_id, cand.vcell, qd.dl[co.ci] AS dpart
+                  FROM cand
+                  JOIN co ON co.vec_id = cand.vec_id
+                  JOIN qd ON qd.q_id = cand.q_id AND qd.m = co.m),
+      adc AS (SELECT q_id, vec_id, vcell, CAST(sum(dpart) AS BIGINT) AS adc_dist
+              FROM contrib GROUP BY 1, 2, 3),
+      rr AS (SELECT q_id, vec_id, vcell, adc_dist,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_dist, vec_id) AS rk
+             FROM adc)
+      SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+
   /** Shared CTE chain of d16's repeated-substring cut (gram marks →
     * covered positions → per-doc surviving words + rebuilt text): ends at
     * `kept` (doc_id, kept_words, ktext — docs cut to zero absent) with
@@ -966,97 +1015,18 @@ object PipelineOracles {
     // declaratively. Candidates come ONLY from each query's IvfProbe
     // best trained cells, so a probe tie-break or assignment drift in
     // either engine reds the hash, not just a distance error.
-    "v22_trained_ivf_serve" -> s"""
-      WITH $embCte,
-      $quantCte,
-      $kmTrainCtes,
-      $pqTrainCtes,
-      s1c AS (SELECT ka0.vec_id, c.cell,
-                     list_sum(list_transform(range(1, 65),
-                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
-              FROM ka0, kcent1 c),
-      asg AS (SELECT vec_id, cell AS vcell
-              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                              ORDER BY dist ASC, cell) AS rn FROM s1c)
-              WHERE rn = 1),
-      probe AS (SELECT vec_id AS q_id, cell
-                FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY dist ASC, cell) AS crk
-                      FROM s1c WHERE vec_id < 5)
-                WHERE crk <= ${PipelineQueries.IvfProbe}),
-      cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
-      dl AS (SELECT s.vec_id, s.m,
-                    list_transform(c.cl, cc ->
-                      list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
-                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
-             FROM sub s JOIN cents c ON c.m = s.m),
-      co AS (SELECT vec_id, m,
-                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
-             FROM dl),
-      qd AS (SELECT vec_id AS q_id, m, dl FROM dl WHERE vec_id < 5),
-      cand AS (SELECT p.q_id, a.vec_id, a.vcell
-               FROM probe p JOIN asg a ON a.vcell = p.cell
-               WHERE a.vec_id <> p.q_id),
-      contrib AS (SELECT cand.q_id, cand.vec_id, cand.vcell, qd.dl[co.ci] AS dpart
-                  FROM cand
-                  JOIN co ON co.vec_id = cand.vec_id
-                  JOIN qd ON qd.q_id = cand.q_id AND qd.m = co.m),
-      adc AS (SELECT q_id, vec_id, vcell, CAST(sum(dpart) AS BIGINT) AS adc_dist
-              FROM contrib GROUP BY 1, 2, 3),
-      rr AS (SELECT q_id, vec_id, vcell, adc_dist,
-                    row_number() OVER (PARTITION BY q_id
-                                       ORDER BY adc_dist, vec_id) AS rk
-             FROM adc)
-      SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
-      WHERE rk <= 5 ORDER BY q_id, rk""",
+    "v22_trained_ivf_serve" -> trainedIvfServeSql,
 
     // v23 persists v22's trained index through the snapshot store and
     // serves from the table — the RESULT must equal v22's per-run
     // rebuild verbatim (v15's discipline: persistence may not change a
     // single ranked row), so the oracle IS v22's end-to-end retrain SQL
-    "v23_persisted_trained_ivf" -> s"""
-      WITH $embCte,
-      $quantCte,
-      $kmTrainCtes,
-      $pqTrainCtes,
-      s1c AS (SELECT ka0.vec_id, c.cell,
-                     list_sum(list_transform(range(1, 65),
-                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
-              FROM ka0, kcent1 c),
-      asg AS (SELECT vec_id, cell AS vcell
-              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
-                              ORDER BY dist ASC, cell) AS rn FROM s1c)
-              WHERE rn = 1),
-      probe AS (SELECT vec_id AS q_id, cell
-                FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-                               ORDER BY dist ASC, cell) AS crk
-                      FROM s1c WHERE vec_id < 5)
-                WHERE crk <= ${PipelineQueries.IvfProbe}),
-      cents AS (SELECT m, list(cent ORDER BY code) AS cl FROM cent1 GROUP BY m),
-      dl AS (SELECT s.vec_id, s.m,
-                    list_transform(c.cl, cc ->
-                      list_sum(list_transform(range(1, ${PipelineQueries.PqDim} + 1),
-                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
-             FROM sub s JOIN cents c ON c.m = s.m),
-      co AS (SELECT vec_id, m,
-                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
-             FROM dl),
-      qd AS (SELECT vec_id AS q_id, m, dl FROM dl WHERE vec_id < 5),
-      cand AS (SELECT p.q_id, a.vec_id, a.vcell
-               FROM probe p JOIN asg a ON a.vcell = p.cell
-               WHERE a.vec_id <> p.q_id),
-      contrib AS (SELECT cand.q_id, cand.vec_id, cand.vcell, qd.dl[co.ci] AS dpart
-                  FROM cand
-                  JOIN co ON co.vec_id = cand.vec_id
-                  JOIN qd ON qd.q_id = cand.q_id AND qd.m = co.m),
-      adc AS (SELECT q_id, vec_id, vcell, CAST(sum(dpart) AS BIGINT) AS adc_dist
-              FROM contrib GROUP BY 1, 2, 3),
-      rr AS (SELECT q_id, vec_id, vcell, adc_dist,
-                    row_number() OVER (PARTITION BY q_id
-                                       ORDER BY adc_dist, vec_id) AS rk
-             FROM adc)
-      SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
-      WHERE rk <= 5 ORDER BY q_id, rk""",
+    "v23_persisted_trained_ivf" -> trainedIvfServeSql,
+
+    // v24 persists the same trained index PARTITIONED BY CELL and serves
+    // through dynamic partition pruning — layout may change cost, never
+    // results, so the oracle is again v22's end-to-end retrain SQL
+    "v24_partitioned_trained_ivf" -> trainedIvfServeSql,
 
     // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""

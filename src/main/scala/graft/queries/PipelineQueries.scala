@@ -613,6 +613,15 @@ object PipelineQueries {
     val reps = cust.groupBy(col("name"))
       .agg(min(col("id")).as("rid"), count(lit(1)).as("n"))
       .localCheckpoint() // feeds the explode AND both verify name fetches
+    // Loud completeness guard (the m6/m7 surrogate-require discipline): the
+    // proof above covers edits INSIDE the match-field prefix, so a tier
+    // whose names outgrow it must fail here, not silently lose recall
+    // where the oracle doesn't run. One 1-row agg over the tiny
+    // checkpointed distinct-name frame.
+    val maxLen = reps.agg(max(length(col("name")))).head.getInt(0)
+    require(maxLen <= D14bPrefix,
+      s"d14b: name length $maxLen exceeds the $D14bPrefix-char SymSpell " +
+        "prefix — the 2-deletion neighborhood would no longer be complete")
     // match field: the first D14bPrefix chars. L = its length; deletion
     // position sets S ⊆ {1..L}, |S| ≤ 2. sequence() descends when start >
     // stop, so the two-deletion block is guarded for L < 2 (and the
@@ -630,12 +639,16 @@ object PipelineQueries {
            |        j -> concat(substring(name, 1, i - 1),
            |                    substring(name, i + 1, j - i - 1),
            |                    substring(name, j + 1)))))
-           |  ELSE array() END)""".stripMargin)).as("v"))
-      .select(col("rid"), xxhash64(col("v")).as("vh"))
+           |  ELSE array() END)""".stripMargin)).as("v"), length(col("name")).as("len"))
+      .select(col("rid"), xxhash64(col("v")).as("vh"), col("len"))
       .distinct() // repeated chars produce duplicate deletions
       .localCheckpoint() // feeds both sides of the candidate self-join
+    // length band |len(a) − len(b)| ≤ 2 — the standard SymSpell candidate
+    // filter: lev(a,b) ≤ 2 bounds the length difference, so the predicate
+    // is lossless and prunes the verify stream before the pair-dedup
     nb.as("x").join(nb.as("y"),
-        col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid"))
+        col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid") &&
+          abs(col("x.len") - col("y.len")) <= 2)
       .select(col("x.rid").as("a_id"), col("y.rid").as("b_id"))
       .distinct() // a pair shares many members; verify each pair once
       .join(reps.select(col("rid").as("a_id"), col("name").as("a_name"),
@@ -2150,21 +2163,32 @@ object PipelineQueries {
     * is incremental (each batch encodes only itself — the corpus is
     * never re-encoded), so the nightly refresh costs O(new vectors).
     * v18's partition-by-cell + DPP layout applies orthogonally. */
+  /** Trained-quantizer encode shared by v23/v24 — one training, no
+    * drift: trains coarse cells ([[ivfTrainLloyd]]) + codebook
+    * ([[pqTrainLloyd]]) and returns the cell-id literal plus an encode
+    * function adding (u, ks, p, cell, dl, code) to an embeddings-shaped
+    * frame (v22's per-vector encode, verbatim). */
+  private def trainedEncoder(spark: SparkSession, dir: String)
+      : (Column, DataFrame => DataFrame) = {
+    val (_, byCell) = ivfTrainLloyd(spark, dir)
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
+    val encode = (src: DataFrame) => src
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
+      .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
+      .withColumn("cell", element_at(cellIds, col("p")))
+      .withColumn("dl", expr(pqDistSql(byM)))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+    (cellIds, encode)
+  }
+
   val v23PersistedTrainedIvf: Q = (spark, dir) => {
     import graft.incremental.SnapshotStore
     val root = java.nio.file.Files.createTempDirectory("graft-tidx").toString
     try {
-      val (_, byCell) = ivfTrainLloyd(spark, dir)
-      val (_, byM) = pqTrainLloyd(spark, dir)
-      val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
-      def withTrained(src: DataFrame): DataFrame = src
-        .select(col("vec_id"), expr(
-          s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
-        .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
-        .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
-        .withColumn("cell", element_at(cellIds, col("p")))
-        .withColumn("dl", expr(pqDistSql(byM)))
-        .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      val (cellIds, withTrained) = trainedEncoder(spark, dir)
       val emb = fanOut(spark, t(spark, dir, "embeddings"))
       def enc(src: DataFrame) =
         withTrained(src).select(col("vec_id"), col("cell"), col("code"))
@@ -2195,6 +2219,71 @@ object PipelineQueries {
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
         .localCheckpoint() // materialized before the temp store tree dies
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** V24: the DEPLOYED index shape — v23's fully-TRAINED index merged
+    * through the store PARTITIONED BY CELL (v18's serving layout), with
+    * dynamic partition pruning REQUIRED in-plan on the serving scan.
+    * v23 proved trained + persisted; v18 proved partitioned + pruned (on
+    * the literal quantizer); v24 composes them — the shape a production
+    * IVF index actually ships as. Two partition-scoped merges with a
+    * redelivered overlap (v23's at-least-once discipline) build the
+    * table; a query probes its [[IvfProbe]] best TRAINED cells and the
+    * serving join keys on the PARTITION column, so the scan is confined
+    * to the probed cells' files. The served top-k must hash-match v22's
+    * per-run-rebuild oracle VERBATIM: neither persistence nor layout may
+    * change a single ranked row.
+    *
+    * Scale shape: at 10⁹ vectors the serving read is probes/cells of the
+    * table (manifest-routed file pruning — no listing, no corpus
+    * shuffle), and an incremental vector batch rewrites only the cells
+    * it touches (partition-scoped merge) instead of the whole index. */
+  val v24PartitionedTrainedIvf: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-tidx-part").toString
+    try {
+      val (cellIds, withTrained) = trainedEncoder(spark, dir)
+      val emb = fanOut(spark, t(spark, dir, "embeddings"))
+      def enc(src: DataFrame) =
+        withTrained(src).select(col("vec_id"), col("cell"), col("code"))
+      // v23's build: day-0 minus a stripe, then the stripe + a redelivered
+      // overlap — but PARTITIONED BY CELL, so merge #2 rewrites only the
+      // cell partitions the batch touches
+      SnapshotStore.merge(spark, root,
+        enc(emb.filter(pmod(col("vec_id"), lit(5)) =!= 3)), Seq("vec_id"),
+        partitionDate = Some(col("cell")))
+      SnapshotStore.merge(spark, root,
+        enc(emb.filter(pmod(col("vec_id"), lit(5)) === 3 ||
+          pmod(col("vec_id"), lit(31)) === 0)), Seq("vec_id"),
+        partitionDate = Some(col("cell")))
+      val idx = SnapshotStore.readWithPartition(spark, root).get
+      // query side: v23's — probe cells + ADC table recomputed from the
+      // raw vector against the TRAINED literals, never read from the index
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
+      val probe = withTrained(emb.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("q_id"), col("dl").as("dq"), posexplode(col("ks")))
+        .toDF("q_id", "dq", "pos", "kdist")
+        .withColumn("cell", element_at(cellIds, col("pos") + 1))
+        .withColumn("crk", row_number().over(wq))
+        .filter(col("crk") <= IvfProbe)
+        .select(col("q_id"), col("cell"), col("dq"))
+        .withColumn("probe_s", col("cell").cast(StringType))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      val served = idx
+        .join(broadcast(probe.drop("cell")),
+          col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+      require(served.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "v24: the serving scan must be dynamic-partition-pruned to the probed cells")
+      served.localCheckpoint() // pruned scan executes HERE, before the tree dies
         .orderBy(col("q_id"), col("rk"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -5284,6 +5373,7 @@ object PipelineQueries {
     "v21_trained_pq_serve" -> v21TrainedPqServe,
     "v22_trained_ivf_serve" -> v22TrainedIvfServe,
     "v23_persisted_trained_ivf" -> v23PersistedTrainedIvf,
+    "v24_partitioned_trained_ivf" -> v24PartitionedTrainedIvf,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

@@ -32,6 +32,17 @@ class PipelineBatchOpsSpec extends SparkSpec {
     }
   }
 
+  test("v24: cell-partitioned trained index serves the same ranked rows as the per-run rebuild (v22)") {
+    // layout + persistence invariance: the DPP-pruned serve over the
+    // partitionBy(cell) store must not change a single ranked row vs the
+    // in-memory rebuild (the in-query require already gates the pruning)
+    val rebuilt = PipelineQueries.v22TrainedIvfServe(spark, dir)
+    val served = PipelineQueries.v24PartitionedTrainedIvf(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(served).isEmpty,
+      "v24 served rows differ from v22's rebuild")
+  }
+
   test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
     val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).collect()
