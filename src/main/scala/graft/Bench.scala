@@ -47,8 +47,9 @@ object Bench {
     // index (double training + two store merges per run)
     "d18_delete_readmission", "v23_persisted_trained_ivf",
     // round 12: the deployed index shape — trained index merged
-    // partitionBy(cell) with DPP-required serving (two store merges/run)
-    "v24_partitioned_trained_ivf")
+    // partitionBy(cell) with DPP-required serving (two store merges/run);
+    // and the iterated Lloyd trainer (V25Iters+1 store merges/run)
+    "v24_partitioned_trained_ivf", "v25_lloyd_convergence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -221,6 +221,55 @@ object PipelineOracles {
       SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
       WHERE rk <= 5 ORDER BY q_id, rk"""
 
+  /** v25's DuckDB twin — the [[PipelineQueries.V25Iters]]-step Lloyd loop
+    * UNROLLED (g1's unrolled-iteration oracle discipline): kc0 is the
+    * quantized seed literal; each step assigns (first-min, lowest-cell
+    * tie-break), updates by HALF_UP integer mean, and the report row for
+    * iteration t compares assignment t against assignment t−1 and sums
+    * the rounded per-vector distances — exactly what the Spark side
+    * serves from its persisted state. Requires [[quantCte]]'s `q`. */
+  private lazy val v25LloydSql: String = {
+    val n = PipelineQueries.V25Iters
+    val seeds = PipelineQueries.IvfCentroids.map(_.map(d =>
+      (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
+      .mkString("[", ",", "]")).mkString("[", ",", "]")
+    val kc0 = s"""
+      kc0 AS (SELECT k + 1 AS cell, cq[k + 1] AS cent
+              FROM (SELECT $seeds AS cq), range(0, ${PipelineQueries.IvfCells}) t(k))"""
+    // per step t: assignment under kc{t}; per step t < n: update → kc{t+1}
+    val steps = (0 to n).map { t =>
+      val asg = s"""
+      ls$t AS (SELECT q.vec_id, c.cell,
+                      list_sum(list_transform(range(1, 65),
+                        i -> (q.u[i] - c.cent[i]) * (q.u[i] - c.cent[i]))) AS dist
+               FROM q, kc$t c),
+      la$t AS (SELECT vec_id, cell, dist
+               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, cell) AS rn FROM ls$t)
+               WHERE rn = 1)"""
+      val upd = if (t == n) "" else s""",
+      lu${t + 1} AS (SELECT a.cell, g.i, sum(q.u[g.i]) AS su, count(*) AS n
+               FROM la$t a JOIN q USING (vec_id), generate_series(1, 64) g(i)
+               GROUP BY 1, 2),
+      kc${t + 1} AS (SELECT cell,
+                      list(CAST((2*su + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
+               FROM lu${t + 1} GROUP BY cell, n)"""
+      asg + upd
+    }.mkString(",")
+    val reports = (1 to n).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS iter,
+                (SELECT count(*) FROM kc$t) AS n_cells,
+                CAST(sum(CASE WHEN cur.cell <> prev.cell THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+                CAST(sum((cur.dist + 500000) // 1000000) AS BIGINT) AS inertia_u
+         FROM la$t cur JOIN la${t - 1} prev USING (vec_id)"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH $embCte,
+      $quantCte,
+      $kc0,$steps
+      SELECT * FROM ($reports) ORDER BY iter"""
+  }
+
   /** Shared CTE chain of d16's repeated-substring cut (gram marks →
     * covered positions → per-doc surviving words + rebuilt text): ends at
     * `kept` (doc_id, kept_words, ktext — docs cut to zero absent) with
@@ -1027,6 +1076,11 @@ object PipelineOracles {
     // through dynamic partition pruning — layout may change cost, never
     // results, so the oracle is again v22's end-to-end retrain SQL
     "v24_partitioned_trained_ivf" -> trainedIvfServeSql,
+
+    // the full Lloyd training loop unrolled declaratively — per-iteration
+    // n_cells/n_moved/inertia from the same exact-integer arithmetic the
+    // Spark side persists through the store
+    "v25_lloyd_convergence" -> v25LloydSql,
 
     // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""

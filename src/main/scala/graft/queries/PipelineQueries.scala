@@ -2289,6 +2289,119 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- V25: Lloyd trained TO CONVERGENCE, state persisted per iteration ----
+
+  /** Lloyd refinement steps run by [[v25LloydConvergence]]. FIXED (not
+    * data-dependent) so the DuckDB oracle can unroll the loop
+    * declaratively; Lloyd is a fixed-point iteration, so once assignments
+    * stabilize every further step reproduces the same centroids and
+    * `n_moved` reads 0 — convergence is OBSERVED in the report instead of
+    * steering control flow the oracle couldn't replay. */
+  val V25Iters = 4
+
+  /** V25: the full k-means TRAINING LOOP — [[ivfTrainLloyd]]'s one
+    * exact-integer Lloyd step iterated [[V25Iters]] times, with EVERY
+    * iteration's centroid state MERGED through the snapshot store (g1's
+    * iteration discipline composed with v23's persistence — the two
+    * pieces the single-step v5/v20/v22 trainings stopped short of).
+    * Each training step assigns the quantized corpus to the PREVIOUS
+    * iteration's centroids (first-min = lowest-cell tie-break), updates
+    * by HALF_UP integer mean, and merges `(iter, cell, cent)` rows keyed
+    * `(iter, cell)` — each merge redelivers the previous iteration's
+    * rows, which the keyed merge must swallow (v15's at-least-once
+    * discipline). The convergence report is then served from the
+    * PERSISTED state ALONE: per iteration, vectors are re-assigned under
+    * that iteration's stored centroids and the report emits
+    * `(iter, n_cells, n_moved, inertia_u)` — a dropped or mis-merged
+    * state row anywhere in the loop reds the hash. All surfaces are
+    * exact integer (the v5 argument), so the oracle retrains every
+    * iteration bit-for-bit.
+    *
+    * Scale shape: ONE quantize pass is checkpointed and every iteration
+    * is a map-only assignment over it (collected-centroid literals — the
+    * sanctioned ≤ cells×dims metadata broadcast per iteration, the same
+    * state a parameter server would hold) plus one map-side-combined
+    * (cell, dim) aggregate; the state table is cells-sized, merged
+    * incrementally, and a training job restarted at iteration k replays
+    * nothing before k. The report is one further map pass with all
+    * [[V25Iters]]+1 assignments fused into a single projection. */
+  val v25LloydConvergence: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-lloyd").toString
+    try {
+      def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong + KmOff
+      val u = fanOut(spark, t(spark, dir, "embeddings"))
+        .select(col("vec_id"), expr(
+          s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+        .localCheckpoint() // one quantize pass feeds every iteration + report
+      def centDf(iter: Int, cs: Seq[(Int, Seq[Long])]): DataFrame = {
+        import spark.implicits._
+        cs.map { case (cell, cent) => (iter, cell, cent) }
+          .toDF("iter", "cell", "cent")
+      }
+      // adds c$tag (assigned cell, lowest id on ties) and d$tag (rounded
+      // 1e-6-unit squared distance to it) against one iteration's state
+      def assign(state: Seq[(Int, Seq[Long])], tag: String)(df: DataFrame): DataFrame = {
+        val ids = array(state.map { case (id, _) => lit(id) }: _*)
+        df.withColumn(s"s$tag", array(state.map { case (_, c) => kmDistExpr(c) }: _*))
+          .withColumn(s"p$tag",
+            array_position(col(s"s$tag"), array_min(col(s"s$tag"))).cast(IntegerType))
+          .withColumn(s"c$tag", element_at(ids, col(s"p$tag")))
+          .withColumn(s"d$tag", expr(s"(element_at(s$tag, p$tag) + 500000L) div 1000000L"))
+          .drop(s"s$tag", s"p$tag")
+      }
+      var state: Seq[(Int, Seq[Long])] =
+        (1 to IvfCells).zip(IvfCentroids.map(_.map(quant)))
+      val states = scala.collection.mutable.ArrayBuffer(state)
+      SnapshotStore.merge(spark, root, centDf(0, state), Seq("iter", "cell"))
+      for (it <- 1 to V25Iters) {
+        val upd = assign(state, "x")(u)
+          .select(col("cx").as("cell"), posexplode(col("u")).as(Seq("i", "uv")))
+          .groupBy(col("cell"), col("i"))
+          .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+          .collect() // ≤ cells×dims rows — the per-iteration centroid broadcast
+        state = upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
+          val n = rows.head.getLong(3)
+          val cent = new Array[Long](64)
+          // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
+          rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
+          (cell, cent.toSeq)
+        }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell
+        states += state
+        // iteration it's rows PLUS a redelivery of iteration it−1's — the
+        // keyed merge must swallow the replay
+        SnapshotStore.merge(spark, root,
+          centDf(it, state).unionByName(centDf(it - 1, states(it - 1))),
+          Seq("iter", "cell"))
+      }
+      // the report reads ONLY the persisted state (≤ iters×cells rows —
+      // the sanctioned metadata collect): training/persistence drift reds it
+      val byIter: Map[Int, Seq[(Int, Seq[Long])]] =
+        SnapshotStore.read(spark, root).get.collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Long](2)))
+          .groupBy(_._1)
+          .map { case (it, rows) => it -> rows.map(x => (x._2, x._3)).sortBy(_._1).toSeq }
+      require(byIter.keySet == (0 to V25Iters).toSet,
+        s"v25: store must hold every iteration's state, got ${byIter.keySet}")
+      val wide = (0 to V25Iters).foldLeft(u)((df, it) => assign(byIter(it), it.toString)(df))
+      val aggs = (1 to V25Iters).flatMap { it =>
+        Seq(sum(when(col(s"c$it") =!= col(s"c${it - 1}"), 1L).otherwise(0L)).as(s"moved_$it"),
+          sum(col(s"d$it")).as(s"inertia_$it"))
+      }
+      wide.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((1 to V25Iters).map(it =>
+          struct(lit(it.toLong).as("iter"),
+            lit(byIter(it).size.toLong).as("n_cells"),
+            col(s"moved_$it").as("n_moved"),
+            col(s"inertia_$it").as("inertia_u"))): _*)).as("r"))
+        .select(col("r.iter").as("iter"), col("r.n_cells").as("n_cells"),
+          col("r.n_moved").as("n_moved"), col("r.inertia_u").as("inertia_u"))
+        .localCheckpoint() // materialized before the temp store tree dies
+        .orderBy(col("iter"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
 
   /** Near-duplicate PAIRS by embedding cosine: candidates = vectors sharing
@@ -5374,6 +5487,7 @@ object PipelineQueries {
     "v22_trained_ivf_serve" -> v22TrainedIvfServe,
     "v23_persisted_trained_ivf" -> v23PersistedTrainedIvf,
     "v24_partitioned_trained_ivf" -> v24PartitionedTrainedIvf,
+    "v25_lloyd_convergence" -> v25LloydConvergence,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

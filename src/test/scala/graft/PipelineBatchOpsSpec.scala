@@ -43,6 +43,28 @@ class PipelineBatchOpsSpec extends SparkSpec {
       "v24 served rows differ from v22's rebuild")
   }
 
+  test("v25: iterated Lloyd descends monotonically and is a fixed point once assignments stabilize") {
+    val rep = PipelineQueries.v25LloydConvergence(spark, dir)
+      .orderBy(col("iter")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.length == PipelineQueries.V25Iters)
+    val nVecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    rep.foreach { case (_, nCells, _, _) =>
+      assert(nCells >= 1 && nCells <= PipelineQueries.IvfCells)
+    }
+    // Lloyd descent on the EXACT inertia; the reported sum rounds each
+    // per-vector distance (±0.5 unit) and centroids are HALF_UP integer
+    // means (≤ 16·N·1e-6 units of slack), so allow N + 16 units
+    rep.sliding(2).foreach { case Array((_, _, m1, i1), (_, _, m2, i2)) =>
+      assert(i2 <= i1 + nVecs + 16, s"inertia rose: $i1 -> $i2")
+      // fixed point: once nothing moves, the state — and therefore the
+      // next iteration's assignment and inertia — is frozen
+      if (m1 == 0L) assert(m2 == 0L && i2 == i1, "post-convergence drift")
+    }
+    // non-vacuous: the loop either strictly improved or fully converged
+    assert(rep.last._4 < rep.head._4 || rep.last._3 == 0L)
+  }
+
   test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
     val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).collect()
