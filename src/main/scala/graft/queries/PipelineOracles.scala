@@ -270,6 +270,53 @@ object PipelineOracles {
       SELECT * FROM ($reports) ORDER BY iter"""
   }
 
+  /** t27's DuckDB twin — the [[PipelineQueries.T27Iters]]-step BPE merge
+    * loop UNROLLED (v25's discipline). Token sequences use the same
+    * chr(1)/chr(2) start/end marker encoding, the per-iteration best
+    * pair is a scalar subquery (never a re-escaped literal), and the
+    * merge is the same left-to-right non-overlapping `replace`. */
+  private lazy val t27BpeSql: String = {
+    val n = PipelineQueries.T27Iters
+    // NB triple-quoted Scala: \1 below reaches DuckDB as the RE2 group ref
+    val base = s"""
+      btok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+               FROM documents),
+      bwf AS (SELECT term, COUNT(*) AS freq FROM btok GROUP BY term),
+      bseq1 AS (SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
+                       freq
+                FROM bwf)"""
+    val steps = (1 to n).map { t =>
+      val pairs = s"""
+      btk$t AS (SELECT seq, freq,
+                       list_transform(list_filter(string_split(seq, chr(1)), x -> x <> ''),
+                                      x -> substring(x, 1, length(x) - 1)) AS toks
+                FROM bseq$t),
+      bpr$t AS (SELECT s.toks[CAST(g.i AS INT)] AS c1,
+                       s.toks[CAST(g.i AS INT) + 1] AS c2,
+                       CAST(sum(s.freq) AS BIGINT) AS pf,
+                       COUNT(DISTINCT s.seq) AS n_types
+                FROM btk$t s, unnest(range(1, len(s.toks))) AS g(i)
+                GROUP BY 1, 2),
+      bbest$t AS (SELECT c1, c2, pf, n_types FROM bpr$t
+                  ORDER BY pf DESC, c1, c2 LIMIT 1)"""
+      val merge = if (t == n) "" else s""",
+      bseq${t + 1} AS (SELECT replace(seq,
+                         chr(1) || (SELECT c1 FROM bbest$t) || chr(2) ||
+                         chr(1) || (SELECT c2 FROM bbest$t) || chr(2),
+                         chr(1) || (SELECT c1 FROM bbest$t) ||
+                                   (SELECT c2 FROM bbest$t) || chr(2)) AS seq,
+                       freq
+                FROM bseq$t)"""
+      pairs + merge
+    }.mkString(",")
+    val reports = (1 to n).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS iter, c1, c2, pf, n_types FROM bbest$t"""
+    }.mkString(" UNION ALL ")
+    s"""
+      WITH $base,$steps
+      SELECT * FROM ($reports) ORDER BY iter"""
+  }
+
   /** Shared CTE chain of d16's repeated-substring cut (gram marks →
     * covered positions → per-doc surviving words + rebuilt text): ends at
     * `kept` (doc_id, kept_words, ktext — docs cut to zero absent) with
@@ -2004,6 +2051,11 @@ object PipelineOracles {
       SELECT row_number() OVER (ORDER BY pf DESC, c1, c2) AS rk,
              c1, c2, pf, n_types
       FROM agg ORDER BY pf DESC, c1, c2 LIMIT ${BpeK}""",
+
+    // the iterated BPE trainer: T27Iters unrolled count→argmax→merge
+    // rounds over the word histogram (marker-encoded token sequences,
+    // scalar-subquery merge literals — no re-escaping anywhere)
+    "t27_bpe_train" -> t27BpeSql,
 
     // DSIR replayed verbatim: same 512-bucket md5 hash space, add-one
     // smoothed target/raw hashed-unigram LMs, ln on the identical

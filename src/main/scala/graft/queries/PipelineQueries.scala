@@ -5192,6 +5192,79 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
+  // ---- T27: iterated BPE merge loop (tokenizer training) -------------------
+
+  /** Merge iterations run by [[t27BpeTrain]] — fixed so the DuckDB oracle
+    * unrolls the loop (v25's discipline). */
+  val T27Iters = 6
+
+  /** T27: the actual BPE TRAINING LOOP t18 stops short of (Sennrich et
+    * al. 2016, arXiv:1508.07909 §3.2): [[T27Iters]] iterations of
+    * count-adjacent-pairs → pick the most frequent pair (ties to the
+    * lexicographically smallest) → merge it greedily left-to-right in
+    * every word → recount. Each iteration emits its chosen merge with
+    * its pair frequency and the distinct word shapes carrying it — the
+    * rows a tokenizer's `merges.txt` is built from.
+    *
+    * The merge step is pure string algebra, no per-row loop: a word's
+    * token sequence is encoded as `⟨S⟩tok⟨E⟩…` with start/end marker
+    * control chars, so "merge pair (a, b)" IS
+    * `replace(seq, SaE+SbE, SabE)` — both engines' `replace` substitutes
+    * non-overlapping occurrences left-to-right, which is exactly BPE's
+    * greedy merge order, and the two-sided markers make a token match
+    * complete tokens only (no prefix/suffix false hits). A loud guard
+    * rejects any corpus containing the marker chars or characters the
+    * `(.)` tokenizer regex cannot mark (m6/m7's surrogate-require
+    * discipline).
+    *
+    * Scale shape: t18's — the only corpus-sized pass is the map-side-
+    * combined word count; every iteration runs over the DISTINCT-WORD
+    * histogram (Zipf-bounded vocabulary) with frequencies as weights,
+    * re-checkpointed per iteration so step k never replays step k−1.
+    * The per-iteration argmax is one TakeOrderedAndProject row — the
+    * sanctioned metadata pull (a training loop's parameter broadcast). */
+  val t27BpeTrain: Q = (spark, dir) => {
+    val S = "\u0001"; val E = "\u0002" // start/end token markers
+    val terms = fanOut(spark, t(spark, dir, "documents"))
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint() // one corpus pass; guard + seq build read it
+    // completeness guard: the marker encoding requires (a) the markers
+    // absent from the corpus and (b) every char markable by '(.)' (which
+    // skips line terminators in BOTH engines' regex dialects)
+    require(terms.filter(col("term")
+        .rlike("[\\x01\\x02\\n\\r\\u0085\\u2028\\u2029]")).isEmpty,
+      "t27: corpus contains marker or line-terminator chars — the BPE " +
+        "token encoding would be ambiguous")
+    var cur = terms
+      .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + E))
+      .select(col("seq"), col("freq"))
+      .localCheckpoint()
+    val reports = (1 to T27Iters).map { it =>
+      val best = cur
+        .withColumn("toks", transform(
+          filter(split(col("seq"), S), x => x =!= ""),
+          x => x.substr(lit(1), length(x) - 1))) // strip the trailing ⟨E⟩
+        .filter(size(col("toks")) >= 2)
+        .select(col("seq"), col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1)," +
+            " i -> struct(element_at(toks, i) as c1, element_at(toks, i + 1) as c2))")).as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("freq")).as("pf"), countDistinct(col("seq")).as("n_types"))
+        .orderBy(col("pf").desc, col("c1"), col("c2")).limit(1)
+        .localCheckpoint() // 1 row: feeds the report AND the merge literal
+      val row = best.head
+      val (c1, c2) = (row.getString(0), row.getString(1))
+      cur = cur
+        .withColumn("seq", replace(col("seq"),
+          lit(S + c1 + E + S + c2 + E), lit(S + c1 + c2 + E)))
+        .localCheckpoint() // step k+1 never replays step k's merge chain
+      best.select(lit(it.toLong).as("iter"), col("c1"), col("c2"),
+        col("pf"), col("n_types"))
+    }
+    reports.reduce(_ unionByName _).orderBy(col("iter"))
+  }
+
   // ---- T15: unigram-LM quality score ---------------------------------------
 
   /** Per-document cross-entropy against the corpus's own unigram
@@ -5446,6 +5519,7 @@ object PipelineQueries {
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
     "t18_bpe_pairs" -> t18BpePairs,
+    "t27_bpe_train" -> t27BpeTrain,
     "t19_quality_model" -> t19QualityModel,
     "t20_gopher_rules" -> t20GopherRules,
     "d10_source_quota" -> d10SourceQuota,
