@@ -234,7 +234,7 @@ object PipelineOracles {
       (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
       .mkString("[", ",", "]")).mkString("[", ",", "]")
     val kc0 = s"""
-      kc0 AS (SELECT k + 1 AS cell, cq[k + 1] AS cent
+      kc0 AS MATERIALIZED (SELECT k + 1 AS cell, cq[k + 1] AS cent
               FROM (SELECT $seeds AS cq), range(0, ${PipelineQueries.IvfCells}) t(k))"""
     // per step t: assignment under kc{t}; per step t < n: update → kc{t+1}
     val steps = (0 to n).map { t =>
@@ -243,7 +243,7 @@ object PipelineOracles {
                       list_sum(list_transform(range(1, 65),
                         i -> (q.u[i] - c.cent[i]) * (q.u[i] - c.cent[i]))) AS dist
                FROM q, kc$t c),
-      la$t AS (SELECT vec_id, cell, dist
+      la$t AS MATERIALIZED (SELECT vec_id, cell, dist
                FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                                ORDER BY dist ASC, cell) AS rn FROM ls$t)
                WHERE rn = 1)"""
@@ -251,7 +251,7 @@ object PipelineOracles {
       lu${t + 1} AS (SELECT a.cell, g.i, sum(q.u[g.i]) AS su, count(*) AS n
                FROM la$t a JOIN q USING (vec_id), generate_series(1, 64) g(i)
                GROUP BY 1, 2),
-      kc${t + 1} AS (SELECT cell,
+      kc${t + 1} AS MATERIALIZED (SELECT cell,
                       list(CAST((2*su + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
                FROM lu${t + 1} GROUP BY cell, n)"""
       asg + upd
@@ -275,19 +275,22 @@ object PipelineOracles {
     * chr(1)/chr(2) start/end marker encoding, the per-iteration best
     * pair is a scalar subquery (never a re-escaped literal), and the
     * merge is the same left-to-right non-overlapping `replace`. */
-  private lazy val t27BpeSql: String = {
+  private lazy val bpeTrainCtes: String = {
     val n = PipelineQueries.T27Iters
     // NB triple-quoted Scala: \1 below reaches DuckDB as the RE2 group ref
     val base = s"""
       btok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
                FROM documents),
       bwf AS (SELECT term, COUNT(*) AS freq FROM btok GROUP BY term),
-      bseq1 AS (SELECT regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
+      bseq1 AS MATERIALIZED (SELECT term,
+                       regexp_replace(term, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq,
                        freq
                 FROM bwf)"""
+    // every step merges (bseq${n+1} = the fully-trained encode table t28
+    // reads; unreferenced CTEs cost nothing in t27's report query)
     val steps = (1 to n).map { t =>
-      val pairs = s"""
-      btk$t AS (SELECT seq, freq,
+      s"""
+      btk$t AS MATERIALIZED (SELECT seq, freq,
                        list_transform(list_filter(string_split(seq, chr(1)), x -> x <> ''),
                                       x -> substring(x, 1, length(x) - 1)) AS toks
                 FROM bseq$t),
@@ -297,24 +300,49 @@ object PipelineOracles {
                        COUNT(DISTINCT s.seq) AS n_types
                 FROM btk$t s, unnest(range(1, len(s.toks))) AS g(i)
                 GROUP BY 1, 2),
-      bbest$t AS (SELECT c1, c2, pf, n_types FROM bpr$t
-                  ORDER BY pf DESC, c1, c2 LIMIT 1)"""
-      val merge = if (t == n) "" else s""",
-      bseq${t + 1} AS (SELECT replace(seq,
+      bbest$t AS MATERIALIZED (SELECT c1, c2, pf, n_types FROM bpr$t
+                  ORDER BY pf DESC, c1, c2 LIMIT 1),
+      bseq${t + 1} AS MATERIALIZED (SELECT term, replace(seq,
                          chr(1) || (SELECT c1 FROM bbest$t) || chr(2) ||
                          chr(1) || (SELECT c2 FROM bbest$t) || chr(2),
                          chr(1) || (SELECT c1 FROM bbest$t) ||
                                    (SELECT c2 FROM bbest$t) || chr(2)) AS seq,
                        freq
                 FROM bseq$t)"""
-      pairs + merge
     }.mkString(",")
+    base + "," + steps
+  }
+
+  private lazy val t27BpeSql: String = {
+    val n = PipelineQueries.T27Iters
     val reports = (1 to n).map { t =>
       s"""SELECT CAST($t AS BIGINT) AS iter, c1, c2, pf, n_types FROM bbest$t"""
     }.mkString(" UNION ALL ")
     s"""
-      WITH $base,$steps
+      WITH $bpeTrainCtes
       SELECT * FROM ($reports) ORDER BY iter"""
+  }
+
+  /** t28's DuckDB twin: t27's training CTEs chained into the encode
+    * join — per-doc word counts against the fully-merged word→tokens
+    * dictionary (bseq${PipelineQueries.T27Iters + 1}). */
+  private lazy val t28BpeEncodeSql: String = {
+    val fin = PipelineQueries.T27Iters + 1
+    s"""
+      WITH $bpeTrainCtes,
+      benc AS (SELECT term,
+                      len(list_filter(string_split(seq, chr(1)), x -> x <> '')) AS toks_per_word,
+                      length(term) AS chars_per_word
+               FROM bseq$fin),
+      bdt AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+      bdc AS (SELECT doc_id, term, COUNT(*) AS c FROM bdt GROUP BY 1, 2)
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_words,
+             CAST(sum(c * chars_per_word) AS BIGINT) AS n_chars,
+             CAST(sum(c * toks_per_word) AS BIGINT) AS n_tokens
+      FROM bdc JOIN benc USING (term)
+      GROUP BY doc_id ORDER BY doc_id"""
   }
 
   /** Shared CTE chain of d16's repeated-substring cut (gram marks →
@@ -2056,6 +2084,10 @@ object PipelineOracles {
     // rounds over the word histogram (marker-encoded token sequences,
     // scalar-subquery merge literals — no re-escaping anywhere)
     "t27_bpe_train" -> t27BpeSql,
+
+    // the apply half of the tokenizer loop: per-doc BPE token counts
+    // through the fully-trained encode dictionary
+    "t28_bpe_encode" -> t28BpeEncodeSql,
 
     // DSIR replayed verbatim: same 512-bucket md5 hash space, add-one
     // smoothed target/raw hashed-unigram LMs, ln on the identical

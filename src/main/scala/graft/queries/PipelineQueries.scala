@@ -5223,7 +5223,13 @@ object PipelineQueries {
     * re-checkpointed per iteration so step k never replays step k−1.
     * The per-iteration argmax is one TakeOrderedAndProject row — the
     * sanctioned metadata pull (a training loop's parameter broadcast). */
-  val t27BpeTrain: Q = (spark, dir) => {
+  /** The [[T27Iters]]-round BPE training loop (t27's body): returns the
+    * per-iteration 1-row report frames AND the final `(term, seq, freq)`
+    * word-encoding table with ALL merges applied. Shared by t27 (the
+    * training report) and t28 (encoding the corpus with the trained
+    * merges) -- one training, no drift. */
+  private def bpeTrainLoop(spark: SparkSession, dir: String)
+      : (Seq[DataFrame], DataFrame) = {
     val S = "\u0001"; val E = "\u0002" // start/end token markers
     val terms = fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), " ")).as("term"))
@@ -5238,7 +5244,7 @@ object PipelineQueries {
         "token encoding would be ambiguous")
     var cur = terms
       .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + E))
-      .select(col("seq"), col("freq"))
+      .select(col("term"), col("seq"), col("freq"))
       .localCheckpoint()
     val reports = (1 to T27Iters).map { it =>
       val best = cur
@@ -5262,7 +5268,44 @@ object PipelineQueries {
       best.select(lit(it.toLong).as("iter"), col("c1"), col("c2"),
         col("pf"), col("n_types"))
     }
-    reports.reduce(_ unionByName _).orderBy(col("iter"))
+    (reports, cur)
+  }
+
+  val t27BpeTrain: Q = (spark, dir) =>
+    bpeTrainLoop(spark, dir)._1.reduce(_ unionByName _).orderBy(col("iter"))
+
+  /** T28: ENCODE the corpus with t27's trained merges — the apply half
+    * of the tokenizer loop (v21's train→serve closure, for text): the
+    * final word→token-sequence table from [[bpeTrainLoop]] (ALL
+    * [[T27Iters]] merges applied) is the vocabulary-sized encode
+    * dictionary a deployed tokenizer ships, and every document's
+    * BPE-token count is one broadcast join of its word counts against
+    * it. Emits per doc `(n_words, n_chars, n_tokens)` — n_tokens is
+    * what a context-length budget, a packing plan (t26) or a per-token
+    * price is computed from, and n_chars/n_tokens is the compression
+    * the merges bought.
+    *
+    * Scale shape: the only corpus-sized pass is the (doc, term) count
+    * (map-side combined); the encode dictionary is Zipf-bounded
+    * vocabulary, so the join broadcasts — the corpus never shuffles on
+    * anything wider than the (doc_id, term) agg keys. The oracle chains
+    * t27's training CTEs into the encode join, so a drifting merge
+    * ANYWHERE in training shifts token counts and reds the hash. */
+  val t28BpeEncode: Q = (spark, dir) => {
+    val S = "\u0001"
+    val (_, vocab) = bpeTrainLoop(spark, dir)
+    val enc = vocab.select(col("term"),
+      size(filter(split(col("seq"), S), x => x =!= "")).as("toks_per_word"),
+      length(col("term")).as("chars_per_word"))
+    fanOut(spark, t(spark, dir, "documents"))
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      .join(broadcast(enc), "term")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("chars_per_word")).as("n_chars"),
+        sum(col("c") * col("toks_per_word")).as("n_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- T15: unigram-LM quality score ---------------------------------------
@@ -5520,6 +5563,7 @@ object PipelineQueries {
     "t15_lm_score" -> t15LmScore,
     "t18_bpe_pairs" -> t18BpePairs,
     "t27_bpe_train" -> t27BpeTrain,
+    "t28_bpe_encode" -> t28BpeEncode,
     "t19_quality_model" -> t19QualityModel,
     "t20_gopher_rules" -> t20GopherRules,
     "d10_source_quota" -> d10SourceQuota,

@@ -65,6 +65,19 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(rep.last._4 < rep.head._4 || rep.last._3 == 0L)
   }
 
+  test("t28: BPE encode is bounded by chars and words, and the trained merges actually compress") {
+    val rep = PipelineQueries.t28BpeEncode(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (doc, nWords, nChars, nToks) =>
+      // every word is >= 1 token; a token is >= 1 char
+      assert(nToks >= nWords && nToks <= nChars,
+        s"doc $doc: n_tokens $nToks outside [n_words $nWords, n_chars $nChars]")
+    }
+    // non-vacuous: six merges must compress the corpus below 1 token/char
+    assert(rep.map(_._4).sum < rep.map(_._3).sum, "merges bought no compression")
+  }
+
   test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
     val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).collect()
