@@ -177,15 +177,11 @@ object PipelineOracles {
     * replayed assign → probe → ADC → rank. Shared VERBATIM by v22, v23
     * (store-persisted index) and v24 (cell-partitioned + DPP layout):
     * persistence and layout may change cost, never a single ranked row. */
-  private lazy val trainedIvfServeSql: String = s"""
-      WITH $embCte,
-      $quantCte,
-      $kmTrainCtes,
-      $pqTrainCtes,
-      s1c AS (SELECT ka0.vec_id, c.cell,
-                     list_sum(list_transform(range(1, 65),
-                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
-              FROM ka0, kcent1 c),
+  /** The serve replay downstream of a coarse-distance table `s1c`
+    * (vec_id, cell, dist) and [[pqTrainCtes]]'s `sub`/`cent1`: assign →
+    * probe → ADC → rank. Shared by v22/v23/v24 (1-step coarse training)
+    * and v26 (converged coarse training) — one serve replay, no drift. */
+  private lazy val ivfServeTailSql: String = s"""
       asg AS (SELECT vec_id, cell AS vcell
               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, cell) AS rn FROM s1c)
@@ -221,6 +217,34 @@ object PipelineOracles {
       SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
       WHERE rk <= 5 ORDER BY q_id, rk"""
 
+  private lazy val trainedIvfServeSql: String = s"""
+      WITH $embCte,
+      $quantCte,
+      $kmTrainCtes,
+      $pqTrainCtes,
+      s1c AS (SELECT ka0.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
+              FROM ka0, kcent1 c),
+      $ivfServeTailSql"""
+
+  /** v26's DuckDB twin: the full [[lloydChainCtes]] retrain (every
+    * iteration, not just the first) feeding the same serve replay —
+    * coarse distances against the CONVERGED kc$$n state. */
+  private lazy val convergedIvfServeSql: String = {
+    val n = PipelineQueries.V25Iters
+    s"""
+      WITH $embCte,
+      $quantCte,
+      $lloydChainCtes,
+      $pqTrainCtes,
+      s1c AS MATERIALIZED (SELECT q.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (q.u[i] - c.cent[i]) * (q.u[i] - c.cent[i]))) AS dist
+              FROM q, kc$n c),
+      $ivfServeTailSql"""
+  }
+
   /** v25's DuckDB twin — the [[PipelineQueries.V25Iters]]-step Lloyd loop
     * UNROLLED (g1's unrolled-iteration oracle discipline): kc0 is the
     * quantized seed literal; each step assigns (first-min, lowest-cell
@@ -228,7 +252,13 @@ object PipelineOracles {
     * iteration t compares assignment t against assignment t−1 and sums
     * the rounded per-vector distances — exactly what the Spark side
     * serves from its persisted state. Requires [[quantCte]]'s `q`. */
-  private lazy val v25LloydSql: String = {
+  /** The unrolled Lloyd chain shared by v25 (report) and v26 (serving
+    * on the converged state): kc0 = the quantized seed literal; per step
+    * t, assignment la$t under kc$t and update → kc${t+1}. Requires
+    * [[quantCte]]'s `q`. MATERIALIZED throughout — DuckDB 1.0 re-inlines
+    * multi-referenced CTEs and the chain expands exponentially without
+    * it (the t28 lesson, SCALE.md §7m). */
+  private lazy val lloydChainCtes: String = {
     val n = PipelineQueries.V25Iters
     val seeds = PipelineQueries.IvfCentroids.map(_.map(d =>
       (math.floor(d * 1e6 + 0.5).toLong + PipelineQueries.KmOff).toString)
@@ -256,6 +286,11 @@ object PipelineOracles {
                FROM lu${t + 1} GROUP BY cell, n)"""
       asg + upd
     }.mkString(",")
+    kc0 + "," + steps
+  }
+
+  private lazy val v25LloydSql: String = {
+    val n = PipelineQueries.V25Iters
     val reports = (1 to n).map { t =>
       s"""SELECT CAST($t AS BIGINT) AS iter,
                 (SELECT count(*) FROM kc$t) AS n_cells,
@@ -266,7 +301,7 @@ object PipelineOracles {
     s"""
       WITH $embCte,
       $quantCte,
-      $kc0,$steps
+      $lloydChainCtes
       SELECT * FROM ($reports) ORDER BY iter"""
   }
 
@@ -1156,6 +1191,10 @@ object PipelineOracles {
     // n_cells/n_moved/inertia from the same exact-integer arithmetic the
     // Spark side persists through the store
     "v25_lloyd_convergence" -> v25LloydSql,
+
+    // serving on the CONVERGED coarse quantizer: the whole chain retrains
+    // and the serve replays against the final state — iteration-k drift reds it
+    "v26_converged_ivf_serve" -> convergedIvfServeSql,
 
     // same-cell smaller-id neighbor at rounded cos_e6 ≥ SemThresh ⇒ duplicate
     "d7_semdedup" -> s"""

@@ -2106,41 +2106,11 @@ object PipelineQueries {
     * (v21's cross join) and never a shuffle of the corpus itself.
     * Everything is exact integer end-to-end (the v5 argument). */
   val v22TrainedIvfServe: Q = (spark, dir) => {
-    val (_, byCell) = ivfTrainLloyd(spark, dir)
-    val (_, byM) = pqTrainLloyd(spark, dir)
-    val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
-    val enc = fanOut(spark, t(spark, dir, "embeddings"))
-      .select(col("vec_id"), expr(
-        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
-      // coarse: distances to the TRAINED cells; assignment = first min
-      // (lowest cell id on ties — ivfTrainLloyd's byCell is ascending)
-      .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
-      .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
-      .withColumn("cell", element_at(cellIds, col("p")))
-      // PQ: distance lists + codes on the TRAINED codebook (v21's encode)
-      .withColumn("dl", expr(pqDistSql(byM)))
-      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+    val (cellIds, encode) = trainedEncoder(spark, dir)
+    val enc = encode(fanOut(spark, t(spark, dir, "embeddings")))
       .drop("u", "p")
       .localCheckpoint() // corpus + query sides (self-join — see d2)
-    // queries probe their IvfProbe best trained cells (dist, cell) asc
-    val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
-    val probe = enc.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("dl").as("dq"), posexplode(col("ks")))
-      .toDF("q_id", "dq", "pos", "kdist")
-      .withColumn("cell", element_at(cellIds, col("pos") + 1))
-      .withColumn("crk", row_number().over(wq))
-      .filter(col("crk") <= IvfProbe)
-      .select(col("q_id"), col("cell"), col("dq"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    enc.select(col("vec_id"), col("cell"), col("code"))
-      .join(broadcast(probe), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
-      .orderBy(col("q_id"), col("rk"))
+    ivfServeFrom(enc, cellIds)
   }
 
   /** V23: v22's fully-trained index PERSISTED through the snapshot
@@ -2168,10 +2138,13 @@ object PipelineQueries {
     * ([[pqTrainLloyd]]) and returns the cell-id literal plus an encode
     * function adding (u, ks, p, cell, dl, code) to an embeddings-shaped
     * frame (v22's per-vector encode, verbatim). */
-  private def trainedEncoder(spark: SparkSession, dir: String)
+  /** Encoder against an ARBITRARY trained coarse state + PQ codebook:
+    * adds (u, ks, p, cell, dl, code) to an embeddings-shaped frame
+    * (v22's per-vector encode, verbatim). Shared by [[trainedEncoder]]
+    * (1-step coarse training) and v26 (converged coarse training). */
+  private def quantEncoder(byCell: Seq[(Int, Seq[Long])],
+                           byM: Seq[(Int, Seq[(Int, Seq[Long])])])
       : (Column, DataFrame => DataFrame) = {
-    val (_, byCell) = ivfTrainLloyd(spark, dir)
-    val (_, byM) = pqTrainLloyd(spark, dir)
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
     val encode = (src: DataFrame) => src
       .select(col("vec_id"), expr(
@@ -2182,6 +2155,38 @@ object PipelineQueries {
       .withColumn("dl", expr(pqDistSql(byM)))
       .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
     (cellIds, encode)
+  }
+
+  private def trainedEncoder(spark: SparkSession, dir: String)
+      : (Column, DataFrame => DataFrame) = {
+    val (_, byCell) = ivfTrainLloyd(spark, dir)
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    quantEncoder(byCell, byM)
+  }
+
+  /** v22's serving tail over an already-encoded corpus frame: queries
+    * (vec_id < 5) probe their [[IvfProbe]] best cells, candidates come
+    * from the broadcast cell equi-join, rank by ADC. Shared by v22 and
+    * v26 — one serving plan, no drift. */
+  private def ivfServeFrom(enc: DataFrame, cellIds: Column): DataFrame = {
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
+    val probe = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("dl").as("dq"), posexplode(col("ks")))
+      .toDF("q_id", "dq", "pos", "kdist")
+      .withColumn("cell", element_at(cellIds, col("pos") + 1))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= IvfProbe)
+      .select(col("q_id"), col("cell"), col("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc.select(col("vec_id"), col("cell"), col("code"))
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   val v23PersistedTrainedIvf: Q = (spark, dir) => {
@@ -2325,48 +2330,67 @@ object PipelineQueries {
     * incrementally, and a training job restarted at iteration k replays
     * nothing before k. The report is one further map pass with all
     * [[V25Iters]]+1 assignments fused into a single projection. */
+  /** The one quantize pass (vec_id, offset-unit u) the Lloyd loop and
+    * its report both read — checkpointed so no iteration rescans. */
+  private def kmQuantized(spark: SparkSession, dir: String): DataFrame =
+    fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .localCheckpoint()
+
+  /** The quantized [[IvfCentroids]] seeds as iteration-0 Lloyd state. */
+  private lazy val kmSeedState: Seq[(Int, Seq[Long])] =
+    (1 to IvfCells).zip(IvfCentroids.map(_.map(d =>
+      math.floor(d * 1e6 + 0.5).toLong + KmOff)))
+
+  /** Adds c$tag (assigned cell, lowest id on ties) and d$tag (rounded
+    * 1e-6-unit squared distance to it) against one iteration's state. */
+  private def kmAssign(state: Seq[(Int, Seq[Long])], tag: String)(df: DataFrame): DataFrame = {
+    val ids = array(state.map { case (id, _) => lit(id) }: _*)
+    df.withColumn(s"s$tag", array(state.map { case (_, c) => kmDistExpr(c) }: _*))
+      .withColumn(s"p$tag",
+        array_position(col(s"s$tag"), array_min(col(s"s$tag"))).cast(IntegerType))
+      .withColumn(s"c$tag", element_at(ids, col(s"p$tag")))
+      .withColumn(s"d$tag", expr(s"(element_at(s$tag, p$tag) + 500000L) div 1000000L"))
+      .drop(s"s$tag", s"p$tag")
+  }
+
+  /** One Lloyd step: assign `u` under `state`, update by HALF_UP integer
+    * mean. The collect is the ≤ cells×dims per-iteration centroid
+    * broadcast (v5's sanctioned metadata pull). Shared by v25 (which
+    * persists every state) and v26 (which serves on the converged one). */
+  private def lloydNext(u: DataFrame, state: Seq[(Int, Seq[Long])])
+      : Seq[(Int, Seq[Long])] = {
+    val upd = kmAssign(state, "x")(u)
+      .select(col("cx").as("cell"), posexplode(col("u")).as(Seq("i", "uv")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+      .collect()
+    upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
+      val n = rows.head.getLong(3)
+      val cent = new Array[Long](64)
+      // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
+      rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
+      (cell, cent.toSeq)
+    }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell
+  }
+
   val v25LloydConvergence: Q = (spark, dir) => {
     import graft.incremental.SnapshotStore
     val root = java.nio.file.Files.createTempDirectory("graft-lloyd").toString
     try {
-      def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong + KmOff
-      val u = fanOut(spark, t(spark, dir, "embeddings"))
-        .select(col("vec_id"), expr(
-          s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
-        .localCheckpoint() // one quantize pass feeds every iteration + report
+      val u = kmQuantized(spark, dir)
       def centDf(iter: Int, cs: Seq[(Int, Seq[Long])]): DataFrame = {
         import spark.implicits._
         cs.map { case (cell, cent) => (iter, cell, cent) }
           .toDF("iter", "cell", "cent")
       }
-      // adds c$tag (assigned cell, lowest id on ties) and d$tag (rounded
-      // 1e-6-unit squared distance to it) against one iteration's state
-      def assign(state: Seq[(Int, Seq[Long])], tag: String)(df: DataFrame): DataFrame = {
-        val ids = array(state.map { case (id, _) => lit(id) }: _*)
-        df.withColumn(s"s$tag", array(state.map { case (_, c) => kmDistExpr(c) }: _*))
-          .withColumn(s"p$tag",
-            array_position(col(s"s$tag"), array_min(col(s"s$tag"))).cast(IntegerType))
-          .withColumn(s"c$tag", element_at(ids, col(s"p$tag")))
-          .withColumn(s"d$tag", expr(s"(element_at(s$tag, p$tag) + 500000L) div 1000000L"))
-          .drop(s"s$tag", s"p$tag")
-      }
-      var state: Seq[(Int, Seq[Long])] =
-        (1 to IvfCells).zip(IvfCentroids.map(_.map(quant)))
+      def assign = kmAssign _
+      var state = kmSeedState
       val states = scala.collection.mutable.ArrayBuffer(state)
       SnapshotStore.merge(spark, root, centDf(0, state), Seq("iter", "cell"))
       for (it <- 1 to V25Iters) {
-        val upd = assign(state, "x")(u)
-          .select(col("cx").as("cell"), posexplode(col("u")).as(Seq("i", "uv")))
-          .groupBy(col("cell"), col("i"))
-          .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
-          .collect() // ≤ cells×dims rows — the per-iteration centroid broadcast
-        state = upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
-          val n = rows.head.getLong(3)
-          val cent = new Array[Long](64)
-          // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
-          rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
-          (cell, cent.toSeq)
-        }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell
+        state = lloydNext(u, state)
         states += state
         // iteration it's rows PLUS a redelivery of iteration it−1's — the
         // keyed merge must swallow the replay
@@ -2400,6 +2424,33 @@ object PipelineQueries {
         .orderBy(col("iter"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  /** V26: serving on the CONVERGED coarse quantizer — v25's training
+    * loop feeding v22's serve, retiring the one asymmetry the trained
+    * ladder had left (v22/v23/v24 all serve on a SINGLE Lloyd step):
+    * the coarse cells run [[V25Iters]] exact-integer Lloyd steps to
+    * (observed) convergence, then the corpus encodes and serves against
+    * the FINAL state — assign → probe → ADC → rank exactly as v22, PQ
+    * codebook from [[pqTrainLloyd]] (one step, as every PQ tier; the
+    * loop pattern is proven once by the coarse side). The oracle
+    * retrains ALL iterations declaratively and replays the serve, so a
+    * drift in ANY iteration — not just the first — reds the hash.
+    *
+    * Scale shape: v25's training cost (one checkpointed quantize pass +
+    * [[V25Iters]] map-only assignments with ≤ cells×dims collects) plus
+    * v22's serving shape (one encode scan, broadcast cell equi-join —
+    * the corpus is never crossed or shuffled). */
+  val v26ConvergedIvfServe: Q = (spark, dir) => {
+    val u = kmQuantized(spark, dir)
+    var state = kmSeedState
+    for (_ <- 1 to V25Iters) state = lloydNext(u, state)
+    val (_, byM) = pqTrainLloyd(spark, dir)
+    val (cellIds, encode) = quantEncoder(state, byM)
+    val enc = encode(fanOut(spark, t(spark, dir, "embeddings")))
+      .drop("u", "p")
+      .localCheckpoint() // corpus + query sides (self-join — see d2)
+    ivfServeFrom(enc, cellIds)
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -5606,6 +5657,7 @@ object PipelineQueries {
     "v23_persisted_trained_ivf" -> v23PersistedTrainedIvf,
     "v24_partitioned_trained_ivf" -> v24PartitionedTrainedIvf,
     "v25_lloyd_convergence" -> v25LloydConvergence,
+    "v26_converged_ivf_serve" -> v26ConvergedIvfServe,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

@@ -78,6 +78,16 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(rep.map(_._4).sum < rep.map(_._3).sum, "merges bought no compression")
   }
 
+  test("v26: serving on the converged quantizer changes ranked rows vs the 1-step index (non-vacuous)") {
+    val oneStep = PipelineQueries.v22TrainedIvfServe(spark, dir)
+    val conv = PipelineQueries.v26ConvergedIvfServe(spark, dir)
+    // same surface (5 queries x top-5), but the extra Lloyd iterations
+    // must actually move the index — otherwise v26 proves nothing
+    assert(conv.count() == oneStep.count())
+    assert(conv.exceptAll(oneStep).count() > 0,
+      "converged serving identical to 1-step serving — iterations were a no-op")
+  }
+
   test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
     val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).collect()

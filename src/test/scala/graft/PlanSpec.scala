@@ -446,6 +446,13 @@ class PlanSpec extends SparkSpec {
     // without it the self-join re-runs the double-training scan twice
     assert(p.contains("Scan ExistingRDD"),
       s"v22: serving must read the checkpointed encode frame\n${p.take(1200)}")
+    // v26 shares the serve tail (ivfServeFrom) — same plan contract on
+    // the CONVERGED quantizer: broadcast equi-join, checkpointed encode
+    val p26 = planOf(graft.queries.PipelineQueries.v26ConvergedIvfServe)
+    assert(p26.contains("BroadcastHashJoin") && !p26.contains("SortMergeJoin") &&
+      !p26.contains("BroadcastNestedLoopJoin") && !p26.contains("CartesianProduct") &&
+      p26.contains("Scan ExistingRDD"),
+      s"v26: converged serving must keep v22's broadcast equi-join shape\n${p26.take(1200)}")
   }
 
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
