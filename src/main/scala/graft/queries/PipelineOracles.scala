@@ -674,6 +674,41 @@ object PipelineOracles {
       FROM probes p JOIN cells c ON c.r = p.r AND c.b = p.b
       GROUP BY p.rk, p.tok, p.n ORDER BY p.rk""",
 
+    // HLL registers rebuilt bit-for-bit (same 60-bit md5 parse, same
+    // ltrim-bin rank), raw estimate from the identical embedded constant
+    // over the exact-integer denominator, error as all-positive div
+    "k8_hll_distinct" -> s"""
+      WITH toks AS (SELECT t.tok
+                    FROM documents d,
+                         unnest(string_split(lower(d.text), ' ')) AS t(tok)
+                    WHERE len(t.tok) > 0),
+      hh AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+             FROM toks),
+      rg AS (SELECT h % ${PipelineQueries.HllBuckets} AS bucket,
+                    55 - length(ltrim(bin(h // ${PipelineQueries.HllBuckets}), '0')) AS r
+             FROM hh),
+      regs AS (SELECT bucket, max(r) AS register FROM rg GROUP BY 1),
+      grid AS (SELECT g.b AS bucket, COALESCE(regs.register, 0) AS register
+               FROM (SELECT unnest(range(0, ${PipelineQueries.HllBuckets})) AS b) g
+               LEFT JOIN regs ON regs.bucket = g.b),
+      summ AS (SELECT CASE WHEN raw_d <= ${2.5 * PipelineQueries.HllBuckets}
+                                AND v_zero > 0
+                           THEN CAST(floor(${PipelineQueries.HllBuckets}.0
+                                  * ln(${PipelineQueries.HllBuckets}.0
+                                       / CAST(v_zero AS DOUBLE)) + 0.5) AS BIGINT)
+                           ELSE CAST(floor(raw_d + 0.5) AS BIGINT) END AS hll_est
+               FROM (SELECT ${PipelineQueries.HllAConst}
+                       / CAST(sum(1::BIGINT << CAST(55 - register AS INT)) AS DOUBLE) AS raw_d,
+                            sum(CASE WHEN register = 0 THEN 1 ELSE 0 END) AS v_zero
+                     FROM grid)),
+      ex AS (SELECT count(DISTINCT tok) AS exact_distinct FROM toks)
+      SELECT CAST(g.bucket AS BIGINT) AS bucket,
+             CAST(g.register AS BIGINT) AS register,
+             s.hll_est,
+             CAST(ex.exact_distinct AS BIGINT) AS exact_distinct,
+             CAST(s.hll_est * 1000000 // ex.exact_distinct - 1000000 AS BIGINT) AS err_ppm
+      FROM grid g, summ s, ex ORDER BY bucket""",
+
     // the STREAMED grid must equal the one-shot grid: same cells CTE as
     // k7, emitted raw — any double-counted redelivery or dropped batch
     // shifts a cell and reds the hash

@@ -4038,6 +4038,92 @@ object PipelineQueries {
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
       .agg(count(lit(1)).as("cell"))
 
+  // ---- K8: HyperLogLog distinct count — fixed-memory cardinality audit -----
+
+  /** HLL register count (2^6 buckets; the 60-bit parsed hash leaves a
+    * 54-bit rank window, so registers lie in [0, 55]). */
+  val HllBuckets = 64
+  /** α₆₄·m²·2⁵⁵ precomputed ONCE as a double and embedded as the same
+    * exact decimal literal in both engines (the d7/IvfHalfSq identical-
+    * literal contract), so the raw-estimate division is the only float
+    * op and runs on identical inputs. α_m = 0.7213/(1 + 1.079/m). */
+  val HllAConst: String = BigDecimal(
+    0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * math.pow(2.0, 55.0))
+    .bigDecimal.toPlainString
+
+  /** HyperLogLog cardinality audit (Flajolet et al. 2007) — the distinct-
+    * count twin of k7's Count-Min (frequency) and k6's MinHash (overlap),
+    * closing the fixed-memory sketch family: each token occurrence hashes
+    * to 60 bits (k7's md5-parse recipe, "hll:"-prefixed), the low 6 bits
+    * pick a register and the rank of the remaining 54-bit window's
+    * leftmost 1-bit (via `length(ltrim(bin(w), '0'))` — identical
+    * unpadded-binary semantics in both engines, zero floats) max-folds
+    * into it. The m-register grid IS the 100 TB object: map-side-combined
+    * max caps each task's shuffle at m rows regardless of input, and
+    * per-bucket MAX is the sketch's merge across shards/days/crawls
+    * (SketchSpec pins the merge identity, k7's discipline). The raw HLL
+    * estimate `⌊α·m²·2⁵⁵ / Σ 2⁵⁵⁻ᴹ⁽ʲ⁾ + ½⌋` is exact-integer except one
+    * division of the embedded constant by an exact-long denominator —
+    * deterministic, so grid AND estimate sit on the hashed surface; the
+    * exact distinct count is the graded-against term and the error is a
+    * measured ppm column, not a claim. The standard small-range
+    * correction IS included (raw ≤ 2.5m with V > 0 empty registers →
+    * linear counting m·ln(m/V), Flajolet §4): V is an exact integer, so
+    * ln runs on the identical double in both engines (t15's ln
+    * contract) and the branch condition compares deterministic doubles.
+    * err_ppm is derived via the all-positive `est·10⁶ div exact − 10⁶`
+    * so truncating and floor division agree (the v5 argument —
+    * est−exact can be negative).
+    *
+    * Scale shape: token explode stays in the scan stage; the register
+    * agg shuffles O(partitions·m); the grid is 64 rows broadcast back
+    * over the dense bucket spine; the exact countDistinct is the one
+    * corpus-sized term — the quantity the sketch exists to replace, kept
+    * here as the oracle's measuring stick. */
+  val k8HllDistinct: Q = (spark, dir) => {
+    val toks = fanOut(spark, t(spark, dir, "documents"))
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint() // feeds the exact count AND the sketch build
+    val grid = hllGrid(spark, toks).localCheckpoint() // N agg + output rows
+    val m = HllBuckets
+    val summary = grid
+      .agg(sum(expr("shiftleft(1L, cast(55 - register as int))")).as("nsum"),
+        sum(when(col("register") === 0L, 1L).otherwise(0L)).as("v_zero"))
+      .crossJoin(toks.agg(countDistinct(col("tok")).as("exact_distinct")))
+      .withColumn("raw_d", expr(s"$HllAConst / cast(nsum as double)"))
+      .select(
+        expr(
+          s"""CASE WHEN raw_d <= ${2.5 * m}d AND v_zero > 0
+             |THEN cast(floor($m.0d * ln($m.0d / cast(v_zero as double)) + 0.5d) as bigint)
+             |ELSE cast(floor(raw_d + 0.5d) as bigint) END""".stripMargin)
+          .as("hll_est"),
+        col("exact_distinct"))
+      .withColumn("err_ppm",
+        expr("hll_est * 1000000L div exact_distinct - 1000000L"))
+    grid.crossJoin(broadcast(summary))
+      .select(col("bucket"), col("register"), col("hll_est"),
+        col("exact_distinct"), col("err_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** The dense m-row HLL register grid of a one-column `tok` frame —
+    * exposed (like [[cmCells]]) so SketchSpec's merge-identity pin can
+    * never drift from the gated grid. */
+  def hllGrid(spark: SparkSession, toks: DataFrame): DataFrame = {
+    val regs = toks
+      .select(expr(
+        "cast(conv(substring(md5(concat('hll:', tok)), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(pmod(col("h"), lit(HllBuckets.toLong)).as("bucket"),
+        expr(s"h div ${HllBuckets}L").as("w"))
+      .select(col("bucket"),
+        (lit(55L) - length(ltrim(bin(col("w")), "0")).cast(LongType)).as("r"))
+      .groupBy(col("bucket")).agg(max(col("r")).as("register"))
+    spark.range(0, HllBuckets.toLong).select(col("id").as("bucket"))
+      .join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
+  }
+
   val k7CountMin: Q = (spark, dir) => {
     val toks = fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), " ")).as("tok"))
@@ -5637,6 +5723,7 @@ object PipelineQueries {
     "k5_curation_funnel" -> k5CurationFunnel,
     "k6_corpus_overlap" -> k6CorpusOverlap,
     "k7_count_min" -> k7CountMin,
+    "k8_hll_distinct" -> k8HllDistinct,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,

@@ -95,6 +95,37 @@ class SketchSpec extends SparkSpec {
     assert(direct == merged, "shard-summed CM grids must equal the one-pass grid")
   }
 
+  test("k8: HLL registers in range, dense grid, per-shard max-merge equals the one-pass grid") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.k8HllDistinct(spark, dir).collect()
+    assert(rows.length == PipelineQueries.HllBuckets)
+    assert(rows.map(_.getLong(0)).toSet == (0L until PipelineQueries.HllBuckets).toSet,
+      "grid must be dense over every bucket")
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 55,
+        s"register ${r.getLong(1)} outside [0, 55]")
+    }
+    // the estimate is within HLL's envelope (σ ≈ 1.04/√64 = 13%; gate at
+    // 4σ — the VALUE is already hash-gated by the oracle, this pins the
+    // statistics, k1's discipline)
+    val (est, exact) = (rows.head.getLong(2), rows.head.getLong(3))
+    assert(math.abs(est - exact).toDouble / exact < 0.52,
+      s"hll est $est vs exact $exact")
+    // merge identity: per-bucket MAX of shard grids == one-pass grid —
+    // what makes the sketch shippable across shards/days/crawls — built
+    // through the query's own hllGrid recipe
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(lower(col("text")), " ")).as("tok"), col("doc_id"))
+      .filter(length(col("tok")) > 0)
+    def grid(d: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      PipelineQueries.hllGrid(spark, d.select("tok")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = grid(toks)
+    val shards = (0 until 3).map(s => grid(toks.filter(pmod(col("doc_id"), lit(3)) === s)))
+    val merged = shards.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(math.max)
+    assert(direct == merged, "shard max-merged HLL grids must equal the one-pass grid")
+  }
+
   test("k2: null counts, NDVs and min/max renderings on a fixture WITH nulls") {
     // the driver testdata has no NULLs, so the profile's null path needs
     // its own fixture
