@@ -49,7 +49,9 @@ object Bench {
     // round 12: the deployed index shape — trained index merged
     // partitionBy(cell) with DPP-required serving (two store merges/run);
     // and the iterated Lloyd trainer (V25Iters+1 store merges/run)
-    "v24_partitioned_trained_ivf", "v25_lloyd_convergence")
+    "v24_partitioned_trained_ivf", "v25_lloyd_convergence",
+    // round 12 (late): streamed HLL — three file drops through the store
+    "k8s_stream_hll")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

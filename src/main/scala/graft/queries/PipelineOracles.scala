@@ -709,6 +709,26 @@ object PipelineOracles {
              CAST(s.hll_est * 1000000 // ex.exact_distinct - 1000000 AS BIGINT) AS err_ppm
       FROM grid g, summ s, ex ORDER BY bucket""",
 
+    // the STREAMED HLL grid must equal the one-shot grid: k8's register
+    // CTEs, emitted raw — a dropped batch lowers a register and reds the
+    // hash (redelivery CAN'T shift it: max-merge is idempotent)
+    "k8s_stream_hll" -> s"""
+      WITH toks AS (SELECT t.tok
+                    FROM documents d,
+                         unnest(string_split(lower(d.text), ' ')) AS t(tok)
+                    WHERE len(t.tok) > 0),
+      hh AS (SELECT ('0x' || substr(md5('hll:' || tok), 1, 15))::BIGINT AS h
+             FROM toks),
+      rg AS (SELECT h % ${PipelineQueries.HllBuckets} AS bucket,
+                    55 - length(ltrim(bin(h // ${PipelineQueries.HllBuckets}), '0')) AS r
+             FROM hh),
+      regs AS (SELECT bucket, max(r) AS register FROM rg GROUP BY 1)
+      SELECT CAST(g.b AS BIGINT) AS bucket,
+             CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
+      FROM (SELECT unnest(range(0, ${PipelineQueries.HllBuckets})) AS b) g
+      LEFT JOIN regs ON regs.bucket = g.b
+      ORDER BY bucket""",
+
     // the STREAMED grid must equal the one-shot grid: same cells CTE as
     // k7, emitted raw — any double-counted redelivery or dropped batch
     // shifts a cell and reds the hash

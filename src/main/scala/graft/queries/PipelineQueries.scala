@@ -3821,6 +3821,37 @@ object PipelineQueries {
     }
   }
 
+  /** k8's HLL grid accumulated through REAL Structured Streaming
+    * ([[graft.streaming.StreamingIngest.hllIngest]]): three file-source
+    * drops, drop 2 REDELIVERING part of drop 1 — and, in the deliberate
+    * contrast with k7s, NO seen-doc state exists to swallow it: the
+    * per-bucket MAX merge is idempotent, so the redelivered docs
+    * re-apply maxima the grid already holds. The streamed grid must
+    * hash-match the one-shot k8 grid the oracle rebuilds. */
+  val k8sStreamHll: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft-shll").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-shll-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-shll-drops").toString
+    try {
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.hllIngest(stream, root, ckpt)
+      }
+      graft.incremental.SnapshotStore.read(spark, s"$root/hll_grid").get
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("bucket"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
   // ---- K5: curation funnel (per-stage survivor counts, one corpus pass) ----
 
   /** The observability row every curation RUN dashboards: how many
@@ -5724,6 +5755,7 @@ object PipelineQueries {
     "k6_corpus_overlap" -> k6CorpusOverlap,
     "k7_count_min" -> k7CountMin,
     "k8_hll_distinct" -> k8HllDistinct,
+    "k8s_stream_hll" -> k8sStreamHll,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,

@@ -235,6 +235,44 @@ object StreamingIngest {
     SnapshotStore.read(spark, s"$root/cm_grid").map(
       _.groupBy(col("r"), col("b")).agg(sum(col("cell")).as("cell")))
 
+  /** k8's HLL register grid through REAL Structured Streaming: per
+    * micro-batch the batch's partial grid computes map-side and folds
+    * into the running grid by per-bucket MAX. The deliberate contrast
+    * with [[countMinIngest]]: MAX is IDEMPOTENT as well as
+    * commutative/associative, so an at-least-once source redelivery OR
+    * a checkpointed foreachBatch re-execution at ANY crash point simply
+    * re-applies maxima the grid already holds — no seen-doc state, no
+    * per-batch deltas, no commit-ordering discipline; the sketch
+    * algebra itself absorbs every replay hazard the additive Count-Min
+    * needed machinery for. The streamed grid must hash-match the
+    * one-shot k8 grid (a streaming sketch graded bit-for-bit). Scale
+    * shape: state is the m-row grid, a batch's work is batch-sized, the
+    * corpus is never re-read. */
+  def hllIngest(streamingDocs: DataFrame, root: String,
+                checkpointDir: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => hllBatch(batch, root) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[hllIngest]]: merge
+    * the batch's partial grid into the stored one by per-bucket max.
+    * Calling this twice with the same batch is a no-op the second time
+    * — the idempotence [[graft.streaming.StreamingIngestSpec]] pins. */
+  def hllBatch(batch: DataFrame, root: String): Unit = {
+    val spark = batch.sparkSession
+    val toks = batch
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val partial = graft.queries.PipelineQueries.hllGrid(spark, toks)
+    val merged = SnapshotStore.read(spark, s"$root/hll_grid")
+      .map(prev => partial.unionByName(prev)
+        .groupBy(col("bucket")).agg(max(col("register")).as("register")))
+      .getOrElse(partial)
+      .localCheckpoint() // frozen BEFORE the merge moves the store
+    SnapshotStore.merge(spark, s"$root/hll_grid", merged, Seq("bucket"))
+  }
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted

@@ -317,4 +317,31 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == oneShot,
       "replayed batch must upsert its delta, not re-add it")
   }
+
+  test("streamed HLL is replay-proof by algebra: max-merge makes any re-execution a no-op") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-hllcrash").toString
+    val docs = Seq(
+      (1L, "alpha beta beta gamma"), (2L, "beta gamma delta"),
+      (3L, "alpha alpha epsilon"), (4L, "gamma gamma gamma zeta"),
+      (5L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val b0 = docs.filter(col("doc_id") <= 2)
+    // batch 1 REDELIVERS doc 2 — and unlike count-min, NOTHING guards it:
+    // the idempotent max-merge is the whole replay story
+    val b1 = docs.filter(col("doc_id") >= 2)
+    StreamingIngest.hllBatch(b0, root)
+    StreamingIngest.hllBatch(b1, root)
+    // full post-commit re-executions (checkpoint not yet advanced) —
+    // every crash point is the same case because there is only ONE commit
+    StreamingIngest.hllBatch(b1, root)
+    StreamingIngest.hllBatch(b1, root)
+    val streamed = graft.incremental.SnapshotStore.read(spark, s"$root/hll_grid").get
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val oneShot = graft.queries.PipelineQueries.hllGrid(spark,
+      docs.select(explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(length(col("tok")) > 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == oneShot,
+      "re-executed batches must leave the max-merged grid unchanged")
+  }
 }
