@@ -544,6 +544,33 @@ object PipelineOracles {
        AND levenshtein(a.name, b.name) <= 2
       ORDER BY a_id, b_id""",
 
+    // d14b's id expansion, bounded: each side's duplicate group capped
+    // to its 3 smallest ids, cross-name pairs (all-pairs lev ≤ 2 over
+    // distinct names — independent of the engine's SymSpell blocking)
+    // expanded capped×capped, plus same-name dist-0 pairs among capped
+    // members. Channels are disjoint (an id has exactly one name).
+    "d14c_fuzzy_expand" -> """
+      WITH g AS (SELECT c_name AS name, min(c_custkey) AS rid
+                 FROM customer GROUP BY c_name),
+      cap AS (SELECT name, id FROM (
+                SELECT c_name AS name, c_custkey AS id,
+                       row_number() OVER (PARTITION BY c_name
+                                          ORDER BY c_custkey) AS rn
+                FROM customer) WHERE rn <= 3),
+      np AS (SELECT a.name AS a_name, b.name AS b_name,
+                    CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+             FROM g a JOIN g b
+               ON a.rid < b.rid
+              AND abs(length(a.name) - length(b.name)) <= 2
+              AND levenshtein(a.name, b.name) <= 2)
+      SELECT least(x.id, y.id) AS a_id, greatest(x.id, y.id) AS b_id, dist
+      FROM np JOIN cap x ON x.name = np.a_name
+              JOIN cap y ON y.name = np.b_name
+      UNION ALL
+      SELECT x.id, y.id, CAST(0 AS BIGINT) AS dist
+      FROM cap x JOIN cap y ON x.name = y.name AND x.id < y.id
+      ORDER BY a_id, b_id""",
+
     "d11_containment" -> s"""
       WITH $shingleCte
       SELECT a_id, b_id, inter * 1000000 // na AS containment_ppm FROM (

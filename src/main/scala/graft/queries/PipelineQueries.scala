@@ -599,7 +599,8 @@ object PipelineQueries {
     * output-bound at lev ≤ 1, and lev ≤ 2 has ~20× the name pairs), while
     * the name-level report — what a linkage pipeline actually persists —
     * stays |distinct-name pairs|-sized at every tier. The id expansion
-    * remains a trivial keyed join against `rmap`, demonstrated by d14.
+    * remains a trivial keyed join against `rmap` — gated (bounded form)
+    * by [[d14cFuzzyExpand]].
     *
     * Scale (100 TB): dup-collapse first (all work per DISTINCT name);
     * the (1 + L + L(L−1)/2)× neighborhood explode is map-only and
@@ -607,7 +608,19 @@ object PipelineQueries {
     * rows); candidates dedup before the per-pair verify; the
     * neighborhood frame is localCheckpoint'ed for its self-join (the
     * d2/d4 lesson). */
-  val d14bFuzzyJoinK2: Q = (spark, dir) => {
+  val d14bFuzzyJoinK2: Q = (spark, dir) =>
+    d14bNamePairs(spark, dir)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
+        col("a_n"), col("b_n"), (col("a_n") * col("b_n")).as("n_id_pairs"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** d14b's name-pair stage — distinct-name SymSpell k = 2 blocking +
+    * thresholded Levenshtein verify — shared verbatim by [[d14bFuzzyJoinK2]]
+    * (the name-level report) and [[d14cFuzzyExpand]] (the gated id
+    * expansion): one pipeline, no drift. Returns one row per verified
+    * name pair: (a_id, b_id) = representative ids, both names, both
+    * group sizes, dist (int, 1..2). */
+  private def d14bNamePairs(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val reps = cust.groupBy(col("name"))
@@ -657,9 +670,56 @@ object PipelineQueries {
         col("n").as("b_n")), "b_id")
       .withColumn("dist", expr("levenshtein(a_name, b_name, 2)"))
       .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
-      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
-        col("a_n"), col("b_n"), (col("a_n") * col("b_n")).as("n_id_pairs"))
-      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-side id cap for [[d14cFuzzyExpand]]: each duplicate group
+    * contributes its [[D14cCap]] smallest member ids, so a name pair
+    * expands to at most Cap² id pairs — the output stays
+    * O(Cap²·|name pairs|) at EVERY tier, by construction. */
+  val D14cCap = 3
+
+  /** The id-level expansion of d14b's k = 2 name pairs — the gate for
+    * d14b's "the id expansion remains a trivial keyed join" claim, in
+    * the bounded form a linkage pipeline would actually materialize:
+    * each side's duplicate group capped to its [[D14cCap]] smallest ids
+    * (deterministic — smallest-id order, the same canonicalization d14's
+    * reps use), cross-name pairs expanded capped-a × capped-b, plus the
+    * same-name (dist = 0) pairs among each group's capped members. Ids
+    * belong to exactly one name, so the two channels are disjoint and no
+    * pair dedup is needed; unordered pairs canonicalize least/greatest.
+    *
+    * Scale: the expansion joins are keyed equi-joins on the 8-byte rid
+    * against a frame of ≤ Cap rows per distinct name; the name-pair
+    * frame is verified-output-sized; the capped frame is
+    * localCheckpoint'ed because it feeds three consumers (both expansion
+    * fetches and the same-name self-join — the d2/d4 lesson). Output is
+    * ≤ (Cap² + Cap(Cap−1)/2)·|groups| rows regardless of replication
+    * factor — the k² blowup d14b's name-level report avoids stays
+    * avoided here. */
+  val d14cFuzzyExpand: Q = (spark, dir) => {
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    // K smallest ids per duplicate group, keyed by the group's
+    // representative id (= min id, d14's rmap convention)
+    val capped = cust
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("name")).orderBy(col("id"))))
+      .withColumn("rid", min(col("id")).over(Window.partitionBy(col("name"))))
+      .filter(col("rn") <= D14cCap)
+      .select(col("rid"), col("id"))
+      .localCheckpoint() // feeds both expansion fetches AND the self-join
+    val np = d14bNamePairs(spark, dir)
+    val cross = np
+      .join(capped.select(col("rid").as("a_id"), col("id").as("ia")), "a_id")
+      .join(capped.select(col("rid").as("b_id"), col("id").as("ib")), "b_id")
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"),
+        col("dist").cast("long").as("dist"))
+    val same = capped.as("x").join(capped.as("y"),
+        col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        lit(0L).as("dist"))
+    cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- D15: incremental near-dup admission through the store ---------------
@@ -5762,6 +5822,7 @@ object PipelineQueries {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
     "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,
+    "d14c_fuzzy_expand" -> d14cFuzzyExpand,
     "d11_containment" -> d11Containment,
     "d12_url_dedup" -> d12UrlDedup,
     "d5_embedding_neardup" -> d5EmbeddingNeardup,

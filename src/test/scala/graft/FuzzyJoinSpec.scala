@@ -121,4 +121,47 @@ class FuzzyJoinSpec extends SparkSpec {
       assert((dels(a) & dels(b)).nonEmpty,
         s"lev(${a}, ${b}) = ${lev(a, b)} but neighborhoods are disjoint")
   }
+
+  private def runExpand(dir: String) =
+    PipelineQueries.d14cFuzzyExpand(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("d14c: capped id expansion — cap bites on replicated groups, channels are disjoint") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzzy3").toString
+    // "linker" ×5 (group OVER the cap of 3), "lirker" ×2 (under), one
+    // far string. Cross pairs expand capped(3) × capped(2); same-name
+    // pairs only among each group's capped members.
+    Seq(1L -> "linker", 2L -> "linker", 3L -> "linker", 4L -> "linker",
+        5L -> "linker", 6L -> "lirker", 7L -> "lirker", 8L -> "qqqqqq")
+      .toDF("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val expected =
+      // same-name, capped to ids {1,2,3} and {6,7}
+      Set((1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L), (6L, 7L, 0L)) ++
+      // cross linker×lirker (dist 1): {1,2,3} × {6,7}
+      (for (a <- Seq(1L, 2L, 3L); b <- Seq(6L, 7L)) yield (a, b, 1L)).toSet
+    assert(runExpand(dir) === expected)
+    // the cap genuinely bit: ids 4/5 appear nowhere
+    assert(!runExpand(dir).exists(p => p._1 >= 4L && p._1 <= 5L))
+  }
+
+  test("d14c: expansion matches brute-force capped expansion on real data") {
+    val dir = "/root/testdata/sf0.001"
+    val cust = Sources.testdata(spark, dir)("customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val capped = cust
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("name")).orderBy(col("id"))))
+      .filter(col("rn") <= PipelineQueries.D14cCap)
+      .select(col("name"), col("id"))
+    val brute = capped.as("a").join(capped.as("b"), col("a.id") < col("b.id"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+      .filter(col("dist") <= 2)
+      .select(col("a.id"), col("b.id"), col("dist").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "fixture must exercise the operator")
+    assert(runExpand(dir) === brute)
+  }
 }
