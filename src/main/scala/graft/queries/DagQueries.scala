@@ -391,6 +391,30 @@ object DagQueries {
   private def shortName(full: String): String =
     full.stripPrefix("deepbook_margin_")
 
+  /** State-store parallelism for the fixture-fed streaming gates. The
+    * stream-stream joins open FOUR state stores per partition per
+    * micro-batch (left/right × keyToNumValues/keyWithIndexToValue), and
+    * every stateful gate replays 3-7 micro-batches (data + watermark
+    * sentinels + no-data batches), so at the session's 32 shuffle
+    * partitions a single gate pays hundreds of HDFS-backed store
+    * open/commit cycles to process a few thousand fixture rows — pure
+    * fixed overhead, measured at ~60% of dag_stream_outer_join's wall
+    * time. Partition count is a deployment dial, not semantics (state is
+    * hash-partitioned by key; the checkpoint is fresh per run), so the
+    * gates run at 4 and a production feed would size it to volume. */
+  val StreamGatePartitions = 4
+
+  /** Runs `body` with `spark.sql.shuffle.partitions` dialed to
+    * [[StreamGatePartitions]], restoring the session value after — the
+    * conf is read at streaming-query start and pinned into the fresh
+    * checkpoint, so the override must bracket the whole build+drain. */
+  private def withStreamGateConf[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, StreamGatePartitions.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** §2.9's Structured Streaming ingest inside the hard gate: the fixture
     * event stream replays as THREE MemoryStream micro-batches — with a
     * redelivered overlap between batches 1 and 2 — through
@@ -401,7 +425,7 @@ object DagQueries {
     * the declarative batch result, and redelivery is invisible. The
     * driver-side collect feeds the stream source only (fixture-sized, the
     * MemoryStream seam); all processing runs through the engine. */
-  val streamIngestQ: Q = (spark, _) => {
+  val streamIngestQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -458,7 +482,7 @@ object DagQueries {
     * recomputes each commit's expected changes declaratively. Gates that
     * CDC versioning, typing and completeness survive the streaming path
     * end to end. */
-  val streamCdcQ: Q = (spark, _) => {
+  val streamCdcQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -508,7 +532,7 @@ object DagQueries {
     * `row_number() OVER (ORDER BY transaction_digest, event_index)`,
     * derived identically on both sides from the unique event identity, so
     * same-timestamp events order deterministically in either engine. */
-  val streamScd2Q: Q = (spark, _) => {
+  val streamScd2Q: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -569,7 +593,7 @@ object DagQueries {
     * reach the sink. This gates the state-store dedup surface itself —
     * unlike dag_stream_ingest, no downstream merge is there to absorb a
     * duplicate the operator lets through. */
-  val streamDedupQ: Q = (spark, _) => {
+  val streamDedupQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -633,7 +657,7 @@ object DagQueries {
     * in join state across the boundary — the part no batch join
     * exercises — and the final sink must hash-match DuckDB's one-shot
     * declarative join of the two models with the same keys and range. */
-  val streamJoinQ: Q = (spark, _) => {
+  val streamJoinQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -685,7 +709,7 @@ object DagQueries {
     * unmatchable manager keys and their own rows can never flush (the
     * watermark never passes them), so they are absent from the sink by
     * the operator's own semantics. Oracle = the declarative LEFT JOIN. */
-  val streamOuterJoinQ: Q = (spark, _) => {
+  val streamOuterJoinQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -756,7 +780,7 @@ object DagQueries {
     * is absent from the sink by the operator's own semantics, not by a
     * filter. The flushed windows must hash-match DuckDB's one-shot
     * day × event_type aggregation of the raw fixture log. */
-  val streamDailyQ: Q = (spark, _) => {
+  val streamDailyQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -807,7 +831,7 @@ object DagQueries {
     * whole log. Gates the custom-state surface itself: a state dropped,
     * double-applied or emitted stale between micro-batches shifts a pool's
     * cumulative sum and breaks the hash. */
-  val streamPositionQ: Q = (spark, _) => {
+  val streamPositionQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -927,7 +951,7 @@ object DagQueries {
     * evolve the live table exactly like the batch path: pre-evolution
     * rows read back with NULL `event_type`, every event exactly once.
     * Same oracle shape as `dag_schema_evolve`. */
-  val streamEvolveQ: Q = (spark, _) => {
+  val streamEvolveQ: Q = (spark, _) => withStreamGateConf(spark) {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
