@@ -736,6 +736,40 @@ object PipelineOracles {
              CAST(s.hll_est * 1000000 // ex.exact_distinct - 1000000 AS BIGINT) AS err_ppm
       FROM grid g, summ s, ex ORDER BY bucket""",
 
+    // DDSketch-style quantile audit — all-integer: log₂ bucket via
+    // unpadded bin() (the k8 contract), target rank ⌈q·n⌉, estimate =
+    // midpoint of the first bucket whose cumulative count reaches it,
+    // graded against the exact rank walk per (source, quantile)
+    "k9_dd_quantiles" -> s"""
+      WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+                 WHERE n_chars >= 1),
+      n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+      q AS (SELECT CAST(unnest([${PipelineQueries.DdQuantilesPpm.mkString(", ")}]) AS BIGINT) AS q_ppm),
+      tgt AS (SELECT g, q_ppm, (q_ppm * n + 999999) // 1000000 AS target
+              FROM n CROSS JOIN q),
+      b AS (SELECT g, length(bin(v)) - 1 AS e,
+                   greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS shift,
+                   v >> greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS key,
+                   count(*) AS cnt
+            FROM v GROUP BY 1, 2, 3, 4),
+      cum AS (SELECT g, e, key, shift, cnt,
+                     sum(cnt) OVER (PARTITION BY g ORDER BY e, key) AS cum
+              FROM b),
+      est AS (SELECT t.g, t.q_ppm,
+                     CAST(min(((c.key << c.shift)
+                               + ((c.key + 1) << c.shift) - 1) // 2) AS BIGINT) AS dd_est
+              FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.target
+              GROUP BY 1, 2),
+      dcum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
+               FROM (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2)),
+      ex AS (SELECT t.g, t.q_ppm, CAST(min(d.v) AS BIGINT) AS exact_v
+             FROM tgt t JOIN dcum d ON d.g = t.g AND d.cum >= t.target
+             GROUP BY 1, 2)
+      SELECT est.g AS source, est.q_ppm, est.dd_est, ex.exact_v,
+             CAST(est.dd_est * 1000000 // ex.exact_v - 1000000 AS BIGINT) AS err_ppm
+      FROM est JOIN ex ON est.g = ex.g AND est.q_ppm = ex.q_ppm
+      ORDER BY source, est.q_ppm""",
+
     // the STREAMED HLL grid must equal the one-shot grid: k8's register
     // CTEs, emitted raw — a dropped batch lowers a register and reds the
     // hash (redelivery CAN'T shift it: max-merge is idempotent)

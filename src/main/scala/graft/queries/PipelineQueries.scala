@@ -4215,6 +4215,92 @@ object PipelineQueries {
       .select(col("bucket"), coalesce(col("register"), lit(0L)).as("register"))
   }
 
+  // ---- K9: DDSketch-style quantile sketch — fixed-memory percentiles -------
+
+  /** Sub-octave resolution of the [[ddGrid]] buckets: values ≥ 2³ keep
+    * their top (DdSubBits + 1) bits, so every octave splits into 2³
+    * geometric sub-buckets and the worst-case midpoint-estimate relative
+    * error is (2ˢ−1)/(2·2³·2ˢ) < 1/16 = 62 500 ppm; values below 2³ get a
+    * bucket each (exact). */
+  val DdSubBits = 3
+
+  /** The quantile probes the audit reports, in ppm (p50/p90/p99). */
+  val DdQuantilesPpm: Seq[Long] = Seq(500000L, 900000L, 990000L)
+
+  /** The DDSketch-style log-bucketed count grid of a `(g, v)` frame
+    * (group column + positive long value) — exposed (like [[hllGrid]] /
+    * `cmCells`) so SketchSpec's merge-identity pin can never drift from
+    * the gated grid. Bucket key: e = ⌊log₂ v⌋ (via `length(bin(v)) − 1`,
+    * the k8 unpadded-binary contract — identical in both engines),
+    * shift = max(e − [[DdSubBits]], 0), key = v >> shift. (e, key) is
+    * monotone in the value range [key·2ˢ, (key+1)·2ˢ − 1], so rank walks
+    * are order-by-(e, key) cumulative sums and the midpoint `rep` is the
+    * bucket's estimate. All integer — the sketch has NO float anywhere
+    * (one better than k8's single division). Merging shards/days/crawls
+    * is per-bucket COUNT SUM (a plain agg — pinned in SketchSpec). */
+  def ddGrid(spark: SparkSession, vals: DataFrame): DataFrame =
+    vals
+      .withColumn("e", (length(bin(col("v"))) - 1).cast(LongType))
+      .withColumn("shift", greatest(col("e") - DdSubBits, lit(0L)))
+      .withColumn("key", expr("v div shiftleft(1L, cast(shift as int))"))
+      .groupBy(col("g"), col("e"), col("shift"), col("key"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("lo", expr("shiftleft(key, cast(shift as int))"))
+      .withColumn("rep", expr(
+        "(shiftleft(key, cast(shift as int)) + " +
+          "shiftleft(key + 1, cast(shift as int)) - 1) div 2"))
+
+  /** Quantile audit per corpus source (DDSketch, Masson et al. 2019) —
+    * the rank twin of k6 (overlap), k7 (frequency) and k8 (distinct),
+    * closing the sketch family on the fourth axis a corpus monitor
+    * needs: p50/p90/p99 document length per source, from a fixed-memory
+    * mergeable grid. The target rank is ⌈q·n⌉ (exact integers); the
+    * estimate is the midpoint of the first bucket whose cumulative count
+    * reaches it — and that bucket CONTAINS the exact q-th value, so the
+    * measured `err_ppm` is structurally bounded by ±62 500 (exact below
+    * 2⁴) — pinned in SketchSpec, graded per row here against the exact
+    * rank-walk the sketch exists to replace.
+    *
+    * Scale shape: the corpus-sized pass is one map-side-combined groupBy
+    * onto ≤ groups × (8·octaves) buckets — each task's shuffle is
+    * grid-sized regardless of input rows, and per-bucket SUM is the
+    * merge across shards (SketchSpec pins the identity). The quantile
+    * walk runs on the tiny grid (window over ~500 rows/group). The exact
+    * per-value cumsum is the graded-against term only. */
+  val k9DdQuantiles: Q = (spark, dir) => {
+    import spark.implicits._
+    val vals = fanOut(spark, t(spark, dir, "documents"))
+      .filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("n_chars").as("v"))
+      .localCheckpoint() // feeds the grid, the counts AND the exact walk
+    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val targets = n.crossJoin(broadcast(DdQuantilesPpm.toDF("q_ppm")))
+      .withColumn("target", expr("(q_ppm * n + 999999L) div 1000000L"))
+      .select(col("g"), col("q_ppm"), col("target"))
+    val cum = ddGrid(spark, vals)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("g")).orderBy(col("e"), col("key"))))
+    val est = cum.join(targets, "g")
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("g"), col("q_ppm"))
+      .agg(min(col("rep")).as("dd_est")) // rep is monotone in (e, key)
+    val exact = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("g")).orderBy(col("v"))))
+      .join(targets, "g")
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("g"), col("q_ppm"))
+      .agg(min(col("v")).as("exact_v"))
+    est.join(exact, Seq("g", "q_ppm"))
+      // all-positive numerator so truncation and floor division agree
+      // (the k8/v5 argument — dd_est − exact_v can be negative)
+      .withColumn("err_ppm",
+        expr("dd_est * 1000000L div exact_v - 1000000L"))
+      .select(col("g").as("source"), col("q_ppm"), col("dd_est"),
+        col("exact_v"), col("err_ppm"))
+      .orderBy(col("source"), col("q_ppm"))
+  }
+
   val k7CountMin: Q = (spark, dir) => {
     val toks = fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), " ")).as("tok"))
@@ -5815,6 +5901,7 @@ object PipelineQueries {
     "k6_corpus_overlap" -> k6CorpusOverlap,
     "k7_count_min" -> k7CountMin,
     "k8_hll_distinct" -> k8HllDistinct,
+    "k9_dd_quantiles" -> k9DdQuantiles,
     "k8s_stream_hll" -> k8sStreamHll,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,

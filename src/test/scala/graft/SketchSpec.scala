@@ -126,6 +126,57 @@ class SketchSpec extends SparkSpec {
     assert(direct == merged, "shard max-merged HLL grids must equal the one-pass grid")
   }
 
+  test("k9: quantile estimates within the structural ±62500 ppm bound; " +
+    "per-shard count-sum merge equals the one-pass grid; small values exact") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.k9DdQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty, "fixture must exercise the operator")
+    rows.foreach { r =>
+      val (est, exact, err) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      // the estimate's bucket CONTAINS the exact rank value, so the
+      // midpoint is off by at most half the bucket width: ±1/16
+      assert(math.abs(err) <= 62500L,
+        s"${r.getString(0)} q${r.getLong(1)}: est $est vs exact $exact ($err ppm)")
+    }
+    // merge identity: per-bucket count SUM of shard grids == one-pass
+    // grid — what makes the sketch shippable across shards/days/crawls
+    val vals = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("n_chars").as("v"), col("doc_id"))
+    def grid(d: org.apache.spark.sql.DataFrame): Map[(String, Long, Long), Long] =
+      PipelineQueries.ddGrid(spark, d.select("g", "v")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3)) -> r.getLong(4)).toMap
+    val direct = grid(vals)
+    val shards = (0 until 3).map(s => grid(vals.filter(pmod(col("doc_id"), lit(3)) === s)))
+    val merged = shards.flatMap(_.toSeq).groupMapReduce(_._1)(_._2)(_ + _)
+    assert(direct == merged, "shard count-summed DD grids must equal the one-pass grid")
+  }
+
+  test("k9: planted fixture — small values are exact, geometric buckets bound large ones") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    // group a: values 1..10 (all below 2^4 — every bucket is a single
+    // value, so p50=5, p90=9, p99=10 must come back EXACT); group b:
+    // 100 copies of 1000 (one big bucket — estimate is the bucket
+    // midpoint, within 1/16 of 1000)
+    val rows = (1L to 10L).map(v => ("a", v)) ++ Seq.fill(100)(("b", 1000L))
+    rows.toDF("source", "n_chars")
+      .withColumn("doc_id", monotonically_increasing_id())
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = PipelineQueries.k9DdQuantiles(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 500000L)) == ((5L, 5L)), "p50 of 1..10 must be exact")
+    assert(out(("a", 900000L)) == ((9L, 9L)), "p90 of 1..10 must be exact")
+    assert(out(("a", 990000L)) == ((10L, 10L)), "p99 of 1..10 must be exact")
+    for (q <- PipelineQueries.DdQuantilesPpm) {
+      val (est, exact) = out(("b", q))
+      assert(exact == 1000L && math.abs(est - 1000L) <= 1000L / 16,
+        s"constant-column quantile: est $est")
+    }
+  }
+
   test("k2: null counts, NDVs and min/max renderings on a fixture WITH nulls") {
     // the driver testdata has no NULLs, so the profile's null path needs
     // its own fixture
