@@ -245,6 +245,99 @@ object PipelineOracles {
       $ivfServeTailSql"""
   }
 
+  /** v27's DuckDB twin — residual IVF-PQ retrained end-to-end: coarse
+    * Lloyd step ([[kmTrainCtes]]) → per-vector residual in
+    * [[PipelineQueries.ResOff]] re-offset units → residual codebook
+    * seeded from the residual slices of the [[PipelineQueries.PqK]]
+    * smallest vec_ids and refined one exact-integer Lloyd step (the
+    * pqTrainCtes arithmetic on residual slices) → encode → serve with a
+    * PER-PROBED-CELL query ADC table (the residual-encoding signature:
+    * the query's residual depends on which cell is searched).
+    * MATERIALIZED on every multi-referenced stage (the t28 lesson). */
+  private lazy val residualPqServeSql: String = {
+    val P = PipelineQueries
+    val mm = s"(SELECT unnest(range(0, ${P.PqSub})) AS m) mm"
+    s"""
+      WITH $embCte,
+      $quantCte,
+      $kmTrainCtes,
+      s1c AS MATERIALIZED (SELECT ka0.vec_id, c.cell,
+                     list_sum(list_transform(range(1, 65),
+                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
+              FROM ka0, kcent1 c),
+      asg AS MATERIALIZED (SELECT vec_id, cell AS vcell
+              FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist ASC, cell) AS rn FROM s1c)
+              WHERE rn = 1),
+      resid AS MATERIALIZED (SELECT q.vec_id, a.vcell,
+                     list_transform(range(1, 65),
+                       i -> q.u[i] - c.cent[i] + ${P.ResOff}) AS r
+              FROM q JOIN asg a ON a.vec_id = q.vec_id
+                     JOIN kcent1 c ON c.cell = a.vcell),
+      rsub AS MATERIALIZED (SELECT vec_id, mm.m AS m,
+                     r[mm.m * ${P.PqDim} + 1 : mm.m * ${P.PqDim} + ${P.PqDim}] AS su
+              FROM resid, $mm),
+      seeds AS MATERIALIZED (SELECT m, list(su ORDER BY vec_id) AS sl
+              FROM rsub WHERE vec_id < ${P.PqK} GROUP BY m),
+      ra0 AS (SELECT vec_id, m, su,
+                     CAST(list_position(s, list_min(s)) AS INTEGER) AS code0
+              FROM (SELECT r.vec_id, r.m, r.su,
+                      [list_sum(list_transform(range(1, ${P.PqDim} + 1),
+                         i -> (r.su[i] - sd.sl[k+1][i]) * (r.su[i] - sd.sl[k+1][i])))
+                       for k in range(0, ${P.PqK})] AS s
+                    FROM rsub r JOIN seeds sd ON sd.m = r.m) t0),
+      rupd AS (SELECT m, code0 AS code, g.i, sum(su[g.i]) AS susum, count(*) AS n
+               FROM ra0, generate_series(1, ${P.PqDim}) g(i)
+               GROUP BY 1, 2, 3),
+      rcent1 AS (SELECT m, code,
+                        list(CAST((2*susum + n) // (2*n) AS BIGINT) ORDER BY i) AS cent
+                 FROM rupd GROUP BY m, code, n),
+      rcents AS MATERIALIZED (SELECT m, list(cent ORDER BY code) AS cl
+                 FROM rcent1 GROUP BY m),
+      rdl AS MATERIALIZED (SELECT r.vec_id, r.m,
+                    list_transform(c.cl, cc ->
+                      list_sum(list_transform(range(1, ${P.PqDim} + 1),
+                        i -> (r.su[i] - cc[i]) * (r.su[i] - cc[i])))) AS dl
+             FROM rsub r JOIN rcents c ON c.m = r.m),
+      rco AS MATERIALIZED (SELECT vec_id, m,
+                    CAST(list_position(dl, list_min(dl)) AS INTEGER) AS ci
+             FROM rdl),
+      probe AS MATERIALIZED (SELECT vec_id AS q_id, cell
+                FROM (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY dist ASC, cell) AS crk
+                      FROM s1c WHERE vec_id < 5)
+                WHERE crk <= ${P.IvfProbe}),
+      qres AS (SELECT p.q_id, p.cell,
+                      list_transform(range(1, 65),
+                        i -> q.u[i] - c.cent[i] + ${P.ResOff}) AS qr
+               FROM probe p JOIN q ON q.vec_id = p.q_id
+                            JOIN kcent1 c ON c.cell = p.cell),
+      qsub AS (SELECT q_id, cell, mm.m AS m,
+                      qr[mm.m * ${P.PqDim} + 1 : mm.m * ${P.PqDim} + ${P.PqDim}] AS su
+               FROM qres, $mm),
+      qd AS MATERIALIZED (SELECT s.q_id, s.cell, s.m,
+                    list_transform(c.cl, cc ->
+                      list_sum(list_transform(range(1, ${P.PqDim} + 1),
+                        i -> (s.su[i] - cc[i]) * (s.su[i] - cc[i])))) AS dl
+             FROM qsub s JOIN rcents c ON c.m = s.m),
+      cand AS (SELECT p.q_id, a.vec_id, a.vcell
+               FROM probe p JOIN asg a ON a.vcell = p.cell
+               WHERE a.vec_id <> p.q_id),
+      contrib AS (SELECT cand.q_id, cand.vec_id, cand.vcell, qd.dl[rco.ci] AS dpart
+                  FROM cand
+                  JOIN rco ON rco.vec_id = cand.vec_id
+                  JOIN qd ON qd.q_id = cand.q_id AND qd.cell = cand.vcell
+                         AND qd.m = rco.m),
+      adc AS (SELECT q_id, vec_id, vcell, CAST(sum(dpart) AS BIGINT) AS adc_dist
+              FROM contrib GROUP BY 1, 2, 3),
+      rr AS (SELECT q_id, vec_id, vcell, adc_dist,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_dist, vec_id) AS rk
+             FROM adc)
+      SELECT q_id, rk, vec_id, vcell AS cell, adc_dist FROM rr
+      WHERE rk <= 5 ORDER BY q_id, rk"""
+  }
+
   /** v25's DuckDB twin — the [[PipelineQueries.V25Iters]]-step Lloyd loop
     * UNROLLED (g1's unrolled-iteration oracle discipline): kc0 is the
     * quantized seed literal; each step assigns (first-min, lowest-cell
@@ -1302,6 +1395,11 @@ object PipelineOracles {
     // through dynamic partition pruning — layout may change cost, never
     // results, so the oracle is again v22's end-to-end retrain SQL
     "v24_partitioned_trained_ivf" -> trainedIvfServeSql,
+
+    // residual IVF-PQ retrained end-to-end (coarse step + residual
+    // codebook from data-derived seeds) with the per-probed-cell query
+    // ADC replay — the residual-encoding signature
+    "v27_residual_pq" -> residualPqServeSql,
 
     // the full Lloyd training loop unrolled declaratively — per-iteration
     // n_cells/n_moved/inertia from the same exact-integer arithmetic the

@@ -2026,19 +2026,30 @@ object PipelineQueries {
     * (v5's sanctioned metadata collect). */
   private def pqTrainLloyd(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])]) = {
-    def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
-    val cbSql = PqCodebookQ.map(_.map(cs => cLit(cs.map(_ + KmOff)))
-      .mkString("array(", ",", ")"))
-      .mkString("cast(array(", ",", ") as array<array<array<bigint>>>)")
     val sub = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("m"), col("u"))
       .withColumn("su", expr(s"slice(u, m * $PqDim + 1, $PqDim)"))
       .drop("u")
+    pqLloydStepFrom(sub, PqCodebookQ.map(_.map(_.map(_ + KmOff))))
+  }
+
+  /** One exact-integer Lloyd step of an ARBITRARY per-subspace seed
+    * codebook over an already-sliced `(vec_id, m, su)` frame —
+    * [[pqTrainLloyd]]'s body with the seeds injected, so v27 can train
+    * in RESIDUAL space with data-derived seeds through the identical
+    * arithmetic (one step implementation, no drift). Seeds are in the
+    * same offset units as `su`. */
+  private def pqLloydStepFrom(sub: DataFrame, seeds: Seq[Seq[Seq[Long]]])
+      : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])]) = {
+    def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
+    val cbSql = seeds.map(_.map(cLit).mkString("array(", ",", ")"))
+      .mkString("cast(array(", ",", ") as array<array<array<bigint>>>)")
+    val nCodes = seeds.head.size
     val a0 = sub
       .withColumn("s", expr(
-        s"""transform(sequence(1, $PqK), k ->
+        s"""transform(sequence(1, $nCodes), k ->
            |  aggregate(zip_with(su, element_at(element_at($cbSql, m + 1), k),
            |    (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))""".stripMargin))
       .withColumn("code0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
@@ -2108,10 +2119,11 @@ object PipelineQueries {
     * TRAINED codebook (v20's `byM`), as one nested-array SQL expression:
     * `dl[m][k]` = squared L2 of subvector m to the k-th surviving
     * trained sub-centroid. Shared by v21 and v22's serving paths. */
-  private def pqDistSql(byM: Seq[(Int, Seq[(Int, Seq[Long])])]): String =
+  private def pqDistSql(byM: Seq[(Int, Seq[(Int, Seq[Long])])],
+                        vcol: String = "u"): String =
     byM.map { case (m, cs) =>
       cs.map { case (_, cent) =>
-        s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
+        s"""aggregate(zip_with(slice($vcol, ${m * PqDim + 1}, $PqDim),
            |  cast(array(${cent.mkString(",")}) as array<bigint>),
            |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
       }.mkString("array(", ",", ")")
@@ -2511,6 +2523,107 @@ object PipelineQueries {
       .drop("u", "p")
       .localCheckpoint() // corpus + query sides (self-join — see d2)
     ivfServeFrom(enc, cellIds)
+  }
+
+  // ---- V27: residual IVF-PQ — the production FAISS encoding ----------------
+
+  /** Residual re-offset: `u` and every trained centroid live in
+    * [0, 2·KmOff] (|embedding| ≤ 1.0, guarded loudly in-plan), so
+    * r = u − cent + 2·KmOff is provably non-negative — v5's all-positive
+    * trunc ≡ floor argument carried into residual space. */
+  val ResOff: Long = 2 * KmOff
+
+  /** Residual IVF-PQ (Jégou et al. 2011 §III; the FAISS `IndexIVFPQ`
+    * default): the PQ codebook quantizes the RESIDUAL v − c(cell) rather
+    * than the raw vector — residuals concentrate around zero once the
+    * coarse quantizer explains the between-cell variance, so the same
+    * 4-bit budget spends its codes on a tighter distribution. This is
+    * the one encoding asymmetry left after v22-v26: they all PQ-encode
+    * raw vectors. Chain: trained coarse cells ([[ivfTrainLloyd]]) →
+    * per-vector residual in re-offset units ([[ResOff]]) → residual
+    * codebook seeded from the residuals of the [[PqK]] smallest vec_ids
+    * (deterministic data-derived seeds — the standard sample-init — so
+    * the oracle reselects them) and trained one exact-integer Lloyd step
+    * through [[pqLloydStepFrom]] (v20's arithmetic verbatim) → encode →
+    * serve. Serving is v22's broadcast cell equi-join with the one real
+    * difference residual encoding forces: the query's ADC table is
+    * PER PROBED CELL (the query residual depends on which cell is being
+    * searched), so the probe frame carries (q_id, cell, dq) — exactly
+    * the per-probe table a FAISS serving node builds. The oracle
+    * retrains coarse + residual codebook end-to-end and replays
+    * assign → residual → probe → per-cell ADC → rank.
+    *
+    * Scale shape: v22's — two training scans + one encode scan, both
+    * trainings end in the sanctioned ≤ cells×dims metadata collect, the
+    * candidate stream is |probed cells| of the corpus via a broadcast
+    * (queries × probe)-sized frame, never a corpus shuffle. The per-cell
+    * dq tables multiply the BROADCAST side by [[IvfProbe]], not the
+    * corpus side. Everything exact integer. */
+  val v27ResidualPq: Q = (spark, dir) => {
+    val (_, byCell) = ivfTrainLloyd(spark, dir)
+    val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
+    val centsSql = byCell.map { case (_, c) => kmCentLit(c) }
+      .mkString("array(", ",", ")")
+    val enc0 = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr(
+        s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
+      .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
+      .withColumn("p", array_position(col("ks"), array_min(col("ks"))).cast(IntegerType))
+      .withColumn("cell", element_at(cellIds, col("p")))
+      .withColumn("r", expr(
+        s"zip_with(u, element_at($centsSql, p), (a, b) -> a - b + ${ResOff}L)"))
+      .localCheckpoint() // residual train + encode + corpus + query sides
+    // loud range guard (the m6/m7 discipline): the all-positive argument
+    // needs |embedding| ≤ 1.0; a tier outside it must fail here, not
+    // serve with floor/trunc divergence the oracle can't see
+    val bad = enc0.agg(sum(when(expr("array_min(r) < 0L"), 1L)
+      .otherwise(0L)).as("bad")).head.getLong(0)
+    require(bad == 0L, s"v27: $bad vectors have negative offset residuals " +
+      s"— embedding range exceeds the ±1.0 the $ResOff re-offset assumes")
+    val rsub = enc0
+      .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("m"),
+        col("r"))
+      .withColumn("su", expr(s"slice(r, m * $PqDim + 1, $PqDim)"))
+      .drop("r")
+    // deterministic data seeds: the residual subvectors of the PqK
+    // smallest vec_ids (metadata-sized collect — Sub·K·Dim longs)
+    val seedRows = rsub.filter(col("vec_id") < PqK)
+      .select(col("vec_id"), col("m"), col("su")).collect()
+    require(seedRows.length == PqSub * PqK,
+      s"v27: expected ${PqSub * PqK} seed slices, got ${seedRows.length} — " +
+        s"the tier must contain vec_ids 0..${PqK - 1}")
+    val seeds: Seq[Seq[Seq[Long]]] = (0 until PqSub).map(m =>
+      seedRows.filter(_.getInt(1) == m).sortBy(_.getLong(0))
+        .map(_.getSeq[Long](2).toVector).toSeq)
+    val (_, byMr) = pqLloydStepFrom(rsub, seeds)
+    // encode the corpus on the trained residual codebook
+    val enc = enc0
+      .withColumn("dl", expr(pqDistSql(byMr, "r")))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .select(col("vec_id"), col("cell"), col("code"))
+    // probe: each query's IvfProbe best cells, each carrying the ADC
+    // table of the query's residual AGAINST THAT CELL
+    val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
+    val probe = enc0.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("u"), posexplode(col("ks")))
+      .toDF("q_id", "u", "pos", "kdist")
+      .withColumn("cell", element_at(cellIds, col("pos") + 1))
+      .withColumn("crk", row_number().over(wq))
+      .filter(col("crk") <= IvfProbe)
+      .withColumn("qr", expr(
+        s"zip_with(u, element_at($centsSql, pos + 1), (a, b) -> a - b + ${ResOff}L)"))
+      .withColumn("dq", expr(pqDistSql(byMr, "qr")))
+      .select(col("q_id"), col("cell"), col("dq"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc
+      .join(broadcast(probe), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -5925,6 +6038,7 @@ object PipelineQueries {
     "v24_partitioned_trained_ivf" -> v24PartitionedTrainedIvf,
     "v25_lloyd_convergence" -> v25LloydConvergence,
     "v26_converged_ivf_serve" -> v26ConvergedIvfServe,
+    "v27_residual_pq" -> v27ResidualPq,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

@@ -88,6 +88,70 @@ class PipelineBatchOpsSpec extends SparkSpec {
       "converged serving identical to 1-step serving — iterations were a no-op")
   }
 
+  test("v27: residual encoding changes ranked rows vs raw-PQ serving (non-vacuous) " +
+    "and reconstructs the corpus with less distortion than raw PQ") {
+    val raw = PipelineQueries.v22TrainedIvfServe(spark, dir)
+    val res = PipelineQueries.v27ResidualPq(spark, dir)
+    assert(res.count() == raw.count())
+    assert(res.exceptAll(raw).count() > 0,
+      "residual serving identical to raw-PQ serving — the residual step was a no-op")
+    // The reason residual encoding exists: with the coarse quantizer
+    // explaining between-cell variance, the SAME 4-bit budget quantizes
+    // the residual distribution more tightly than the raw one. Rebuild
+    // both codebooks from first principles in the JVM (independent of
+    // every Spark expression) and compare total reconstruction error:
+    //   raw:      Σ min_code ‖slice(u)        − rawCent‖²
+    //   residual: Σ min_code ‖slice(u − cell) − resCent‖²   (offsets cancel)
+    import PipelineQueries.{KmOff, ResOff, PqSub, PqDim, PqK, IvfCells}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double))")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).map(x => math.floor(x * 1e6 + 0.5).toLong + KmOff).toArray)
+      .sortBy(_._1)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def lloydStep(pts: Array[(Int, Array[Long])], seeds: IndexedSeq[Array[Long]])
+        : Map[Int, Array[Long]] = { // pts: (ignored, vec); returns code -> cent
+      val asg = pts.map { case (_, p) =>
+        val ds = seeds.map(d2(p, _)); (ds.indexOf(ds.min), p)
+      }
+      asg.groupBy(_._1).map { case (c, ms) =>
+        val n = ms.length.toLong
+        c -> Array.tabulate(seeds.head.length)(i =>
+          (2 * ms.map(_._2(i)).sum + n) / (2 * n))
+      }
+    }
+    // coarse step from the literal seeds (v5's arithmetic)
+    val kSeeds = PipelineQueries.IvfCentroids
+      .map(_.map(d => math.floor(d * 1e6 + 0.5).toLong + KmOff).toArray).toIndexedSeq
+    val kCents = lloydStep(emb.map(e => (0, e._2)), kSeeds)
+    val cellOf = emb.map { case (id, u) =>
+      val keys = kCents.keys.toSeq.sorted
+      val best = keys.minBy(k => (d2(u, kCents(k)), k))
+      id -> best
+    }.toMap
+    def slices(v: Array[Long]): Seq[(Int, Array[Long])] =
+      (0 until PqSub).map(m => m -> v.slice(m * PqDim, (m + 1) * PqDim))
+    def totalDistortion(vecs: Array[(Long, Array[Long])],
+                        seedsOf: Int => IndexedSeq[Array[Long]]): Long =
+      (0 until PqSub).map { m =>
+        val pts = vecs.map { case (_, v) => (0, slices(v)(m)._2) }
+        val cb = lloydStep(pts, seedsOf(m)).values.toIndexedSeq
+        pts.map(p => cb.map(d2(p._2, _)).min).sum
+      }.sum
+    val rawD = totalDistortion(emb,
+      m => PipelineQueries.PqCodebookQ(m).map(_.map(_ + KmOff).toArray).toIndexedSeq)
+    val resVecs = emb.map { case (id, u) =>
+      id -> u.zip(kCents(cellOf(id))).map { case (a, b) => a - b + ResOff }
+    }
+    val resSeeds: Int => IndexedSeq[Array[Long]] =
+      m => resVecs.filter(_._1 < PqK).sortBy(_._1)
+        .map(v => slices(v._2)(m)._2).toIndexedSeq
+    val resD = totalDistortion(resVecs, resSeeds)
+    assert(resD < rawD,
+      s"residual PQ must reconstruct tighter: residual $resD vs raw $rawD")
+  }
+
   test("d15: incremental admission equals the one-shot dedup-against-seen derived from d2's pairs") {
     val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
       .select(col("a_id"), col("b_id")).collect()

@@ -453,6 +453,14 @@ class PlanSpec extends SparkSpec {
       !p26.contains("BroadcastNestedLoopJoin") && !p26.contains("CartesianProduct") &&
       p26.contains("Scan ExistingRDD"),
       s"v26: converged serving must keep v22's broadcast equi-join shape\n${p26.take(1200)}")
+    // v27's residual serve keeps the same contract — the per-probed-cell
+    // ADC tables ride the (queries × probe) BROADCAST side, never the
+    // corpus side, so residual encoding costs no extra corpus pass
+    val p27 = planOf(graft.queries.PipelineQueries.v27ResidualPq)
+    assert(p27.contains("BroadcastHashJoin") && !p27.contains("SortMergeJoin") &&
+      !p27.contains("BroadcastNestedLoopJoin") && !p27.contains("CartesianProduct") &&
+      p27.contains("Scan ExistingRDD"),
+      s"v27: residual serving must keep v22's broadcast equi-join shape\n${p27.take(1200)}")
   }
 
   test("k6: one planned nested-loop (the |sources|² pair frame); intersection stays an equi-join") {
