@@ -491,6 +491,42 @@ object Invariants {
         !v19.isEmpty
     }
 
+    // ---- k9: the quantile sketch's structural guarantees at ANY tier ----
+    // (the oracle is cheap everywhere, but the ±62 500 ppm bound is the
+    // property that must HOLD at every tier — pin it beyond the oracled
+    // scales alongside the other sketches)
+    check("k9: every quantile estimate within ±62500 ppm of the exact rank value") {
+      val rows = PipelineQueries.k9DdQuantiles(spark, sfDir).collect()
+      rows.nonEmpty && rows.forall(r => math.abs(r.getLong(4)) <= 62500L)
+    }
+
+    // ---- d14c: the capped expansion is genuinely replication-flat ----
+    // (its whole reason to exist: cross-name pairs expand at most cap²
+    // per VERIFIED NAME PAIR and same-name pairs at most C(cap,2) per
+    // distinct name — neither term grows when a tier replicates names,
+    // so the bound is computed from replication-invariant quantities)
+    check("d14c: output ≤ cap²·|name pairs| + C(cap,2)·|distinct names|") {
+      val nNames = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_name")).distinct().count()
+      val nPairs = PipelineQueries.d14bFuzzyJoinK2(spark, sfDir).count()
+      val cap = PipelineQueries.D14cCap.toLong
+      val bound = cap * cap * nPairs + cap * (cap - 1) / 2 * nNames
+      PipelineQueries.d14cFuzzyExpand(spark, sfDir).count() <= bound
+    }
+
+    // ---- v27: residual serving diverges from raw-PQ serving and every
+    // candidate comes from a probed cell (the residual oracle is a full
+    // double retrain — feasible at the driver tiers, gated structurally
+    // beyond them like v14/d7) ----
+    check("v27: ranked rows differ from v22 (non-vacuous) and candidates respect probes") {
+      val res = PipelineQueries.v27ResidualPq(spark, sfDir).localCheckpoint()
+      val raw = PipelineQueries.v22TrainedIvfServe(spark, sfDir)
+      val perQ = res.groupBy(col("q_id")).count().collect()
+      res.count() == raw.count() &&
+        res.exceptAll(raw).count() > 0 &&
+        perQ.forall(_.getLong(1) == 5L)
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)
