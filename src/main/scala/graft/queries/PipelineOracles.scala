@@ -1401,6 +1401,11 @@ object PipelineOracles {
     // ADC replay — the residual-encoding signature
     "v27_residual_pq" -> residualPqServeSql,
 
+    // v28 persists v27's residual index partitioned by cell and serves
+    // through DPP from the store — persistence and layout may change
+    // cost, never a ranked row, so the oracle IS v27's end-to-end SQL
+    "v28_persisted_residual" -> residualPqServeSql,
+
     // the full Lloyd training loop unrolled declaratively — per-iteration
     // n_cells/n_moved/inertia from the same exact-integer arithmetic the
     // Spark side persists through the store

@@ -2560,6 +2560,31 @@ object PipelineQueries {
     * dq tables multiply the BROADCAST side by [[IvfProbe]], not the
     * corpus side. Everything exact integer. */
   val v27ResidualPq: Q = (spark, dir) => {
+    val (cellIds, centsSql, byMr, enc0) = residualTrained(spark, dir)
+    // encode the corpus on the trained residual codebook
+    val enc = enc0
+      .withColumn("dl", expr(pqDistSql(byMr, "r")))
+      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+      .select(col("vec_id"), col("cell"), col("code"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+    enc
+      .join(broadcast(residualProbe(enc0, cellIds, centsSql, byMr)), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** v27's trained state, shared with [[v28PersistedResidual]] — one
+    * training, no drift: coarse Lloyd step, per-vector residuals, and
+    * the residual codebook from the data-derived seeds. Returns
+    * (cellIds literal, trained-centroid SQL literal, residual codebook,
+    * the checkpointed per-vector frame with u/ks/cell/r). */
+  private def residualTrained(spark: SparkSession, dir: String)
+      : (Column, String, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) = {
     val (_, byCell) = ivfTrainLloyd(spark, dir)
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
     val centsSql = byCell.map { case (_, c) => kmCentLit(c) }
@@ -2596,15 +2621,18 @@ object PipelineQueries {
       seedRows.filter(_.getInt(1) == m).sortBy(_.getLong(0))
         .map(_.getSeq[Long](2).toVector).toSeq)
     val (_, byMr) = pqLloydStepFrom(rsub, seeds)
-    // encode the corpus on the trained residual codebook
-    val enc = enc0
-      .withColumn("dl", expr(pqDistSql(byMr, "r")))
-      .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
-      .select(col("vec_id"), col("cell"), col("code"))
-    // probe: each query's IvfProbe best cells, each carrying the ADC
-    // table of the query's residual AGAINST THAT CELL
+    (cellIds, centsSql, byMr, enc0)
+  }
+
+  /** The residual-serving query side (v27's probe, shared with v28):
+    * each query's [[IvfProbe]] best cells, each carrying the ADC table
+    * of the query's residual AGAINST THAT CELL — the residual-encoding
+    * signature. (queries × probe) rows, always broadcast. */
+  private def residualProbe(enc0: DataFrame, cellIds: Column,
+                            centsSql: String,
+                            byMr: Seq[(Int, Seq[(Int, Seq[Long])])]): DataFrame = {
     val wq = Window.partitionBy(col("q_id")).orderBy(col("kdist"), col("cell"))
-    val probe = enc0.filter(col("vec_id") < 5)
+    enc0.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("u"), posexplode(col("ks")))
       .toDF("q_id", "u", "pos", "kdist")
       .withColumn("cell", element_at(cellIds, col("pos") + 1))
@@ -2614,16 +2642,62 @@ object PipelineQueries {
         s"zip_with(u, element_at($centsSql, pos + 1), (a, b) -> a - b + ${ResOff}L)"))
       .withColumn("dq", expr(pqDistSql(byMr, "qr")))
       .select(col("q_id"), col("cell"), col("dq"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
-    enc
-      .join(broadcast(probe), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
-      .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
-      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** V28: v27's residual index DEPLOYED — the trained residual
+    * `(vec_id, cell, code)` rows merged through the snapshot store
+    * `partitionBy(cell)` in two partition-scoped batches with a
+    * redelivered overlap, and serving reads ONLY the persisted table
+    * with dynamic partition pruning REQUIRED in-plan (v24's layout
+    * discipline applied to v27's encoding — the index a production
+    * residual-IVF-PQ deployment actually holds at rest). The query side
+    * recomputes probe cells + per-cell residual ADC tables from its raw
+    * vector against the trained literals — exactly what a serving node
+    * holds — and the result must hash-match v27's per-run rebuild
+    * VERBATIM (v23's discipline: persistence and layout may change
+    * cost, never a single ranked row).
+    *
+    * Scale shape: an incremental batch re-encodes only itself and
+    * rewrites only the cell partitions it touches; a query's read is
+    * probes/cells of the table via DPP. */
+  val v28PersistedResidual: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-ridx").toString
+    try {
+      val (cellIds, centsSql, byMr, enc0) = residualTrained(spark, dir)
+      def encIdx(src: DataFrame) = src
+        .withColumn("dl", expr(pqDistSql(byMr, "r")))
+        .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+        .select(col("vec_id"), col("cell"), col("code"))
+      // v23's build: day-0 minus a stripe, then the stripe + a
+      // redelivered overlap — partitioned by cell, so merge #2 rewrites
+      // only the cell partitions the batch touches
+      SnapshotStore.merge(spark, root,
+        encIdx(enc0.filter(pmod(col("vec_id"), lit(5)) =!= 3)), Seq("vec_id"),
+        partitionDate = Some(col("cell")))
+      SnapshotStore.merge(spark, root,
+        encIdx(enc0.filter(pmod(col("vec_id"), lit(5)) === 3 ||
+          pmod(col("vec_id"), lit(31)) === 0)), Seq("vec_id"),
+        partitionDate = Some(col("cell")))
+      val idx = SnapshotStore.readWithPartition(spark, root).get
+      val probe = residualProbe(enc0, cellIds, centsSql, byMr)
+        .withColumn("probe_s", col("cell").cast(StringType))
+      val w = Window.partitionBy(col("q_id")).orderBy(col("adc_dist"), col("vec_id"))
+      val served = idx
+        .join(broadcast(probe.drop("cell")),
+          col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc_dist", expr(
+          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
+      require(served.queryExecution.executedPlan.toString.toLowerCase
+          .contains("dynamicpruning"),
+        "v28: the serving scan must be dynamic-partition-pruned to the probed cells")
+      served.localCheckpoint() // pruned scan executes HERE, before the tree dies
+        .orderBy(col("q_id"), col("rk"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -6039,6 +6113,7 @@ object PipelineQueries {
     "v25_lloyd_convergence" -> v25LloydConvergence,
     "v26_converged_ivf_serve" -> v26ConvergedIvfServe,
     "v27_residual_pq" -> v27ResidualPq,
+    "v28_persisted_residual" -> v28PersistedResidual,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

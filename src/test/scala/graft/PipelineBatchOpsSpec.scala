@@ -43,6 +43,17 @@ class PipelineBatchOpsSpec extends SparkSpec {
       "v24 served rows differ from v22's rebuild")
   }
 
+  test("v28: persisted residual index serves the same ranked rows as the per-run rebuild (v27)") {
+    // v24's layout + persistence invariance applied to the residual
+    // encoding: the DPP-pruned serve over the partitionBy(cell) store
+    // must not change a single ranked row vs v27's in-memory rebuild
+    val rebuilt = PipelineQueries.v27ResidualPq(spark, dir)
+    val served = PipelineQueries.v28PersistedResidual(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(rebuilt).isEmpty && rebuilt.exceptAll(served).isEmpty,
+      "v28 served rows differ from v27's rebuild")
+  }
+
   test("v25: iterated Lloyd descends monotonically and is a fixed point once assignments stabilize") {
     val rep = PipelineQueries.v25LloydConvergence(spark, dir)
       .orderBy(col("iter")).collect()
