@@ -47,8 +47,9 @@ object Bench {
     // index (double training + two store merges per run)
     "d18_delete_readmission", "v23_persisted_trained_ivf",
     // round 12 (cont.): the persisted residual index — double training +
-    // two partition-scoped store merges per run
-    "v28_persisted_residual",
+    // two partition-scoped store merges per run — and the incremental
+    // CC state machine (six store merges per run)
+    "v28_persisted_residual", "g2_incremental_cc",
     // round 12: the deployed index shape — trained index merged
     // partitionBy(cell) with DPP-required serving (two store merges/run);
     // and the iterated Lloyd trainer (V25Iters+1 store merges/run)

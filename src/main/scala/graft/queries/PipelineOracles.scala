@@ -2688,6 +2688,10 @@ object PipelineOracles {
     // the streaming near-dup table must converge to d2's exact all-pairs
     // result — same oracle, different engine path
     "d2s_stream_neardup" -> base("d2_minhash_lsh"),
+
+    // incremental CC through the store must converge to d6's one-shot
+    // recursive-CTE cluster assignment — edge arrival order is invisible
+    "g2_incremental_cc" -> base("d6_dedup_clusters"),
     // the persisted-and-incrementally-merged index must serve EXACTLY
     // what the per-query rebuild computes — same oracle, verbatim
     "v15_persisted_ivfpq" -> base("v7_ivfpq"),

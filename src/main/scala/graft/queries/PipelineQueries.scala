@@ -4559,6 +4559,100 @@ object PipelineQueries {
     }
   }
 
+  // ---- G2: incremental connected components through the store ---------------
+
+  /** Edge arrival batches for [[g2IncrementalCc]] (doc_id-ordered
+    * terciles — d15's replay discipline, on edges). */
+  val G2Batches = 3
+
+  /** The g2 state machine, exposed for the spec: replays `pairs0`
+    * (a_id, b_id) as [[G2Batches]] arrival batches — an edge arrives
+    * with its LATER endpoint (crawl semantics: a link can only be seen
+    * once both documents exist) — maintaining `(v, l)` component labels
+    * and the edge set in the snapshot store under `root`. Per batch:
+    * the new edges' endpoints name the AFFECTED components, the stored
+    * edges of those components ∪ the batch edges recompute CC
+    * ([[connectedComponents]] — large-star/small-star, d6's engine),
+    * and the keyed label merge rewrites exactly the affected vertices.
+    * This is the non-monotone graph case (d18's class): a bridge edge
+    * arriving late MERGES two settled components and their labels
+    * rewrite component-wide — a monotone pipeline cannot express it,
+    * the keyed store merge can. Edge merges redeliver a slice of the
+    * stored edges (v15's at-least-once overlap). The final labels are
+    * provably batch-partition-invariant (CC of a union is independent
+    * of arrival order), which is what lets d6's DECLARATIVE one-shot
+    * oracle grade an incremental pipeline. Returns the final
+    * (doc_id, canonical_id, cluster_size) served from the store alone. */
+  private[graft] def incrementalCcRun(spark: SparkSession, pairs0: DataFrame,
+                                      root: String): DataFrame = {
+    import graft.incremental.SnapshotStore
+    val pairs = pairs0.toDF("a_id", "b_id").localCheckpoint()
+    val maxId = pairs.agg(greatest(max(col("a_id")), max(col("b_id"))))
+      .head.getLong(0)
+    def inBatch(b: Int): Column =
+      expr(s"least(${G2Batches - 1}, greatest(a_id, b_id) * $G2Batches div ${maxId + 1})") === b
+    (0 until G2Batches).foreach { b =>
+      val batchE = pairs.filter(inBatch(b)).localCheckpoint()
+      val stateE = SnapshotStore.read(spark, s"$root/edges")
+      val stateL = SnapshotStore.read(spark, s"$root/labels")
+      // affected components = labels of the batch edges' endpoints; the
+      // subgraph is their stored edges (both endpoints share a label
+      // after the previous CC, so filtering on a_id's label suffices)
+      val touched = batchE.select(col("a_id").as("v"))
+        .unionByName(batchE.select(col("b_id").as("v"))).distinct()
+      val subE = (stateE, stateL) match {
+        case (Some(se), Some(sl)) =>
+          val aff = sl.join(touched, "v").select(col("l")).distinct()
+            .localCheckpoint() // names the components; component-count-sized
+          se.join(sl.select(col("v").as("a_id"), col("l")), "a_id")
+            .join(broadcast(aff), "l")
+            .select(col("a_id"), col("b_id"))
+            .unionByName(batchE)
+        case _ => batchE
+      }
+      val newLabels = connectedComponents(subE).toDF("v", "l")
+      SnapshotStore.merge(spark, s"$root/labels", newLabels, Seq("v"))
+      // redeliver a deterministic slice of already-stored edges: the
+      // keyed merge must swallow the replay (v15's overlap discipline)
+      val redelivered = stateE.map(se =>
+        batchE.unionByName(se.filter(pmod(col("a_id"), lit(53)) === 0)))
+        .getOrElse(batchE)
+      SnapshotStore.merge(spark, s"$root/edges", redelivered,
+        Seq("a_id", "b_id"))
+    }
+    val lab = SnapshotStore.read(spark, s"$root/labels").get
+    val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "l")
+      .select(col("v").as("doc_id"), col("l").as("canonical_id"),
+        col("cluster_size"))
+      .localCheckpoint() // materialized before the temp store dies
+      .orderBy(col("doc_id"))
+  }
+
+  /** G2: d6's cluster assignment maintained INCREMENTALLY — the graph
+    * twin of d15 (admission) and d18 (delete/re-admit): the verified
+    * near-dup pair graph (d2's operator output) arrives as three edge
+    * batches and the component labels live in the snapshot store between
+    * runs; each batch recomputes ONLY the components its edges touch.
+    * The final state must hash-match d6's one-shot recursive-CTE oracle
+    * over the full pair set — arrival order is invisible.
+    *
+    * Scale shape: per batch the CC rerun is |affected components'
+    * edges| + |batch|, not the whole graph — at 10¹⁰ edges a settled
+    * component is never re-shuffled until an edge touches it; labels
+    * and edges are keyed store tables (bucketable, incrementally
+    * merged); the affected-label frame is component-count-sized and
+    * broadcast. The one corpus-sized term is d2's pair mining, which is
+    * d2's own gate. */
+  val g2IncrementalCc: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-g2").toString
+    try {
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      incrementalCcRun(spark, pairs, root)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- G1: link-graph PageRank (crawl-quality prior) ------------------------
 
   /** PageRank over a deterministic synthetic link graph — the crawl-graph
@@ -6093,6 +6187,7 @@ object PipelineQueries {
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
+    "g2_incremental_cc" -> g2IncrementalCc,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
     "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,

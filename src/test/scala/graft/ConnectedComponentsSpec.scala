@@ -69,4 +69,42 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(PipelineQueries.connectedComponents(empty, propRounds = 0).count() == 0)
     assert(PipelineQueries.connectedComponents(empty, propRounds = 12).count() == 0)
   }
+
+  test("g2: a late bridge edge MERGES two settled components (non-monotone rewrite)") {
+    // edge batches split by max-endpoint tercile over ids 0..89:
+    // batch 0 (max < 30) builds component {1,2,3}; batch 1 (max < 60)
+    // builds {40,41,42}; batch 2 delivers the BRIDGE 3-61 plus 61-40 —
+    // the two settled components must rewrite to one label (1), the
+    // non-monotone case a keyed store merge expresses and an
+    // append-only pipeline cannot. 80-81 stays untouched throughout.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),             // batch 0
+      (40L, 41L), (41L, 42L),         // batch 1
+      (80L, 81L),                     // batch 2 (max 81) — bystander
+      (3L, 61L), (61L, 40L)           // batch 2 — the bridge
+    ).toDF("a_id", "b_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-g2spec").toString
+    try {
+      val got = PipelineQueries.incrementalCcRun(spark, pairs, root)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val merged = Set(1L, 2L, 3L, 40L, 41L, 42L, 61L)
+        .map(v => (v, 1L, 7L))
+      assert(got === merged ++ Set((80L, 80L, 2L), (81L, 80L, 2L)),
+        s"bridge must merge both settled components into label 1, got $got")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("g2: final labels equal d6's one-shot assignment on real data (arrival order invisible)") {
+    val dir = "/root/testdata/sf0.001"
+    val oneShot = PipelineQueries.d6DedupClusters(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("graft-g2spec2").toString
+    try {
+      val inc = PipelineQueries.g2IncrementalCc(spark, dir)
+      assert(inc.count() > 0, "fixture must exercise the operator")
+      assert(inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty,
+        "incremental CC diverged from the one-shot assignment")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
 }
