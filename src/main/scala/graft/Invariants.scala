@@ -54,6 +54,13 @@ object Invariants {
     check("d6: cluster_size equals the member count") {
       members.forall { case (_, m) => m.values.map(_._2).toSet == Set(m.size.toLong) }
     }
+    // g2's oracle is d6's recursive CTE (all-pairs class) — past the
+    // oracled tiers the incremental state machine is gated HERE against
+    // the one-shot operator: arrival order must be invisible
+    check("g2: incremental CC equals d6's one-shot assignment") {
+      PipelineQueries.g2IncrementalCc(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == lab
+    }
 
     // ---- d11: containment vs d2 (its oracle embeds the all-pairs join,
     // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----
