@@ -245,6 +245,31 @@ object PipelineOracles {
       $ivfServeTailSql"""
   }
 
+  /** The DDSketch estimate CTE chain shared by k9 and t29 (one
+    * estimator, no drift): `v` (per-doc source/length) → `n` → `q`
+    * (the ppm probes) → `tgt` (target ranks ⌈q·n⌉) → `b` (the
+    * log-bucketed grid) → `cum` → `est` (g, q_ppm, dd_est). */
+  private def ddEstCtes(qs: Seq[Long]): String = s"""
+      v AS (SELECT source AS g, n_chars AS v FROM documents
+            WHERE n_chars >= 1),
+      n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+      q AS (SELECT CAST(unnest([${qs.mkString(", ")}]) AS BIGINT) AS q_ppm),
+      tgt AS (SELECT g, q_ppm, (q_ppm * n + 999999) // 1000000 AS target
+              FROM n CROSS JOIN q),
+      b AS (SELECT g, length(bin(v)) - 1 AS e,
+                   greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS shift,
+                   v >> greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS key,
+                   count(*) AS cnt
+            FROM v GROUP BY 1, 2, 3, 4),
+      cum AS (SELECT g, e, key, shift, cnt,
+                     sum(cnt) OVER (PARTITION BY g ORDER BY e, key) AS cum
+              FROM b),
+      est AS (SELECT t.g, t.q_ppm,
+                     CAST(min(((c.key << c.shift)
+                               + ((c.key + 1) << c.shift) - 1) // 2) AS BIGINT) AS dd_est
+              FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.target
+              GROUP BY 1, 2)"""
+
   /** v27's DuckDB twin — residual IVF-PQ retrained end-to-end: coarse
     * Lloyd step ([[kmTrainCtes]]) → per-vector residual in
     * [[PipelineQueries.ResOff]] re-offset units → residual codebook
@@ -834,25 +859,7 @@ object PipelineOracles {
     // midpoint of the first bucket whose cumulative count reaches it,
     // graded against the exact rank walk per (source, quantile)
     "k9_dd_quantiles" -> s"""
-      WITH v AS (SELECT source AS g, n_chars AS v FROM documents
-                 WHERE n_chars >= 1),
-      n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
-      q AS (SELECT CAST(unnest([${PipelineQueries.DdQuantilesPpm.mkString(", ")}]) AS BIGINT) AS q_ppm),
-      tgt AS (SELECT g, q_ppm, (q_ppm * n + 999999) // 1000000 AS target
-              FROM n CROSS JOIN q),
-      b AS (SELECT g, length(bin(v)) - 1 AS e,
-                   greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS shift,
-                   v >> greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0) AS key,
-                   count(*) AS cnt
-            FROM v GROUP BY 1, 2, 3, 4),
-      cum AS (SELECT g, e, key, shift, cnt,
-                     sum(cnt) OVER (PARTITION BY g ORDER BY e, key) AS cum
-              FROM b),
-      est AS (SELECT t.g, t.q_ppm,
-                     CAST(min(((c.key << c.shift)
-                               + ((c.key + 1) << c.shift) - 1) // 2) AS BIGINT) AS dd_est
-              FROM tgt t JOIN cum c ON c.g = t.g AND c.cum >= t.target
-              GROUP BY 1, 2),
+      WITH ${ddEstCtes(PipelineQueries.DdQuantilesPpm)},
       dcum AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum
                FROM (SELECT g, v, count(*) AS c FROM v GROUP BY 1, 2)),
       ex AS (SELECT t.g, t.q_ppm, CAST(min(d.v) AS BIGINT) AS exact_v
@@ -862,6 +869,22 @@ object PipelineOracles {
              CAST(est.dd_est * 1000000 // ex.exact_v - 1000000 AS BIGINT) AS err_ppm
       FROM est JOIN ex ON est.g = ex.g AND est.q_ppm = ex.q_ppm
       ORDER BY source, est.q_ppm""",
+
+    // the sketch used operationally: keep each source's middle 80% by
+    // length, bounds from the same DDSketch walk (shared ddEstCtes —
+    // one estimator, no drift)
+    "t29_quantile_trim" -> s"""
+      WITH ${ddEstCtes(PipelineQueries.T29TrimPpm)},
+      bounds AS (SELECT g,
+                   min(CASE WHEN q_ppm = ${PipelineQueries.T29TrimPpm.head}
+                            THEN dd_est END) AS lo_bound,
+                   min(CASE WHEN q_ppm = ${PipelineQueries.T29TrimPpm(1)}
+                            THEN dd_est END) AS hi_bound
+                 FROM est GROUP BY g)
+      SELECT d.doc_id, d.source, d.n_chars, bo.lo_bound, bo.hi_bound,
+             d.n_chars >= bo.lo_bound AND d.n_chars <= bo.hi_bound AS kept
+      FROM documents d JOIN bounds bo ON bo.g = d.source
+      WHERE d.n_chars >= 1 ORDER BY d.doc_id""",
 
     // the STREAMED HLL grid must equal the one-shot grid: k8's register
     // CTEs, emitted raw — a dropped batch lowers a register and reds the

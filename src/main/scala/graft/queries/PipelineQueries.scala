@@ -4454,6 +4454,26 @@ object PipelineQueries {
     * merge across shards (SketchSpec pins the identity). The quantile
     * walk runs on the tiny grid (window over ~500 rows/group). The exact
     * per-value cumsum is the graded-against term only. */
+  /** The sketch's rank walk, shared by k9 (the graded audit) and t29
+    * (the operational trim) — one estimator, no drift: target rank
+    * ⌈q·n⌉ per group, estimate = midpoint of the first grid bucket whose
+    * cumulative count reaches it. Returns (g, q_ppm, dd_est). */
+  private def ddQuantileEst(spark: SparkSession, vals: DataFrame,
+                            qs: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val targets = n.crossJoin(broadcast(qs.toDF("q_ppm")))
+      .withColumn("target", expr("(q_ppm * n + 999999L) div 1000000L"))
+      .select(col("g"), col("q_ppm"), col("target"))
+    val cum = ddGrid(spark, vals)
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy(col("g")).orderBy(col("e"), col("key"))))
+    cum.join(targets, "g")
+      .filter(col("cum") >= col("target"))
+      .groupBy(col("g"), col("q_ppm"))
+      .agg(min(col("rep")).as("dd_est")) // rep is monotone in (e, key)
+  }
+
   val k9DdQuantiles: Q = (spark, dir) => {
     import spark.implicits._
     val vals = fanOut(spark, t(spark, dir, "documents"))
@@ -4464,13 +4484,7 @@ object PipelineQueries {
     val targets = n.crossJoin(broadcast(DdQuantilesPpm.toDF("q_ppm")))
       .withColumn("target", expr("(q_ppm * n + 999999L) div 1000000L"))
       .select(col("g"), col("q_ppm"), col("target"))
-    val cum = ddGrid(spark, vals)
-      .withColumn("cum", sum(col("cnt")).over(
-        Window.partitionBy(col("g")).orderBy(col("e"), col("key"))))
-    val est = cum.join(targets, "g")
-      .filter(col("cum") >= col("target"))
-      .groupBy(col("g"), col("q_ppm"))
-      .agg(min(col("rep")).as("dd_est")) // rep is monotone in (e, key)
+    val est = ddQuantileEst(spark, vals, DdQuantilesPpm)
     val exact = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("g")).orderBy(col("v"))))
@@ -4486,6 +4500,39 @@ object PipelineQueries {
       .select(col("g").as("source"), col("q_ppm"), col("dd_est"),
         col("exact_v"), col("err_ppm"))
       .orderBy(col("source"), col("q_ppm"))
+  }
+
+  /** t29's trim band in ppm: keep each source's middle 80% by length. */
+  val T29TrimPpm: Seq[Long] = Seq(100000L, 900000L)
+
+  /** Corpus-RELATIVE length trim — the k9 sketch used operationally:
+    * a doc survives iff its length lies within its OWN source's
+    * [p10, p90] band, bounds read from the DDSketch estimate (shared
+    * [[ddQuantileEst]] walk — one estimator, no drift). This is the
+    * curation cut absolute thresholds (t20's Gopher rules) cannot
+    * express: "too short/long" is distribution-relative — a p10 cut on
+    * a code source and a prose source lands at different lengths, with
+    * no per-source constants to maintain. At 100 TB the bounds come
+    * from the grid (one map-side-combined pass, grid-sized shuffle) —
+    * the exact rank walk the sketch replaces would need a per-source
+    * sort. The sketch is bit-identical in both engines, so the bounds —
+    * and therefore every verdict — sit on the hashed surface. */
+  val t29QuantileTrim: Q = (spark, dir) => {
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .filter(col("n_chars") >= 1)
+      .select(col("doc_id"), col("source").as("g"), col("n_chars"))
+      .localCheckpoint() // feeds the sketch build AND the verdict join
+    val est = ddQuantileEst(spark, docs.select(col("g"), col("n_chars").as("v")),
+      T29TrimPpm)
+    val bounds = est.groupBy(col("g")).agg(
+      min(when(col("q_ppm") === T29TrimPpm.head, col("dd_est"))).as("lo_bound"),
+      min(when(col("q_ppm") === T29TrimPpm(1), col("dd_est"))).as("hi_bound"))
+    docs.join(broadcast(bounds), "g")
+      .select(col("doc_id"), col("g").as("source"), col("n_chars"),
+        col("lo_bound"), col("hi_bound"),
+        (col("n_chars") >= col("lo_bound") &&
+          col("n_chars") <= col("hi_bound")).as("kept"))
+      .orderBy(col("doc_id"))
   }
 
   val k7CountMin: Q = (spark, dir) => {
@@ -6183,6 +6230,7 @@ object PipelineQueries {
     "k7_count_min" -> k7CountMin,
     "k8_hll_distinct" -> k8HllDistinct,
     "k9_dd_quantiles" -> k9DdQuantiles,
+    "t29_quantile_trim" -> t29QuantileTrim,
     "k8s_stream_hll" -> k8sStreamHll,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,

@@ -152,6 +152,42 @@ class SketchSpec extends SparkSpec {
     assert(direct == merged, "shard count-summed DD grids must equal the one-pass grid")
   }
 
+  test("t29: the trim actually trims the tails and keeps the bulk, per source") {
+    import graft.queries.PipelineQueries
+    val rows = PipelineQueries.t29QuantileTrim(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty, "fixture must exercise the operator")
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val (lo, hi) = (g.head._3, g.head._4)
+      assert(lo <= hi, s"$src: lo_bound $lo > hi_bound $hi")
+      // verdicts are exactly the band membership
+      g.foreach { case (_, n, _, _, kept) =>
+        assert(kept == (n >= lo && n <= hi), s"$src: verdict drifted from band")
+      }
+      // a [p10, p90] band keeps the bulk: target ranks alone guarantee
+      // ≥ 80% minus bucket-edge slack — gate at 70%
+      val frac = g.count(_._5).toDouble / g.length
+      assert(frac >= 0.7, s"$src: kept fraction $frac below the p10/p90 bulk")
+    }
+  }
+
+  test("t29: planted fixture — decile trim cuts exactly the planted outliers") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-trim").toString
+    // values 1..10, all below 2^4 so every bucket is exact: p10 target
+    // rank 1 → lo = 1, p90 target rank 9 → hi = 9; ONLY the value-10 doc
+    // is trimmed — the planted outlier
+    (1L to 10L).map(v => (v, "a", v)).toDF("doc_id", "source", "n_chars")
+      .withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = PipelineQueries.t29QuantileTrim(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(out == (1L to 9L).map(_ -> true).toMap + (10L -> false),
+      s"decile trim must cut exactly the value-10 outlier, got $out")
+  }
+
   test("k9: planted fixture — small values are exact, geometric buckets bound large ones") {
     import spark.implicits._
     import graft.queries.PipelineQueries
