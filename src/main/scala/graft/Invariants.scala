@@ -529,9 +529,15 @@ object Invariants {
       val res = PipelineQueries.v27ResidualPq(spark, sfDir).localCheckpoint()
       val raw = PipelineQueries.v22TrainedIvfServe(spark, sfDir)
       val perQ = res.groupBy(col("q_id")).count().collect()
+      // EXPLICIT probe membership: every served row's cell must be one of
+      // its query's probed cells (not just implied by the join shape)
+      val probes = PipelineQueries.v27ProbeCells(spark, sfDir)
+      val offProbe = res.select(col("q_id"), col("cell"))
+        .join(probes, Seq("q_id", "cell"), "left_anti").count()
       res.count() == raw.count() &&
         res.exceptAll(raw).count() > 0 &&
-        perQ.forall(_.getLong(1) == 5L)
+        perQ.forall(_.getLong(1) == 5L) &&
+        offProbe == 0L
     }
 
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")

@@ -407,13 +407,21 @@ object DagQueries {
   /** Runs `body` with `spark.sql.shuffle.partitions` dialed to
     * [[StreamGatePartitions]], restoring the session value after — the
     * conf is read at streaming-query start and pinned into the fresh
-    * checkpoint, so the override must bracket the whole build+drain. */
-  private def withStreamGateConf[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, StreamGatePartitions.toString)
-    try body finally spark.conf.set(key, prev)
-  }
+    * checkpoint, so the override must bracket the whole build+drain.
+    * NOT reentrant: the bracket mutates the SHARED session conf, so two
+    * stream gates on one session must run sequentially (Verify/Bench
+    * do). Concurrent gates would need a cloned `spark.newSession()`
+    * per gate — but a clone's conf is NOT read by streams started from
+    * frames built on the parent session, so the serialization below is
+    * the deliberate choice: `synchronized` makes the constraint
+    * structural instead of conventional. */
+  private def withStreamGateConf[A](spark: SparkSession)(body: => A): A =
+    spark.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, StreamGatePartitions.toString)
+      try body finally spark.conf.set(key, prev)
+    }
 
   /** §2.9's Structured Streaming ingest inside the hard gate: the fixture
     * event stream replays as THREE MemoryStream micro-batches — with a

@@ -79,6 +79,34 @@ object PipelineOracles {
       |                   ELSE [] END AS sh
       |       FROM docs)""".stripMargin
 
+  /** The connected-components closure over the exact all-pairs near-dup
+    * graph (min reachable id = canonical) — shared by d6 (the full
+    * graph), g2 (incremental arrival must converge to it) and g2b
+    * (incremental RETIREMENT: `edgeCond` cuts the retired edges from the
+    * exact pair set, so the closure runs over the survivors — vertices
+    * with no surviving edge leave the labeling with the verts CTE). */
+  private def ccClustersSql(edgeCond: String): String = s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni $edgeCond),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS (SELECT x AS doc_id, MIN(y) AS canonical_id FROM reach GROUP BY x),
+      sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+      SELECT lab.doc_id, lab.canonical_id, sz.cluster_size
+      FROM lab JOIN sz USING (canonical_id)
+      ORDER BY doc_id"""
+
   /** Shared CTE chain for the retrieval-eval oracles: `ex` = the exact
     * cos_e6 top-5 per query, `ra` = the LSH ANN's ranked results — both
     * recomputed verbatim from the v1/v2 oracle bodies. */
@@ -1593,27 +1621,7 @@ object PipelineOracles {
 
     // connected components over the exact all-pairs near-dup graph, via a
     // recursive reachability closure — min reachable id = canonical
-    "d6_dedup_clusters" -> s"""
-      WITH RECURSIVE $shingleCte,
-      pairs AS (
-        SELECT a_id, b_id FROM (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE 2 * inter >= uni),
-      e AS (SELECT a_id AS u, b_id AS v FROM pairs
-            UNION ALL SELECT b_id, a_id FROM pairs),
-      verts AS (SELECT DISTINCT u AS v FROM e),
-      reach(x, y) AS (
-        SELECT v, v FROM verts
-        UNION
-        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
-      lab AS (SELECT x AS doc_id, MIN(y) AS canonical_id FROM reach GROUP BY x),
-      sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
-      SELECT lab.doc_id, lab.canonical_id, sz.cluster_size
-      FROM lab JOIN sz USING (canonical_id)
-      ORDER BY doc_id""",
+    "d6_dedup_clusters" -> ccClustersSql(""),
 
     "t5_chunk" -> s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
@@ -2715,6 +2723,12 @@ object PipelineOracles {
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible
     "g2_incremental_cc" -> base("d6_dedup_clusters"),
+    // incremental CC under edge RETIREMENT: d6's closure over the
+    // SURVIVING edge set — the declarative grade for the delete + scoped
+    // recompute discipline (a split must re-label both halves; an
+    // isolated vertex must leave the labeling)
+    "g2b_cc_retirement" -> ccClustersSql(
+      s"AND (a_id + b_id) % ${PipelineQueries.G2bRetireMod} <> ${PipelineQueries.G2bRetireRem}"),
     // the persisted-and-incrementally-merged index must serve EXACTLY
     // what the per-query rebuild computes — same oracle, verbatim
     "v15_persisted_ivfpq" -> base("v7_ivfpq"),

@@ -2644,6 +2644,15 @@ object PipelineQueries {
       .select(col("q_id"), col("cell"), col("dq"))
   }
 
+  /** v27's probe frame (q_id, cell) recomputed from the shared training —
+    * exposed so Invariants can assert candidate cells ⊆ probed cells
+    * EXPLICITLY (the join shape enforces it implicitly; the tier check
+    * makes it a stated property, not a structural accident). */
+  private[graft] def v27ProbeCells(spark: SparkSession, dir: String): DataFrame = {
+    val (cellIds, centsSql, byMr, enc0) = residualTrained(spark, dir)
+    residualProbe(enc0, cellIds, centsSql, byMr).select(col("q_id"), col("cell"))
+  }
+
   /** V28: v27's residual index DEPLOYED — the trained residual
     * `(vec_id, cell, code)` rows merged through the snapshot store
     * `partitionBy(cell)` in two partition-scoped batches with a
@@ -4458,13 +4467,21 @@ object PipelineQueries {
     * (the operational trim) — one estimator, no drift: target rank
     * ⌈q·n⌉ per group, estimate = midpoint of the first grid bucket whose
     * cumulative count reaches it. Returns (g, q_ppm, dd_est). */
-  private def ddQuantileEst(spark: SparkSession, vals: DataFrame,
-                            qs: Seq[Long]): DataFrame = {
+  /** The ONE definition of the target rank ⌈q·n⌉ per (group, probe) —
+    * shared by the sketch walk ([[ddQuantileEst]]) and k9's graded exact
+    * walk, so the two sides can never silently diverge on rounding. */
+  private def ddTargets(spark: SparkSession, vals: DataFrame,
+                        qs: Seq[Long]): DataFrame = {
     import spark.implicits._
-    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val targets = n.crossJoin(broadcast(qs.toDF("q_ppm")))
+    vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(qs.toDF("q_ppm")))
       .withColumn("target", expr("(q_ppm * n + 999999L) div 1000000L"))
       .select(col("g"), col("q_ppm"), col("target"))
+  }
+
+  private def ddQuantileEst(spark: SparkSession, vals: DataFrame,
+                            qs: Seq[Long]): DataFrame = {
+    val targets = ddTargets(spark, vals, qs)
     val cum = ddGrid(spark, vals)
       .withColumn("cum", sum(col("cnt")).over(
         Window.partitionBy(col("g")).orderBy(col("e"), col("key"))))
@@ -4475,15 +4492,13 @@ object PipelineQueries {
   }
 
   val k9DdQuantiles: Q = (spark, dir) => {
-    import spark.implicits._
     val vals = fanOut(spark, t(spark, dir, "documents"))
       .filter(col("n_chars") >= 1)
       .select(col("source").as("g"), col("n_chars").as("v"))
       .localCheckpoint() // feeds the grid, the counts AND the exact walk
-    val n = vals.groupBy(col("g")).agg(count(lit(1)).as("n"))
-    val targets = n.crossJoin(broadcast(DdQuantilesPpm.toDF("q_ppm")))
-      .withColumn("target", expr("(q_ppm * n + 999999L) div 1000000L"))
-      .select(col("g"), col("q_ppm"), col("target"))
+    // the exact walk reuses [[ddTargets]] — the sketch estimate and the
+    // graded truth share ONE rank definition by construction
+    val targets = ddTargets(spark, vals, DdQuantilesPpm)
     val est = ddQuantileEst(spark, vals, DdQuantilesPpm)
     val exact = vals.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(
@@ -4634,8 +4649,15 @@ object PipelineQueries {
                                       root: String): DataFrame = {
     import graft.incremental.SnapshotStore
     val pairs = pairs0.toDF("a_id", "b_id").localCheckpoint()
-    val maxId = pairs.agg(greatest(max(col("a_id")), max(col("b_id"))))
-      .head.getLong(0)
+    // a tier with no near-dup pairs has no graph: the labeling is empty
+    // (the max-id aggregate below would return NULL and NPE otherwise)
+    val maxIdRow = pairs.agg(greatest(max(col("a_id")), max(col("b_id")))).head
+    if (maxIdRow.isNullAt(0)) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("doc_id", "canonical_id", "cluster_size")
+    }
+    val maxId = maxIdRow.getLong(0)
     def inBatch(b: Int): Column =
       expr(s"least(${G2Batches - 1}, greatest(a_id, b_id) * $G2Batches div ${maxId + 1})") === b
     (0 until G2Batches).foreach { b =>
@@ -4696,6 +4718,93 @@ object PipelineQueries {
     try {
       val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
       incrementalCcRun(spark, pairs, root)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---- G2B: incremental CC under EDGE RETIREMENT (the split case) ----------
+
+  /** g2b's retirement predicate modulus: edges with
+    * `(a_id + b_id) % [[G2bRetireMod]] == [[G2bRetireRem]]` are retired.
+    * Arithmetic on the edge's own ids so DuckDB applies the identical
+    * cut to the exact pair set. */
+  val G2bRetireMod = 7L
+  val G2bRetireRem = 3L
+
+  /** The g2b state machine, exposed for the spec: builds full CC state
+    * through the store ([[incrementalCcRun]]'s batched arrival), then
+    * RETIRES the stored edges matching `retire` (a takedown /
+    * right-to-be-forgotten sweep — `SnapshotStore.delete`, d18's
+    * machinery on the graph) and recomputes EXACTLY the touched
+    * components from the surviving edge set. This is the direction g2's
+    * bridge-merge case left unexpressed, and the harder one: a deleted
+    * bridge SPLITS a settled component, so both halves must re-label
+    * (min-id per half) and a vertex that lost its LAST edge must leave
+    * the labeling entirely (the oracle's vertex set is the surviving
+    * edges' endpoints). Monotone label propagation cannot express a
+    * split; delete + scoped recompute + keyed merge can.
+    *
+    * Scale shape: the retirement sweep is one predicate pass
+    * (partition-scoped in the store); the recompute is |affected
+    * components' surviving edges|, not the graph; the affected-label
+    * frame is component-count-sized and broadcast; the isolated-vertex
+    * list is bounded by 2·|retired edges| (only a retired edge's
+    * endpoint can lose its last edge) — metadata-sized for any bounded
+    * takedown batch. Settled components untouched by the sweep are
+    * never re-shuffled or re-labeled. */
+  private[graft] def ccRetireRun(spark: SparkSession, pairs0: DataFrame,
+                                 root: String, retire: Column): DataFrame = {
+    import graft.incremental.SnapshotStore
+    incrementalCcRun(spark, pairs0, root) // builds edges+labels state
+    val stateE0 = SnapshotStore.read(spark, s"$root/edges").get
+    // frozen BEFORE the delete moves the store: these rows name the sweep
+    val retired = stateE0.filter(retire).localCheckpoint()
+    SnapshotStore.delete(spark, s"$root/edges", retire)
+    val surviving = SnapshotStore.read(spark, s"$root/edges").get
+    val stateL = SnapshotStore.read(spark, s"$root/labels").get
+    val touched = retired.select(col("a_id").as("v"))
+      .unionByName(retired.select(col("b_id").as("v"))).distinct()
+    val aff = stateL.join(touched, "v").select(col("l")).distinct()
+      .localCheckpoint() // names the components; component-count-sized
+    val subE = surviving
+      .join(stateL.select(col("v").as("a_id"), col("l")), "a_id")
+      .join(broadcast(aff), "l")
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint() // feeds the CC rerun AND the isolation check
+    val newLabels = connectedComponents(subE).toDF("v", "l")
+    SnapshotStore.merge(spark, s"$root/labels", newLabels, Seq("v"))
+    // a vertex of a retired edge with NO surviving edge leaves the
+    // labeling (the oracle's vertex set is the surviving endpoints);
+    // the list is ≤ 2·|retired| — metadata-sized, like `aff`
+    val subVerts = subE.select(col("a_id").as("v"))
+      .unionByName(subE.select(col("b_id").as("v"))).distinct()
+    val isolated = touched.join(subVerts, Seq("v"), "left_anti")
+      .collect().map(_.getLong(0))
+    if (isolated.nonEmpty)
+      SnapshotStore.delete(spark, s"$root/labels", col("v").isin(isolated: _*))
+    val lab = SnapshotStore.read(spark, s"$root/labels").get
+    val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+    lab.join(sizes, "l")
+      .select(col("v").as("doc_id"), col("l").as("canonical_id"),
+        col("cluster_size"))
+      .localCheckpoint() // materialized before the temp store dies
+      .orderBy(col("doc_id"))
+  }
+
+  /** G2B: d6's cluster assignment maintained under DELETION — g2's twin
+    * for the non-monotone direction d18 proved on the similarity ladder:
+    * the near-dup edge set arrives in batches (g2's machinery verbatim),
+    * then a deterministic retirement sweep row-DELETEs a slice of the
+    * stored edges and only the touched components recompute over the
+    * SURVIVORS. Graded by d6's declarative recursive-CTE oracle over the
+    * surviving edge set — the incremental delete discipline must land on
+    * exactly the labeling a one-shot engine computes from scratch. */
+  val g2bCcRetirement: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-g2b").toString
+    try {
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      ccRetireRun(spark, pairs, root,
+        pmod(col("a_id") + col("b_id"), lit(G2bRetireMod)) === lit(G2bRetireRem))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
@@ -6236,6 +6345,7 @@ object PipelineQueries {
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
     "g2_incremental_cc" -> g2IncrementalCc,
+    "g2b_cc_retirement" -> g2bCcRetirement,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
     "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,
@@ -6282,3 +6392,4 @@ object PipelineQueries {
     "m4_video_meta" -> m4VideoMeta,
     "m7_video_fingerprint" -> m7VideoFingerprint)
 }
+

@@ -95,6 +95,57 @@ class ConnectedComponentsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  test("g2b: a retired bridge SPLITS a settled component; a fully-retired edge isolates") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // Retire predicate: (a+b) % 5 == 0. Endpoint sums below are chosen so
+    // exactly the marked edges retire:
+    //   path 1-2-3-4: (2,3) sums to 5 → retired → SPLIT into {1,2}/{3,4}
+    //   triangle {10,11,12}: no edge sums to 0 mod 5 → intact
+    //   (20,80) sums to 100 → retired → BOTH endpoints lose their last
+    //   edge and must leave the labeling
+    //   (81,82) sums to 163 → bystander, never touched
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 12L), (11L, 12L), (10L, 11L),
+      (20L, 80L),
+      (81L, 82L)
+    ).toDF("a_id", "b_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-g2bspec").toString
+    try {
+      val got = PipelineQueries.ccRetireRun(spark, pairs, root,
+          pmod(col("a_id") + col("b_id"), lit(5L)) === lit(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = Set(
+        (1L, 1L, 2L), (2L, 1L, 2L),                    // split half A
+        (3L, 3L, 2L), (4L, 3L, 2L),                    // split half B
+        (10L, 10L, 3L), (11L, 10L, 3L), (12L, 10L, 3L), // triangle survives
+        (81L, 81L, 2L), (82L, 81L, 2L))                // bystander intact
+      // 20 and 80 must be ABSENT: their only edge was retired
+      assert(got === want, s"retirement must split, isolate and spare correctly, got $got")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("g2b: retirement equals one-shot CC over surviving pairs on real data") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions.{col, count, lit, pmod}
+    val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val surviving = pairs.filter(
+      pmod(col("a_id") + col("b_id"), lit(PipelineQueries.G2bRetireMod))
+        =!= lit(PipelineQueries.G2bRetireRem))
+    assert(surviving.count() < pairs.count(),
+      "fixture must actually retire at least one edge")
+    val lab = PipelineQueries.connectedComponents(surviving).toDF("doc_id", "canonical_id")
+    val sizes = lab.groupBy(col("canonical_id")).agg(count(lit(1)).as("cluster_size"))
+    val oneShot = lab.join(sizes, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"), col("cluster_size"))
+    val inc = PipelineQueries.g2bCcRetirement(spark, dir)
+    assert(inc.count() > 0, "fixture must exercise the operator")
+    assert(inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty,
+      "retirement pipeline diverged from one-shot CC over the survivors")
+  }
+
   test("g2: final labels equal d6's one-shot assignment on real data (arrival order invisible)") {
     val dir = "/root/testdata/sf0.001"
     val oneShot = PipelineQueries.d6DedupClusters(spark, dir)
