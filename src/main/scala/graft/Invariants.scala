@@ -540,6 +540,20 @@ object Invariants {
         offProbe == 0L
     }
 
+    // ---- v29: the converged-coarse residual composition must diverge
+    // from the 1-step residual serve (convergence is non-vacuous) while
+    // keeping the serve contract (5 rows per query; its oracle is the
+    // full-chain retrain, all-pairs-free but Lloyd-heavy — structural
+    // gate past the driver tiers like v27) ----
+    check("v29: differs from v28 (converged coarse matters) and serves 5 per query") {
+      val conv = PipelineQueries.v29ConvergedResidual(spark, sfDir).localCheckpoint()
+      val oneStep = PipelineQueries.v28PersistedResidual(spark, sfDir)
+      val perQ = conv.groupBy(col("q_id")).count().collect()
+      conv.count() == oneStep.count() &&
+        conv.exceptAll(oneStep).count() > 0 &&
+        perQ.forall(_.getLong(1) == 5L)
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)

@@ -307,17 +307,33 @@ object PipelineOracles {
     * PER-PROBED-CELL query ADC table (the residual-encoding signature:
     * the query's residual depends on which cell is searched).
     * MATERIALIZED on every multi-referenced stage (the t28 lesson). */
-  private lazy val residualPqServeSql: String = {
+  private lazy val residualPqServeSql: String =
+    residualServeSql(kmTrainCtes, "ka0", "kcent1")
+
+  /** v29's DuckDB twin: the residual serve with the coarse quantizer
+    * trained to CONVERGENCE — [[lloydChainCtes]]' full unrolled loop
+    * feeding [[residualServeSql]]'s residual-codebook retrain + per-cell
+    * ADC replay against the FINAL state kc[[PipelineQueries.V25Iters]]. */
+  private lazy val convergedResidualServeSql: String =
+    residualServeSql(lloydChainCtes, "q", s"kc${PipelineQueries.V25Iters}")
+
+  /** The residual-IVF-PQ retrain + serve replay over an ARBITRARY coarse
+    * training chain (`coarseCtes` must define centroid table `centT`
+    * (cell, cent) and leave `uT` (vec_id, u) in scope) — shared by
+    * v27/v28 (1-step coarse, [[kmTrainCtes]]) and v29 (converged coarse,
+    * [[lloydChainCtes]]): one residual arithmetic, no drift. */
+  private def residualServeSql(coarseCtes: String, uT: String,
+                               centT: String): String = {
     val P = PipelineQueries
     val mm = s"(SELECT unnest(range(0, ${P.PqSub})) AS m) mm"
     s"""
       WITH $embCte,
       $quantCte,
-      $kmTrainCtes,
-      s1c AS MATERIALIZED (SELECT ka0.vec_id, c.cell,
+      $coarseCtes,
+      s1c AS MATERIALIZED (SELECT $uT.vec_id, c.cell,
                      list_sum(list_transform(range(1, 65),
-                       i -> (ka0.u[i] - c.cent[i]) * (ka0.u[i] - c.cent[i]))) AS dist
-              FROM ka0, kcent1 c),
+                       i -> ($uT.u[i] - c.cent[i]) * ($uT.u[i] - c.cent[i]))) AS dist
+              FROM $uT, $centT c),
       asg AS MATERIALIZED (SELECT vec_id, cell AS vcell
               FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
                               ORDER BY dist ASC, cell) AS rn FROM s1c)
@@ -326,7 +342,7 @@ object PipelineOracles {
                      list_transform(range(1, 65),
                        i -> q.u[i] - c.cent[i] + ${P.ResOff}) AS r
               FROM q JOIN asg a ON a.vec_id = q.vec_id
-                     JOIN kcent1 c ON c.cell = a.vcell),
+                     JOIN $centT c ON c.cell = a.vcell),
       rsub AS MATERIALIZED (SELECT vec_id, mm.m AS m,
                      r[mm.m * ${P.PqDim} + 1 : mm.m * ${P.PqDim} + ${P.PqDim}] AS su
               FROM resid, $mm),
@@ -364,7 +380,7 @@ object PipelineOracles {
                       list_transform(range(1, 65),
                         i -> q.u[i] - c.cent[i] + ${P.ResOff}) AS qr
                FROM probe p JOIN q ON q.vec_id = p.q_id
-                            JOIN kcent1 c ON c.cell = p.cell),
+                            JOIN $centT c ON c.cell = p.cell),
       qsub AS (SELECT q_id, cell, mm.m AS m,
                       qr[mm.m * ${P.PqDim} + 1 : mm.m * ${P.PqDim} + ${P.PqDim}] AS su
                FROM qres, $mm),
@@ -937,6 +953,18 @@ object PipelineOracles {
     // the STREAMED grid must equal the one-shot grid: same cells CTE as
     // k7, emitted raw — any double-counted redelivery or dropped batch
     // shifts a cell and reds the hash
+    // the streamed DDSketch deltas must SUM to the one-shot k9 grid —
+    // an additive sketch graded bit-for-bit through redelivery + replay
+    "k9s_stream_ddsketch" -> s"""
+      WITH v AS (SELECT source AS g, n_chars AS v FROM documents
+                 WHERE n_chars >= 1),
+      b AS (SELECT g, CAST(length(bin(v)) - 1 AS BIGINT) AS e,
+                   CAST(v >> greatest(length(bin(v)) - 1 - ${PipelineQueries.DdSubBits}, 0)
+                        AS BIGINT) AS key,
+                   count(*) AS cnt
+            FROM v GROUP BY 1, 2, 3)
+      SELECT g, e, key, cnt FROM b ORDER BY g, e, key""",
+
     "k7s_stream_sketch" -> s"""
       WITH toks AS (SELECT t.tok
                     FROM documents d,
@@ -1456,6 +1484,11 @@ object PipelineOracles {
     // through DPP from the store — persistence and layout may change
     // cost, never a ranked row, so the oracle IS v27's end-to-end SQL
     "v28_persisted_residual" -> residualPqServeSql,
+    // v29 composes the converged coarse quantizer (v25's full Lloyd
+    // chain), the residual codebook retrain and the persisted
+    // cell-partitioned serve — the oracle retrains the ENTIRE chain and
+    // replays the per-cell ADC serve against the final state
+    "v29_converged_residual" -> convergedResidualServeSql,
 
     // the full Lloyd training loop unrolled declaratively — per-iteration
     // n_cells/n_moved/inertia from the same exact-integer arithmetic the

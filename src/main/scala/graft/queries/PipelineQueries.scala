@@ -2584,8 +2584,16 @@ object PipelineQueries {
     * (cellIds literal, trained-centroid SQL literal, residual codebook,
     * the checkpointed per-vector frame with u/ks/cell/r). */
   private def residualTrained(spark: SparkSession, dir: String)
+      : (Column, String, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) =
+    residualTrainedFrom(spark, dir, ivfTrainLloyd(spark, dir)._2)
+
+  /** [[residualTrained]]'s body over an ARBITRARY coarse state (cell →
+    * centroid, ascending cells): v27/v28 pass the 1-step Lloyd state,
+    * v29 the [[V25Iters]]-converged one — one residual training
+    * implementation, no drift across the coarse-quantizer tiers. */
+  private def residualTrainedFrom(spark: SparkSession, dir: String,
+                                  byCell: Seq[(Int, Seq[Long])])
       : (Column, String, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) = {
-    val (_, byCell) = ivfTrainLloyd(spark, dir)
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
     val centsSql = byCell.map { case (_, c) => kmCentLit(c) }
       .mkString("array(", ",", ")")
@@ -2603,7 +2611,7 @@ object PipelineQueries {
     // serve with floor/trunc divergence the oracle can't see
     val bad = enc0.agg(sum(when(expr("array_min(r) < 0L"), 1L)
       .otherwise(0L)).as("bad")).head.getLong(0)
-    require(bad == 0L, s"v27: $bad vectors have negative offset residuals " +
+    require(bad == 0L, s"residual training: $bad vectors have negative offset residuals " +
       s"— embedding range exceeds the ±1.0 the $ResOff re-offset assumes")
     val rsub = enc0
       .select(col("vec_id"), explode(sequence(lit(0), lit(PqSub - 1))).as("m"),
@@ -2615,7 +2623,7 @@ object PipelineQueries {
     val seedRows = rsub.filter(col("vec_id") < PqK)
       .select(col("vec_id"), col("m"), col("su")).collect()
     require(seedRows.length == PqSub * PqK,
-      s"v27: expected ${PqSub * PqK} seed slices, got ${seedRows.length} — " +
+      s"residual training: expected ${PqSub * PqK} seed slices, got ${seedRows.length} — " +
         s"the tier must contain vec_ids 0..${PqK - 1}")
     val seeds: Seq[Seq[Seq[Long]]] = (0 until PqSub).map(m =>
       seedRows.filter(_.getInt(1) == m).sortBy(_.getLong(0))
@@ -2669,11 +2677,22 @@ object PipelineQueries {
     * Scale shape: an incremental batch re-encodes only itself and
     * rewrites only the cell partitions it touches; a query's read is
     * probes/cells of the table via DPP. */
-  val v28PersistedResidual: Q = (spark, dir) => {
+  val v28PersistedResidual: Q = (spark, dir) =>
+    persistedResidualServe(spark, "ridx", residualTrained(spark, dir))
+
+  /** v28's persist-and-serve body over an arbitrary residual training
+    * (shared with v29): the trained `(vec_id, cell, code)` rows merge
+    * through the snapshot store partitioned by cell in two
+    * partition-scoped batches with a redelivered overlap, and serving
+    * reads ONLY the persisted table with dynamic partition pruning
+    * REQUIRED in-plan. */
+  private def persistedResidualServe(spark: SparkSession, tag: String,
+      trained: (Column, String, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame))
+      : DataFrame = {
     import graft.incremental.SnapshotStore
-    val root = java.nio.file.Files.createTempDirectory("graft-ridx").toString
+    val root = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
     try {
-      val (cellIds, centsSql, byMr, enc0) = residualTrained(spark, dir)
+      val (cellIds, centsSql, byMr, enc0) = trained
       def encIdx(src: DataFrame) = src
         .withColumn("dl", expr(pqDistSql(byMr, "r")))
         .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
@@ -2702,11 +2721,45 @@ object PipelineQueries {
         .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
       require(served.queryExecution.executedPlan.toString.toLowerCase
           .contains("dynamicpruning"),
-        "v28: the serving scan must be dynamic-partition-pruned to the probed cells")
+        s"$tag: the serving scan must be dynamic-partition-pruned to the probed cells")
       served.localCheckpoint() // pruned scan executes HERE, before the tree dies
         .orderBy(col("q_id"), col("rk"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---- V29: the full production composition --------------------------------
+
+  /** V29: CONVERGED coarse quantizer × RESIDUAL encoding × PERSISTED
+    * cell-partitioned index — the composition the v22→v28 ladder built
+    * piecewise, closed end to end: the coarse cells train [[V25Iters]]
+    * exact-integer Lloyd steps to (observed) convergence (v25/v26's
+    * loop), the PQ codebook trains on residuals against the CONVERGED
+    * centroids with data-derived seeds (v27's encoding — this retires
+    * the last training asymmetry, where residuals were taken off a
+    * single Lloyd step), and the encoded index persists through the
+    * snapshot store partitioned by cell with DPP required in-plan
+    * (v28's layout). This is the shape a production FAISS-style
+    * deployment actually runs: `IndexIVFPQ` with a converged coarse
+    * quantizer and residual codebooks, held at rest as a partitioned
+    * table. The oracle retrains the ENTIRE chain declaratively — every
+    * Lloyd iteration, the residual codebook, the per-cell ADC replay —
+    * so drift anywhere from seed to serve reds the hash; persistence
+    * may not change a single ranked row (the v23/v24/v28 invariance).
+    *
+    * Scale shape: training is [[V25Iters]]+1 map-only assignment passes
+    * over one checkpointed quantize scan (≤ cells×dims collect per
+    * step — the parameter-server broadcast), encoding one further scan;
+    * an incremental batch re-encodes only itself and rewrites only the
+    * cell partitions it touches; a query's read is probes/cells of the
+    * table via DPP with the per-cell residual ADC tables riding the
+    * (queries × probe)-sized broadcast. The corpus is never crossed or
+    * shuffled on the serve path. */
+  val v29ConvergedResidual: Q = (spark, dir) => {
+    val u = kmQuantized(spark, dir)
+    var state = kmSeedState
+    for (_ <- 1 to V25Iters) state = lloydNext(u, state)
+    persistedResidualServe(spark, "cridx", residualTrainedFrom(spark, dir, state))
   }
 
   // ---- D5: embedding-cosine near-dup (LSH-blocked pair mining) -------------
@@ -4101,6 +4154,41 @@ object PipelineQueries {
       graft.incremental.SnapshotStore.read(spark, s"$root/hll_grid").get
         .localCheckpoint() // materialized before the temp trees are deleted
         .orderBy(col("bucket"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
+  /** k9's DDSketch grid accumulated through REAL Structured Streaming
+    * ([[graft.streaming.StreamingIngest.ddSketchIngest]]) — the third
+    * streaming sketch, closing the family 3-for-3 across both replay
+    * classes: the per-(source, bucket) count grid is ADDITIVE (count-SUM
+    * merge), k7s's hazard class, so it reuses the per-batch-delta +
+    * seen-doc discipline verbatim; the deliberate contrast with k8s,
+    * whose MAX-idempotent algebra needs none of it. Three file-source
+    * drops, drop 2 REDELIVERING part of drop 1 — the final summed grid
+    * must hash-match the one-shot k9 grid the oracle rebuilds
+    * (bit-for-bit, not bounded-error). */
+  val k9sStreamDdsketch: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sdd").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdd-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sdd-drops").toString
+    try {
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.ddSketchIngest(stream, root, ckpt)
+      }
+      graft.streaming.StreamingIngest.ddSketchGrid(spark, root).get
+        .localCheckpoint() // materialized before the temp trees are deleted
+        .orderBy(col("g"), col("e"), col("key"))
     } finally {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
@@ -6341,6 +6429,7 @@ object PipelineQueries {
     "k9_dd_quantiles" -> k9DdQuantiles,
     "t29_quantile_trim" -> t29QuantileTrim,
     "k8s_stream_hll" -> k8sStreamHll,
+    "k9s_stream_ddsketch" -> k9sStreamDdsketch,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
@@ -6367,6 +6456,7 @@ object PipelineQueries {
     "v26_converged_ivf_serve" -> v26ConvergedIvfServe,
     "v27_residual_pq" -> v27ResidualPq,
     "v28_persisted_residual" -> v28PersistedResidual,
+    "v29_converged_residual" -> v29ConvergedResidual,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

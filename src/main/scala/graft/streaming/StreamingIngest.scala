@@ -273,6 +273,57 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/hll_grid", merged, Seq("bucket"))
   }
 
+  /** k9's DDSketch grid accumulated through REAL Structured Streaming —
+    * the third streaming sketch, closing the family 3-for-3: the
+    * per-(source, bucket) COUNT grid is ADDITIVE (per-bucket count-SUM
+    * is the merge operator), i.e. exactly [[countMinIngest]]'s hazard
+    * class, so it reuses the per-batch-delta + seen-doc discipline
+    * VERBATIM — deltas keyed `(batch_id, g, e, key)` advance the sketch
+    * in one store commit, the seen-table absorbs source-level
+    * redelivery, and a checkpointed foreachBatch re-execution upserts
+    * the identical delta instead of re-adding it (the k7s argument,
+    * commit order included: delta before seen). Readers SUM the deltas
+    * bucket-wise via [[ddSketchGrid]] — the summed grid is bit-identical
+    * to the one-shot k9 grid, so the gate is graded exactly, not
+    * bounded-error. Scale shape: a batch's work is batch-sized, state is
+    * grid-sized (≤ groups × 8·octaves buckets per batch), the corpus is
+    * never re-read. */
+  def ddSketchIngest(streamingDocs: DataFrame, root: String,
+                     checkpointDir: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, id: Long) => ddSketchBatch(batch, root, id) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[ddSketchIngest]].
+    * `commitSeen = false` is the spec's crash-injection seam (see
+    * [[countMinBatch]] — same hazard, same discipline, same seam). */
+  def ddSketchBatch(batch: DataFrame, root: String, batchId: Long,
+                    commitSeen: Boolean = true): Unit = {
+    import graft.queries.PipelineQueries
+    val spark = batch.sparkSession
+    val ids = batch.select(col("doc_id")).distinct()
+    val fresh = SnapshotStore.read(spark, s"$root/dd_seen")
+      .map(s => ids.join(s, Seq("doc_id"), "left_anti")).getOrElse(ids)
+      .localCheckpoint() // frozen BEFORE the seen merge moves the store
+    val vals = batch.join(fresh, Seq("doc_id"), "left_semi")
+      .filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("n_chars").as("v"))
+    val delta = PipelineQueries.ddGrid(spark, vals)
+      .withColumn("batch_id", lit(batchId))
+      .select(col("batch_id"), col("g"), col("e"), col("key"), col("cnt"))
+    SnapshotStore.merge(spark, s"$root/dd_grid", delta,
+      Seq("batch_id", "g", "e", "key"))
+    if (commitSeen)
+      SnapshotStore.merge(spark, s"$root/dd_seen", fresh, Seq("doc_id"))
+  }
+
+  /** The DDSketch grid as readers consume it: the per-batch deltas
+    * summed bucket-wise. None until the first batch commits. */
+  def ddSketchGrid(spark: SparkSession, root: String): Option[DataFrame] =
+    SnapshotStore.read(spark, s"$root/dd_grid").map(
+      _.groupBy(col("g"), col("e"), col("key")).agg(sum(col("cnt")).as("cnt")))
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted

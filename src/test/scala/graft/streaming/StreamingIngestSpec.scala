@@ -318,6 +318,33 @@ class StreamingIngestSpec extends SparkSpec {
       "replayed batch must upsert its delta, not re-add it")
   }
 
+  test("ddsketch commit is idempotent under foreachBatch re-execution " +
+      "(crash between grid and seen commits must not double-count)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ddcrash").toString
+    val docs = Seq(
+      (1L, "s1", 7L), (2L, "s1", 200L), (3L, "s2", 15L),
+      (4L, "s2", 16L), (5L, "s1", 4096L)).toDF("doc_id", "source", "n_chars")
+    val b0 = docs.filter(col("doc_id") <= 2)
+    // batch 1 REDELIVERS doc 2 (source-level replay: the seen-table's job)
+    val b1 = docs.filter(col("doc_id") >= 2)
+    StreamingIngest.ddSketchBatch(b0, root, 0L)
+    // crash-injection: batch 1 commits its grid delta, dies BEFORE the
+    // seen commit — then the checkpointed sink re-executes the batch
+    StreamingIngest.ddSketchBatch(b1, root, 1L, commitSeen = false)
+    StreamingIngest.ddSketchBatch(b1, root, 1L)
+    // and a full post-commit replay (checkpoint not yet advanced)
+    StreamingIngest.ddSketchBatch(b1, root, 1L)
+    val streamed = StreamingIngest.ddSketchGrid(spark, root).get
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val oneShot = graft.queries.PipelineQueries.ddGrid(spark,
+      docs.filter(col("n_chars") >= 1)
+        .select(col("source").as("g"), col("n_chars").as("v")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(streamed == oneShot,
+      "replayed batch must upsert its delta, not re-add it")
+  }
+
   test("streamed HLL is replay-proof by algebra: max-merge makes any re-execution a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-hllcrash").toString
