@@ -472,8 +472,9 @@ object PipelineOracles {
     * chr(1)/chr(2) start/end marker encoding, the per-iteration best
     * pair is a scalar subquery (never a re-escaped literal), and the
     * merge is the same left-to-right non-overlapping `replace`. */
-  private lazy val bpeTrainCtes: String = {
-    val n = PipelineQueries.T27Iters
+  private lazy val bpeTrainCtes: String = bpeTrainCtesN(PipelineQueries.T27Iters)
+
+  private def bpeTrainCtesN(n: Int): String = {
     // NB triple-quoted Scala: \1 below reaches DuckDB as the RE2 group ref
     val base = s"""
       btok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
@@ -510,13 +511,17 @@ object PipelineOracles {
     base + "," + steps
   }
 
-  private lazy val t27BpeSql: String = {
-    val n = PipelineQueries.T27Iters
+  private lazy val t27BpeSql: String = t27BpeSqlN(PipelineQueries.T27Iters)
+
+  /** The unrolled BPE training report for an arbitrary round count —
+    * shared by t27 (the fixed 6-round demo) and t27b (the vocab-size
+    * target): one merge-loop SQL, no drift. */
+  private def t27BpeSqlN(n: Int): String = {
     val reports = (1 to n).map { t =>
       s"""SELECT CAST($t AS BIGINT) AS iter, c1, c2, pf, n_types FROM bbest$t"""
     }.mkString(" UNION ALL ")
     s"""
-      WITH $bpeTrainCtes
+      WITH ${bpeTrainCtesN(n)}
       SELECT * FROM ($reports) ORDER BY iter"""
   }
 
@@ -2406,6 +2411,9 @@ object PipelineOracles {
     // rounds over the word histogram (marker-encoded token sequences,
     // scalar-subquery merge literals — no re-escaping anywhere)
     "t27_bpe_train" -> t27BpeSql,
+    // the vocab-target train: the SAME unrolled merge loop, run to
+    // |merges| = T27bMerges (one distinct pair per round)
+    "t27b_bpe_vocab_target" -> t27BpeSqlN(PipelineQueries.T27bMerges),
 
     // the apply half of the tokenizer loop: per-doc BPE token counts
     // through the fully-trained encode dictionary
@@ -2756,6 +2764,10 @@ object PipelineOracles {
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible
     "g2_incremental_cc" -> base("d6_dedup_clusters"),
+    // rank state maintained through the store must land on the one-shot
+    // unrolled fixed point — batched edge arrival, redelivery and
+    // per-iteration persistence are invisible to the hashed surface
+    "g1b_incremental_pagerank" -> base("g1_pagerank"),
     // incremental CC under edge RETIREMENT: d6's closure over the
     // SURVIVING edge set — the declarative grade for the delete + scoped
     // recompute discipline (a split must re-label both halves; an

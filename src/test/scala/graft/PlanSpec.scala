@@ -491,4 +491,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"g1: the in-degree stitch must stay an equi-join\n${p.take(1200)}")
   }
+
+  test("g1b: the planted graph is a genuine multigraph at the fixture tier " +
+      "(the (src, k) store key is load-bearing)") {
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // two affine maps collide for some src at n=500 (s ≡ 71 mod 250), so
+    // duplicate (src, dst) rows EXIST — a (src, dst)-keyed merge would
+    // silently dedup them and shift both rank mass and in-degree. If a
+    // data drop ever removes every collision, g1b's multiplicity claim
+    // goes vacuous; fail here so the key discipline stays tested.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val dups = PipelineQueries.g1EdgesForSpec(docs, n)
+      .groupBy(col("src"), col("dst")).count()
+      .filter(col("count") >= 2).count()
+    assert(dups > 0, "planted graph has no multi-edge — (src, k) key untested")
+  }
 }
