@@ -55,7 +55,14 @@ object Bench {
     // and the iterated Lloyd trainer (V25Iters+1 store merges/run)
     "v24_partitioned_trained_ivf", "v25_lloyd_convergence",
     // round 12 (late): streamed HLL — three file drops through the store
-    "k8s_stream_hll")
+    "k8s_stream_hll",
+    // round 13: edge-retirement CC (g2's six merges + delete + scoped
+    // recompute), incremental PageRank (two edge merges + 2×G1Iters rank
+    // merges per run), the converged persisted residual index (full Lloyd
+    // loop + two partition-scoped merges), and streamed DDSketch (three
+    // file drops through the store)
+    "g2b_cc_retirement", "g1b_incremental_pagerank",
+    "v29_converged_residual", "k9s_stream_ddsketch")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

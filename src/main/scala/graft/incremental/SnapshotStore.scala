@@ -570,6 +570,28 @@ object SnapshotStore {
     * layout on an existing table is refused rather than silently mixing
     * bucket functions across files.
     */
+  /** Opt-in phase timing for the store-tax ledger (`GRAFT_STORE_TIMING=1`
+    * in the env): prints per-phase wall seconds to stderr so the
+    * protocol-ledger constant can be attributed (SCALE.md §7n). Zero
+    * cost when unset. */
+  private val timingOn = sys.env.get("GRAFT_STORE_TIMING").contains("1")
+  private def phase[A](name: String)(body: => A): A =
+    if (!timingOn) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(
+        f"[store-timing] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+  /** Timing-mode companion: file count of a just-written snapshot. */
+  private def reportFiles(root: String, snap: String): Unit =
+    if (timingOn) {
+      val n = java.nio.file.Files.walk(Paths.get(root, snap))
+        .filter(p => p.toString.endsWith(".parquet")).count()
+      System.err.println(s"[store-files] $snap $n files")
+    }
+
   def merge(spark: SparkSession, root: String, batch: DataFrame,
             keys: Seq[String], partitionDate: Option[Column] = None,
             compactTo: Option[Int] = None,
@@ -581,8 +603,23 @@ object SnapshotStore {
     require(bucketBy.isEmpty || live.isEmpty || bucketBy == live,
       s"table at $root already has bucket layout $live; cannot re-declare as $bucketBy")
     val bk = live.orElse(bucketBy)
-    val newDf = batch.dropDuplicates(keys)
     val cur = currentSnapshot(root)
+    // MATERIALIZE THE SOURCE once whenever the merge will consume the
+    // batch lineage more than once (every non-bootstrap path re-reads it
+    // for the touched-partition collect / survivor anti-join / change
+    // rows; a change-feed bootstrap reads it twice) — the same
+    // materialize-source step Delta's MERGE performs, for the same two
+    // reasons: (a) an expensive upstream build otherwise re-executes per
+    // consumer — measured at ~40% of the fixture-scale merge constant
+    // (SCALE.md §7n) — and (b) a non-deterministic batch evaluated twice
+    // could commit rows its own change feed never saw. Bootstrap without
+    // a feed stays lazy: single consumer, a checkpoint would only add
+    // cost. Blocks are GC-released when the frame dies (ContextCleaner).
+    val newDf0 = batch.dropDuplicates(keys)
+    val newDf =
+      if (cur.nonEmpty || changeFeed)
+        phase("merge.materialize-source")(newDf0.localCheckpoint())
+      else newDf0
     (cur, partitionDate) match {
       case (None, None) =>
         val snap = writeSnapshot(root, newDf, partitioned = false, compactTo,
@@ -592,8 +629,11 @@ object SnapshotStore {
 
       case (None, Some(pd)) =>
         val batchP = newDf.withColumn(PartCol, pd.cast(StringType))
-        val snap = writeSnapshot(root, batchP, partitioned = true, compactTo,
-          buckets = bk)
+        val snap = phase("merge.bootstrap-write") {
+          writeSnapshot(root, batchP, partitioned = true, compactTo,
+            buckets = bk)
+        }
+        reportFiles(root, snap)
         if (changeFeed) writeChanges(root, snap, changeRows(batchP, None, keys))
         commit(root, snap, batchP.schema, partitioned = true, buckets = bk)
 
@@ -649,8 +689,10 @@ object SnapshotStore {
           // backfill window — days, not rows); collecting it to the driver
           // is the same metadata-sized step a table format's commit log
           // does. A null date lands in Spark's null-partition dir.
-          val touched = batchP.select(PartCol).distinct().collect()
-            .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
+          val touched = phase("merge.touched-collect") {
+            batchP.select(PartCol).distinct().collect()
+              .map(r => if (r.isNullAt(0)) NullPart else r.getString(0)).toSet
+          }
           val (affectedVals, untouchedVals) = partVals.partition(touched)
           // Read ONLY touched partitions — explicit manifest file lists
           // (zero listing) when available, per-dir reads otherwise.
@@ -674,21 +716,29 @@ object SnapshotStore {
               val survivors = old.join(batchP.select(keys.map(col): _*), keys, "left_anti")
               conform(batchP, target).unionByName(conform(survivors, target))
           }
-          val snap = writeSnapshot(root, out, partitioned = true, compactTo,
-            buckets = bk)
-          if (changeFeed) writeChanges(root, snap,
-            changeRows(conform(batchP, target),
-              affectedOld.map(conform(_, target)), keys))
-          manifestOpt match {
-            case Some(m) =>
-              linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
-            case None =>
-              untouchedVals.foreach { v =>
-                linkInto(snapDir.resolve(s"$PartCol=$v"),
-                  Paths.get(root, snap, s"$PartCol=$v"))
-              }
+          val snap = phase("merge.write-snapshot") {
+            writeSnapshot(root, out, partitioned = true, compactTo,
+              buckets = bk)
           }
-          commit(root, snap, target, partitioned = true, buckets = bk)
+          if (changeFeed) phase("merge.write-changes") {
+            writeChanges(root, snap,
+              changeRows(conform(batchP, target),
+                affectedOld.map(conform(_, target)), keys))
+          }
+          phase("merge.links") {
+            manifestOpt match {
+              case Some(m) =>
+                linkFromManifest(m, untouchedVals.toSet, snapDir, Paths.get(root, snap))
+              case None =>
+                untouchedVals.foreach { v =>
+                  linkInto(snapDir.resolve(s"$PartCol=$v"),
+                    Paths.get(root, snap, s"$PartCol=$v"))
+                }
+            }
+          }
+          phase("merge.commit") {
+            commit(root, snap, target, partitioned = true, buckets = bk)
+          }
         }
     }
   }
