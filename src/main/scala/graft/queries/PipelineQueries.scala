@@ -331,20 +331,28 @@ object PipelineQueries {
       .filter(col("n") >= 1)
       .localCheckpoint() // shared by prefix + both verify sides (see d2)
     val ex = sh.select(col("doc_id"), col("n"), explode(col("ids")).as("sid"))
-    val dfreq = ex.groupBy(col("sid")).agg(count(lit(1)).as("df")).localCheckpoint()
-    val dfreqBroadcastable = dfreq.count() * 64L <= (256L << 20) // d4's gate
-    // every posting ranked rarest-first within its doc — the a side takes
-    // only its prefix, the b side keeps ALL postings but carries the rank
-    // for the positional prune below
-    // df = 1 shingles are kept through RANKING (prefix membership must
-    // reflect the doc's full rarest-first order) but dropped from both
-    // join sides — a single-holder shingle has no cross-doc partner, so
-    // the cut is lossless and removes the Zipf tail (the bulk of a
-    // rare-first prefix) from the operator's dominant shuffle.
-    val ranked = ex.join(if (dfreqBroadcastable) broadcast(dfreq) else dfreq, "sid")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sid"))))
-      .filter(col("df") >= 2)
+    // sharable shingles only: a df = 1 shingle has no cross-doc partner,
+    // so it can sit on NEITHER side of the candidate join — cutting it
+    // BEFORE the join and the window removes the Zipf tail (the bulk of
+    // distinct shingles) from the operator's two dominant shuffles
+    val dfreq2 = ex.groupBy(col("sid")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).localCheckpoint()
+    val dfreqBroadcastable = dfreq2.count() * 64L <= (256L << 20) // d4's gate
+    // every df≥2 posting ranked by its position in the doc's FULL
+    // rarest-first order — WITHOUT ranking the df=1 rows: all df=1
+    // shingles sort strictly before all df≥2 shingles in (df, sid)
+    // order, so the full-order rank of a df≥2 posting is exactly
+    // (n − n₂) + its rank among the doc's df≥2 postings (n₂ = that
+    // count, from the same window partitioning — one shuffle). The
+    // prefix bound below still counts df=1 slots, which is what makes
+    // the prefix prune lossless: a true pair's contained side has
+    // ≤ n − ⌈4n/5⌉ single-holder shingles, fewer than the prefix length,
+    // so at least one prefix slot always holds a sharable shingle.
+    val wd = Window.partitionBy(col("doc_id"))
+    val ranked = ex.join(if (dfreqBroadcastable) broadcast(dfreq2) else dfreq2, "sid")
+      .withColumn("rk2", row_number().over(wd.orderBy(col("df"), col("sid"))))
+      .withColumn("n2", count(lit(1)).over(wd))
+      .withColumn("rk", col("n") - col("n2") + col("rk2"))
       .select(col("doc_id"), col("n"), col("sid"), col("rk"))
       .localCheckpoint() // feeds BOTH sides of the candidate self-join
     // prefix length na − ⌈0.8·na⌉ + 1, integer-exact: ⌈4n/5⌉ = (4n+4) div 5
