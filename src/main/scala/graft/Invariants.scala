@@ -61,6 +61,25 @@ object Invariants {
       PipelineQueries.g2IncrementalCc(spark, sfDir).collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap == lab
     }
+    // g2b's oracle is the same all-pairs class over the SURVIVING edges —
+    // past the oracled tiers the delete + scoped-recompute machine is
+    // gated here against a one-shot CC of the surviving pair set, with
+    // non-vacuity pinned (the sweep must retire at least one edge)
+    check("g2b: retirement CC equals one-shot CC over surviving pairs (and retires > 0)") {
+      val pairs = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val surv = pairs.filter(
+        pmod(col("a_id") + col("b_id"), lit(PipelineQueries.G2bRetireMod))
+          =!= lit(PipelineQueries.G2bRetireRem))
+      val retired = pairs.count() - surv.count()
+      val labS = PipelineQueries.connectedComponents(surv)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sizes = labS.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+      val oneShot = labS.map { case (v, l) => v -> (l, sizes(l)) }
+      val inc = PipelineQueries.g2bCcRetirement(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      retired > 0 && inc == oneShot
+    }
 
     // ---- d11: containment vs d2 (its oracle embeds the all-pairs join,
     // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----
