@@ -62,7 +62,9 @@ object Bench {
     // loop + two partition-scoped merges), and streamed DDSketch (three
     // file drops through the store)
     "g2b_cc_retirement", "g1b_incremental_pagerank",
-    "v29_converged_residual", "k9s_stream_ddsketch")
+    "v29_converged_residual", "k9s_stream_ddsketch",
+    // streamed bounded-state priority sample (three file drops)
+    "k10s_stream_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

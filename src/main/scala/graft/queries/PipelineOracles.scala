@@ -958,6 +958,35 @@ object PipelineOracles {
     // the STREAMED grid must equal the one-shot grid: same cells CTE as
     // k7, emitted raw — any double-counted redelivery or dropped batch
     // shifts a cell and reds the hash
+    // Duffield-Lund-Thorup priority sample: per-source top-k by
+    // p = (w·2⁶⁰)/(h+1) — the ONE double formula both engines compute
+    // identically, used for ordering only; τ = the (k+1)-th priority;
+    // the unbiased estimate max(w, τ) reaches the hashed surface as a
+    // per-row floor into 1e-6-unit bigints (never an order-dependent
+    // float aggregate)
+    "k10_priority_sample" -> {
+      val k = PipelineQueries.K10k
+      s"""
+      WITH v AS (SELECT source AS g, doc_id, n_chars AS wt,
+                        ('0x' || substr(md5('k10:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+                 FROM documents WHERE n_chars >= 1),
+      r AS (SELECT g, doc_id, wt, h,
+                   CAST(wt AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(h + 1 AS DOUBLE) AS p
+            FROM v),
+      rk AS (SELECT g, doc_id, wt, h, p,
+                    row_number() OVER (PARTITION BY g
+                                       ORDER BY p DESC, doc_id) AS rk
+             FROM r),
+      tau AS (SELECT g, p AS tau FROM rk WHERE rk = ${k + 1})
+      SELECT rk.g AS source, rk.rk, rk.doc_id, rk.wt AS n_chars, rk.h,
+             CAST(floor(greatest(CAST(rk.wt AS DOUBLE), COALESCE(tau.tau, 0.0))
+                        * 1000000.0 + 0.5) AS BIGINT) AS est_w_e6
+      FROM rk LEFT JOIN tau USING (g)
+      WHERE rk.rk <= $k
+      ORDER BY source, rk"""
+    },
+
     // the streamed DDSketch deltas must SUM to the one-shot k9 grid —
     // an additive sketch graded bit-for-bit through redelivery + replay
     "k9s_stream_ddsketch" -> s"""
@@ -2760,6 +2789,9 @@ object PipelineOracles {
     // the streaming near-dup table must converge to d2's exact all-pairs
     // result — same oracle, different engine path
     "d2s_stream_neardup" -> base("d2_minhash_lsh"),
+    // the streamed bounded-state sample must serve EXACTLY the one-shot
+    // k10 rows — min-k mergeability makes redelivery and replay invisible
+    "k10s_stream_sample" -> base("k10_priority_sample"),
 
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible

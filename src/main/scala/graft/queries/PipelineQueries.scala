@@ -4204,6 +4204,41 @@ object PipelineQueries {
     }
   }
 
+  /** k10's priority sample accumulated through REAL Structured Streaming
+    * ([[graft.streaming.StreamingIngest.prioritySampleIngest]]) — the
+    * THIRD streaming replay class beside the additive k7s/k9s and the
+    * unbounded-idempotent k8s: BOUNDED-STATE IDEMPOTENT. State is each
+    * source's top-(k+1) priority rows (min-k-mergeable), a replay
+    * re-derives identical rows, and the (g, rk)-keyed merge upserts
+    * them in place — no seen-table, no deltas, (sources × (k+1)) rows
+    * of state at any corpus size. Three file-source drops, drop 2
+    * REDELIVERING part of drop 1; the served sample (with τ and the
+    * DLT estimates derived from the STORED rows alone) must hash-match
+    * the one-shot k10. */
+  val k10sStreamSample: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sk10").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sk10-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sk10-drops").toString
+    try {
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.prioritySampleIngest(stream, root, ckpt)
+      }
+      // the serve tail checkpoints off the store before the trees die
+      k10Serve(graft.incremental.SnapshotStore.read(spark, s"$root/k10_sample").get)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
   // ---- K5: curation funnel (per-stage survivor counts, one corpus pass) ----
 
   /** The observability row every curation RUN dashboards: how many
@@ -4644,6 +4679,88 @@ object PipelineQueries {
         (col("n_chars") >= col("lo_bound") &&
           col("n_chars") <= col("hi_bound")).as("kept"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- K10: priority sampling — the sketch family's SAMPLE axis ------------
+
+  /** Sample size per source for [[k10PrioritySample]]. */
+  val K10k = 16
+
+  /** Per-source fixed-size WEIGHTED sample by priority sampling
+    * (Duffield, Lund & Thorup 2007, "Priority sampling for estimation of
+    * arbitrary subset sums" — the estimator a corpus monitor uses to
+    * answer "how many chars does source X hold?" from k rows instead of
+    * a scan): each doc draws u = (h+1)/2⁶⁰ from its own 60-bit md5 hash,
+    * gets priority p = w/u (w = n_chars), and the source keeps its
+    * [[K10k]] LARGEST priorities. τ = the (k+1)-th largest priority;
+    * ŵᵢ = max(wᵢ, τ) is the unbiased per-item weight estimate — a
+    * source with ≤ k docs has τ = 0 and the estimate EXACT by
+    * construction. Closes the sketch family's fifth axis: k6 overlap,
+    * k7 frequency, k8 distinct, k9 rank, k10 SAMPLE.
+    *
+    * Determinism across engines: h is the same md5-derived 60-bit
+    * integer both engines compute (t6's idiom, 'k10:'-salted); the
+    * priority is ONE identically-written formula — (w · 2⁶⁰) / (h+1) in
+    * doubles, multiply then divide, IEEE-identical in both — used for
+    * ORDERING only (ties → doc_id); no float reaches the hashed surface
+    * raw: ŵ is per-row floor(max(w, τ)·1e6 + 0.5) into exact 1e-6-unit
+    * bigints (the t15 discipline — float→int per element, never an
+    * order-dependent float sum).
+    *
+    * Scale shape: one map-side pass computes (h, p); the per-source
+    * top-(k+1) runs as a rank window over ≤ sources × corpus rows with
+    * partial aggregation... at 100 TB the window's sort is the cost —
+    * the two-phase alternative (per-partition top-(k+1) heaps, then a
+    * (sources × (k+1))-sized re-rank — the [[graft.functions.TopKAggregator]]
+    * shape) keeps every task's state k-bounded; τ and the estimate then
+    * live on a sources-sized frame. The sample is MERGEABLE (min-k
+    * union), which is what k10s exploits through the store. */
+  /** The 'k10:'-salted 60-bit hash draw (t6's md5 idiom). */
+  private[graft] def k10Hash: Column = expr(
+    "cast(conv(substring(md5(concat('k10:', cast(doc_id as string))),1,15),16,10) as bigint)")
+
+  /** The priority — ONE identically-written double formula in both
+    * engines (multiply then divide). */
+  private[graft] def k10Priority: Column = expr(
+    "cast(wt as double) * cast(1152921504606846976 as double) / cast(h + 1 as double)")
+
+  /** Per-source top-(k+1) by priority over a (g, doc_id, wt, h) frame —
+    * k+1 because τ IS the (k+1)-th row; top-(k+1) is min-k-mergeable,
+    * which is what k10s's bounded store state exploits. */
+  private[graft] def k10Ranked(rows: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("p").desc, col("doc_id"))
+    rows.withColumn("p", k10Priority)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K10k + 1)
+  }
+
+  /** The serve tail shared by k10 and k10s (one estimator, no drift):
+    * from a ranked (g, doc_id, wt, h, rk) frame, derive τ from the
+    * rk = k+1 row and emit the k sample rows with the DLT estimate. */
+  private[graft] def k10Serve(ranked0: DataFrame): DataFrame = {
+    val ranked = ranked0.withColumn("p", k10Priority)
+      .localCheckpoint() // feeds the tau frame AND the sample projection
+    val tau = ranked.filter(col("rk") === K10k + 1)
+      .select(col("g"), col("p").as("tau"))
+    ranked.filter(col("rk") <= K10k)
+      .join(broadcast(tau), Seq("g"), "left")
+      // per-row float→int floor BEFORE any aggregation a consumer might
+      // run (order-free exactness); max(w, τ) is the DLT unbiased
+      // estimate, τ = 0 for a source with ≤ k docs (estimate EXACT)
+      .withColumn("est_w_e6", expr(
+        "cast(floor(greatest(cast(wt as double), coalesce(tau, 0.0d)) * 1000000.0d + 0.5d) as bigint)"))
+      .select(col("g").as("source"), col("rk").cast(LongType).as("rk"),
+        col("doc_id"), col("wt").as("n_chars"), col("h"), col("est_w_e6"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val k10PrioritySample: Q = (spark, dir) => {
+    val rows = fanOut(spark, t(spark, dir, "documents"))
+      .filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("doc_id"), col("n_chars").as("wt"))
+      .withColumn("h", k10Hash)
+    k10Serve(k10Ranked(rows).select(col("g"), col("doc_id"), col("wt"),
+      col("h"), col("rk")))
   }
 
   val k7CountMin: Q = (spark, dir) => {
@@ -6565,6 +6682,8 @@ object PipelineQueries {
     "t29_quantile_trim" -> t29QuantileTrim,
     "k8s_stream_hll" -> k8sStreamHll,
     "k9s_stream_ddsketch" -> k9sStreamDdsketch,
+    "k10_priority_sample" -> k10PrioritySample,
+    "k10s_stream_sample" -> k10sStreamSample,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,

@@ -324,6 +324,47 @@ object StreamingIngest {
     SnapshotStore.read(spark, s"$root/dd_grid").map(
       _.groupBy(col("g"), col("e"), col("key")).agg(sum(col("cnt")).as("cnt")))
 
+  /** k10's priority sample maintained through REAL Structured Streaming —
+    * the THIRD streaming replay class, completing the algebra triptych:
+    * k7s/k9s are ADDITIVE (need per-batch deltas + seen-doc state),
+    * k8s is UNBOUNDED-IDEMPOTENT (max-merge, no machinery), and k10s is
+    * BOUNDED-STATE IDEMPOTENT: the state is each source's top-(k+1)
+    * priority rows, and top-(k+1) is min-k-mergeable —
+    * top(A ∪ B) = top(top(A) ∪ B) — so a batch folds into k-bounded
+    * state and ANY redelivery or foreachBatch re-execution re-derives
+    * identical rows that the (g, rk)-keyed merge upserts in place. No
+    * seen-table, no deltas; the sample algebra absorbs every replay
+    * hazard while holding only (sources × (k+1)) rows regardless of
+    * corpus size. The served sample must hash-match the one-shot k10. */
+  def prioritySampleIngest(streamingDocs: DataFrame, root: String,
+                           checkpointDir: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => prioritySampleBatch(batch, root) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[prioritySampleIngest]]:
+    * candidates = stored top-(k+1) rows ∪ the batch's hashed rows,
+    * deduped (a redelivered doc re-derives the identical row), re-ranked,
+    * merged keyed (g, rk) — every live rank of a touched source is
+    * overwritten, so a row falling out of the top never lingers. */
+  def prioritySampleBatch(batch: DataFrame, root: String): Unit = {
+    import graft.queries.PipelineQueries
+    val spark = batch.sparkSession
+    val cand = batch.filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("doc_id"), col("n_chars").as("wt"))
+      .withColumn("h", PipelineQueries.k10Hash)
+    val all = SnapshotStore.read(spark, s"$root/k10_sample")
+      .map(s => cand.unionByName(s.select(col("g"), col("doc_id"),
+        col("wt"), col("h"))))
+      .getOrElse(cand)
+      .distinct() // a redelivered doc's row is bit-identical — set union
+    val top = PipelineQueries.k10Ranked(all)
+      .select(col("g"), col("doc_id"), col("wt"), col("h"), col("rk"))
+      .localCheckpoint() // frozen BEFORE the merge moves the store
+    SnapshotStore.merge(spark, s"$root/k10_sample", top, Seq("g", "rk"))
+  }
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted

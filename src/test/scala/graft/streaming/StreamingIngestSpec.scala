@@ -345,6 +345,46 @@ class StreamingIngestSpec extends SparkSpec {
       "replayed batch must upsert its delta, not re-add it")
   }
 
+  test("streamed priority sample is replay-proof by algebra: bounded-state " +
+      "min-k merge makes redelivery and re-execution no-ops") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val root = Files.createTempDirectory("graft-k10crash").toString
+    // 24 docs in source s1 (> k+1 = 17, so τ exists and rows FALL OUT of
+    // the top), 3 in s2 (≤ k: τ = 0, estimates exact)
+    val docs = (1L to 24L).map(i => (i, "s1", 10L * i))
+      .++(Seq((100L, "s2", 7L), (101L, "s2", 9L), (102L, "s2", 11L)))
+      .toDF("doc_id", "source", "n_chars")
+    val b0 = docs.filter(col("doc_id") <= 12)
+    // batch 1 REDELIVERS docs 10-12 — and unlike count-min, NOTHING
+    // guards it: the deduped min-k union is the whole replay story
+    val b1 = docs.filter(col("doc_id") >= 10)
+    StreamingIngest.prioritySampleBatch(b0, root)
+    StreamingIngest.prioritySampleBatch(b1, root)
+    // full post-commit re-executions (checkpoint not yet advanced)
+    StreamingIngest.prioritySampleBatch(b1, root)
+    StreamingIngest.prioritySampleBatch(b1, root)
+    val served = PipelineQueries.k10Serve(
+      graft.incremental.SnapshotStore.read(spark, s"$root/k10_sample").get)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toSet
+    val rows = docs.select(col("source").as("g"), col("doc_id"),
+      col("n_chars").as("wt")).withColumn("h", PipelineQueries.k10Hash)
+    val oneShot = PipelineQueries.k10Serve(
+      PipelineQueries.k10Ranked(rows)
+        .select(col("g"), col("doc_id"), col("wt"), col("h"), col("rk")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(5))).toSet
+    assert(served == oneShot,
+      "replayed/redelivered batches must leave the min-k state at the one-shot sample")
+    // the small source's estimates are EXACT (τ = 0 ⇒ ŵ = w), pinned in
+    // 1e-6 units; the large source's τ > 0 so its sample is genuinely
+    // bounded (16 of 24 rows)
+    val s2 = served.filter(_._1 == "s2")
+    assert(s2.size == 3 && s2.forall { case (_, _, _, w, est) => est == w * 1000000L })
+    assert(served.count(_._1 == "s1") == PipelineQueries.K10k)
+  }
+
   test("streamed HLL is replay-proof by algebra: max-merge makes any re-execution a no-op") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-hllcrash").toString
