@@ -1602,6 +1602,44 @@ object PipelineOracles {
             < r.keep_pm
       ORDER BY d.doc_id""",
 
+    // Hamilton apportionment of the global token budget (quota floor +
+    // largest remainders, ties by source), whole epochs by integer div,
+    // the fractional epoch by hash-ordered token cumsum — all 64-bit
+    // integer, every stage replayed declaratively
+    "t30_epoch_plan" -> s"""
+      WITH d AS (SELECT source AS g, doc_id, (n_chars + 3) // 4 AS tok
+                 FROM documents),
+      st AS (SELECT g, SUM(tok)::BIGINT AS src_tok,
+                    CASE ${PipelineQueries.MixSharePermille.map { case (s, r) =>
+        s"WHEN g = '$s' THEN $r" }.mkString(" ")}
+                         ELSE ${PipelineQueries.MixShareDefault} END AS share
+             FROM d GROUP BY g),
+      tot AS (SELECT SUM(share)::BIGINT AS s FROM st),
+      q AS (SELECT g, src_tok,
+                   ${PipelineQueries.T30BudgetTokens} * share // tot.s AS base,
+                   ${PipelineQueries.T30BudgetTokens} * share % tot.s AS rem
+            FROM st, tot),
+      sb AS (SELECT SUM(base)::BIGINT AS sb FROM q),
+      bud AS (SELECT g, src_tok,
+                     base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+                                      <= ${PipelineQueries.T30BudgetTokens} - sb.sb
+                                 THEN 1 ELSE 0 END AS budget
+              FROM q, sb),
+      per AS (SELECT g, budget, budget // src_tok AS full_epochs,
+                     budget % src_tok AS remt
+              FROM bud),
+      c AS (SELECT g, doc_id, tok,
+                   SUM(tok) OVER (PARTITION BY g
+                                  ORDER BY ('0x' || substr(md5('t30:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                                           doc_id) AS cum
+            FROM d)
+      SELECT c.g AS source, c.doc_id, c.tok AS n_tokens, per.full_epochs,
+             CASE WHEN c.cum <= per.remt THEN 1 ELSE 0 END::BIGINT AS extra,
+             per.full_epochs + CASE WHEN c.cum <= per.remt THEN 1 ELSE 0 END AS repeats,
+             per.budget AS src_budget_tokens
+      FROM c JOIN per USING (g)
+      ORDER BY source, doc_id""",
+
     "t23_temperature_mix" -> """
       WITH d AS (SELECT doc_id, source, ceil(n_chars / 4.0)::BIGINT AS est_tokens
                  FROM documents),

@@ -6007,6 +6007,78 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- T30: epoch plan — the repetition schedule a training run executes ---
+
+  /** Global token budget apportioned by [[t30EpochPlan]] (constant, so
+    * the driver tiers exercise BOTH regimes: budgets above a small
+    * corpus ⇒ multi-epoch repetition, below a big one ⇒ fractional
+    * sub-epoch selection). */
+  val T30BudgetTokens = 2000000L
+
+  /** The EPOCH PLAN — the step after mixture design (t12/t23) that every
+    * pretraining run actually executes: given target source shares and a
+    * global token budget, decide HOW MANY TIMES each document appears in
+    * the training mix (multi-epoching low-resource sources is standard —
+    * up-weighted sources repeat, down-weighted ones contribute a
+    * subset). Three exact-integer stages:
+    *
+    *  1. HAMILTON APPORTIONMENT of the budget across sources: quota
+    *     qₛ = B·shareₛ / Σshare; every source gets ⌊qₛ⌋ and the
+    *     remainder seats go to the largest fractional parts
+    *     (B·shareₛ mod Σshare, ties by source name) — Σ budgetₛ = B
+    *     EXACTLY, the largest-remainder method's defining property.
+    *  2. whole epochs: fullₛ = budgetₛ div tokensₛ (0 when the source
+    *     exceeds its budget), leaving remₛ = budgetₛ mod tokensₛ.
+    *  3. the fractional epoch: docs ordered by a 't30:'-salted md5 hash
+    *     (deterministic, rerun/partitioning-proof — t6's argument) take
+    *     one extra repeat while their running token cumsum stays within
+    *     remₛ — so Σ repeats·tok lands within one document of budgetₛ
+    *     (spec-pinned).
+    *
+    * Everything is 64-bit integer arithmetic on both engines; no float
+    * touches the hashed surface. Scale shape: one map-side-combined
+    * per-source totals agg, the apportionment on the sources-sized frame
+    * (broadcast back), ONE window cumsum per source (the only shuffle —
+    * at 100 TB a range-partitioned sort by (source, hash)), map-side
+    * repeats. The output is the (doc, repeats) table a data loader
+    * consumes directly. */
+  val t30EpochPlan: Q = (spark, dir) => {
+    val share = MixSharePermille.foldLeft(lit(MixShareDefault)) {
+      case (e, (s, r)) => when(col("g") === s, lit(r)).otherwise(e)
+    }
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+      .select(col("source").as("g"), col("doc_id"),
+        expr("(n_chars + 3) div 4").as("tok"))
+      .localCheckpoint() // feeds the totals AND the cumsum
+    val bySrc = docs.groupBy(col("g"))
+      .agg(sum(col("tok")).as("src_tok"))
+      .withColumn("share", share)
+    val tot = bySrc.agg(sum(col("share")).as("s"))
+    val q = bySrc.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"$T30BudgetTokens * share div s"))
+      .withColumn("rem", expr(s"$T30BudgetTokens * share % s"))
+    val sb = q.agg(sum(col("base")).as("sb"))
+    val budget = q.crossJoin(broadcast(sb))
+      .withColumn("rr", row_number().over(Window.orderBy(col("rem").desc, col("g"))))
+      .withColumn("budget",
+        col("base") + when(col("rr") <= lit(T30BudgetTokens) - col("sb"), 1L).otherwise(0L))
+      .select(col("g"), col("src_tok"), col("budget"),
+        expr("budget div src_tok").as("full_epochs"),
+        expr("budget % src_tok").as("remt"))
+    val cum = docs
+      .withColumn("hh", expr(
+        "cast(conv(substring(md5(concat('t30:', cast(doc_id as string))),1,15),16,10) as bigint)"))
+      .withColumn("cum", sum(col("tok")).over(
+        Window.partitionBy(col("g")).orderBy(col("hh"), col("doc_id"))))
+    cum.join(broadcast(budget), "g")
+      .withColumn("extra", when(col("cum") <= col("remt"), 1L).otherwise(0L))
+      .select(col("g").as("source"), col("doc_id"), col("tok").as("n_tokens"),
+        col("full_epochs"), col("extra"),
+        (col("full_epochs") + col("extra")).as("repeats"),
+        col("budget").as("src_budget_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   // ---- T23: temperature-based mixture resampling ---------------------------
 
   /** mT5/XLM-R-style temperature sampling (τ = 1/2): source sampling
@@ -6648,6 +6720,7 @@ object PipelineQueries {
     "t11_repetition" -> t11Repetition,
     "t12_mix_rebalance" -> t12MixRebalance,
     "t23_temperature_mix" -> t23TemperatureMix,
+    "t30_epoch_plan" -> t30EpochPlan,
     "t13_pii_redact" -> t13PiiRedact,
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,

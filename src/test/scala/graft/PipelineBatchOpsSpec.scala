@@ -114,6 +114,37 @@ class PipelineBatchOpsSpec extends SparkSpec {
       "pair frequency rose across the whole train — argmax order broken")
   }
 
+  test("t30: Hamilton apportionment is exact and the plan lands within one doc of every budget") {
+    import org.apache.spark.sql.functions.{col, max, sum}
+    val plan = PipelineQueries.t30EpochPlan(spark, dir).localCheckpoint()
+    // Σ source budgets = B EXACTLY (the largest-remainder method's
+    // defining property — a floor-only split would leak tokens)
+    val budgets = plan.select(col("source"), col("src_budget_tokens"))
+      .distinct().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(budgets.values.sum == PipelineQueries.T30BudgetTokens,
+      s"budgets must sum to B, got ${budgets.values.sum}")
+    // per source: the scheduled tokens land within one document of the
+    // budget (full epochs are exact; the cumsum cutoff overshoots by
+    // less than the first excluded doc)
+    val per = plan.groupBy(col("source"))
+      .agg(sum(col("repeats") * col("n_tokens")).as("sched"),
+        max(col("n_tokens")).as("mx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    per.foreach { case (s, sched, mx) =>
+      val b = budgets(s)
+      assert(sched <= b && b - sched < mx,
+        s"$s: scheduled $sched vs budget $b (max doc $mx)")
+    }
+    // both repeat mechanisms live at this tier: whole epochs > 0 and a
+    // mid-source fractional cut (extra 0 AND 1 in one source)
+    val rows = plan.select(col("source"), col("full_epochs"), col("extra"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(_._2 >= 1L), "no source multi-epochs — budget too small for the tier")
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.exists { case (_, rs) => rs.exists(_._3 == 0L) && rs.exists(_._3 == 1L) },
+      "no source has a mid-source fractional cut — the cumsum cutoff is untested")
+  }
+
   test("v26: serving on the converged quantizer changes ranked rows vs the 1-step index (non-vacuous)") {
     val oneStep = PipelineQueries.v22TrainedIvfServe(spark, dir)
     val conv = PipelineQueries.v26ConvergedIvfServe(spark, dir)
