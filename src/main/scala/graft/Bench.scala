@@ -64,7 +64,16 @@ object Bench {
     "g2b_cc_retirement", "g1b_incremental_pagerank",
     "v29_converged_residual", "k9s_stream_ddsketch",
     // streamed bounded-state priority sample (three file drops)
-    "k10s_stream_sample")
+    "k10s_stream_sample",
+    // round 14: the DLT subset-sum estimate served from the stored
+    // sample (two keyed merges + a store read per run), and the
+    // doc-level takedown composing BOTH non-monotone store machines
+    // (admission replay + edge arrival + frame-keyed deletes + scoped
+    // recomputes — ~12 store commits on tiny fixtures)
+    "k10b_subset_sum", "g2c_doc_takedown",
+    // incremental epoch re-planning (three doc merges + three plan
+    // merges per run, full planner recompute per batch)
+    "t30b_epoch_replan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -80,6 +80,47 @@ object Invariants {
         .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       retired > 0 && inc == oneShot
     }
+    // g2c's oracle composes the same two all-pairs classes (admission
+    // blockers + CC closure) over the SURVIVING docs — past the oracled
+    // tiers the one-sweep doc takedown is gated here against a one-shot
+    // recompute from the full pair set, with non-vacuity pinned (the
+    // sweep must retire a doc that held edges, so a component actually
+    // changes and at least one blocked doc re-checks)
+    check("g2c: doc takedown equals one-shot admission x CC over surviving docs") {
+      val M = PipelineQueries.D18RetireMod.toLong
+      val R = PipelineQueries.D18RetireRem.toLong
+      def survives(id: Long) = id % M != R
+      val sPairs = pairs.filter { case (a, b) => survives(a) && survives(b) }
+      val retiredWithEdges = pairs.exists { case (a, b) => !survives(a) || !survives(b) }
+      // one-shot CC over the surviving pair set (g2b's shape)
+      val survDf = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id"))
+        .filter(pmod(col("a_id"), lit(M)) =!= lit(R) &&
+          pmod(col("b_id"), lit(M)) =!= lit(R))
+      val labS = PipelineQueries.connectedComponents(survDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sizes = labS.values.groupBy(identity).map { case (l, vs) => l -> vs.size.toLong }
+      // one-shot admission over survivors + readmission vs the full set
+      val blockersOf = sPairs.groupBy(_._2)
+      val blockedFull = pairs.map(_._2).toSet
+      val out = PipelineQueries.g2cDocTakedown(spark, sfDir).collect().map { r =>
+        (r.getLong(0), r.getBoolean(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4),
+          if (r.isNullAt(5)) None else Some(r.getLong(5)),
+          if (r.isNullAt(6)) None else Some(r.getLong(6)))
+      }
+      retiredWithEdges && out.nonEmpty && out.forall {
+        case (d, admitted, nBlk, blkId, readmitted, canon, csz) =>
+          val blks = blockersOf.getOrElse(d, Array.empty[(Long, Long)]).map(_._1)
+          survives(d) &&
+            admitted == blks.isEmpty &&
+            nBlk == blks.length.toLong &&
+            blkId == (if (blks.isEmpty) None else Some(blks.min)) &&
+            readmitted == (blockedFull(d) && blks.isEmpty) &&
+            canon == labS.get(d) &&
+            csz == labS.get(d).map(sizes)
+      }
+    }
 
     // ---- d11: containment vs d2 (its oracle embeds the all-pairs join,
     // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----

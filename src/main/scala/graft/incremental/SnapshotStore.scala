@@ -587,8 +587,9 @@ object SnapshotStore {
   /** Timing-mode companion: file count of a just-written snapshot. */
   private def reportFiles(root: String, snap: String): Unit =
     if (timingOn) {
-      val n = java.nio.file.Files.walk(Paths.get(root, snap))
-        .filter(p => p.toString.endsWith(".parquet")).count()
+      val walk = java.nio.file.Files.walk(Paths.get(root, snap))
+      val n = try walk.filter(p => p.toString.endsWith(".parquet")).count()
+              finally walk.close() // walk holds directory handles until closed
       System.err.println(s"[store-files] $snap $n files")
     }
 
@@ -755,24 +756,67 @@ object SnapshotStore {
     * costs O(matching partitions), not O(table). NULL-predicate rows are
     * KEPT (SQL DELETE semantics: only `true` deletes). */
   def delete(spark: SparkSession, root: String, predicate: Column,
-             changeFeed: Boolean = false): Unit =
+             changeFeed: Boolean = false): Unit = {
+    val keep = !coalesce(predicate, lit(false))
+    deleteWhere(spark, root,
+      matchedOf = _.filter(coalesce(predicate, lit(false))),
+      survivorsOf = _.filter(keep),
+      changeFeed)
+  }
+
+  /** KEYED row-level DELETE — `DELETE FROM t WHERE (keys) IN (SELECT keys
+    * FROM keyFrame)`, the frame-driven takedown a right-to-be-forgotten
+    * sweep needs at scale: the doomed rows are named by a DataFrame (an
+    * upstream computation — retired documents, isolated vertices, a legal
+    * hold list), never collected to the driver or re-encoded as an
+    * `isin` literal whose expression tree grows with the batch. Matched
+    * rows come from a distributed LEFT SEMI join against the key frame,
+    * survivors from the LEFT ANTI twin; everything else — touched-partition
+    * scoping, hard-link carry of untouched partitions, CDC `delete`
+    * retractions, no-match ⇒ publish nothing — is [[delete]]'s machinery
+    * verbatim (one shared body, no drift). The key frame is deduped and
+    * materialized ONCE up front: it feeds the matched scan, the survivor
+    * anti-join and (with a feed) the change rows, and a non-deterministic
+    * key frame evaluated per-consumer could delete rows its own change
+    * feed never saw — merge's materialize-source argument.
+    * NULL key semantics follow SQL IN: a NULL key never matches (those
+    * rows are KEPT), mirroring [[delete]]'s NULL-predicate rule. */
+  def deleteKeys(spark: SparkSession, root: String, keys: Seq[String],
+                 keyFrame: DataFrame, changeFeed: Boolean = false): Unit = {
+    require(keys.nonEmpty, "deleteKeys needs at least one key column")
+    val kf = keyFrame.select(keys.map(col): _*).na.drop("any")
+      .dropDuplicates(keys).localCheckpoint()
+    deleteWhere(spark, root,
+      matchedOf = _.join(kf, keys, "left_semi"),
+      survivorsOf = _.join(kf, keys, "left_anti"),
+      changeFeed)
+  }
+
+  /** Shared body of [[delete]] / [[deleteKeys]]: `matchedOf` names the
+    * doomed rows of a frame, `survivorsOf` its keepers — the two must be
+    * complementary over non-NULL rows (matched rows feed the touched-
+    * partition scope and the CDC retractions; survivors rewrite the
+    * affected partitions). */
+  private def deleteWhere(spark: SparkSession, root: String,
+                          matchedOf: DataFrame => DataFrame,
+                          survivorsOf: DataFrame => DataFrame,
+                          changeFeed: Boolean): Unit =
     currentSnapshot(root).foreach { c =>
       val snapDir = Paths.get(root, c)
       val (df, partitioned) = snapshotDf(spark, snapDir)
       val schema = liveSchema(spark, snapDir)
       val bk = liveBuckets(root)
-      val keep = !coalesce(predicate, lit(false))
       if (!partitioned) {
-        val matched = df.filter(coalesce(predicate, lit(false)))
+        val matched = matchedOf(df)
         if (matched.limit(1).count() > 0) {
-          val snap = writeSnapshot(root, df.filter(keep), partitioned = false, None,
+          val snap = writeSnapshot(root, survivorsOf(df), partitioned = false, None,
             buckets = bk)
           if (changeFeed) writeChanges(root, snap,
             matched.withColumn(ChangeTypeCol, lit("delete")))
           commit(root, snap, schema, partitioned = false, buckets = bk)
         }
       } else {
-        val matched = df.filter(coalesce(predicate, lit(false)))
+        val matched = matchedOf(df)
         // touched-partition list: metadata-sized (bounded by the predicate's
         // date footprint — a retention sweep touches old days only)
         val touched = matched.select(PartCol).distinct().collect()
@@ -798,7 +842,7 @@ object SnapshotStore {
             }
             part.withColumn(PartCol, dtVal)
           }.reduce(_.unionByName(_, allowMissingColumns = true))
-          val snap = writeSnapshot(root, affected.filter(keep),
+          val snap = writeSnapshot(root, survivorsOf(affected),
             partitioned = true, None, buckets = bk)
           manifestOpt match {
             case Some(m) =>

@@ -414,9 +414,13 @@ object DagQueries {
     * per gate — but a clone's conf is NOT read by streams started from
     * frames built on the parent session, so the serialization below is
     * the deliberate choice: `synchronized` makes the constraint
-    * structural instead of conventional. */
+    * structural instead of conventional. The monitor is a PRIVATE lock
+    * owned by this object, not the session itself — foreign code using
+    * the shared SparkSession as a monitor must never contend with (or
+    * deadlock against) the gate bracket. */
+  private val streamGateLock = new Object
   private def withStreamGateConf[A](spark: SparkSession)(body: => A): A =
-    spark.synchronized {
+    streamGateLock.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
       spark.conf.set(key, StreamGatePartitions.toString)

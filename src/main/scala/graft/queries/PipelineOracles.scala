@@ -667,6 +667,54 @@ object PipelineOracles {
       WHERE d.doc_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem}
       ORDER BY d.doc_id""",
 
+    // DOC-level takedown graded declaratively END TO END: the admission
+    // verdict among survivors (d18's oracle) composed with the CC
+    // labeling over surviving pairs (d6's recursive closure) — one row
+    // per surviving doc. The engine's two store machines (frame-keyed
+    // deletes + bounded re-admission; incident-edge retirement + scoped
+    // component recompute) must land on exactly what a one-shot engine
+    // computes from the surviving corpus alone.
+    "g2c_doc_takedown" -> {
+      val M = PipelineQueries.D18RetireMod
+      val R = PipelineQueries.D18RetireRem
+      s"""
+      WITH RECURSIVE $shingleCte,
+      allp AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+          AND 2 * len(list_intersect(a.sh, b.sh))
+              >= len(list_distinct(list_concat(a.sh, b.sh)))),
+      spairs AS (SELECT a_id, b_id FROM allp
+                 WHERE a_id % $M <> $R AND b_id % $M <> $R),
+      blks AS (SELECT b_id, min(a_id) AS blocker_id, count(*) AS n_blockers
+               FROM spairs GROUP BY b_id),
+      blkf AS (SELECT DISTINCT b_id FROM allp),
+      e AS (SELECT a_id AS u, b_id AS v FROM spairs
+            UNION ALL SELECT b_id, a_id FROM spairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS (SELECT x AS doc_id, MIN(y) AS canonical_id FROM reach GROUP BY x),
+      sz AS (SELECT canonical_id, COUNT(*) AS cluster_size
+             FROM lab GROUP BY canonical_id)
+      SELECT d.doc_id,
+             blks.blocker_id IS NULL AS admitted,
+             CAST(coalesce(blks.n_blockers, 0) AS BIGINT) AS n_blockers,
+             blks.blocker_id,
+             (blkf.b_id IS NOT NULL AND blks.blocker_id IS NULL) AS readmitted,
+             lab.canonical_id, sz.cluster_size
+      FROM documents d
+      LEFT JOIN blks ON blks.b_id = d.doc_id
+      LEFT JOIN blkf ON blkf.b_id = d.doc_id
+      LEFT JOIN lab ON lab.doc_id = d.doc_id
+      LEFT JOIN sz ON sz.canonical_id = lab.canonical_id
+      WHERE d.doc_id % $M <> $R
+      ORDER BY d.doc_id"""
+    },
+
     // exact all-pairs ORDERED containment — the prefix-filtered engine
     // path must reproduce it bit-for-bit (the asymmetric prefix prune is
     // lossless for containment >= t, so no candidate logic is mirrored)
@@ -985,6 +1033,49 @@ object PipelineOracles {
       FROM rk LEFT JOIN tau USING (g)
       WHERE rk.rk <= $k
       ORDER BY source, rk"""
+    },
+
+    // the DLT subset-sum estimate recomputed from the same k+1 sample
+    // rows the store holds, plus the planted ≤k source whose estimate
+    // must be EXACT (τ = 0 by construction); sums cast to BIGINT (DuckDB
+    // sum(BIGINT) is HUGEINT, which the type audit refuses)
+    "k10b_subset_sum" -> {
+      val k = PipelineQueries.K10k
+      val seedVals = PipelineQueries.K10bSeed.map { case (id, g, w) =>
+        s"('$g', CAST($id AS BIGINT), CAST($w AS BIGINT))" }.mkString(", ")
+      s"""
+      WITH docs AS (
+        SELECT source AS g, doc_id, n_chars AS wt FROM documents WHERE n_chars >= 1
+        UNION ALL
+        SELECT g, doc_id, wt FROM (VALUES $seedVals) AS s(g, doc_id, wt)),
+      v AS (SELECT g, doc_id, wt,
+                   ('0x' || substr(md5('k10:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+            FROM docs),
+      r AS (SELECT g, doc_id, wt,
+                   CAST(wt AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+                     / CAST(h + 1 AS DOUBLE) AS p
+            FROM v),
+      kept AS (SELECT * FROM (
+                 SELECT g, doc_id, wt, p,
+                        row_number() OVER (PARTITION BY g
+                                           ORDER BY p DESC, doc_id) AS rk
+                 FROM r) WHERE rk <= ${k + 1}),
+      tau AS (SELECT g, p AS tau FROM kept WHERE rk = ${k + 1}),
+      est AS (SELECT kept.g, count(*) AS n_sample,
+                     CAST(sum(CAST(floor(greatest(CAST(kept.wt AS DOUBLE),
+                                                  COALESCE(tau.tau, 0.0))
+                                         * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS est_total_e6
+              FROM kept LEFT JOIN tau USING (g)
+              WHERE kept.rk <= $k GROUP BY kept.g),
+      tz AS (SELECT g, count(*) <= $k AS tau_zero FROM kept GROUP BY g),
+      ex AS (SELECT g, CAST(sum(wt) * 1000000 AS BIGINT) AS exact_total_e6
+             FROM docs GROUP BY g)
+      SELECT est.g AS source, est.n_sample, tz.tau_zero,
+             est.est_total_e6, ex.exact_total_e6,
+             est.est_total_e6 * 1000 // ex.exact_total_e6 AS ratio_pm
+      FROM est JOIN tz USING (g) JOIN ex USING (g)
+      ORDER BY source"""
     },
 
     // the streamed DDSketch deltas must SUM to the one-shot k9 grid —
@@ -2830,6 +2921,10 @@ object PipelineOracles {
     // the streamed bounded-state sample must serve EXACTLY the one-shot
     // k10 rows — min-k mergeability makes redelivery and replay invisible
     "k10s_stream_sample" -> base("k10_priority_sample"),
+    // the incrementally re-planned epoch table must equal the one-shot
+    // apportionment over the union corpus — arrival order, redelivery
+    // and the changed-row rewrite discipline all invisible
+    "t30b_epoch_replan" -> base("t30_epoch_plan"),
 
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible

@@ -845,21 +845,88 @@ object PipelineQueries {
   val D18RetireMod = 7
   val D18RetireRem = 3
 
+  /** d18's takedown + bounded re-admission machinery, shared with g2c
+    * (one machine, no drift): the retired docs — named as a FRAME and
+    * drained from BOTH state tables through
+    * [[graft.incremental.SnapshotStore.deleteKeys]]'s anti-join (the
+    * takedown-list shape: no driver collect, no isin literal, and at
+    * scale the list is whatever an upstream computation emits) — then
+    * the bounded re-admission pass of the [[d18DeleteReadmission]]
+    * scaladoc. `pre` is the full-corpus admission report the retirement
+    * interrupts. Returns the SURVIVORS' report (doc_id, admitted,
+    * n_blockers, blocker_id, readmitted), unordered and lazy — the
+    * caller owns the checkpoint/sort and the store root's lifetime. */
+  private def retireAndReadmit(spark: SparkSession, root: String,
+                               pre: DataFrame, retireP: Column): DataFrame = {
+    import graft.incremental.SnapshotStore
+    // the retired-doc FRAME: shingle state holds exactly one row per
+    // seen doc, so it names the takedown batch (bucket rows can be
+    // absent for an empty-shingle doc)
+    val retiredDocs = SnapshotStore.read(spark, s"$root/shingles").get
+      .filter(retireP).select(col("doc_id")).localCheckpoint()
+    // capture the retiring docs' bucket rows BEFORE the delete — the
+    // affected-set probe needs them, and reading them now costs one
+    // bucket-pruned store read (doc_id is a cluster key)
+    val retiredBk = SnapshotStore.read(spark, s"$root/buckets").get
+      .join(retiredDocs, Seq("doc_id"), "left_semi").localCheckpoint()
+    SnapshotStore.deleteKeys(spark, s"$root/buckets", Seq("doc_id"), retiredDocs)
+    SnapshotStore.deleteKeys(spark, s"$root/shingles", Seq("doc_id"), retiredDocs)
+    val survBk = SnapshotStore.read(spark, s"$root/buckets").get
+    val survSh = SnapshotStore.read(spark, s"$root/shingles").get
+      .select(col("doc_id"), col("ids"), col("n"))
+    // affected = blocked survivors sharing ANY band bucket with a
+    // retired doc (⊇ docs with a retired blocker: blocker pairs share
+    // a bucket by construction)
+    val blockedIds = pre.filter(!col("admitted") && !retireP)
+      .select(col("doc_id"))
+    val affected = survBk.join(blockedIds, Seq("doc_id"), "left_semi")
+      .as("x").join(retiredBk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id")).distinct().localCheckpoint() // probe + carry-over split
+    // re-verify affected docs against the SURVIVING state only
+    val affBk = survBk.join(affected, Seq("doc_id"), "left_semi")
+    val cand = survBk.as("x").join(affBk.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val aSh = survSh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
+    val bSh = survSh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
+    val blocked2 = cand.join(aSh, "a_id").join(bSh, "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("blocker_id"),
+        count(lit(1)).cast(LongType).as("n_blockers"))
+    val recomputed = affected
+      .join(blocked2, col("doc_id") === col("b_id"), "left")
+      .select(col("doc_id"),
+        col("blocker_id").isNull.as("admitted"),
+        coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
+        col("blocker_id"),
+        col("blocker_id").isNull.as("readmitted")) // all affected were blocked
+    val carried = pre.filter(!retireP)
+      .join(affected, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("admitted"), col("n_blockers"),
+        col("blocker_id"), lit(false).as("readmitted"))
+    carried.unionByName(recomputed)
+  }
+
   /** The non-monotone incremental class for the SIMILARITY ladder —
     * d17 proved retroactive invalidation for substring dedup; d18 is
     * the analogous hazard for d15's admission under DELETION: when a
     * doc is retired (takedown/GDPR), the docs it was blocking must be
     * RE-ADMITTED unless some other surviving smaller near-dup still
     * blocks them. Flow: d15's three-batch admission state machine
-    * ([[admissionRun]] — shared, no drift), then a store-level
-    * row-DELETE of the retired docs from BOTH state tables (the same
-    * `SnapshotStore.delete` the retention gate drives), then a BOUNDED
-    * re-admission pass: a blocked survivor needs re-checking only if it
-    * shares a band bucket with a retired doc (every blocker pair shares
-    * a bucket, so the affected set provably covers every doc whose
-    * blocker list changed — d17's bounded-recompute argument); affected
-    * docs re-verify against the SURVIVING state only, unaffected rows
-    * carry over untouched.
+    * ([[admissionRun]] — shared, no drift), then the frame-keyed
+    * row-DELETE of the retired docs from BOTH state tables + the BOUNDED
+    * re-admission pass ([[retireAndReadmit]]): a blocked survivor needs
+    * re-checking only if it shares a band bucket with a retired doc
+    * (every blocker pair shares a bucket, so the affected set provably
+    * covers every doc whose blocker list changed — d17's
+    * bounded-recompute argument); affected docs re-verify against the
+    * SURVIVING state only, unaffected rows carry over untouched.
     *
     * The final report is declarative — admitted ⇔ no surviving smaller
     * verified near-dup — so the DuckDB oracle grades the whole
@@ -873,58 +940,68 @@ object PipelineQueries {
     * state self-join; at 10¹⁰ docs a takedown batch costs
     * O(retired + affected), not O(corpus). */
   val d18DeleteReadmission: Q = (spark, dir) => {
-    import graft.incremental.SnapshotStore
     val root = java.nio.file.Files.createTempDirectory("graft-readmit").toString
     try {
       val retireP = pmod(col("doc_id"), lit(D18RetireMod)) === D18RetireRem
       val pre = admissionRun(spark, dir, root).localCheckpoint()
-      // capture the retiring docs' bucket rows BEFORE the delete — the
-      // affected-set probe needs them, and reading them now costs one
-      // bucket-pruned store read (doc_id is a cluster key)
-      val retiredBk = SnapshotStore.read(spark, s"$root/buckets").get
-        .filter(retireP).localCheckpoint()
-      SnapshotStore.delete(spark, s"$root/buckets", retireP)
-      SnapshotStore.delete(spark, s"$root/shingles", retireP)
-      val survBk = SnapshotStore.read(spark, s"$root/buckets").get
-      val survSh = SnapshotStore.read(spark, s"$root/shingles").get
-        .select(col("doc_id"), col("ids"), col("n"))
-      // affected = blocked survivors sharing ANY band bucket with a
-      // retired doc (⊇ docs with a retired blocker: blocker pairs share
-      // a bucket by construction)
-      val blockedIds = pre.filter(!col("admitted") && !retireP)
-        .select(col("doc_id"))
-      val affected = survBk.join(blockedIds, Seq("doc_id"), "left_semi")
-        .as("x").join(retiredBk.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
-        .select(col("x.doc_id")).distinct().localCheckpoint() // probe + carry-over split
-      // re-verify affected docs against the SURVIVING state only
-      val affBk = survBk.join(affected, Seq("doc_id"), "left_semi")
-      val cand = survBk.as("x").join(affBk.as("y"),
-          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-        .distinct()
-      val aSh = survSh.select(col("doc_id").as("a_id"), col("ids").as("sa"), col("n").as("na"))
-      val bSh = survSh.select(col("doc_id").as("b_id"), col("ids").as("sb"), col("n").as("nb"))
-      val blocked2 = cand.join(aSh, "a_id").join(bSh, "b_id")
-        .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
-        .filter(lit(2) * col("inter") >= col("uni"))
-        .groupBy(col("b_id"))
-        .agg(min(col("a_id")).as("blocker_id"),
-          count(lit(1)).cast(LongType).as("n_blockers"))
-      val recomputed = affected
-        .join(blocked2, col("doc_id") === col("b_id"), "left")
-        .select(col("doc_id"),
-          col("blocker_id").isNull.as("admitted"),
-          coalesce(col("n_blockers"), lit(0L)).as("n_blockers"),
-          col("blocker_id"),
-          col("blocker_id").isNull.as("readmitted")) // all affected were blocked
-      val carried = pre.filter(!retireP)
-        .join(affected, Seq("doc_id"), "left_anti")
+      retireAndReadmit(spark, root, pre, retireP)
+        .localCheckpoint() // materialized before the temp store tree dies
+        .orderBy(col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---- G2C: DOC-level takedown — admission state × cluster labels in one sweep
+
+  /** G2C: the takedown unit a real right-to-be-forgotten request names is
+    * a DOCUMENT — not an edge slice (g2b) or a state row (d18) but ALL of
+    * a doc's footprint at once: its d15 admission state (band buckets +
+    * shingle rows), its near-dup edges, and its component label. This
+    * gate composes the two non-monotone store machines into that one
+    * sweep: both state machines build through the store (d15's three-
+    * batch admission replay; g2's three-batch edge arrival), then ONE
+    * deterministic doc-retirement sweep (d18's modulus, so retirements
+    * provably overlap the planted near-dup clusters) drives
+    *   (a) frame-keyed deletes of the retired docs from buckets+shingles
+    *       + d18's bounded re-admission of affected blocked survivors
+    *       ([[retireAndReadmit]] — d18's machine verbatim), and
+    *   (b) retirement of every INCIDENT edge + scoped component
+    *       recompute + isolated-vertex drain ([[ccRetireState]] — g2b's
+    *       machine with the incident-edge predicate; the retired doc
+    *       itself leaves the labeling through the isolation drain, since
+    *       a doc with no surviving incident edge is not a vertex of the
+    *       surviving graph).
+    * The composed report — admission verdict × cluster label per
+    * surviving doc — is graded DECLARATIVELY against the surviving
+    * corpus alone (one-shot blocker recompute + recursive-CTE CC over
+    * surviving pairs): a blocked doc whose only blocker was taken down
+    * must re-admit AND its split component must re-label, in one gate.
+    *
+    * Scale shape: both sweeps are O(retired + affected), never O(corpus)
+    * — d18's and g2b's bounds compose additively; every delete is
+    * frame-keyed (anti-join) or predicate-scoped; the serve join is
+    * survivors × (clustered survivors), both already store-resident. */
+  val g2cDocTakedown: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-g2c").toString
+    try {
+      val retireP = pmod(col("doc_id"), lit(D18RetireMod)) === D18RetireRem
+      val pre = admissionRun(spark, dir, root).localCheckpoint()
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      incrementalCcRun(spark, pairs, s"$root/graph")
+      val admission = retireAndReadmit(spark, root, pre, retireP)
+      val labels =
+        if (SnapshotStore.read(spark, s"$root/graph/edges").isEmpty) {
+          import spark.implicits._
+          Seq.empty[(Long, Long, Long)]
+            .toDF("doc_id", "canonical_id", "cluster_size")
+        } else ccRetireState(spark, s"$root/graph",
+          pmod(col("a_id"), lit(D18RetireMod)) === D18RetireRem ||
+            pmod(col("b_id"), lit(D18RetireMod)) === D18RetireRem)
+      admission.join(labels, Seq("doc_id"), "left")
         .select(col("doc_id"), col("admitted"), col("n_blockers"),
-          col("blocker_id"), lit(false).as("readmitted"))
-      carried.unionByName(recomputed)
+          col("blocker_id"), col("readmitted"),
+          col("canonical_id"), col("cluster_size"))
         .localCheckpoint() // materialized before the temp store tree dies
         .orderBy(col("doc_id"))
     } finally
@@ -4763,6 +4840,72 @@ object PipelineQueries {
       col("h"), col("rk")))
   }
 
+  // ---- K10B: the subset-sum estimate SERVED from the stored sample --------
+
+  /** The planted ≤-[[K10k]]-doc source for [[k10bSubsetSum]]'s exactness
+    * case: 3 docs ⇒ τ = 0 ⇒ the DLT estimate is EXACT by construction,
+    * graded on the hashed surface as `est_total_e6 = exact_total_e6` on
+    * its row. Negative ids keep it disjoint from every tier's corpus. */
+  val K10bSeed: Seq[(Long, String, Long)] =
+    Seq((-1L, "seed_small", 10L), (-2L, "seed_small", 20L), (-3L, "seed_small", 30L))
+
+  /** K10B: the Duffield-Lund-Thorup estimator actually USED — "how many
+    * chars does source X hold?" answered from the k stored rows ALONE
+    * (the DLT paper's subset-sum query; k10 builds the sample, this gate
+    * puts its PURPOSE on the hashed surface): the per-source top-(k+1)
+    * rows persist through the snapshot store keyed (g, rk), a
+    * redelivered head slice proves the keyed merge swallows at-least-once
+    * replay, and the estimate Σᵢ max(wᵢ, τ) is ONE |sample|-sized
+    * aggregate over the table read BACK from the store — the corpus is
+    * never rescanned for the estimate. The exact per-source totals (the
+    * error column) come from one map-side-combined corpus pass the
+    * oracle mirrors. [[K10bSeed]] plants a 3-doc source to pin the
+    * exactness property (≤ k docs ⇒ τ = 0 ⇒ estimate exact).
+    *
+    * Scale shape: the stored sample is (sources × (k+1)) rows — metadata
+    * — so the serve aggregate reads k-bounded state; the one corpus-sized
+    * pass (ranking) is k10's own cost, shared here; error columns are
+    * integer-only (ratio in per-mille by bigint division — positive
+    * operands, so Spark's truncating `div` and DuckDB's flooring `//`
+    * agree; the t15/k9 engine-portability discipline). */
+  val k10bSubsetSum: Q = (spark, dir) => {
+    import graft.incremental.SnapshotStore
+    val root = java.nio.file.Files.createTempDirectory("graft-k10b").toString
+    try {
+      val seed = spark.createDataFrame(K10bSeed).toDF("doc_id", "g", "wt")
+        .select(col("g"), col("doc_id"), col("wt"))
+      val rows = fanOut(spark, t(spark, dir, "documents"))
+        .filter(col("n_chars") >= 1)
+        .select(col("source").as("g"), col("doc_id"), col("n_chars").as("wt"))
+        .unionByName(seed)
+        .localCheckpoint() // feeds the ranked sample AND the exact totals
+      val ranked = k10Ranked(rows.withColumn("h", k10Hash))
+        .select(col("g"), col("doc_id"), col("wt"), col("h"), col("rk"))
+        .localCheckpoint() // feeds the bootstrap merge AND the replay slice
+      SnapshotStore.merge(spark, s"$root/sample", ranked, Seq("g", "rk"))
+      SnapshotStore.merge(spark, s"$root/sample",
+        ranked.filter(col("rk") <= 3), Seq("g", "rk")) // redelivered head
+      val stored = SnapshotStore.read(spark, s"$root/sample").get
+        .localCheckpoint() // feeds the serve tail AND the τ-presence agg
+      val est = k10Serve(stored.select(col("g"), col("doc_id"), col("wt"),
+          col("h"), col("rk")))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sample"), sum(col("est_w_e6")).as("est_total_e6"))
+      // a source with no stored rk = k+1 row has τ = 0 by construction
+      val tz = stored.groupBy(col("g").as("source"))
+        .agg((count(lit(1)) <= K10k).as("tau_zero"))
+      val exact = rows.groupBy(col("g").as("source"))
+        .agg((sum(col("wt")) * lit(1000000L)).as("exact_total_e6"))
+      est.join(tz, "source").join(exact, "source")
+        .select(col("source"), col("n_sample"), col("tau_zero"),
+          col("est_total_e6"), col("exact_total_e6"),
+          expr("est_total_e6 * 1000 div exact_total_e6").as("ratio_pm"))
+        .localCheckpoint() // materialized before the temp store dies
+        .orderBy(col("source"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   val k7CountMin: Q = (spark, dir) => {
     val toks = fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), " ")).as("tok"))
@@ -4961,14 +5104,33 @@ object PipelineQueries {
     * (partition-scoped in the store); the recompute is |affected
     * components' surviving edges|, not the graph; the affected-label
     * frame is component-count-sized and broadcast; the isolated-vertex
-    * list is bounded by 2·|retired edges| (only a retired edge's
-    * endpoint can lose its last edge) — metadata-sized for any bounded
-    * takedown batch. Settled components untouched by the sweep are
+    * set (≤ 2·|retired edges| — only a retired edge's endpoint can lose
+    * its last edge) stays a DataFrame end to end and drains through
+    * [[graft.incremental.SnapshotStore.deleteKeys]]'s anti-join, so a
+    * takedown batch that retires millions of edges never collects row
+    * data to the driver. Settled components untouched by the sweep are
     * never re-shuffled or re-labeled. */
   private[graft] def ccRetireRun(spark: SparkSession, pairs0: DataFrame,
                                  root: String, retire: Column): DataFrame = {
     import graft.incremental.SnapshotStore
-    incrementalCcRun(spark, pairs0, root) // builds edges+labels state
+    val built = incrementalCcRun(spark, pairs0, root) // builds edges+labels state
+    // a tier with zero near-dup pairs wrote no state tables (the empty
+    // labeling IS the built frame) — there is nothing to retire
+    if (SnapshotStore.read(spark, s"$root/edges").isEmpty) return built
+    ccRetireState(spark, root, retire)
+  }
+
+  /** The post-build half of [[ccRetireRun]] — retire the `retire`-matching
+    * EDGES from the stored graph under `root` and recompute exactly the
+    * touched components over the survivors (assumes the edges/labels
+    * tables exist). Doc-level takedowns ([[g2cDocTakedown]]) reuse it
+    * with the incident-edge predicate `retireP(a_id) OR retireP(b_id)`:
+    * a retired doc loses every incident edge, so the isolated-vertex
+    * drain removes it from the labeling along with any surviving
+    * neighbor that lost its last edge — one machine, no drift. */
+  private[graft] def ccRetireState(spark: SparkSession, root: String,
+                                   retire: Column): DataFrame = {
+    import graft.incremental.SnapshotStore
     val stateE0 = SnapshotStore.read(spark, s"$root/edges").get
     // frozen BEFORE the delete moves the store: these rows name the sweep
     val retired = stateE0.filter(retire).localCheckpoint()
@@ -4987,14 +5149,14 @@ object PipelineQueries {
     val newLabels = connectedComponents(subE).toDF("v", "l")
     SnapshotStore.merge(spark, s"$root/labels", newLabels, Seq("v"))
     // a vertex of a retired edge with NO surviving edge leaves the
-    // labeling (the oracle's vertex set is the surviving endpoints);
-    // the list is ≤ 2·|retired| — metadata-sized, like `aff`
+    // labeling (the oracle's vertex set is the surviving endpoints):
+    // the keyed delete takes the isolated-vertex FRAME as-is — anti-join
+    // semantics, never a driver collect or an isin literal, so a
+    // takedown batch that retires millions of edges stays distributed
     val subVerts = subE.select(col("a_id").as("v"))
       .unionByName(subE.select(col("b_id").as("v"))).distinct()
     val isolated = touched.join(subVerts, Seq("v"), "left_anti")
-      .collect().map(_.getLong(0))
-    if (isolated.nonEmpty)
-      SnapshotStore.delete(spark, s"$root/labels", col("v").isin(isolated: _*))
+    SnapshotStore.deleteKeys(spark, s"$root/labels", Seq("v"), isolated)
     val lab = SnapshotStore.read(spark, s"$root/labels").get
     val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     lab.join(sizes, "l")
@@ -6042,14 +6204,16 @@ object PipelineQueries {
     * at 100 TB a range-partitioned sort by (source, hash)), map-side
     * repeats. The output is the (doc, repeats) table a data loader
     * consumes directly. */
-  val t30EpochPlan: Q = (spark, dir) => {
+  /** The [[t30EpochPlan]] body over an arbitrary `(g, doc_id, tok)` frame
+    * — ONE planner shared by the one-shot gate and [[t30ReplanRun]]'s
+    * per-batch recompute (no drift). Returns the full plan surface,
+    * unordered; the input is checkpointed internally (it feeds the
+    * totals aggregate AND the cumsum). */
+  private[graft] def t30PlanFor(docs0: DataFrame): DataFrame = {
     val share = MixSharePermille.foldLeft(lit(MixShareDefault)) {
       case (e, (s, r)) => when(col("g") === s, lit(r)).otherwise(e)
     }
-    val docs = fanOut(spark, t(spark, dir, "documents"))
-      .select(col("source").as("g"), col("doc_id"),
-        expr("(n_chars + 3) div 4").as("tok"))
-      .localCheckpoint() // feeds the totals AND the cumsum
+    val docs = docs0.localCheckpoint() // feeds the totals AND the cumsum
     val bySrc = docs.groupBy(col("g"))
       .agg(sum(col("tok")).as("src_tok"))
       .withColumn("share", share)
@@ -6076,7 +6240,98 @@ object PipelineQueries {
         col("full_epochs"), col("extra"),
         (col("full_epochs") + col("extra")).as("repeats"),
         col("budget").as("src_budget_tokens"))
+  }
+
+  val t30EpochPlan: Q = (spark, dir) =>
+    t30PlanFor(fanOut(spark, t(spark, dir, "documents"))
+        .select(col("source").as("g"), col("doc_id"),
+          expr("(n_chars + 3) div 4").as("tok")))
       .orderBy(col("source"), col("doc_id"))
+
+  // ---- T30B: epoch RE-planning through the store (non-monotone arrival) ----
+
+  /** Arrival batches [[t30bEpochReplan]] replays (doc_id-ordered). */
+  val T30bBatches = 3
+
+  /** The t30b state machine, exposed for the spec: replays `docs0`
+    * (g, doc_id, tok) as `batches` doc_id-ordered slices through the
+    * snapshot store under `root` — per batch the doc rows merge keyed
+    * (with a redelivered overlap of already-stored docs: v15's
+    * at-least-once discipline), the WHOLE apportionment recomputes over
+    * the stored corpus ([[t30PlanFor]] — the planner is shared, no
+    * drift), and ONLY the docs whose plan row changed rewrite (NULL-safe
+    * column diff against the stored plan, then a keyed merge). The
+    * served plan comes from the persisted table alone.
+    *
+    * This is the non-monotone class on the PLANNING side (d17/g2b's
+    * hazard): a new arrival batch changes every source's token total —
+    * and a batch introducing a NEW source changes Σshare, hence every
+    * source's Hamilton quota AND the remainder-seat order (a seat can
+    * FLIP between sources; the spec plants exactly that) — so rows the
+    * store already holds must be rewritten, which no append-only
+    * pipeline can express.
+    *
+    * Scale shape: per batch, one map-side-combined totals agg + the
+    * sources-sized apportionment + one window cumsum (t30's only
+    * shuffle) + a doc-keyed diff join; the REWRITE is |changed rows|,
+    * not |corpus| — in steady state (no seat flips, stable full-epoch
+    * counts) a batch rewrites only its own docs plus the fractional-
+    * boundary band of each source. */
+  private[graft] def t30ReplanRun(spark: SparkSession, docs0: DataFrame,
+                                  root: String, batches: Int): DataFrame = {
+    import graft.incremental.SnapshotStore
+    val docs = docs0.localCheckpoint() // feeds every batch slice
+    val maxIdRow = docs.agg(max(col("doc_id"))).head
+    if (maxIdRow.isNullAt(0)) return t30PlanFor(docs) // empty corpus, empty plan
+    val maxId = maxIdRow.getLong(0)
+    def inBatch(b: Int): Column =
+      expr(s"least(${batches - 1}, doc_id * $batches div ${maxId + 1})") === b
+    (0 until batches).foreach { b =>
+      val batch = docs.filter(inBatch(b)).localCheckpoint()
+      val stateDocs = SnapshotStore.read(spark, s"$root/docs")
+      val redelivered = stateDocs.map(sd =>
+        batch.unionByName(sd.filter(pmod(col("doc_id"), lit(53)) === 0)))
+        .getOrElse(batch)
+      SnapshotStore.merge(spark, s"$root/docs", redelivered, Seq("doc_id"))
+      val stored = SnapshotStore.read(spark, s"$root/docs").get
+      val newPlan = t30PlanFor(stored.select(col("g"), col("doc_id"), col("tok")))
+        .localCheckpoint() // feeds the changed-row diff AND the merge
+      val changed = SnapshotStore.read(spark, s"$root/plan") match {
+        case None => newPlan
+        case Some(op) =>
+          val old = op.select(col("doc_id").as("o_id"),
+            col("full_epochs").as("o_f"), col("extra").as("o_e"),
+            col("src_budget_tokens").as("o_b"))
+          // n_tokens/source are immutable per doc; repeats is derived —
+          // the three merged columns below are the full mutable surface
+          newPlan.join(old, newPlan("doc_id") === old("o_id"), "left")
+            .filter(col("o_id").isNull ||
+              !(col("full_epochs") <=> col("o_f") &&
+                col("extra") <=> col("o_e") &&
+                col("src_budget_tokens") <=> col("o_b")))
+            .select(newPlan.columns.map(col): _*)
+      }
+      SnapshotStore.merge(spark, s"$root/plan", changed, Seq("doc_id"))
+    }
+    SnapshotStore.read(spark, s"$root/plan").get
+  }
+
+  /** T30B: [[t30EpochPlan]] maintained INCREMENTALLY — the epoch plan a
+    * growing corpus forces you to keep re-issuing, served from the store
+    * and graded by the ONE-SHOT t30 oracle over the union corpus:
+    * arrival order, redelivery and the changed-row rewrite discipline
+    * must all be invisible in the final plan table. */
+  val t30bEpochReplan: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-t30b").toString
+    try {
+      val docs = fanOut(spark, t(spark, dir, "documents"))
+        .select(col("source").as("g"), col("doc_id"),
+          expr("(n_chars + 3) div 4").as("tok"))
+      t30ReplanRun(spark, docs, root, T30bBatches)
+        .localCheckpoint() // materialized before the temp store dies
+        .orderBy(col("source"), col("doc_id"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   // ---- T23: temperature-based mixture resampling ---------------------------
@@ -6721,6 +6976,7 @@ object PipelineQueries {
     "t12_mix_rebalance" -> t12MixRebalance,
     "t23_temperature_mix" -> t23TemperatureMix,
     "t30_epoch_plan" -> t30EpochPlan,
+    "t30b_epoch_replan" -> t30bEpochReplan,
     "t13_pii_redact" -> t13PiiRedact,
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
@@ -6756,6 +7012,7 @@ object PipelineQueries {
     "k8s_stream_hll" -> k8sStreamHll,
     "k9s_stream_ddsketch" -> k9sStreamDdsketch,
     "k10_priority_sample" -> k10PrioritySample,
+    "k10b_subset_sum" -> k10bSubsetSum,
     "k10s_stream_sample" -> k10sStreamSample,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
@@ -6763,6 +7020,7 @@ object PipelineQueries {
     "g1b_incremental_pagerank" -> g1bIncrementalPagerank,
     "g2_incremental_cc" -> g2IncrementalCc,
     "g2b_cc_retirement" -> g2bCcRetirement,
+    "g2c_doc_takedown" -> g2cDocTakedown,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
     "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,

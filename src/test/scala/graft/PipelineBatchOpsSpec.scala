@@ -145,6 +145,115 @@ class PipelineBatchOpsSpec extends SparkSpec {
       "no source has a mid-source fractional cut — the cumsum cutoff is untested")
   }
 
+  test("k10b: a ≤k-doc source has τ = 0 and an EXACT estimate; big-source estimates stay sane") {
+    import org.apache.spark.sql.functions.col
+    val out = PipelineQueries.k10bSubsetSum(spark, dir)
+      .select(col("source"), col("n_sample"), col("tau_zero"),
+        col("est_total_e6"), col("exact_total_e6"), col("ratio_pm"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    val seed = out.find(_._1 == "seed_small").get
+    assert(seed._2 == PipelineQueries.K10bSeed.size && seed._3,
+      s"the planted source must sample whole with τ = 0: $seed")
+    assert(seed._4 == seed._5 && seed._5 ==
+      PipelineQueries.K10bSeed.map(_._3).sum * 1000000L,
+      s"≤k docs ⇒ the DLT estimate must be EXACT: $seed")
+    // real sources: k rows sampled, τ > 0, and the subset-sum estimate
+    // within 2× of truth either way (DLT is unbiased; this tier's draw
+    // is deterministic, so the band is a regression tripwire, not a
+    // statistical claim)
+    val real = out.filter(_._1 != "seed_small")
+    assert(real.nonEmpty)
+    real.foreach { case r @ (_, n, tz, _, _, ratio) =>
+      assert(n == PipelineQueries.K10k.toLong && !tz, s"real source must fill the sample: $r")
+      assert(ratio >= 500L && ratio <= 2000L, s"estimate off by >2x: $r")
+    }
+  }
+
+  test("g2c: taking down the only blocker re-admits its rejects AND splits its component") {
+    // planted chain X2—X1—D—Y1—Y2 (consecutive docs differ by ONE word of
+    // 19 → 17 shingles, J = 14/20 = 0.7 ≥ 0.5; any two changes → J =
+    // 11/23 < 0.5, so non-consecutive docs never pair). D's id (3) is the
+    // only one hit by the d18 retirement modulus, D is the smallest id —
+    // so D blocks X1 and Y1 directly, and its takedown must (a) re-admit
+    // BOTH (no surviving smaller near-dup), (b) keep X2/Y2 blocked by
+    // their surviving chain parents, and (c) SPLIT the single 5-doc
+    // component into {X1,X2} and {Y1,Y2} with D gone from the labeling.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-g2c-fix").toString
+    val base = (1 to 19).map(i => s"w$i").toVector
+    def txt(changes: (Int, String)*): String =
+      changes.foldLeft(base) { case (v, (p, w)) => v.updated(p - 1, w) }.mkString(" ")
+    val docs = Seq(
+      3L -> txt(4 -> "dd"),                 // D   (retired: 3 % 7 == 3)
+      11L -> txt(),                         // X1  (blocked by D alone)
+      12L -> txt(12 -> "xx"),               // X2  (blocked by X1)
+      20L -> txt(4 -> "dd", 8 -> "yy"),     // Y1  (blocked by D alone)
+      22L -> txt(4 -> "dd", 8 -> "yy", 16 -> "zz")) // Y2 (blocked by Y1)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long").add("text", "string")
+      .add("lang", "string").add("source", "string").add("n_chars", "long")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.map { case (id, t) =>
+        org.apache.spark.sql.Row(id, t, "en", "a", t.length.toLong) }),
+      schema).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // pre-state sanity: ONE component of all five docs (so the takedown
+    // below demonstrably splits something)
+    val pre = PipelineQueries.d6DedupClusters(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pre.keySet == Set(3L, 11L, 12L, 20L, 22L) &&
+      pre.values.toSet == Set((3L, 5L)), s"planted chain broken: $pre")
+    val out = PipelineQueries.g2cDocTakedown(spark, tmp).collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)),
+        if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    }.toMap
+    assert(out.keySet == Set(11L, 12L, 20L, 22L), s"survivor set wrong: ${out.keySet}")
+    assert(out(11L) == ((true, 0L, None, true, Some(11L), Some(2L))), out(11L).toString)
+    assert(out(20L) == ((true, 0L, None, true, Some(20L), Some(2L))), out(20L).toString)
+    assert(out(12L) == ((false, 1L, Some(11L), false, Some(11L), Some(2L))), out(12L).toString)
+    assert(out(22L) == ((false, 1L, Some(20L), false, Some(20L), Some(2L))), out(22L).toString)
+  }
+
+  test("t30b: a batch that introduces a new source flips a remainder seat and rewrites stored rows") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // three sources arriving one per tercile (ids 0-9 src0, 10-19 src1,
+    // 20-29 src2): each arrival changes the share total s, so quotas AND
+    // the remainder-seat order move under already-stored docs.
+    // B = 2 000 000, shares 150/120/80:
+    //  after 2 batches (s = 270): base = (1 111 111, 888 888),
+    //    rem = (30, 240), 1 seat -> src1  => budgets (1 111 111, 888 889)
+    //  after 3 batches (s = 350): base = (857 142, 685 714, 457 142),
+    //    rem = (300, 100, 300), 2 seats -> src0, src2 (tie 300/300 broken
+    //    by name)                        => budgets (857 143, 685 714, 457 143)
+    // src1 LOSES its seat to the newcomers — the flip the gate's tiers
+    // can't guarantee, pinned here.
+    def mk(lo: Long, g: String): Seq[(String, Long, Long)] =
+      (lo until lo + 10L).map(i => (g, i, 50L + (i % 7L) * 30L))
+    val docs = (mk(0, "src0") ++ mk(10, "src1") ++ mk(20, "src2"))
+      .toDF("g", "doc_id", "tok")
+    val root = java.nio.file.Files.createTempDirectory("graft-t30b-fix").toString
+    try {
+      val fin = PipelineQueries.t30ReplanRun(spark, docs, root, 3).localCheckpoint()
+      // final state == the one-shot plan over the union corpus
+      val oneShot = PipelineQueries.t30PlanFor(docs).localCheckpoint()
+      assert(fin.exceptAll(oneShot).isEmpty && oneShot.exceptAll(fin).isEmpty,
+        "served plan diverged from the one-shot apportionment")
+      val finB = fin.select(col("source"), col("src_budget_tokens")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(finB == Map("src0" -> 857143L, "src1" -> 685714L, "src2" -> 457143L), finB.toString)
+      // the seat flip is visible as a REWRITE of rows stored after batch
+      // 2: src1's docs carried budget 888 889 then, 685 714 now
+      val twoB = PipelineQueries.t30PlanFor(docs.filter(col("doc_id") < 20))
+        .select(col("source"), col("src_budget_tokens")).distinct()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(twoB == Map("src0" -> 1111111L, "src1" -> 888889L), twoB.toString)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("v26: serving on the converged quantizer changes ranked rows vs the 1-step index (non-vacuous)") {
     val oneStep = PipelineQueries.v22TrainedIvfServe(spark, dir)
     val conv = PipelineQueries.v26ConvergedIvfServe(spark, dir)

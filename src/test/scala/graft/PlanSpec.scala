@@ -317,6 +317,22 @@ class PlanSpec extends SparkSpec {
       s"the rank must pre-limit before its shuffle\n${p.take(1200)}")
   }
 
+  test("k10: the per-source top-(k+1) plans as two-phase WindowGroupLimit — never a full per-source sort") {
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.functions.col
+    // pin the RANKED stage itself: k10's serve tail checkpoints it (two
+    // consumers), which would hide the window behind a LogicalRDD
+    val rows = graft.Sources.testdata(spark, sf)("documents")
+      .filter(col("n_chars") >= 1)
+      .select(col("source").as("g"), col("doc_id"), col("n_chars").as("wt"))
+      .withColumn("h", PipelineQueries.k10Hash)
+    val p = PipelineQueries.k10Ranked(rows).queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2,
+      s"k10's rank must pre-limit per partition before the shuffle (partial + final " +
+        s"WindowGroupLimit — every task's state k-bounded, the doc-comment's two-phase " +
+        s"shape), got:\n${p.take(1200)}")
+  }
+
   test("d10: skew-proof rank — range-partitioned order, (source,pid) window, broadcast caps") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.d10SourceQuota)

@@ -347,6 +347,46 @@ class SnapshotStoreSpec extends SparkSpec {
       "no-match / NULL-predicate deletes must publish nothing")
   }
 
+  test("deleteKeys: frame-driven anti-join delete — partition-scoped, CDC retractions, NULL keys kept, replay is a no-op") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"),
+      (22L, "2026-01-02", "b2"), (3L, "2026-01-03", "c"))), Seq("id"), pd)
+    val before = inodesByPartition(root)
+    // the doomed keys arrive as a FRAME (an upstream computation, never a
+    // literal); a NULL key must match nothing (SQL IN semantics)
+    val doomed = Seq(Some(2L), None, Some(99L)).toDF("id")
+    SnapshotStore.deleteKeys(spark, root, Seq("id"), doomed, changeFeed = true)
+    val after = inodesByPartition(root)
+    for (dt <- Seq("_dt=2026-01-01", "_dt=2026-01-03"))
+      assertCarried(before(dt), after(dt), dt)
+    assert(after("_dt=2026-01-02") != before("_dt=2026-01-02"))
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (22L, "2026-01-02", "b2"), (3L, "2026-01-03", "c")))
+    assert(SnapshotStore.changes(spark, root).get
+      .select("id", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().toSet == Set((2L, "delete", 2L)))
+    // replay (at-least-once redelivery of the takedown batch): the keys
+    // are already gone, so nothing matches and nothing is published
+    val gen = SnapshotStore.currentSnapshot(root)
+    SnapshotStore.deleteKeys(spark, root, Seq("id"), doomed, changeFeed = true)
+    assert(SnapshotStore.currentSnapshot(root) == gen,
+      "a replayed keyed delete must publish nothing")
+    // composite key: only the exact (id, payload) pair dies
+    SnapshotStore.deleteKeys(spark, root, Seq("id", "payload"),
+      Seq((22L, "WRONG"), (3L, "c")).toDF("id", "payload"))
+    assert(readAll(root) == Set(
+      (1L, "2026-01-01", "a"), (22L, "2026-01-02", "b2")))
+  }
+
+  test("deleteKeys on a flat (unpartitioned) table") {
+    val root = tmpRoot()
+    SnapshotStore.merge(spark, root, rows(Seq(
+      (1L, "2026-01-01", "a"), (2L, "2026-01-02", "b"))), Seq("id"))
+    SnapshotStore.deleteKeys(spark, root, Seq("id"), Seq(1L).toDF("id"))
+    assert(readAll(root) == Set((2L, "2026-01-02", "b")))
+  }
+
   test("applyChanges on an empty in-range feed is a no-op, not an NPE") {
     val src = tmpRoot(); val dst = tmpRoot()
     SnapshotStore.merge(spark, src, rows(Seq((1L, "2026-01-01", "a"))),
