@@ -13,9 +13,16 @@ object DeepbookPipeline {
     * `withTests` = `dbt build`: the reference's schema.yml suite
     * ([[ReferenceSchema.suite]]) runs after each model's merge; a red
     * test fails the model and skips its downstream. */
+  /** Scheduler width of the fixture-gate DAG runs — overridable for the
+    * protocol-floor attribution experiments (SCALE.md §7o): the Runner's
+    * completion-driven pool is provably output-equivalent at any width,
+    * so the knob can only move WALL time, never hashes. */
+  private def gateThreads: Int =
+    sys.env.get("GRAFT_RUNNER_THREADS").map(_.toInt).getOrElse(4)
+
   def runner(root: String, maintenance: Boolean = false,
              withTests: Boolean = false): Runner =
-    new Runner(root, models, maintenance,
+    new Runner(root, models, maintenance, threads = gateThreads,
       tests = if (withTests) ReferenceSchema.suite.toMap else Map.empty)
 
   /** E3 (SURVEY §3): register every materialized model as a temp view so
