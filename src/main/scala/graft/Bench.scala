@@ -65,6 +65,8 @@ object Bench {
     "v29_converged_residual", "k9s_stream_ddsketch",
     // streamed bounded-state priority sample (three file drops)
     "k10s_stream_sample",
+    // streamed bounded-state KMV sketch (three file drops, same class)
+    "k11s_stream_theta",
     // round 14: the DLT subset-sum estimate served from the stored
     // sample (two keyed merges + a store read per run), and the
     // doc-level takedown composing BOTH non-monotone store machines

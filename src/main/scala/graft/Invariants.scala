@@ -614,6 +614,95 @@ object Invariants {
         perQ.forall(_.getLong(1) == 5L)
     }
 
+    // ---- k11: KMV set algebra holds at any tier (the estimator bands
+    // are the property; values are oracle-hashed at the driver scales) --
+    check("k11: seed exact mode, union estimates in the 4σ band, intersection bounded") {
+      val rows = PipelineQueries.k11ThetaSketch(spark, sfDir).collect()
+      val k = PipelineQueries.K11k
+      rows.nonEmpty && rows.forall { r =>
+        val (a, b) = (r.getString(0), r.getString(1))
+        val (estA, estB) = (r.getLong(3), r.getLong(4))
+        val (estU, estI) = (r.getLong(5), r.getLong(6))
+        val (exU, exI) = (r.getLong(8), r.getLong(9))
+        (a != "seed_tiny" || estA == 3L) && (b != "seed_tiny" || estB == 3L) &&
+          (exU <= k || math.abs(estU - exU).toDouble / exU < 0.51) &&
+          math.abs(estI - exI) <= 0.35 * exU + 2
+      }
+    }
+
+    // ---- g4: the rank-oriented triangle count equals a naive x<y<z
+    // three-way recount (different algorithm, computed distributed — the
+    // DuckDB oracle embeds the all-pairs join, so THIS gates g4 past the
+    // driver tiers) ----
+    check("g4: rank-oriented counts equal the naive three-way join recount") {
+      val pairs = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val tri = pairs.as("p1")
+        .join(pairs.as("p2"), col("p1.b_id") === col("p2.a_id"))
+        .join(pairs.as("p3"),
+          col("p3.a_id") === col("p1.a_id") && col("p3.b_id") === col("p2.b_id"))
+        .select(col("p1.a_id").as("x"), col("p1.b_id").as("y"), col("p2.b_id").as("z"))
+      val cnt = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("tri_cnt"))
+      val deg = pairs.select(col("a_id").as("v"))
+        .unionByName(pairs.select(col("b_id").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      val exp = deg.join(cnt, Seq("v"), "left")
+        .select(col("v").as("doc_id"), col("degree"),
+          coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      val got = PipelineQueries.g4Triangles(spark, sfDir)
+        .select(col("doc_id"), col("degree"), col("tri_cnt"))
+      got.exceptAll(exp).isEmpty && exp.exceptAll(got).isEmpty
+    }
+
+    // ---- d19: election invariants from the output alone + d6 membership
+    // (the oracle embeds the all-pairs join; this holds at any tier) ----
+    check("d19: one keeper per component, canonical is the max-logit member, membership = d6") {
+      val d19 = PipelineQueries.d19CanonicalPick(spark, sfDir).localCheckpoint()
+      val d6 = PipelineQueries.d6DedupClusters(spark, sfDir)
+      val memberMismatch = d19.select(col("doc_id"), col("component_id"), col("cluster_size"))
+        .exceptAll(d6.select(col("doc_id"), col("canonical_id"), col("cluster_size"))).count()
+      val keepers = d19.groupBy(col("component_id"))
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("nk")).collect()
+      // no member outranks its canonical; the canonical is a member
+      val outranked = d19.filter(
+        col("logit6") > col("canonical_logit6") ||
+          (col("logit6") === col("canonical_logit6") &&
+            col("doc_id") < col("canonical_doc"))).count()
+      val canonNotMember = d19.filter(col("keep"))
+        .select(col("doc_id"), col("component_id"))
+        .exceptAll(d19.filter(col("doc_id") === col("canonical_doc"))
+          .select(col("canonical_doc"), col("component_id"))).count()
+      memberMismatch == 0 && keepers.forall(_.getLong(1) == 1L) &&
+        outranked == 0 && canonNotMember == 0
+    }
+
+    // ---- v30: trained-SQ serving respects the exact ranking it
+    // approximates: its final top-10 comes from cosine-reranking a
+    // 20-candidate ADC shortlist, so the top-1 BY COSINE within the
+    // emitted rows must head each query's list, and the shortlist must
+    // overlap the exact cosine top-10 (recall floor — SQ8 on 64 dims is
+    // near-lossless; the floor catches a broken encoder, not noise) ----
+    check("v30: per-query rank order is cosine-consistent and recall@10 ≥ 0.5 vs v1") {
+      val sq = PipelineQueries.v30TrainedSq(spark, sfDir).collect()
+      val v1 = PipelineQueries.v1CosineTopk(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val byQ = sq.groupBy(_.getLong(0))
+      byQ.forall { case (q, rows) =>
+        val sorted = rows.sortBy(r => r.getInt(1))
+        val cosOrdered = sorted.sliding(2).forall {
+          case Array(a, b) =>
+            a.getLong(4) > b.getLong(4) ||
+              (a.getLong(4) == b.getLong(4) && a.getLong(2) < b.getLong(2))
+          case _ => true
+        }
+        val recall = sorted.map(_.getLong(2)).toSet
+          .intersect(v1.getOrElse(q, Set.empty)).size
+        cosOrdered && recall >= 5
+      }
+    }
+
     println(s"${if (failures == 0) "PASS" else "FAIL"} ($failures failures) at $sfDir")
     spark.stop()
     if (failures > 0) sys.exit(1)

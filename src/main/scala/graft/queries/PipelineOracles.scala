@@ -1078,6 +1078,90 @@ object PipelineOracles {
       ORDER BY source"""
     },
 
+    // KMV/theta sketch set algebra replayed end to end: the k-smallest
+    // windows, the union sketch, the membership-count intersection
+    // estimate AND the exact eval columns — all integer, bit-equal
+    "k11_theta_sketch" -> {
+      val k = PipelineQueries.K11k
+      val km1m = (PipelineQueries.K11k - 1).toLong * PipelineQueries.K11M
+      val seedVals = PipelineQueries.K11Seed.map { case (g, h) =>
+        s"('$g', CAST($h AS BIGINT))" }.mkString(", ")
+      s"""
+      WITH docs AS (SELECT source AS g, string_split(lower(text), ' ') AS w
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3),
+      g0 AS (SELECT g, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS s
+             FROM docs),
+      vals AS MATERIALIZED (
+        SELECT DISTINCT g, h FROM (
+          SELECT g, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h FROM g0
+          UNION ALL
+          SELECT g, h FROM (VALUES $seedVals) AS sd(g, h))),
+      kept AS MATERIALIZED (
+        SELECT g, h FROM (
+          SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+          FROM vals) WHERE rk <= $k),
+      ps AS (SELECT g, COUNT(*) AS n_kept, MAX(h) AS theta FROM kept GROUP BY g),
+      est AS (SELECT g, CASE WHEN n_kept < $k THEN n_kept
+                             ELSE $km1m // greatest(theta, 1) END AS est
+              FROM ps),
+      pl AS MATERIALIZED (
+        SELECT a.g AS a, b.g AS b, a.est AS est_a, b.est AS est_b
+        FROM est a JOIN est b ON a.g < b.g),
+      uni AS (SELECT p.a, p.b, k.h,
+                     MAX(CASE WHEN k.g = p.a THEN 1 ELSE 0 END) AS in_a,
+                     MAX(CASE WHEN k.g = p.b THEN 1 ELSE 0 END) AS in_b
+              FROM pl p JOIN kept k ON k.g = p.a OR k.g = p.b
+              GROUP BY 1, 2, 3),
+      ur AS (SELECT a, b, h, in_a, in_b,
+                    row_number() OVER (PARTITION BY a, b ORDER BY h) AS rk,
+                    COUNT(*) OVER (PARTITION BY a, b) AS nm
+             FROM uni),
+      pa AS (SELECT a, b, nm, COUNT(*) AS m, MAX(h) AS theta_u,
+                    CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS rho
+             FROM ur WHERE rk <= $k GROUP BY 1, 2, 3),
+      pe AS (SELECT a, b, rho, m,
+                    CASE WHEN nm < $k THEN nm
+                         ELSE $km1m // greatest(theta_u, 1) END AS est_union
+             FROM pa),
+      sz AS MATERIALIZED (SELECT g, COUNT(*) AS n FROM vals GROUP BY g),
+      ix AS (SELECT x.g AS a, y.g AS b, COUNT(*) AS exact_inter
+             FROM vals x JOIN vals y ON x.h = y.h AND x.g < y.g
+             GROUP BY 1, 2)
+      SELECT p.a AS src_a, p.b AS src_b, pe.rho, p.est_a, p.est_b,
+             pe.est_union,
+             (pe.rho * pe.est_union) // pe.m AS est_inter,
+             pe.rho * 1000000 // pe.m AS jacc_est_ppm,
+             za.n + zb.n - COALESCE(ix.exact_inter, 0) AS exact_union,
+             COALESCE(ix.exact_inter, 0) AS exact_inter
+      FROM pl p
+      JOIN pe ON pe.a = p.a AND pe.b = p.b
+      LEFT JOIN ix ON ix.a = p.a AND ix.b = p.b
+      JOIN sz za ON za.g = p.a
+      JOIN sz zb ON zb.g = p.b
+      ORDER BY src_a, src_b"""
+    },
+
+    // the streamed KMV state must BIT-EQUAL the one-shot sketch of the
+    // streamed corpus (no seed): min-k union through redelivery + replay
+    "k11s_stream_theta" -> s"""
+      WITH docs AS (SELECT source AS g, string_split(lower(text), ' ') AS w
+                    FROM documents
+                    WHERE len(string_split(lower(text), ' ')) >= 3),
+      g0 AS (SELECT g, unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               for i in range(1, len(w) - 1)]) AS s
+             FROM docs),
+      vals AS (SELECT DISTINCT g,
+                      ('0x' || substr(md5(s), 1, 12))::BIGINT AS h
+               FROM g0)
+      SELECT g AS source, rk, h FROM (
+        SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+        FROM vals)
+      WHERE rk <= ${PipelineQueries.K11k}
+      ORDER BY source, rk""",
+
     // the streamed DDSketch deltas must SUM to the one-shot k9 grid —
     // an additive sketch graded bit-for-bit through redelivery + replay
     "k9s_stream_ddsketch" -> s"""
@@ -1819,6 +1903,63 @@ object PipelineOracles {
     // recursive reachability closure — min reachable id = canonical
     "d6_dedup_clusters" -> ccClustersSql(""),
 
+    // d6's exact component closure + t19's integer logit, elected
+    // argmax-per-component — the quality election replayed end to end
+    "d19_canonical_pick" -> s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS MATERIALIZED (
+        SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x),
+      sz AS (SELECT component_id, COUNT(*) AS cluster_size
+             FROM lab GROUP BY component_id),
+      qd AS (SELECT d.doc_id, d.text, CAST(length(d.text) AS BIGINT) AS len_c,
+                    string_split(lower(d.text), ' ') AS w
+             FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+      qf AS (SELECT doc_id,
+                    CAST(len(w) AS BIGINT) AS n_words,
+                    len(list_filter(w, x -> x IN ${inList(PipelineQueries.StopEn)}))
+                      * 1000000 // len(w) AS f_stop6,
+                    (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+                      * 1000000 // greatest(len_c, 1) AS f_sym6
+             FROM qd),
+      ql AS (SELECT doc_id, ${PipelineQueries.T19WStop} * f_stop6
+                            - (abs(f_meanlen6 - ${PipelineQueries.T19MeanTarget})
+                               // ${PipelineQueries.T19MeanDiv})
+                            - ${PipelineQueries.T19WSym} * f_sym6
+                            + ${PipelineQueries.T19WLen}
+                              * least(n_words, ${PipelineQueries.T19LenCap})
+                            - ${PipelineQueries.T19Intercept} AS logit6
+             FROM qf),
+      win AS MATERIALIZED (
+        SELECT lab.component_id, lab.doc_id, ql.logit6,
+               row_number() OVER (PARTITION BY lab.component_id
+                                  ORDER BY ql.logit6 DESC, lab.doc_id) AS rk
+        FROM lab JOIN ql USING (doc_id)),
+      best AS (SELECT component_id, doc_id AS canonical_doc,
+                      logit6 AS canonical_logit6
+               FROM win WHERE rk = 1)
+      SELECT w.doc_id, w.component_id, sz.cluster_size, w.logit6,
+             b.canonical_doc, b.canonical_logit6,
+             w.doc_id = b.canonical_doc AS keep
+      FROM win w
+      JOIN best b USING (component_id)
+      JOIN sz USING (component_id)
+      ORDER BY w.doc_id""",
+
     "t5_chunk" -> s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
                         len(w) AS n,
@@ -2196,6 +2337,56 @@ object PipelineOracles {
              FROM r)
       SELECT q_id, rk, vec_id, ham, cos_e6 FROM rr
       WHERE rk <= ${BinK} ORDER BY q_id, rk""",
+
+    // trained scalar quantization retrained END-TO-END: per-dim min/max
+    // bounds, 8-bit encode, 510-scaled integer midpoint reconstruction,
+    // integer ADC, exact-cosine rerank — all replayed from the raw floats
+    "v30_trained_sq" -> {
+      val dim = PipelineQueries.SqDim
+      s"""
+      WITH $embCte,
+      q4 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(v, x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS u
+        FROM e),
+      dims AS (SELECT dd.d, MIN(q4.u[dd.d]) AS mn, MAX(q4.u[dd.d]) AS mx
+               FROM q4 CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS d) dd
+               GROUP BY dd.d),
+      mm AS (SELECT list(mn ORDER BY d) AS mn,
+                    list(mx - mn ORDER BY d) AS span
+             FROM dims),
+      enc AS (SELECT q4.vec_id,
+                     list_transform(range(1, $dim + 1), d ->
+                       510 * mm.mn[d] +
+                       (2 * (((q4.u[d] - mm.mn[d]) * 255)
+                             // greatest(mm.span[d], 1)) + 1) * mm.span[d]) AS r510
+              FROM q4, mm),
+      qs AS (SELECT vec_id AS q_id, list_transform(u, x -> 510 * x) AS qu
+             FROM q4 WHERE vec_id < 5),
+      adc AS (SELECT qs.q_id, enc.vec_id,
+                     CAST(list_sum(list_transform(range(1, $dim + 1),
+                          d -> (qs.qu[d] - enc.r510[d]) * (qs.qu[d] - enc.r510[d])))
+                       AS BIGINT) AS adc_dist
+              FROM enc, qs WHERE enc.vec_id != qs.q_id),
+      s AS (SELECT q_id, vec_id, adc_dist,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY adc_dist, vec_id) AS srk
+            FROM adc),
+      sl AS (SELECT q_id, vec_id, adc_dist FROM s
+             WHERE srk <= ${PipelineQueries.SqShortlist}),
+      qf AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 5),
+      r AS (SELECT sl.q_id, sl.vec_id, sl.adc_dist,
+                   CAST(floor(list_sum(list_transform(range(1, len(d.v) + 1),
+                           i -> d.v[i] * qf.qv[i])) / (d.nrm * qf.qn) * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+            FROM sl JOIN n d ON d.vec_id = sl.vec_id
+            JOIN qf ON qf.q_id = sl.q_id),
+      rr AS (SELECT q_id, vec_id, adc_dist, cos_e6,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_e6 DESC, vec_id) AS rk
+             FROM r)
+      SELECT q_id, rk, vec_id, adc_dist, cos_e6 FROM rr
+      WHERE rk <= ${PipelineQueries.SqK} ORDER BY q_id, rk"""
+    },
 
     "v17_rrf_fusion" -> s"""
       WITH $annEvalCtes,
@@ -2815,6 +3006,52 @@ object PipelineOracles {
       SELECT a_id, b_id, hamming, inter * 1000000 // uni AS jaccard_ppm
       FROM j WHERE 2 * inter >= uni ORDER BY a_id, b_id""",
 
+    // both grids replayed from the planted payload identity (payload
+    // text = document text, m5's oracle convention), the cosine in the
+    // same exact-integer-grid / double-division / per-row-floor shape
+    "m8_clip_filter" -> s"""
+      WITH d0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents),
+      img0 AS (SELECT doc_id,
+                      CASE WHEN len(w) >= 3
+                           THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                               for i in range(1, len(w) - 1)])
+                           ELSE [] END AS ish
+               FROM d0),
+      cap0 AS (SELECT doc_id,
+                      CASE WHEN doc_id % 5 = 0
+                           THEN list_reverse(w[1:${PipelineQueries.M8CaptionWords}])
+                           ELSE w[1:${PipelineQueries.M8CaptionWords}] END AS cw
+               FROM d0),
+      cap1 AS (SELECT doc_id,
+                      list_distinct([cw[i] || ' ' || cw[i+1] || ' ' || cw[i+2]
+                                     for i in range(1, len(cw) - 1)]) AS csh
+               FROM cap0 WHERE len(cw) >= 3),
+      cg AS (SELECT doc_id, CAST(len(csh) AS BIGINT) AS n_cap,
+                    list_transform(csh,
+                      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 64) AS cbk
+             FROM cap1 WHERE len(csh) >= 1),
+      ig AS (SELECT doc_id, CAST(len(ish) AS BIGINT) AS n_img,
+                    list_transform(ish,
+                      s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 64) AS ibk
+             FROM img0 WHERE len(ish) >= 1),
+      gr AS (SELECT cg.doc_id, cg.n_cap, ig.n_img,
+                    [CAST(len(list_filter(cg.cbk, b -> b = k)) AS DOUBLE)
+                     for k in range(0, 64)] AS cgrid,
+                    [CAST(len(list_filter(ig.ibk, b -> b = k)) AS DOUBLE)
+                     for k in range(0, 64)] AS igrid
+             FROM cg JOIN ig USING (doc_id)),
+      sc AS (SELECT doc_id, n_cap, n_img,
+                    CAST(floor(
+                      list_sum(list_transform(range(1, 65), i -> cgrid[i] * igrid[i]))
+                      / (sqrt(list_sum(list_transform(cgrid, x -> x * x)))
+                         * sqrt(list_sum(list_transform(igrid, x -> x * x))))
+                      * 1000000.0 + 0.5) AS BIGINT) AS cos_e6
+             FROM gr)
+      SELECT doc_id, n_cap, n_img, cos_e6,
+             cos_e6 >= ${PipelineQueries.M8Threshold} AS keep
+      FROM sc ORDER BY doc_id""",
+
     "m5_image_phash" -> s"""
       WITH $shingleCte,
       d AS (SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS n
@@ -2929,6 +3166,38 @@ object PipelineOracles {
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible
     "g2_incremental_cc" -> base("d6_dedup_clusters"),
+
+    // triangles over the exact pair set by the NAIVE x<y<z three-way
+    // join — a different algorithm than the gate's rank-oriented
+    // node-iterator, so an orientation bug or double-count reds the hash
+    "g4_triangles" -> s"""
+      WITH $shingleCte,
+      pairs AS MATERIALIZED (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+                SELECT a_id AS v FROM pairs
+                UNION ALL SELECT b_id FROM pairs) GROUP BY v),
+      tri AS (SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+              FROM pairs p1
+              JOIN pairs p2 ON p2.a_id = p1.b_id
+              JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
+      tc AS (SELECT v, COUNT(*) AS tri_cnt FROM (
+               SELECT x AS v FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri) GROUP BY v)
+      SELECT deg.v AS doc_id, deg.deg AS degree,
+             COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+             CASE WHEN deg.deg >= 2
+                  THEN 2 * COALESCE(tc.tri_cnt, 0) * 1000000
+                       // (deg.deg * (deg.deg - 1))
+                  ELSE 0 END AS lcc_ppm
+      FROM deg LEFT JOIN tc USING (v)
+      ORDER BY doc_id""",
     // rank state maintained through the store must land on the one-shot
     // unrolled fixed point — batched edge arrival, redelivery and
     // per-iteration persistence are invisible to the hashed surface

@@ -1008,6 +1008,79 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- G4: triangle counting over the near-dup graph (transitivity audit) --
+
+  /** G4: exact per-vertex triangle counts + local clustering coefficient
+    * over d2's verified near-dup pair graph — the dedup-graph
+    * TRANSITIVITY audit (d13's structural sibling): a genuine near-dup
+    * relation is near-transitive, so its components should be triangle-
+    * dense; a low clustering coefficient on a high-degree vertex flags
+    * LSH CHAINING (A~B, B~C verified, A~C absent — clusters that will
+    * over-merge under d6's closure). Emits per labeled vertex its
+    * degree, triangle count and LCC in ppm (`2·tri·10⁶ div deg·(deg−1)`,
+    * integer-exact).
+    *
+    * The algorithm is the degree-ordered node-iterator (Suri &
+    * Vassilvitskii 2011's MR-friendly shape): orient every edge from the
+    * (degree, id)-smaller endpoint to the larger, build wedges at each
+    * vertex from its OUT-edges only, close them against the oriented
+    * edge set. Every triangle is found exactly once (at its minimum-rank
+    * corner), and — the scale point — rank orientation bounds every
+    * vertex's out-degree by O(√m) regardless of how skewed the raw
+    * degree distribution is, so the wedge join's fan-out is bounded
+    * where the naive a<b orientation blows up on the hub vertex of a
+    * star-shaped near-dup cluster (exactly the shape banded LSH
+    * produces). Wedge build and closure are two self-equi-joins on
+    * 8-byte keys; the pair frame is checkpointed once and feeds degree,
+    * orientation and closure (the self-join rule).
+    *
+    * Oracle: DuckDB replays triangles over the EXACT pair set (d2's
+    * oracle identity) with the naive x<y<z three-way join — same
+    * triangles, different algorithm, so an orientation bug or a
+    * double-counted corner reds the hash. */
+  val g4Triangles: Q = (spark, dir) => {
+    val pairs = d2MinhashLsh(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint() // feeds degree, orientation AND closure (self-join rule)
+    val deg = pairs.select(col("a_id").as("v"))
+      .unionByName(pairs.select(col("b_id").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint() // orientation (×2), wedge rank and the output row set
+    // rank-orient: lower (deg, id) endpoint → higher; out-degree O(√m)
+    val e = pairs
+      .join(deg.select(col("v").as("a_id"), col("deg").as("da")), "a_id")
+      .join(deg.select(col("v").as("b_id"), col("deg").as("db")), "b_id")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a_id") < col("b_id")),
+          col("a_id")).otherwise(col("b_id")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a_id") < col("b_id")),
+          col("b_id")).otherwise(col("a_id")).as("w"))
+      .localCheckpoint() // wedge side × closure side (self-join rule)
+    // wedges at u from its out-edges, ordered by the FAR endpoints' rank
+    val dg = deg.select(col("v"), col("deg"))
+    val ew = e.join(dg.select(col("v").as("w"), col("deg").as("dw")), "w")
+    val tri = ew.as("e1").join(ew.as("e2"),
+        col("e1.u") === col("e2.u") &&
+          (col("e1.dw") < col("e2.dw") ||
+            (col("e1.dw") === col("e2.dw") && col("e1.w") < col("e2.w"))))
+      .select(col("e1.u").as("x"), col("e1.w").as("y"), col("e2.w").as("z"))
+      // closing edge y→z is rank-oriented exactly (y, z): one lookup
+      .join(e.select(col("u").as("y"), col("w").as("z")), Seq("y", "z"))
+    val triCnt = tri.select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("tri_cnt"))
+    deg.join(triCnt, Seq("v"), "left")
+      .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
+      .withColumn("lcc_ppm",
+        when(col("deg") >= 2,
+          expr("2L * tri_cnt * 1000000L div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)))
+      .select(col("v").as("doc_id"), col("deg").as("degree"),
+        col("tri_cnt"), col("lcc_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- V1: brute-force cosine top-k (correctness baseline) -----------------
 
   /** Cosine top-10 for query vectors (vec_id < 5) over all embeddings —
@@ -1640,6 +1713,90 @@ object PipelineQueries {
       .withColumn("rk", row_number().over(wFull))
       .filter(col("rk") <= BinK)
       .select(col("q_id"), col("rk"), col("vec_id"), col("ham"), col("cos_e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- V30: trained scalar quantization (the FAISS SQ8 serving path) -------
+
+  /** Vector dimensionality (the corpus convention v19's 2×32-bit codes
+    * already assume). */
+  val SqDim = 64
+  /** ADC shortlist size / final top-k (v19's two-stage convention). */
+  val SqShortlist = 20
+  val SqK = 10
+
+  /** V30: TRAINED per-dimension scalar quantization — FAISS's
+    * `ScalarQuantizer(QT_8bit)`, the third production quantization next
+    * to PQ (v20/v21) and residual-PQ (v27/v28): train per-dim [min, max]
+    * over the corpus, encode every dimension as an 8-bit code on that
+    * range, serve by asymmetric distance against the RECONSTRUCTED
+    * midpoints, rerank the shortlist by exact cosine (v19's two-stage
+    * tail). Completes the quantization triad — unlike PQ there is no
+    * codebook, just 2·dim trained bounds, so encode/serve are pure
+    * per-dimension arithmetic (no nearest-centroid search), the memory
+    * is dim bytes/vector, and the trade is resolution-per-dim vs PQ's
+    * resolution-per-subspace.
+    *
+    * Exact-integer discipline end to end: inputs quantize once to 1e-4
+    * units (codes are 8-bit — input resolution far above code
+    * resolution; e4 keeps the 510-scaled squared sums < 2⁶³); the
+    * midpoint reconstruction runs in 510-scaled units so
+    * `510·x̂ = 510·mn + (2c+1)·span` stays integer (a zero-span
+    * dimension reconstructs exactly — the div guard and the recon span
+    * are SEPARATE so the guard can't bias it); the ADC is an integer
+    * squared-L2; only the final rerank touches doubles, with v1's
+    * per-row floor. Both engines replay train → encode → serve
+    * bit-for-bit — a drifting bound, a misaligned dim or a tie-break
+    * mismatch anywhere reds the hash.
+    *
+    * Scale shape: training is ONE map-side-combined posexplode agg into
+    * dim cells (the v5-sanctioned metadata collect — 64 rows); the
+    * trained bounds ride into the plan as broadcast literals (v2's
+    * planes), so encode + ADC are map-only over the corpus; the
+    * shortlist is a WindowGroupLimit top-20; the float vectors are
+    * fetched for the 20-row shortlist only (v19's rerank join). */
+  val v30TrainedSq: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val enc = fanOut(spark, t(spark, dir, "embeddings"))
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("u", expr("transform(v, x -> cast(floor(x * 10000.0d + 0.5d) as bigint))"))
+      .withColumn("nrm", expr("sqrt(vector_dot(v, v))"))
+      .localCheckpoint() // feeds training, corpus codes, query side, rerank fetch
+    val dims = enc.select(posexplode(col("u")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("d")).collect() // dim-sized: the v5-sanctioned metadata collect
+    val mn = dims.map(_.getLong(1))
+    val span = dims.map(r => r.getLong(2) - r.getLong(1))
+    val mnSql = mn.mkString("array(", "L,", "L)")
+    val spanSql = span.mkString("array(", "L,", "L)")
+    val divSql = span.map(s => math.max(s, 1L)).mkString("array(", "L,", "L)")
+    val coded = enc.withColumn("r510", expr(
+      s"""transform(sequence(0, ${SqDim - 1}), d ->
+         |  510L * element_at($mnSql, d + 1) +
+         |  (2L * (((u[d] - element_at($mnSql, d + 1)) * 255L)
+         |         div element_at($divSql, d + 1)) + 1L)
+         |  * element_at($spanSql, d + 1))""".stripMargin))
+    val qs = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"),
+        expr("transform(u, x -> 510L * x)").as("qu"))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    val shortlist = coded.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc_dist", expr(
+        "aggregate(zip_with(qu, r510, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("srk", row_number().over(wAdc))
+      .filter(col("srk") <= SqShortlist)
+      .select(col("q_id"), col("vec_id"), col("adc_dist"))
+    val qf = enc.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val wFull = Window.partitionBy(col("q_id")).orderBy(col("cos_e6").desc, col("vec_id"))
+    enc.join(broadcast(shortlist), "vec_id") // float vectors: shortlist rows only
+      .join(broadcast(qf), "q_id")
+      .withColumn("cos_e6",
+        floor((expr("vector_dot(v, qv)") / (col("nrm") * col("qn"))) * lit(1e6) + lit(0.5)))
+      .withColumn("rk", row_number().over(wFull))
+      .filter(col("rk") <= SqK)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"), col("cos_e6"))
       .orderBy(col("q_id"), col("rk"))
   }
 
@@ -3163,6 +3320,62 @@ object PipelineQueries {
     * — near-dup clusters share buckets by design, the same bounded-skew
     * shape as d5's sign-LSH buckets; the verify join touches candidates
     * only, with shingle sets fetched by key. */
+  /** Byte-level decode + feature-grid helpers shared by the m5/m8 seams
+    * — ONE parser per container and one grid recipe, defined once so the
+    * image gates can't drift from each other. */
+  private[graft] object MediaDecode extends Serializable {
+    val pngSig: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    def be16(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    /** Payload offset via a REAL header parse (PNG chunk / JPEG marker walk). */
+    def contentOffset(b: Array[Byte]): Int =
+      if (b.length >= 33 && b.take(8).sameElements(pngSig) &&
+        new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR")
+        8 + 4 + 4 + ((b(8) & 0xff) << 24 | (b(9) & 0xff) << 16 |
+          (b(10) & 0xff) << 8 | (b(11) & 0xff)) + 4
+      else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+        var pos = 2
+        var content = -1
+        while (content < 0 && pos + 4 <= b.length && (b(pos) & 0xff) == 0xff) {
+          val marker = b(pos + 1) & 0xff
+          val segLen = be16(b, pos + 2)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
+            marker != 0xc8 && marker != 0xcc) content = pos + 2 + segLen
+          else pos += 2 + segLen
+        }
+        content
+      } else -1
+    /** Decoded payload text (UTF-8); "" when the container fails to parse. */
+    def payloadText(b: Array[Byte]): String = {
+      val off = contentOffset(b)
+      if (off < 0 || off > b.length) ""
+      else new String(b, off, b.length - off, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    /** d2's shingle convention: lowercase, split on ' ' (empties kept),
+      * distinct 3-word windows. */
+    def shingles(text: String): Set[String] = {
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length < 3) Set.empty[String]
+      else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    /** The 64-bucket md5 feature-hash bucket of one shingle (the 60-bit
+      * hex parse % 64 — identical to the relational
+      * `conv(substring(md5(s),1,15),16,10) % 64`). */
+    def bucket(md: java.security.MessageDigest, s: String): Int = {
+      md.reset()
+      val hx = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hx.substring(0, 15), 16) % 64L).toInt
+    }
+    /** The 64-cell distinct-shingle count grid. */
+    def grid(md: java.security.MessageDigest, sh: Set[String]): Array[Long] = {
+      val g = new Array[Long](64)
+      sh.foreach(s => g(bucket(md, s)) += 1)
+      g
+    }
+  }
+
   val m5ImagePhash: Q = (spark, dir) => {
     import spark.implicits._
     graft.functions.GraftFunctions.ensureRegistered(spark)
@@ -3170,46 +3383,10 @@ object PipelineQueries {
       .select(col("doc_id"), plantedMedia.as("payload"))
       .as[(Long, Array[Byte])]
     val ph = docs.mapPartitions { it =>
-      val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
-      def be16(b: Array[Byte], off: Int): Int =
-        ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
-      // content offset via a REAL header parse (PNG chunk / JPEG marker walk)
-      def contentOffset(b: Array[Byte]): Int =
-        if (b.length >= 33 && b.take(8).sameElements(pngSig) &&
-          new String(b, 12, 4, java.nio.charset.StandardCharsets.US_ASCII) == "IHDR")
-          8 + 4 + 4 + ((b(8) & 0xff) << 24 | (b(9) & 0xff) << 16 |
-            (b(10) & 0xff) << 8 | (b(11) & 0xff)) + 4
-        else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
-          var pos = 2
-          var content = -1
-          while (content < 0 && pos + 4 <= b.length && (b(pos) & 0xff) == 0xff) {
-            val marker = b(pos + 1) & 0xff
-            val segLen = be16(b, pos + 2)
-            if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 &&
-              marker != 0xc8 && marker != 0xcc) content = pos + 2 + segLen
-            else pos += 2 + segLen
-          }
-          content
-        } else -1
       val md = java.security.MessageDigest.getInstance("MD5")
-      def bucket(s: String): Int = {
-        md.reset()
-        val hx = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          .map("%02x".format(_)).mkString
-        (java.lang.Long.parseLong(hx.substring(0, 15), 16) % 64L).toInt
-      }
       it.map { case (id, bytes) =>
-        val off = contentOffset(bytes)
-        val text = if (off < 0 || off > bytes.length) ""
-          else new String(bytes, off, bytes.length - off,
-            java.nio.charset.StandardCharsets.UTF_8)
-        // d2's shingle convention: lowercase, split on ' ' (empties kept),
-        // distinct 3-word windows
-        val w = text.toLowerCase.split(" ", -1)
-        val sh = if (w.length < 3) Set.empty[String]
-          else (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
-        val luma = new Array[Long](64)
-        sh.foreach(s => luma(bucket(s)) += 1)
+        val sh = MediaDecode.shingles(MediaDecode.payloadText(bytes))
+        val luma = MediaDecode.grid(md, sh)
         val n = sh.size.toLong
         val bands = new Array[Long](4)
         var k = 0
@@ -3248,6 +3425,79 @@ object PipelineQueries {
       .select(col("a_id"), col("b_id"), col("hamming"),
         expr("inter * 1000000 div uni").as("jaccard_ppm"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  // ---- M8: image–alt-text alignment filter (CLIP-filtering plumbing) -------
+
+  final case class MediaGrid(doc_id: Long, n_img: Long, igrid: Array[Long])
+
+  /** Caption length (words) for [[m8ClipFilter]]'s alt-text stand-in. */
+  val M8CaptionWords = 12
+  /** Alignment keep threshold, cosine in 1e-6 units. */
+  val M8Threshold = 200000L
+
+  /** M8: the LAION curation op — keep an (image, alt-text) pair only if
+    * the two embeddings align (Schuhmann et al. 2022 filter CLIP-scored
+    * pairs at cosine ≥ 0.28; web-scraped alt-text is wrong for a large
+    * fraction of images, and this filter IS the dataset's quality gate).
+    * The caption is the document's first [[M8CaptionWords]] words; the
+    * image is m1/m5's planted container whose payload only exists after
+    * a REAL binary decode. Both sides embed into the same 64-bucket
+    * feature-hash grid ([[MediaDecode.grid]] — m5's recipe, the
+    * sanctioned deterministic stand-in for a learned joint-embedding
+    * space): the image side inside the decode seam (payload bytes are
+    * not relational), the caption side relationally (md5 buckets ARE
+    * expressible work — m1's discipline), and the score is the exact
+    * cosine between count grids, floored to 1e-6 units (v1's recipe).
+    * Docs with `doc_id % 5 = 0` get their caption REVERSED — the planted
+    * "scraper read the wrong DOM element" misalignment: a reversed word
+    * order shares no 3-shingles with the payload, so those pairs score
+    * near zero and the threshold drops them. A ≤-caption-length doc
+    * whose caption is intact covers its whole payload: its cosine is
+    * EXACTLY 1e6 — the gate's built-in proof that `parse ∘ plant ≡ id`
+    * survives through the embedding arithmetic (pinned in the spec).
+    *
+    * Scale shape: one decode-seam pass for the image grids (map-only,
+    * behind [[fanOut]]), one map-only caption pass, one doc_id-keyed
+    * equi-join of two 64-long arrays, and the cosine is a codegen'd
+    * vector_dot — no shuffle anywhere but the join, no candidate
+    * explosion (the score is per-PAIR, not per-pair-of-docs). */
+  val m8ClipFilter: Q = (spark, dir) => {
+    import spark.implicits._
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val docs = fanOut(spark, t(spark, dir, "documents"))
+    val img = docs.select(col("doc_id"), plantedMedia.as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) =>
+          val sh = MediaDecode.shingles(MediaDecode.payloadText(bytes))
+          MediaGrid(id, sh.size.toLong, MediaDecode.grid(md, sh))
+        }
+      }.toDF()
+    val cap = docs
+      .withColumn("cw0", expr(s"slice(split(lower(text), ' '), 1, $M8CaptionWords)"))
+      .withColumn("cw", when(pmod(col("doc_id"), lit(5)) === 0, reverse(col("cw0")))
+        .otherwise(col("cw0")))
+      .filter(size(col("cw")) >= 3)
+      .withColumn("csh", expr(
+        "array_distinct(transform(sequence(0, size(cw) - 3), i -> concat_ws(' ', cw[i], cw[i+1], cw[i+2])))"))
+      .withColumn("cbk", expr(
+        "transform(csh, s -> cast(conv(substring(md5(s),1,15),16,10) as bigint) % 64)"))
+      .withColumn("cgrid", expr(
+        "transform(sequence(0, 63), k -> cast(size(filter(cbk, b -> b = k)) as bigint))"))
+      .select(col("doc_id"), size(col("csh")).cast(LongType).as("n_cap"), col("cgrid"))
+    cap.join(img, "doc_id")
+      .filter(col("n_cap") >= 1 && col("n_img") >= 1)
+      .withColumn("cd", expr("transform(cgrid, x -> cast(x as double))"))
+      .withColumn("gd", expr("transform(igrid, x -> cast(x as double))"))
+      .withColumn("cos_e6", floor(
+        (expr("vector_dot(cd, gd)") /
+          (sqrt(expr("vector_dot(cd, cd)")) * sqrt(expr("vector_dot(gd, gd)"))))
+          * lit(1e6) + lit(0.5)))
+      .withColumn("keep", col("cos_e6") >= M8Threshold)
+      .select(col("doc_id"), col("n_cap"), col("n_img"), col("cos_e6"), col("keep"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- M3: audio-container plumbing (WAV/RIFF chunk walk) ------------------
@@ -3927,6 +4177,48 @@ object PipelineQueries {
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "l")
       .select(col("v").as("doc_id"), col("l").as("canonical_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- D19: quality-aware canonical election per near-dup cluster ----------
+
+  /** D19: the KEEP decision dedup actually ships. d6 labels each near-dup
+    * component and elects the MIN-ID member — the arbitrary-but-stable
+    * convention CC gives for free. Production pipelines keep the
+    * highest-QUALITY duplicate instead (the RefinedWeb/FineWeb keep-best
+    * convention): within each component, canonical = argmax t19 quality
+    * logit, tie → min doc_id. Composes two existing machines literally —
+    * d6's component labeling × [[t19Scored]]'s fixed-weight logit (ONE
+    * formula, shared code) — and emits per member the elected doc, both
+    * logits and the keep verdict; a min-id election and a quality
+    * election disagreeing on a component is exactly the case this
+    * operator exists for. Docs outside every pair keep themselves
+    * (trivial components are not emitted — d6's convention).
+    *
+    * Scale shape: d6's labeling cost plus ONE inner join of the labeled
+    * members (a vanishing fraction of a deduped corpus) against the
+    * corpus — the quality features are map-side expressions evaluated
+    * AFTER that join, so only members are featurized — and a
+    * component-keyed rank window over members only. All-integer logit
+    * (t19's fixed point), so the argmax is engine-exact. */
+  val d19CanonicalPick: Q = (spark, dir) => {
+    val labels = d6DedupClusters(spark, dir)
+      .select(col("doc_id"), col("canonical_id").as("component_id"),
+        col("cluster_size"))
+    val members = t19Scored(
+        labels.join(fanOut(spark, t(spark, dir, "documents")), "doc_id"))
+      .select(col("doc_id"), col("component_id"), col("cluster_size"), col("logit6"))
+      .localCheckpoint() // feeds the election AND the member join (self-join rule)
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(col("logit6").desc, col("doc_id"))
+    val best = members.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("canonical_doc"),
+        col("logit6").as("canonical_logit6"))
+    members.join(best, "component_id")
+      .withColumn("keep", col("doc_id") === col("canonical_doc"))
+      .select(col("doc_id"), col("component_id"), col("cluster_size"),
+        col("logit6"), col("canonical_doc"), col("canonical_logit6"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
@@ -4906,6 +5198,171 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- K11: KMV/theta sketch — distinct-count SET ALGEBRA from sketches ----
+
+  /** Sketch size (minimum hash values kept per source). */
+  val K11k = 64
+  /** The 48-bit hash domain of k6's md5 parse (2⁴⁸). */
+  val K11M = 281474976710656L
+
+  /** The planted ≤-[[K11k]]-value source pinning the sketch's EXACT mode
+    * on the hashed surface: a sketch that never fills IS its value set,
+    * so every estimate it serves is exact by construction. Values sit in
+    * the 48-bit domain; the source name is disjoint from every tier. */
+  val K11Seed: Seq[(String, Long)] = Seq(
+    ("seed_tiny", 11111111111L), ("seed_tiny", 22222222222L),
+    ("seed_tiny", 33333333333L))
+
+  /** A batch's distinct (source, 48-bit shingle hash) values — k6's
+    * word-3-gram md5 identity parsed straight to the integer domain.
+    * Shared by [[k11ThetaSketch]] and the streamed build's per-batch
+    * candidates (one hasher, no drift). */
+  private[graft] def k11BatchValues(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 3)
+      .select(col("source").as("g"), col("w"),
+        explode(sequence(lit(0), size(col("w")) - 3)).as("i"))
+      .select(col("g"), expr(
+        "cast(conv(substring(md5(concat_ws(' ', w[i], w[i+1], w[i+2])),1,12),16,10) as bigint)")
+        .as("h"))
+      .distinct()
+
+  /** The corpus value sets + the planted seed source. */
+  private[graft] def k11Values(spark: SparkSession, dir: String): DataFrame = {
+    val seed = spark.createDataFrame(K11Seed).toDF("g", "h")
+    k11BatchValues(fanOut(spark, t(spark, dir, "documents")))
+      .unionByName(seed).distinct()
+  }
+
+  /** The KMV sketch: each source's [[K11k]] SMALLEST distinct hashes.
+    * The rank window plans as the two-phase WindowGroupLimit
+    * per-partition heap (k10's pinned shape), so every task's state is
+    * k-bounded. MERGEABLE: the min-k of a union is the min-k of the
+    * per-part min-k's — what k11s's bounded store state exploits. */
+  private[graft] def k11Sketch(values: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("h"))
+    values.withColumn("rk", row_number().over(w)).filter(col("rk") <= K11k)
+  }
+
+  /** The KMV serving rule as one SQL expression over (n, θ): an unfilled
+    * sketch answers exactly; a full one estimates (k−1)·2⁴⁸/θ
+    * (Bar-Yossef et al. 2002, the Theta-sketch rule). Positive-operand
+    * integer div, so Spark `div` ≡ DuckDB `//`. */
+  private def k11Est(n: String, theta: String): String =
+    s"case when $n < $K11k then $n else (${K11k - 1}L * ${K11M}L) div greatest($theta, 1L) end"
+
+  /** K11: the KMV (k-minimum-values / Theta) sketch — the sketch
+    * family's SET-ALGEBRA axis. k8's HLL answers "how many distinct"
+    * for ONE set and unions losslessly, but cannot intersect; the Theta
+    * family (Dasgupta et al. 2016, the DataSketches production design)
+    * keeps the k smallest hash VALUES, so two sketches compose:
+    * the k smallest of a merged pair IS the union sketch, and counting
+    * which of those survive in both inputs estimates the intersection —
+    * cardinality set algebra ("how many distinct shingles do crawls A
+    * and B share?") from two O(k) states, never re-touching either
+    * corpus. Emitted per source pair: both KMV cardinality estimates,
+    * the union/intersection estimates and Jaccard from the SKETCHES
+    * alone, next to the exact union/intersection (the eval half, k6's
+    * audited-error discipline) — the estimator's error is a measured
+    * hash-stable column, not a claim. [[K11Seed]] plants a 3-value
+    * source whose sketch never fills, pinning the exact mode.
+    *
+    * Determinism across engines: the value hash is k6's 48-bit md5
+    * parse; everything after is rank windows and positive-operand
+    * integer arithmetic — no float anywhere, both engines bit-equal.
+    *
+    * Scale shape: ONE distinct-shuffle builds the value sets (map-side
+    * combined); the sketch is a k-bounded WindowGroupLimit over it; ALL
+    * pair algebra runs on the (|sources|·k)-row sketch frame — metadata
+    * — so union/intersection estimates cost O(|sources|²·k) regardless
+    * of corpus size. The exact columns are the one corpus-sized join —
+    * exactly the term the sketch replaces in production (k6's trade). */
+  val k11ThetaSketch: Q = (spark, dir) => {
+    val values = k11Values(spark, dir)
+      .localCheckpoint() // feeds the sketch AND the exact eval half
+    val kept = k11Sketch(values)
+      .localCheckpoint() // feeds per-source ests AND the pair algebra
+    val perSrc = kept.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .withColumn("est", expr(k11Est("n_kept", "theta")))
+    // every unordered pair — zero-overlap pairs included — off the
+    // metadata-sized per-source frame (k6's convention)
+    val pl = perSrc.select(col("g").as("a"), col("est").as("est_a"))
+      .crossJoin(perSrc.select(col("g").as("b"), col("est").as("est_b")))
+      .filter(col("a") < col("b"))
+    // the union sketch per pair: k smallest of the merged value sets,
+    // with per-value membership flags for the intersection count
+    val uni = pl.select(col("a"), col("b"))
+      .join(broadcast(kept.select(col("g"), col("h"))),
+        col("g") === col("a") || col("g") === col("b"))
+      .groupBy(col("a"), col("b"), col("h"))
+      .agg(max(when(col("g") === col("a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("g") === col("b"), 1).otherwise(0)).as("in_b"))
+    val wr = Window.partitionBy(col("a"), col("b")).orderBy(col("h"))
+    val wc = Window.partitionBy(col("a"), col("b"))
+    val pairAlg = uni
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("nm", count(lit(1)).over(wc))
+      .filter(col("rk") <= K11k)
+      .groupBy(col("a"), col("b"), col("nm"))
+      .agg(count(lit(1)).as("m"), max(col("h")).as("theta_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("rho"))
+      .withColumn("est_union", expr(k11Est("nm", "theta_u")))
+      .withColumn("est_inter", expr("(rho * est_union) div m"))
+      .withColumn("jacc_est_ppm", expr("rho * 1000000L div m"))
+    // the exact eval half: per-source sizes + the value-keyed equi-join
+    val sizes = values.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val ix = values.as("x")
+      .join(values.as("y"), col("x.h") === col("y.h") && col("x.g") < col("y.g"))
+      .groupBy(col("x.g").as("a"), col("y.g").as("b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pl.join(pairAlg, Seq("a", "b"))
+      .join(ix, Seq("a", "b"), "left")
+      .join(broadcast(sizes.select(col("g").as("a"), col("n").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("g").as("b"), col("n").as("nb"))), Seq("b"))
+      .withColumn("exact_inter", coalesce(col("exact_inter"), lit(0L)))
+      .withColumn("exact_union", expr("na + nb - exact_inter"))
+      .select(col("a").as("src_a"), col("b").as("src_b"), col("rho"),
+        col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("jacc_est_ppm"), col("exact_union"), col("exact_inter"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** K11S: the KMV sketch built through the STORE from arrival batches —
+    * the bounded-state idempotent replay class (k10s's): per batch,
+    * stored min-k rows ∪ the batch's distinct hashes, set-deduped (a
+    * redelivered doc re-derives identical hashes), re-ranked, merged
+    * keyed (g, rk). Per-source state never exceeds [[K11k]] rows and the
+    * min-k merge can never lose a value that belongs in the sketch, so
+    * the final state must BIT-EQUAL the one-shot sketch of the streamed
+    * corpus — which is exactly what the oracle recomputes. */
+  val k11sStreamTheta: Q = (spark, dir) => {
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val root = java.nio.file.Files.createTempDirectory("graft-sk11").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sk11-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sk11-drops").toString
+    try {
+      streamDrops(spark, docs.schema, drops, Seq(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+          .unionByName(docs.filter(
+            pmod(col("doc_id"), lit(3)) === 0 && col("doc_id") < 20)),
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.thetaSketchIngest(stream, root, ckpt)
+      }
+      graft.incremental.SnapshotStore.read(spark, s"$root/k11_sketch").get
+        .select(col("g").as("source"), col("rk").cast(LongType).as("rk"), col("h"))
+        .localCheckpoint() // materialized before the temp store dies
+        .orderBy(col("source"), col("rk"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
+  }
+
   val k7CountMin: Q = (spark, dir) => {
     val toks = fanOut(spark, t(spark, dir, "documents"))
       .select(explode(split(lower(col("text")), " ")).as("tok"))
@@ -5765,8 +6222,11 @@ object PipelineQueries {
     * one interpreted piece (t1/t2's trade-off), behind [[fanOut]] so
     * parallelism is never capped by input file count. Swapping in real
     * trained weights changes the literals, not the plan. */
-  val t19QualityModel: Q = (spark, dir) =>
-    fanOut(spark, t(spark, dir, "documents"))
+  /** t19's feature + logit columns over any frame carrying `text` —
+    * shared by [[t19QualityModel]] and [[d19CanonicalPick]]'s election so
+    * the quality formula exists exactly once and can never drift. */
+  private[graft] def t19Scored(df: DataFrame): DataFrame =
+    df
       .withColumn("w", split(lower(col("text")), " "))
       .withColumn("len_c", length(col("text")).cast(LongType))
       .withColumn("n_words", size(col("w")).cast(LongType))
@@ -5779,6 +6239,9 @@ object PipelineQueries {
         expr(s"""$T19WStop * f_stop6 - (abs(f_meanlen6 - ${T19MeanTarget}L) div $T19MeanDiv)
                 | - $T19WSym * f_sym6 + $T19WLen * least(n_words, $T19LenCap)
                 | - $T19Intercept""".stripMargin))
+
+  val t19QualityModel: Q = (spark, dir) =>
+    t19Scored(fanOut(spark, t(spark, dir, "documents")))
       .withColumn("keep", col("logit6") > 0)
       .withColumn("bucket",
         when(col("logit6") >= T19HiThresh, lit("hi"))
@@ -6961,8 +7424,10 @@ object PipelineQueries {
     "t25_dsir_resample" -> t25DsirResample,
     "m2_frame_sample" -> m2FrameSample,
     "m5_image_phash" -> m5ImagePhash,
+    "m8_clip_filter" -> m8ClipFilter,
     "t17_ppl_buckets" -> t17PplBuckets,
     "d6_dedup_clusters" -> d6DedupClusters,
+    "d19_canonical_pick" -> d19CanonicalPick,
     "t5_chunk" -> t5Chunk,
     "t6_sample_stratified" -> t6SampleStratified,
     "t7_pack_shards" -> t7PackShards,
@@ -7014,6 +7479,8 @@ object PipelineQueries {
     "k10_priority_sample" -> k10PrioritySample,
     "k10b_subset_sum" -> k10bSubsetSum,
     "k10s_stream_sample" -> k10sStreamSample,
+    "k11_theta_sketch" -> k11ThetaSketch,
+    "k11s_stream_theta" -> k11sStreamTheta,
     "k7s_stream_sketch" -> k7sStreamSketch,
     "dag_bucketed_join" -> dagBucketedJoin,
     "g1_pagerank" -> g1PageRank,
@@ -7021,6 +7488,7 @@ object PipelineQueries {
     "g2_incremental_cc" -> g2IncrementalCc,
     "g2b_cc_retirement" -> g2bCcRetirement,
     "g2c_doc_takedown" -> g2cDocTakedown,
+    "g4_triangles" -> g4Triangles,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,
     "d14b_fuzzy_join_k2" -> d14bFuzzyJoinK2,
@@ -7043,6 +7511,7 @@ object PipelineQueries {
     "v27_residual_pq" -> v27ResidualPq,
     "v28_persisted_residual" -> v28PersistedResidual,
     "v29_converged_residual" -> v29ConvergedResidual,
+    "v30_trained_sq" -> v30TrainedSq,
     "v6_pq_topk" -> v6PqTopk,
     "v7_ivfpq" -> v7IvfPq,
     "v15_persisted_ivfpq" -> v15PersistedIvfpq,

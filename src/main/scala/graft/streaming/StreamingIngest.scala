@@ -365,6 +365,34 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/k10_sample", top, Seq("g", "rk"))
   }
 
+  def thetaSketchIngest(streamingDocs: DataFrame, root: String,
+                        checkpointDir: String): StreamingQuery =
+    streamingDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => thetaSketchBatch(batch, root) }
+      .start()
+
+  /** One micro-batch (or one incremental run) of [[thetaSketchIngest]]:
+    * candidates = stored min-k rows ∪ the batch's distinct shingle
+    * hashes, set-deduped (a redelivered doc re-derives identical
+    * hashes), re-ranked, merged keyed (g, rk) — min-k union is the
+    * sketch's merge law, so per-source state stays ≤ k rows and a value
+    * that belongs in the sketch can never be lost. Same bounded-state
+    * idempotent replay class as [[prioritySampleBatch]]. */
+  def thetaSketchBatch(batch: DataFrame, root: String): Unit = {
+    import graft.queries.PipelineQueries
+    val spark = batch.sparkSession
+    val cand = PipelineQueries.k11BatchValues(batch)
+    val all = SnapshotStore.read(spark, s"$root/k11_sketch")
+      .map(s => cand.unionByName(s.select(col("g"), col("h"))))
+      .getOrElse(cand)
+      .distinct()
+    val top = PipelineQueries.k11Sketch(all)
+      .select(col("g"), col("rk"), col("h"))
+      .localCheckpoint() // frozen BEFORE the merge moves the store
+    SnapshotStore.merge(spark, s"$root/k11_sketch", top, Seq("g", "rk"))
+  }
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted

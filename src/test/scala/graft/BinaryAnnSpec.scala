@@ -43,4 +43,48 @@ class BinaryAnnSpec extends SparkSpec {
       .toSeq
     assert(got == expected)
   }
+
+  test("v30 equals the brute-force trained-SQ reference " +
+      "(per-dim bounds, 8-bit codes, integer ADC top-20, cosine top-10)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x as double)) AS v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    val dim = PipelineQueries.SqDim
+    val us = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x * 1e4 + 0.5).toLong) }
+    val mn = (0 until dim).map(d => us.map(_._2(d)).min).toArray
+    val mx = (0 until dim).map(d => us.map(_._2(d)).max).toArray
+    def r510(u: Array[Long]): Array[Long] =
+      (0 until dim).map { d =>
+        val span = mx(d) - mn(d)
+        val c = ((u(d) - mn(d)) * 255L) / math.max(span, 1L)
+        510L * mn(d) + (2L * c + 1L) * span
+      }.toArray
+    val recon = us.map { case (id, u) => id -> r510(u) }.toMap
+    def adc(qu: Array[Long], r: Array[Long]): Long =
+      (0 until dim).map { d =>
+        val diff = 510L * qu(d) - r(d); diff * diff }.sum
+    def cosE6(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 1e6 + 0.5).toLong
+    }
+    val byId = vecs.toMap
+    val expected = us.filter(_._1 < 5).flatMap { case (qId, qu) =>
+      val shortlist = us.filter(_._1 != qId)
+        .map { case (id, _) => (id, adc(qu, recon(id))) }
+        .sortBy { case (id, a) => (a, id) }.take(PipelineQueries.SqShortlist)
+      shortlist
+        .map { case (id, a) => (id, a, cosE6(byId(id), byId(qId))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(PipelineQueries.SqK)
+        .zipWithIndex
+        .map { case ((id, a, c), i) => (qId, (i + 1).toLong, id, a, c) }
+    }.toSeq
+    val got = PipelineQueries.v30TrainedSq(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == expected)
+  }
 }

@@ -158,4 +158,56 @@ class ConnectedComponentsSpec extends SparkSpec {
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
+
+  test("g4: rank-oriented triangle counts equal the naive x<y<z recount") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairSet = pairs.toSet
+    val byLow = pairs.groupBy(_._1)
+    // naive reference: every x<y<z with (x,y),(y,z),(x,z) all present
+    val tris = pairs.flatMap { case (x, y) =>
+      byLow.getOrElse(y, Array.empty[(Long, Long)]).collect {
+        case (_, z) if pairSet.contains((x, z)) => (x, y, z) } }
+    val triCnt = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val deg = pairs.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = PipelineQueries.g4Triangles(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == deg.keySet, "every pair endpoint is a row")
+    got.foreach { case (v, (d, t, lcc)) =>
+      assert(d == deg(v), s"vertex $v degree")
+      assert(t == triCnt.getOrElse(v, 0L), s"vertex $v triangle count")
+      val expLcc = if (d >= 2) 2L * t * 1000000L / (d * (d - 1L)) else 0L
+      assert(lcc == expLcc, s"vertex $v lcc")
+    }
+    assert(got.map(_._2._2).sum % 3 == 0, "corner counts sum to 3 per triangle")
+    assert(got.exists(_._2._2 > 0), "the sf0.001 near-dup graph has triangles (5)")
+  }
+
+  test("d19: each component elects its max-logit member (tie → min id), " +
+      "membership and sizes equal d6's") {
+    val dir = "/root/testdata/sf0.001"
+    val d6 = PipelineQueries.d6DedupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = PipelineQueries.d19CanonicalPick(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == d6.keySet, "same membership as d6")
+    got.groupBy(_.getLong(1)).foreach { case (comp, ms) =>
+      val winner = ms.map(r => (-r.getLong(3), r.getLong(0))).min._2
+      val winnerLogit = ms.find(_.getLong(0) == winner).get.getLong(3)
+      ms.foreach { r =>
+        assert(r.getLong(4) == winner, s"component $comp canonical")
+        assert(r.getLong(5) == winnerLogit, s"component $comp canonical logit")
+        assert(r.getBoolean(6) == (r.getLong(0) == winner), s"component $comp keep")
+        assert(d6(r.getLong(0)) == ((comp, ms.length.toLong)),
+          s"doc ${r.getLong(0)} component/size must match d6")
+      }
+      assert(ms.count(_.getBoolean(6)) == 1, s"component $comp: exactly one keeper")
+    }
+    // the operator's reason to exist: the quality election must actually
+    // DIFFER from d6's min-id election somewhere (25 of 45 members at sf0.001)
+    assert(got.exists(r => r.getLong(4) != r.getLong(1)),
+      "quality election should differ from the min-id election on this tier")
+  }
 }

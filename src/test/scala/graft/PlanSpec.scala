@@ -333,6 +333,33 @@ class PlanSpec extends SparkSpec {
         s"shape), got:\n${p.take(1200)}")
   }
 
+  test("k11: the per-source min-k sketch plans as two-phase WindowGroupLimit") {
+    import graft.queries.PipelineQueries
+    // pin the SKETCH stage itself (the gate checkpoints it for the pair
+    // algebra, which would hide the window behind a LogicalRDD)
+    val p = PipelineQueries
+      .k11Sketch(PipelineQueries.k11Values(spark, sf))
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(p).length == 2,
+      s"k11's min-k rank must pre-limit per partition before the shuffle " +
+        s"(partial + final WindowGroupLimit — the mergeable-sketch shape k11s " +
+        s"stores), got:\n${p.take(1200)}")
+  }
+
+  test("v30: trained bounds ride as literals — encode+ADC stay map-only, the " +
+      "shortlist pre-limits, no sort-merge join anywhere") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.v30TrainedSq)
+    // ONE nested-loop node: the 5-query broadcast cross (v1's pattern)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length == 1 &&
+      !p.contains("CartesianProduct"), p.take(1200))
+    assert(!p.contains("SortMergeJoin"),
+      s"the rerank fetch must broadcast the 20-row shortlist\n${p.take(1200)}")
+    assert("WindowGroupLimit".r.findAllIn(p).length == 4,
+      s"ADC shortlist and final rank must both pre-limit (partial + final " +
+        s"each)\n${p.take(1200)}")
+  }
+
   test("d10: skew-proof rank — range-partitioned order, (source,pid) window, broadcast caps") {
     import graft.queries.PipelineQueries
     val p = planOf(PipelineQueries.d10SourceQuota)

@@ -241,4 +241,58 @@ class SketchSpec extends SparkSpec {
     assert(got("o_orderstatus") == ((4L, 1L, 2L, "F", "O")))
     assert(got("o_totalprice") == ((4L, 1L, 3L, "50.00", "200.25")))
   }
+
+  test("k11: seed sketch never fills (estimates exact), KMV estimates inside " +
+      "the 4-sigma band, intersection estimate bounded by union scale") {
+    import graft.queries.PipelineQueries
+    val df = PipelineQueries.k11ThetaSketch(spark, dir)
+    val idx = df.columns.zipWithIndex.toMap
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // exact per-source distinct counts, recomputed independently
+    val exact = PipelineQueries.k11Values(spark, dir)
+      .groupBy(col("g")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact("seed_tiny") == 3L)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(idx("src_a")), r.getString(idx("src_b")))
+      val (estA, estB) = (r.getLong(idx("est_a")), r.getLong(idx("est_b")))
+      // exact mode: the seed's 3-value sketch never fills, so its
+      // cardinality estimate IS its value set size
+      if (a == "seed_tiny") assert(estA == 3L, s"seed est_a $estA")
+      if (b == "seed_tiny") assert(estB == 3L, s"seed est_b $estB")
+      // KMV RSE ≈ 1/√(k−2) ≈ 12.7% at k=64; gate 4σ ≈ 51% — loose
+      // enough to never flip on a regenerated tier, tight enough to
+      // catch a broken estimator (values are already oracle-hashed)
+      def band(est: Long, ex: Long, what: String): Unit =
+        if (ex > PipelineQueries.K11k)
+          assert(math.abs(est - ex).toDouble / ex < 0.51, s"$what: $est vs $ex")
+      band(estA, exact(a), s"$a est")
+      band(estB, exact(b), s"$b est")
+      band(r.getLong(idx("est_union")), r.getLong(idx("exact_union")), s"$a×$b union")
+      // intersection error scales with the UNION (ρ/m has σ ≤ 1/(2√k));
+      // 4σ of the Jaccard ≈ 0.25 of the union, plus estimator slack
+      val union = r.getLong(idx("exact_union"))
+      assert(math.abs(r.getLong(idx("est_inter")) - r.getLong(idx("exact_inter")))
+        <= 0.35 * union + 2, s"$a×$b inter")
+    }
+  }
+
+  test("k11: per-shard KMV sketches merge into exactly the one-pass sketch") {
+    import graft.queries.PipelineQueries
+    val values = PipelineQueries.k11Values(spark, dir).localCheckpoint()
+    val onePass = PipelineQueries.k11Sketch(values)
+      .select(col("g"), col("rk"), col("h")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    // shard by hash stripe, sketch each shard, merge = re-rank the union
+    // of the per-shard min-k's (the k11s store state's exact recipe)
+    val shardSketches = (0 until 3).map(s =>
+      PipelineQueries.k11Sketch(values.filter(pmod(col("h"), lit(3)) === s))
+        .select(col("g"), col("h")))
+    val merged = PipelineQueries
+      .k11Sketch(shardSketches.reduce(_ unionByName _).distinct())
+      .select(col("g"), col("rk"), col("h")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(onePass == merged, "min-k of per-shard min-k's must equal one-pass min-k")
+  }
 }
