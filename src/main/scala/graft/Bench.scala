@@ -75,7 +75,13 @@ object Bench {
     "k10b_subset_sum", "g2c_doc_takedown",
     // incremental epoch re-planning (three doc merges + three plan
     // merges per run, full planner recompute per batch)
-    "t30b_epoch_replan")
+    "t30b_epoch_replan",
+    // incremental canonical election (g2's six merges + per-batch member
+    // + election merges + vanish drains through the keyed delete), and
+    // incremental triangle maintenance (three edge + deg + tri merges)
+    "d19b_incremental_canonical", "g4b_incremental_triangles",
+    // takedown re-election (d19b's build + retirement + re-elect sweep)
+    "d19c_takedown_reelection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

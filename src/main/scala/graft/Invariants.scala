@@ -121,6 +121,52 @@ object Invariants {
             csz == labS.get(d).map(sizes)
       }
     }
+    // d19b/g4b's oracles are d19/g4's all-pairs class — past the oracled
+    // tiers the store-maintained machines are gated frame-for-frame
+    // against their one-shot engines (different machinery: three keyed
+    // store tables + per-batch scoping vs a single declarative pass)
+    check("d19b: incremental election equals the one-shot canonical pick") {
+      val one = PipelineQueries.d19CanonicalPick(spark, sfDir)
+      val inc = PipelineQueries.d19bIncrementalCanonical(spark, sfDir)
+      inc.count() > 0 && inc.exceptAll(one).isEmpty && one.exceptAll(inc).isEmpty
+    }
+    check("g4b: maintained triangle counts equal the one-shot audit") {
+      val one = PipelineQueries.g4Triangles(spark, sfDir)
+      val inc = PipelineQueries.g4bIncrementalTriangles(spark, sfDir)
+      inc.count() > 0 && inc.exceptAll(one).isEmpty && one.exceptAll(inc).isEmpty
+    }
+    // d19c's oracle is the same class over the SURVIVING pairs — build
+    // the one-shot surviving election from first principles (CC over the
+    // filtered pair set × the t19 formula × a window argmax) and gate
+    // the takedown machine against it, with non-vacuity pinned
+    check("d19c: takedown re-election equals one-shot election over surviving pairs") {
+      val M = PipelineQueries.D18RetireMod.toLong
+      val R = PipelineQueries.D18RetireRem.toLong
+      val pairs = PipelineQueries.d2MinhashLsh(spark, sfDir)
+        .select(col("a_id"), col("b_id")).localCheckpoint()
+      val surv = pairs.filter(
+        pmod(col("a_id"), lit(M)) =!= lit(R) && pmod(col("b_id"), lit(M)) =!= lit(R))
+      val retired = pairs.count() - surv.count()
+      val lab = PipelineQueries.connectedComponents(surv).toDF("doc_id", "component_id")
+        .localCheckpoint()
+      val sizes = lab.groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+      val scored = PipelineQueries.t19Scored(
+          lab.join(graft.Sources.testdata(spark, sfDir)("documents"), "doc_id"))
+        .select(col("doc_id"), col("component_id"), col("logit6"))
+        .localCheckpoint()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("component_id")).orderBy(col("logit6").desc, col("doc_id"))
+      val best = scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .select(col("component_id"), col("doc_id").as("canonical_doc"),
+          col("logit6").as("canonical_logit6"))
+      val oneShot = scored.join(best, "component_id").join(sizes, "component_id")
+        .withColumn("keep", col("doc_id") === col("canonical_doc"))
+        .select(col("doc_id"), col("component_id"), col("cluster_size"),
+          col("logit6"), col("canonical_doc"), col("canonical_logit6"), col("keep"))
+      val inc = PipelineQueries.d19cTakedownReelection(spark, sfDir)
+      retired > 0 && inc.count() > 0 &&
+        inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty
+    }
 
     // ---- d11: containment vs d2 (its oracle embeds the all-pairs join,
     // so past sf0.01 the asymmetric-dedup guarantees are gated here) ----

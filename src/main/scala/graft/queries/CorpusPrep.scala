@@ -314,7 +314,37 @@ object CorpusPrep {
       PipelineQueries.d16CutReport(spark, dir)
         .select(col("doc_id"), col("kept_words").as("est_tokens")))
 
+  /** pipe7: the TRAINING-ORDER pipeline — the last mile a pretraining run
+    * actually executes, composed end to end: exact-dedup the corpus (d1's
+    * digest election, min-id keeper per identical text), hard-gate the
+    * survivors (t20's Gopher rules, the shared [[PipelineQueries.t20Flags]]
+    * formula), apportion the global token budget over what remains (t30's
+    * Hamilton plan — shares recomputed over the SURVIVING mixture, which
+    * is the point: dedup and gating shift every source's quota), then lay
+    * out the (doc, epoch) instance stream in salted order into
+    * token-budget shards (t31's shuffle). A single wrongly-dropped or
+    * wrongly-kept document shifts the apportionment remainders, every
+    * later position's running sum, and thus every shard boundary — the
+    * composition is gated, not just the stages.
+    *
+    * Scale: stage 1 shuffles 32-byte digests, stage 2 is map-only, stages
+    * 3–4 inherit t30/t31's shapes (domain-sized apportionment broadcast;
+    * one hash-range cumsum shuffle). */
+  val pipe7TrainingOrder: Q = (spark, dir) => {
+    val docs = Sources.testdata(spark, dir)("documents")
+    val keepers = docs
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = PipelineQueries.t20Flags(docs.join(keepers, "doc_id"))
+      .filter(col("pass"))
+      .select(col("source").as("g"), col("doc_id"),
+        expr("(n_chars + 3) div 4").as("tok"))
+    PipelineQueries.epochShuffleFor(PipelineQueries.t30PlanFor(surv))
+  }
+
   val all: Map[String, Q] = Map(
+    "pipe7_training_order" -> pipe7TrainingOrder,
     "pipe_corpus_prep" -> pipeCorpusPrep,
     "pipe2_curation" -> pipe2Curation,
     "pipe3_gated_quota" -> pipe3GatedQuota,

@@ -591,6 +591,143 @@ object PipelineOracles {
       |             sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
       |      FROM e)""".stripMargin
 
+  private[queries] def d19CanonicalSqlWhere(edgeCond: String): String =
+    s"""
+      WITH RECURSIVE $shingleCte,
+      pairs AS (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni $edgeCond),
+      e AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION ALL SELECT b_id, a_id FROM pairs),
+      verts AS (SELECT DISTINCT u AS v FROM e),
+      reach(x, y) AS (
+        SELECT v, v FROM verts
+        UNION
+        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
+      lab AS MATERIALIZED (
+        SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x),
+      sz AS (SELECT component_id, COUNT(*) AS cluster_size
+             FROM lab GROUP BY component_id),
+      qd AS (SELECT d.doc_id, d.text, CAST(length(d.text) AS BIGINT) AS len_c,
+                    string_split(lower(d.text), ' ') AS w
+             FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
+      qf AS (SELECT doc_id,
+                    CAST(len(w) AS BIGINT) AS n_words,
+                    len(list_filter(w, x -> x IN ${inList(PipelineQueries.StopEn)}))
+                      * 1000000 // len(w) AS f_stop6,
+                    (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
+                      * 1000000 // greatest(len_c, 1) AS f_sym6
+             FROM qd),
+      ql AS (SELECT doc_id, ${PipelineQueries.T19WStop} * f_stop6
+                            - (abs(f_meanlen6 - ${PipelineQueries.T19MeanTarget})
+                               // ${PipelineQueries.T19MeanDiv})
+                            - ${PipelineQueries.T19WSym} * f_sym6
+                            + ${PipelineQueries.T19WLen}
+                              * least(n_words, ${PipelineQueries.T19LenCap})
+                            - ${PipelineQueries.T19Intercept} AS logit6
+             FROM qf),
+      win AS MATERIALIZED (
+        SELECT lab.component_id, lab.doc_id, ql.logit6,
+               row_number() OVER (PARTITION BY lab.component_id
+                                  ORDER BY ql.logit6 DESC, lab.doc_id) AS rk
+        FROM lab JOIN ql USING (doc_id)),
+      best AS (SELECT component_id, doc_id AS canonical_doc,
+                      logit6 AS canonical_logit6
+               FROM win WHERE rk = 1)
+      SELECT w.doc_id, w.component_id, sz.cluster_size, w.logit6,
+             b.canonical_doc, b.canonical_logit6,
+             w.doc_id = b.canonical_doc AS keep
+      FROM win w
+      JOIN best b USING (component_id)
+      JOIN sz USING (component_id)
+      ORDER BY w.doc_id"""
+
+  private[queries] val d19CanonicalSql: String = d19CanonicalSqlWhere("")
+
+  private[queries] val g4TrianglesSql: String =
+    s"""
+      WITH $shingleCte,
+      pairs AS MATERIALIZED (
+        SELECT a_id, b_id FROM (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
+        WHERE 2 * inter >= uni),
+      deg AS (SELECT v, COUNT(*) AS deg FROM (
+                SELECT a_id AS v FROM pairs
+                UNION ALL SELECT b_id FROM pairs) GROUP BY v),
+      tri AS (SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
+              FROM pairs p1
+              JOIN pairs p2 ON p2.a_id = p1.b_id
+              JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
+      tc AS (SELECT v, COUNT(*) AS tri_cnt FROM (
+               SELECT x AS v FROM tri
+               UNION ALL SELECT y FROM tri
+               UNION ALL SELECT z FROM tri) GROUP BY v)
+      SELECT deg.v AS doc_id, deg.deg AS degree,
+             COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+             CASE WHEN deg.deg >= 2
+                  THEN 2 * COALESCE(tc.tri_cnt, 0) * 1000000
+                       // (deg.deg * (deg.deg - 1))
+                  ELSE 0 END AS lcc_ppm
+      FROM deg LEFT JOIN tc USING (v)
+      ORDER BY doc_id"""
+
+  /** t30's Hamilton chain + t31's instance/position/pack chain over an
+    * injected doc CTE list ending in `d(g, doc_id, tok)` — shared by the
+    * t31 oracle (full corpus) and pipe7 (deduped + gated survivors). */
+  private def epochOrderSql(dCtes: String): String = s"""
+
+      WITH $dCtes,
+      st AS (SELECT g, SUM(tok)::BIGINT AS src_tok,
+                    CASE ${PipelineQueries.MixSharePermille.map { case (s, r) =>
+        s"WHEN g = '$s' THEN $r" }.mkString(" ")}
+                         ELSE ${PipelineQueries.MixShareDefault} END AS share
+             FROM d GROUP BY g),
+      tot AS (SELECT SUM(share)::BIGINT AS s FROM st),
+      q AS (SELECT g, src_tok,
+                   ${PipelineQueries.T30BudgetTokens} * share // tot.s AS base,
+                   ${PipelineQueries.T30BudgetTokens} * share % tot.s AS rem
+            FROM st, tot),
+      sb AS (SELECT SUM(base)::BIGINT AS sb FROM q),
+      bud AS (SELECT g, src_tok,
+                     base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+                                      <= ${PipelineQueries.T30BudgetTokens} - sb.sb
+                                 THEN 1 ELSE 0 END AS budget
+              FROM q, sb),
+      per AS (SELECT g, budget, budget // src_tok AS full_epochs,
+                     budget % src_tok AS remt
+              FROM bud),
+      c AS (SELECT g, doc_id, tok,
+                   SUM(tok) OVER (PARTITION BY g
+                                  ORDER BY ('0x' || substr(md5('t30:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                                           doc_id) AS cum
+            FROM d),
+      plan AS (SELECT c.g AS source, c.doc_id, c.tok,
+                      per.full_epochs
+                        + CASE WHEN c.cum <= per.remt THEN 1 ELSE 0 END AS repeats
+               FROM c JOIN per USING (g)),
+      inst AS (SELECT source, doc_id, tok,
+                      unnest(range(0, repeats)) AS epoch
+               FROM plan WHERE repeats >= 1),
+      pos AS (SELECT source, doc_id, epoch, tok,
+                     ('0x' || substr(md5('t31:' || doc_id::VARCHAR || ':'
+                                         || epoch::VARCHAR), 1, 15))::BIGINT AS pos
+              FROM inst),
+      cm AS (SELECT *, CAST(SUM(tok) OVER (ORDER BY pos, doc_id, epoch) AS BIGINT)
+                         AS cum_tokens
+             FROM pos)
+      SELECT source, doc_id, epoch, tok AS n_tokens, pos, cum_tokens,
+             CAST((cum_tokens - tok) // ${PipelineQueries.ShardBudget} AS BIGINT)
+               AS shard_id
+      FROM cm ORDER BY pos, doc_id, epoch"""
+
   private val baseA: Map[String, String] = Map(
 
     "d1_exact_dedup" -> """
@@ -1081,6 +1218,47 @@ object PipelineOracles {
     // KMV/theta sketch set algebra replayed end to end: the k-smallest
     // windows, the union sketch, the membership-count intersection
     // estimate AND the exact eval columns — all integer, bit-equal
+    // the day partials and the partial-merged rollup replayed with the
+    // same windows and the same (n, θ) law — the merge identity (min-k of
+    // the day min-k's ≡ min-k of the raw union) holds exactly, so both
+    // engines land on identical rollup rows without the oracle ever
+    // materializing a "direct" total sketch
+    "k12_rollup_distinct" -> s"""
+      WITH v AS (SELECT DISTINCT event_type AS g,
+                        CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                        ('0x' || substr(md5('k12:' || user_id::VARCHAR), 1, 12))::BIGINT AS h
+                 FROM events),
+      ds AS (SELECT g, day, h,
+                    row_number() OVER (PARTITION BY g, day ORDER BY h) AS rk
+             FROM v),
+      dk AS (SELECT g, day, h FROM ds WHERE rk <= ${PipelineQueries.K12k}),
+      dayrows AS (SELECT g, day, COUNT(*) AS n, MAX(h) AS theta
+                  FROM dk GROUP BY g, day),
+      dayex AS (SELECT g, day, COUNT(*) AS exact_distinct FROM v GROUP BY g, day),
+      tu AS (SELECT DISTINCT g, h FROM dk),
+      tr AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+             FROM tu),
+      tk AS (SELECT g, h FROM tr WHERE rk <= ${PipelineQueries.K12k}),
+      totrows AS (SELECT g, 'ALL' AS day, COUNT(*) AS n, MAX(h) AS theta
+                  FROM tk GROUP BY g),
+      totex AS (SELECT g, COUNT(DISTINCT h) AS exact_distinct FROM v GROUP BY g),
+      u AS (SELECT d.g, d.day, d.n, d.theta, e.exact_distinct
+            FROM dayrows d JOIN dayex e USING (g, day)
+            UNION ALL
+            SELECT t.g, t.day, t.n, t.theta, e.exact_distinct
+            FROM totrows t JOIN totex e USING (g))
+      SELECT g AS event_type, day, n, theta,
+             CASE WHEN n < ${PipelineQueries.K12k} THEN n
+                  ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
+                         // greatest(theta, 1) END AS est_distinct,
+             exact_distinct,
+             abs(CASE WHEN n < ${PipelineQueries.K12k} THEN n
+                      ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
+                             // greatest(theta, 1) END
+                 - exact_distinct) * 1000000
+               // greatest(exact_distinct, 1) AS err_ppm
+      FROM u ORDER BY event_type, day""",
+
     "k11_theta_sketch" -> {
       val k = PipelineQueries.K11k
       val km1m = (PipelineQueries.K11k - 1).toLong * PipelineQueries.K11M
@@ -1904,61 +2082,18 @@ object PipelineOracles {
     "d6_dedup_clusters" -> ccClustersSql(""),
 
     // d6's exact component closure + t19's integer logit, elected
-    // argmax-per-component — the quality election replayed end to end
-    "d19_canonical_pick" -> s"""
-      WITH RECURSIVE $shingleCte,
-      pairs AS (
-        SELECT a_id, b_id FROM (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE 2 * inter >= uni),
-      e AS (SELECT a_id AS u, b_id AS v FROM pairs
-            UNION ALL SELECT b_id, a_id FROM pairs),
-      verts AS (SELECT DISTINCT u AS v FROM e),
-      reach(x, y) AS (
-        SELECT v, v FROM verts
-        UNION
-        SELECT r.x, e.v FROM reach r JOIN e ON e.u = r.y),
-      lab AS MATERIALIZED (
-        SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x),
-      sz AS (SELECT component_id, COUNT(*) AS cluster_size
-             FROM lab GROUP BY component_id),
-      qd AS (SELECT d.doc_id, d.text, CAST(length(d.text) AS BIGINT) AS len_c,
-                    string_split(lower(d.text), ' ') AS w
-             FROM documents d JOIN lab ON lab.doc_id = d.doc_id),
-      qf AS (SELECT doc_id,
-                    CAST(len(w) AS BIGINT) AS n_words,
-                    len(list_filter(w, x -> x IN ${inList(PipelineQueries.StopEn)}))
-                      * 1000000 // len(w) AS f_stop6,
-                    (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
-                    CAST(length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS BIGINT)
-                      * 1000000 // greatest(len_c, 1) AS f_sym6
-             FROM qd),
-      ql AS (SELECT doc_id, ${PipelineQueries.T19WStop} * f_stop6
-                            - (abs(f_meanlen6 - ${PipelineQueries.T19MeanTarget})
-                               // ${PipelineQueries.T19MeanDiv})
-                            - ${PipelineQueries.T19WSym} * f_sym6
-                            + ${PipelineQueries.T19WLen}
-                              * least(n_words, ${PipelineQueries.T19LenCap})
-                            - ${PipelineQueries.T19Intercept} AS logit6
-             FROM qf),
-      win AS MATERIALIZED (
-        SELECT lab.component_id, lab.doc_id, ql.logit6,
-               row_number() OVER (PARTITION BY lab.component_id
-                                  ORDER BY ql.logit6 DESC, lab.doc_id) AS rk
-        FROM lab JOIN ql USING (doc_id)),
-      best AS (SELECT component_id, doc_id AS canonical_doc,
-                      logit6 AS canonical_logit6
-               FROM win WHERE rk = 1)
-      SELECT w.doc_id, w.component_id, sz.cluster_size, w.logit6,
-             b.canonical_doc, b.canonical_logit6,
-             w.doc_id = b.canonical_doc AS keep
-      FROM win w
-      JOIN best b USING (component_id)
-      JOIN sz USING (component_id)
-      ORDER BY w.doc_id""",
+    // argmax-per-component — the quality election replayed end to end.
+    // d19b (the store-maintained twin) shares this oracle verbatim:
+    // arrival order must be invisible in the served election.
+    "d19_canonical_pick" -> d19CanonicalSql,
+    "d19b_incremental_canonical" -> d19CanonicalSql,
+    // the takedown sweep must land on the one-shot election over the
+    // SURVIVING pair set — retirement, re-label, member drain and
+    // re-election all invisible in the served state
+    "d19c_takedown_reelection" -> d19CanonicalSqlWhere(
+      s"AND a_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem} " +
+        s"AND b_id % ${PipelineQueries.D18RetireMod} <> ${PipelineQueries.D18RetireRem}"),
+
 
     "t5_chunk" -> s"""
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
@@ -3163,6 +3298,37 @@ object PipelineOracles {
     // and the changed-row rewrite discipline all invisible
     "t30b_epoch_replan" -> base("t30_epoch_plan"),
 
+    // t30's Hamilton plan replayed, every (doc, epoch) instance salted to
+    // its 60-bit position, one running-sum pack into shards — the order
+    // file a loader executes, end to end in SQL
+    "t31_epoch_shuffle" -> epochOrderSql(
+      """d AS (SELECT source AS g, doc_id, (n_chars + 3) // 4 AS tok
+               FROM documents)"""),
+
+    // d1's digest election + t20's hard gates + t30's apportionment +
+    // t31's order, replayed as one chained CTE — the full last-mile path
+    "pipe7_training_order" -> epochOrderSql(s"""
+      keep AS (SELECT doc_id FROM (
+                 SELECT doc_id,
+                        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+                 FROM documents) WHERE rn = 1),
+      f0 AS (SELECT d0.doc_id, d0.source, d0.n_chars,
+                    CAST(length(d0.text) AS BIGINT) AS len_c,
+                    string_split(lower(d0.text), ' ') AS w
+             FROM documents d0 JOIN keep USING (doc_id)),
+      f1 AS (SELECT doc_id, source, n_chars,
+                    CAST(len(w) AS BIGINT) AS n_words,
+                    (len_c - (len(w) - 1)) * 1000000 // len(w) AS f_meanlen6,
+                    len(list_distinct(w)) * 1000000 // len(w) AS ttr6,
+                    CAST(len(list_filter(w, x -> x IN ${inList(StopEn)})) AS BIGINT)
+                      AS n_stop
+             FROM f0),
+      surv AS (SELECT doc_id, source, n_chars FROM f1
+               WHERE n_words >= ${T20MinWords} AND n_words <= ${T20MaxWords}
+                 AND f_meanlen6 >= ${T20MeanLo} AND f_meanlen6 <= ${T20MeanHi}
+                 AND ttr6 >= ${T20TtrMin} AND n_stop >= ${T20MinStop}),
+      d AS (SELECT source AS g, doc_id, (n_chars + 3) // 4 AS tok FROM surv)"""),
+
     // incremental CC through the store must converge to d6's one-shot
     // recursive-CTE cluster assignment — edge arrival order is invisible
     "g2_incremental_cc" -> base("d6_dedup_clusters"),
@@ -3170,34 +3336,12 @@ object PipelineOracles {
     // triangles over the exact pair set by the NAIVE x<y<z three-way
     // join — a different algorithm than the gate's rank-oriented
     // node-iterator, so an orientation bug or double-count reds the hash
-    "g4_triangles" -> s"""
-      WITH $shingleCte,
-      pairs AS MATERIALIZED (
-        SELECT a_id, b_id FROM (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS uni
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id) t
-        WHERE 2 * inter >= uni),
-      deg AS (SELECT v, COUNT(*) AS deg FROM (
-                SELECT a_id AS v FROM pairs
-                UNION ALL SELECT b_id FROM pairs) GROUP BY v),
-      tri AS (SELECT p1.a_id AS x, p1.b_id AS y, p2.b_id AS z
-              FROM pairs p1
-              JOIN pairs p2 ON p2.a_id = p1.b_id
-              JOIN pairs p3 ON p3.a_id = p1.a_id AND p3.b_id = p2.b_id),
-      tc AS (SELECT v, COUNT(*) AS tri_cnt FROM (
-               SELECT x AS v FROM tri
-               UNION ALL SELECT y FROM tri
-               UNION ALL SELECT z FROM tri) GROUP BY v)
-      SELECT deg.v AS doc_id, deg.deg AS degree,
-             COALESCE(tc.tri_cnt, 0) AS tri_cnt,
-             CASE WHEN deg.deg >= 2
-                  THEN 2 * COALESCE(tc.tri_cnt, 0) * 1000000
-                       // (deg.deg * (deg.deg - 1))
-                  ELSE 0 END AS lcc_ppm
-      FROM deg LEFT JOIN tc USING (v)
-      ORDER BY doc_id""",
+    "g4_triangles" -> g4TrianglesSql,
+
+    // the additive per-batch maintenance must land on the identical
+    // recount — arrival order, redelivery and the delta discipline are
+    // invisible in the final (deg, tri, lcc) table
+    "g4b_incremental_triangles" -> g4TrianglesSql,
     // rank state maintained through the store must land on the one-shot
     // unrolled fixed point — batched edge arrival, redelivery and
     // per-iteration persistence are invisible to the hashed surface

@@ -1008,6 +1008,126 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- D19B: canonical election maintained through the store ---------------
+
+  /** d19b's per-batch election hook, run by [[incrementalCcRun]] after each
+    * batch's label merge: score the batch's touched docs ([[t19Scored]] —
+    * map-only, subset-invariant), keyed-merge them into the `members`
+    * table with a redelivered stored-member slice (v15's overlap
+    * discipline: the merge must swallow replays), then re-elect EXACTLY
+    * the components the batch touched and drain election rows whose
+    * component label VANISHED in the merge (two components absorbing into
+    * one leave the loser's label with no vertices — its election row
+    * exits through [[graft.incremental.SnapshotStore.deleteKeys]]'s
+    * anti-join, never a driver collect). */
+  private def d19bElectionHook(docs: DataFrame, root: String)
+                              (touched: DataFrame, affOld: Option[DataFrame]): Unit = {
+    import graft.incremental.SnapshotStore
+    val spark = docs.sparkSession
+    val newMembers = t19Scored(
+        docs.join(touched.select(col("v").as("doc_id")), "doc_id"))
+      .select(col("doc_id"), col("logit6"))
+    val delivered = SnapshotStore.read(spark, s"$root/members")
+      .map(m => newMembers.unionByName(
+        m.filter(pmod(col("doc_id"), lit(53)) === 0)))
+      .getOrElse(newMembers)
+    SnapshotStore.merge(spark, s"$root/members", delivered, Seq("doc_id"))
+    d19ElectAffected(spark, root, touched, affOld)
+  }
+
+  /** The election maintenance step shared by d19b (arrival) and d19c
+    * (takedown): re-elect EXACTLY the components whose membership the
+    * current labels assign to `touched` vertices, then drain election
+    * rows for `oldAff` labels that no longer exist (absorbed by a merge,
+    * dissolved by a takedown, or renamed by a split) — one machine, no
+    * drift between the two non-monotone directions. */
+  private def d19ElectAffected(spark: SparkSession, root: String,
+                               touched: DataFrame,
+                               oldAff: Option[DataFrame]): Unit = {
+    import graft.incremental.SnapshotStore
+    val labels = SnapshotStore.read(spark, s"$root/labels").get
+    val members = SnapshotStore.read(spark, s"$root/members").get
+    // current labels of the touched vertices = the components whose
+    // membership changed; component-count-sized, broadcast
+    val affNew = labels.join(touched, "v").select(col("l")).distinct()
+      .localCheckpoint() // scopes the re-election AND the vanish drain
+    val affMembers = labels.join(broadcast(affNew), "l")
+      .select(col("v").as("doc_id"), col("l"))
+      .join(members, "doc_id")
+    val w = Window.partitionBy(col("l"))
+      .orderBy(col("logit6").desc, col("doc_id"))
+    val elect = affMembers.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("l"), col("doc_id").as("canonical_doc"),
+        col("logit6").as("canonical_logit6"))
+    SnapshotStore.merge(spark, s"$root/election", elect, Seq("l"))
+    oldAff.foreach { aff =>
+      val stale = aff.join(affNew, Seq("l"), "left_anti")
+      SnapshotStore.deleteKeys(spark, s"$root/election", Seq("l"), stale)
+    }
+  }
+
+  /** The d19b state machine, exposed for the spec: the near-dup pair
+    * graph arrives in [[G2Batches]] id-ordered batches ([[incrementalCcRun]]
+    * verbatim) and the QUALITY ELECTION — d19's keep decision — is
+    * maintained alongside the labels: three store tables (`labels`,
+    * `members`, `election`), each batch re-electing only the components
+    * it touched. The serve joins the three tables; the corpus is never
+    * rescanned at serve time. */
+  private[graft] def d19bRun(spark: SparkSession, docs0: DataFrame,
+                             pairs: DataFrame, root: String): DataFrame = {
+    import graft.incremental.SnapshotStore
+    import spark.implicits._
+    val docs = docs0.localCheckpoint() // joined against every batch's touched set
+    val built = incrementalCcRun(spark, pairs, root,
+      d19bElectionHook(docs, root))
+    if (SnapshotStore.read(spark, s"$root/election").isEmpty)
+      return Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean)]
+        .toDF("doc_id", "component_id", "cluster_size", "logit6",
+          "canonical_doc", "canonical_logit6", "keep")
+    val members = SnapshotStore.read(spark, s"$root/members").get
+    val election = SnapshotStore.read(spark, s"$root/election").get
+      .select(col("l").as("component_id"), col("canonical_doc"),
+        col("canonical_logit6"))
+    built.withColumnRenamed("canonical_id", "component_id")
+      .join(members, "doc_id")
+      .join(election, "component_id")
+      .withColumn("keep", col("doc_id") === col("canonical_doc"))
+      .select(col("doc_id"), col("component_id"), col("cluster_size"),
+        col("logit6"), col("canonical_doc"), col("canonical_logit6"),
+        col("keep"))
+      .localCheckpoint() // materialized before the temp store dies
+      .orderBy(col("doc_id"))
+  }
+
+  /** D19B: d19's canonical election maintained INCREMENTALLY through the
+    * store — the election twin of g2 (labels) and d15 (admission), and a
+    * new non-monotone direction: the keep DECISION flips without any
+    * deletion when a LATE-arriving higher-quality member steals a settled
+    * component's canonical seat, and an election row is RETIRED without
+    * any member leaving when its component is absorbed by a merge (the
+    * vanished label drains through the keyed delete). The final served
+    * state — labels × stored member scores × stored elections — must
+    * hash-match d19's one-shot oracle (recursive-CTE closure × the t19
+    * formula); arrival order is invisible.
+    *
+    * Scale shape: per batch the re-election is |touched components'
+    * members|, not the corpus; member scoring is a broadcast-semi-joined
+    * scan emitting batch-endpoint rows only; all three state tables are
+    * keyed store tables (bucketable, incrementally merged); the vanish
+    * drain is bounded by the batch's affected-component count. The serve
+    * is three store-table joins — the corpus is not touched. The one
+    * corpus-sized term is d2's pair mining, which is d2's own gate. */
+  val d19bIncrementalCanonical: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-d19b").toString
+    try {
+      val docs = fanOut(spark, t(spark, dir, "documents"))
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      d19bRun(spark, docs, pairs, root)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   // ---- G4: triangle counting over the near-dup graph (transitivity audit) --
 
   /** G4: exact per-vertex triangle counts + local clustering coefficient
@@ -1079,6 +1199,242 @@ object PipelineQueries {
       .select(col("v").as("doc_id"), col("deg").as("degree"),
         col("tri_cnt"), col("lcc_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- D19C: takedown RE-ELECTION — the canonical itself is retired --------
+
+  /** The d19c state machine, exposed for the spec: build d19b's full
+    * election state ([[d19bRun]] — labels, members, election through the
+    * store), then retire every document matching `retireDoc` and put the
+    * election back in order: [[ccRetireState]] drops the retired docs'
+    * incident edges and re-labels/drains the touched components (g2b/g2c's
+    * machinery verbatim), the retired docs' member rows drain through the
+    * keyed delete, and [[d19ElectAffected]] re-elects exactly the touched
+    * components over the SURVIVING members — d19b's election step, same
+    * machine. Serves d19's columns over the surviving graph. */
+  private[graft] def d19cRun(spark: SparkSession, docs0: DataFrame,
+                             pairs: DataFrame, root: String,
+                             retireDoc: Column => Column): DataFrame = {
+    import graft.incremental.SnapshotStore
+    import spark.implicits._
+    val docs = docs0.localCheckpoint()
+    d19bRun(spark, docs, pairs, root) // builds labels/edges/members/election
+    val emptyOut = Seq.empty[(Long, Long, Long, Long, Long, Long, Boolean)]
+      .toDF("doc_id", "component_id", "cluster_size", "logit6",
+        "canonical_doc", "canonical_logit6", "keep")
+    if (SnapshotStore.read(spark, s"$root/election").isEmpty) return emptyOut
+    // freeze the sweep's footprint BEFORE the store moves: retired docs
+    // (member drain), retired edges' endpoints (election scope), and the
+    // touched components' OLD labels (the stale-election drain)
+    val stateE0 = SnapshotStore.read(spark, s"$root/edges").get
+    val stateL0 = SnapshotStore.read(spark, s"$root/labels").get
+    val retiredDocs = stateL0.filter(retireDoc(col("v")))
+      .select(col("v")).localCheckpoint()
+    val edgeRetire = retireDoc(col("a_id")) || retireDoc(col("b_id"))
+    val retiredE = stateE0.filter(edgeRetire).localCheckpoint()
+    // nothing to retire at this tier: the pre-takedown serve stands
+    if (retiredE.limit(1).count() == 0) return d19Serve(spark, root)
+    val touched = retiredE.select(col("a_id").as("v"))
+      .unionByName(retiredE.select(col("b_id").as("v"))).distinct()
+      .localCheckpoint() // scopes the recompute, the drain AND the re-election
+    val oldAff = stateL0.join(touched, "v").select(col("l")).distinct()
+      .localCheckpoint()
+    ccRetireState(spark, root, edgeRetire) // re-labels touched, drains isolated
+    SnapshotStore.deleteKeys(spark, s"$root/members", Seq("doc_id"),
+      retiredDocs.select(col("v").as("doc_id")))
+    d19ElectAffected(spark, root, touched, Some(oldAff))
+    d19Serve(spark, root)
+  }
+
+  /** d19b/d19c's shared serve: labels × sizes × members × election, all
+    * read back from the store — the corpus is never rescanned. */
+  private def d19Serve(spark: SparkSession, root: String): DataFrame = {
+    import graft.incremental.SnapshotStore
+    val lab = SnapshotStore.read(spark, s"$root/labels").get
+    val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
+    val members = SnapshotStore.read(spark, s"$root/members").get
+    val election = SnapshotStore.read(spark, s"$root/election").get
+      .select(col("l"), col("canonical_doc"), col("canonical_logit6"))
+    lab.join(sizes, "l")
+      .select(col("v").as("doc_id"), col("l"), col("cluster_size"))
+      .join(members, "doc_id")
+      .join(election, "l")
+      .withColumn("keep", col("doc_id") === col("canonical_doc"))
+      .select(col("doc_id"), col("l").as("component_id"), col("cluster_size"),
+        col("logit6"), col("canonical_doc"), col("canonical_logit6"),
+        col("keep"))
+      .localCheckpoint() // materialized before the temp store dies
+      .orderBy(col("doc_id"))
+  }
+
+  /** D19C: the takedown RE-ELECTION — the third non-monotone election
+    * direction, and the production case the keep decision exists for: the
+    * KEPT document itself is retired (DMCA, right-to-be-forgotten), so
+    * its component must promote the next-best surviving member — the
+    * verdict flips with no arrival anywhere. One sweep composes three
+    * store machines: g2b's incident-edge retirement (splits re-label,
+    * isolated vertices leave), the members table's frame-keyed drain, and
+    * d19b's scoped re-election with the stale-label drain (a dissolved or
+    * renamed component's election row exits through the keyed delete).
+    * Graded declaratively: d19's oracle over the SURVIVING pair set.
+    *
+    * Scale shape: every step is O(retired + touched components), never
+    * O(corpus) — g2b's bound for the re-label, the keyed deletes are
+    * anti-joins, the re-election is one window over the touched
+    * components' members, and the serve is store-table joins only. */
+  val d19cTakedownReelection: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-d19c").toString
+    try {
+      val docs = fanOut(spark, t(spark, dir, "documents"))
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      d19cRun(spark, docs, pairs, root,
+        c => pmod(c, lit(D18RetireMod.toLong)) === lit(D18RetireRem.toLong))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  // ---- G4B: triangle counts maintained under edge ARRIVAL ------------------
+
+  /** The g4b state machine, exposed for the spec: the pair graph arrives
+    * in [[G2Batches]] id-ordered batches (g2's arrival shape, redelivered
+    * overlaps included) and per-vertex DEGREE and TRIANGLE counts are
+    * maintained ADDITIVELY through the store — the per-batch-delta replay
+    * class (k7s's discipline) extended from sketches to a GRAPH metric.
+    * Idempotency comes from the edge key itself: a redelivered edge
+    * anti-joins against the stored edge set and contributes no delta, so
+    * the seen-table k7s needs is free here. Each batch's triangle delta
+    * is exactly the triangles containing ≥ 1 genuinely-new edge, each
+    * counted ONCE — enumerated per new edge from its LOWER-DEGREE
+    * endpoint's adjacency (the edge-iterator's skew bound: fan-out
+    * min(deg a, deg b), not max) and kept only where the enumerating
+    * edge is the lexicographically-least NEW edge of its triangle, so a
+    * triangle closing two or three new edges in one batch still counts
+    * once. */
+  private[graft] def g4bRun(spark: SparkSession, pairs0: DataFrame,
+                            root: String): DataFrame = {
+    import graft.incremental.SnapshotStore
+    import spark.implicits._
+    val pairs = pairs0.toDF("a_id", "b_id")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct().localCheckpoint()
+    val maxIdRow = pairs.agg(max(col("b_id"))).head
+    if (maxIdRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("doc_id", "degree", "tri_cnt", "lcc_ppm")
+    val maxId = maxIdRow.getLong(0)
+    def inBatch(b: Int): Column =
+      expr(s"least(${G2Batches - 1}, b_id * $G2Batches div ${maxId + 1})") === b
+    (0 until G2Batches).foreach { b =>
+      val stateE = SnapshotStore.read(spark, s"$root/edges")
+      // redeliver a deterministic stored slice (v15's overlap discipline):
+      // the anti-join below must swallow the replay with zero delta
+      val batchE = stateE.map(se =>
+          pairs.filter(inBatch(b)).unionByName(
+            se.filter(pmod(col("a_id"), lit(53)) === 0)))
+        .getOrElse(pairs.filter(inBatch(b)))
+        .distinct().localCheckpoint()
+      val newE = stateE.map(se => batchE.join(se, Seq("a_id", "b_id"), "left_anti"))
+        .getOrElse(batchE).localCheckpoint()
+      val eAll = stateE.map(_.unionByName(newE)).getOrElse(newE)
+        .localCheckpoint() // adjacency (both directions) AND the closure probe
+      // adjacency with the new-edge flag, exploded both ways, keyed x
+      val isNew = newE.withColumn("is_new", lit(true))
+      val flagged = eAll.join(isNew, Seq("a_id", "b_id"), "left")
+        .withColumn("is_new", coalesce(col("is_new"), lit(false)))
+        .localCheckpoint() // feeds adj AND the bc-closure lookup
+      val adj = flagged.select(col("a_id").as("x"), col("b_id").as("y"), col("is_new"))
+        .unionByName(flagged.select(col("b_id").as("x"), col("a_id").as("y"), col("is_new")))
+      // pivot each new edge at its lower-degree endpoint (stored degrees —
+      // the pre-batch state; absent ⇒ 0). Fan-out min(deg), not max.
+      val degT = SnapshotStore.read(spark, s"$root/deg")
+        .getOrElse(Seq.empty[(Long, Long)].toDF("v", "deg"))
+      val nd = newE
+        .join(degT.select(col("v").as("a_id"), col("deg").as("da")), Seq("a_id"), "left")
+        .join(degT.select(col("v").as("b_id"), col("deg").as("db")), Seq("b_id"), "left")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("da"), lit(0L)).as("da"), coalesce(col("db"), lit(0L)).as("db"))
+        .select(col("a_id"), col("b_id"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a_id") < col("b_id")),
+            col("a_id")).otherwise(col("b_id")).as("piv"))
+        .withColumn("oth",
+          when(col("piv") === col("a_id"), col("b_id")).otherwise(col("a_id")))
+      // candidates: c over adj(piv); close (oth, c); count once at the
+      // lexicographically-least NEW edge of the triangle
+      val cand = nd.join(adj.withColumnRenamed("x", "piv")
+            .withColumnRenamed("y", "c").withColumnRenamed("is_new", "new_pc"), "piv")
+        .filter(col("c") =!= col("oth"))
+      val closed = cand.join(
+          flagged.select(col("a_id").as("ca"), col("b_id").as("cb"),
+            col("is_new").as("new_oc")),
+          least(col("oth"), col("c")) === col("ca") &&
+            greatest(col("oth"), col("c")) === col("cb"))
+      val leastNew = closed.filter(
+        (!col("new_pc") ||
+          (col("a_id") < least(col("piv"), col("c")) ||
+            (col("a_id") === least(col("piv"), col("c")) &&
+              col("b_id") < greatest(col("piv"), col("c"))))) &&
+        (!col("new_oc") ||
+          (col("a_id") < least(col("oth"), col("c")) ||
+            (col("a_id") === least(col("oth"), col("c")) &&
+              col("b_id") < greatest(col("oth"), col("c"))))))
+      val triDelta = leastNew
+        .select(explode(array(col("a_id"), col("b_id"), col("c"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d_tri"))
+      val degDelta = newE.select(col("a_id").as("v"))
+        .unionByName(newE.select(col("b_id").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("d_deg"))
+      // additive keyed merges: stored + delta (k7s's replay class)
+      val triT = SnapshotStore.read(spark, s"$root/tri")
+        .getOrElse(Seq.empty[(Long, Long)].toDF("v", "tri_cnt"))
+      val newTri = triDelta
+        .join(triT.withColumnRenamed("tri_cnt", "t0"), Seq("v"), "left")
+        .select(col("v"), (coalesce(col("t0"), lit(0L)) + col("d_tri")).as("tri_cnt"))
+      SnapshotStore.merge(spark, s"$root/tri", newTri, Seq("v"))
+      val newDeg = degDelta
+        .join(degT.withColumnRenamed("deg", "g0"), Seq("v"), "left")
+        .select(col("v"), (coalesce(col("g0"), lit(0L)) + col("d_deg")).as("deg"))
+      SnapshotStore.merge(spark, s"$root/deg", newDeg, Seq("v"))
+      SnapshotStore.merge(spark, s"$root/edges", batchE, Seq("a_id", "b_id"))
+    }
+    val degF = SnapshotStore.read(spark, s"$root/deg").get
+    val triF = SnapshotStore.read(spark, s"$root/tri")
+      .getOrElse(Seq.empty[(Long, Long)].toDF("v", "tri_cnt"))
+    degF.join(triF, Seq("v"), "left")
+      .withColumn("tri_cnt", coalesce(col("tri_cnt"), lit(0L)))
+      .withColumn("lcc_ppm",
+        when(col("deg") >= 2,
+          expr("2L * tri_cnt * 1000000L div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)))
+      .select(col("v").as("doc_id"), col("deg").as("degree"),
+        col("tri_cnt"), col("lcc_ppm"))
+      .localCheckpoint() // materialized before the temp store dies
+      .orderBy(col("doc_id"))
+  }
+
+  /** G4B: g4's transitivity audit maintained INCREMENTALLY — per-vertex
+    * degree and triangle counts kept current through the store as the
+    * near-dup pair graph arrives in batches, so the LSH-chaining monitor
+    * (g4's low-LCC flag) runs per batch WITHOUT recounting the settled
+    * graph. The additive per-batch-delta discipline is k7s's replay
+    * class on a graph metric; final state must hash-match g4's one-shot
+    * naive-recount oracle — arrival order and redelivery are invisible.
+    *
+    * Scale shape: per batch the enumeration join is |new edges| ×
+    * min-endpoint degree (edge-iterator bound, pivot chosen by stored
+    * degree), never |graph|; the adjacency probe and closure lookup are
+    * 8-byte-key equi-joins against the stored edge table; deltas merge
+    * keyed (bucketable). Settled vertices untouched by a batch are never
+    * re-shuffled. The one corpus-sized term is d2's pair mining — d2's
+    * own gate. */
+  val g4bIncrementalTriangles: Q = (spark, dir) => {
+    val root = java.nio.file.Files.createTempDirectory("graft-g4b").toString
+    try {
+      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      g4bRun(spark, pairs, root)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
   // ---- V1: brute-force cosine top-k (correctness baseline) -----------------
@@ -5385,6 +5741,94 @@ object PipelineQueries {
       .orderBy(col("rk"))
   }
 
+  // ---- K12: time-rollup distinct — daily KMV partials merged upward --------
+
+  /** k12 sketch size. Small enough that the busiest (type, day) cell
+    * FILLS at sf0.001 (estimate mode) while most day cells stay unfilled
+    * (exact mode) — both serving branches live at every tier. */
+  val K12k = 8
+
+  /** A corpus's distinct (event_type, day, 48-bit user hash) triples —
+    * k11's md5 parse on the user id, the day from the UTC event date. */
+  private[graft] def k12DailyValues(events: DataFrame): DataFrame =
+    events.select(col("event_type").as("g"),
+        to_date(col("ts")).cast("string").as("day"),
+        expr("cast(conv(substring(md5(concat('k12:', " +
+          "cast(user_id as string))),1,12),16,10) as bigint)").as("h"))
+      .distinct()
+
+  /** k12's serving rule — k11's (n, θ) law at [[K12k]]. */
+  private def k12Est(n: String, theta: String): String =
+    s"case when $n < $K12k then $n else (${K12k - 1}L * ${K11M}L) div greatest($theta, 1L) end"
+
+  /** The per-(type, day) partial: each cell's [[K12k]] smallest hashes.
+    * Plans as two-phase WindowGroupLimit (k10's pinned shape). */
+  private[graft] def k12DaySketch(vals: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("g"), col("day")).orderBy(col("h"))
+    vals.withColumn("rk", row_number().over(wd)).filter(col("rk") <= K12k)
+  }
+
+  /** The rollup sketch: min-k of the union of the day partials — KMV's
+    * merge law, computed on the metadata-sized partial frame only. */
+  private[graft] def k12TotalSketch(daily: DataFrame): DataFrame = {
+    val wt = Window.partitionBy(col("g")).orderBy(col("h"))
+    daily.select(col("g"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wt)).filter(col("rk") <= K12k)
+  }
+
+  /** K12: the sketch family's TIME axis — daily-active-users per event
+    * type as KMV partials, ROLLED UP from the partials alone. The OLAP
+    * production shape: the per-(type, day) sketch row is what a daily
+    * job materializes; month/lifetime answers then come from MERGING the
+    * stored day rows — KMV's law (the k smallest of a union are each
+    * among their part's k smallest, so min-k of the day partials IS the
+    * min-k of the raw union, exactly) — and the raw event log is never
+    * rescanned at serve time. Emits one row per (type, day) cell plus a
+    * `day='ALL'` rollup row per type: sketch occupancy n, θ, the
+    * estimate, the exact distinct and the measured error ppm (k6/k11's
+    * audited-error discipline — error is a hash-stable column, not a
+    * claim). A day cell under [[K12k]] users answers exactly; the
+    * rollup row estimates — both branches pinned at every tier.
+    *
+    * Determinism: k11's 48-bit md5 parse on user_id, rank windows
+    * (two-phase WindowGroupLimit, k-bounded tasks) and positive-operand
+    * integer div — no float, both engines bit-equal.
+    *
+    * Scale shape: ONE distinct-shuffle over (type, day, hash) builds the
+    * day values (map-side combined); the day sketch is a k-bounded
+    * window over it; the rollup runs on the (types·days·k)-row partial
+    * frame — metadata-sized, the corpus is not touched. The exact
+    * columns are the one corpus-sized aggregate — the term the sketch
+    * replaces in production. */
+  val k12RollupDistinct: Q = (spark, dir) => {
+    val vals = k12DailyValues(t(spark, dir, "events"))
+      .localCheckpoint() // feeds the day sketch AND both exact columns
+    val daily = k12DaySketch(vals)
+      .localCheckpoint() // feeds the day serve AND the rollup merge
+    val dayExact = vals.groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val dayRows = daily.groupBy(col("g"), col("day"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("theta"))
+      .withColumn("est_distinct", expr(k12Est("n", "theta")))
+      .join(dayExact, Seq("g", "day"))
+    // the rollup: min-k of the UNION OF THE DAY PARTIALS — the raw
+    // value set is deliberately absent from this lineage
+    val totSketch = k12TotalSketch(daily)
+    val totExact = vals.select(col("g"), col("h")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("exact_distinct"))
+    val totRows = totSketch.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), max(col("h")).as("theta"))
+      .withColumn("est_distinct", expr(k12Est("n", "theta")))
+      .join(totExact, "g")
+      .withColumn("day", lit("ALL"))
+    dayRows.unionByName(totRows.select(dayRows.columns.map(col): _*))
+      .withColumn("err_ppm", expr(
+        "abs(est_distinct - exact_distinct) * 1000000L div greatest(exact_distinct, 1L)"))
+      .select(col("g").as("event_type"), col("day"), col("n"), col("theta"),
+        col("est_distinct"), col("exact_distinct"), col("err_ppm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   // ---- DAG: bucketed store layout — the recurring join with NO shuffle -----
 
   /** The bucketed-table serving join: both sides of the corpus's most
@@ -5459,7 +5903,9 @@ object PipelineQueries {
     * oracle grade an incremental pipeline. Returns the final
     * (doc_id, canonical_id, cluster_size) served from the store alone. */
   private[graft] def incrementalCcRun(spark: SparkSession, pairs0: DataFrame,
-                                      root: String): DataFrame = {
+                                      root: String,
+                                      afterBatch: (DataFrame, Option[DataFrame]) => Unit =
+                                        (_, _) => ()): DataFrame = {
     import graft.incremental.SnapshotStore
     val pairs = pairs0.toDF("a_id", "b_id").localCheckpoint()
     // a tier with no near-dup pairs has no graph: the labeling is empty
@@ -5482,10 +5928,15 @@ object PipelineQueries {
       // after the previous CC, so filtering on a_id's label suffices)
       val touched = batchE.select(col("a_id").as("v"))
         .unionByName(batchE.select(col("b_id").as("v"))).distinct()
-      val subE = (stateE, stateL) match {
-        case (Some(se), Some(sl)) =>
-          val aff = sl.join(touched, "v").select(col("l")).distinct()
-            .localCheckpoint() // names the components; component-count-sized
+        .localCheckpoint() // feeds aff, the subgraph scope AND afterBatch
+      // pre-merge labels of the touched endpoints — names the affected
+      // components (component-count-sized); ALSO handed to afterBatch so
+      // per-batch consumers (d19b's election) can find component labels
+      // that VANISH when this batch's merge absorbs them
+      val affOld = stateL.map(sl => sl.join(touched, "v")
+        .select(col("l")).distinct().localCheckpoint())
+      val subE = (stateE, stateL, affOld) match {
+        case (Some(se), Some(sl), Some(aff)) =>
           se.join(sl.select(col("v").as("a_id"), col("l")), "a_id")
             .join(broadcast(aff), "l")
             .select(col("a_id"), col("b_id"))
@@ -5501,6 +5952,7 @@ object PipelineQueries {
         .getOrElse(batchE)
       SnapshotStore.merge(spark, s"$root/edges", redelivered,
         Seq("a_id", "b_id"))
+      afterBatch(touched, affOld)
     }
     val lab = SnapshotStore.read(spark, s"$root/labels").get
     val sizes = lab.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
@@ -6280,7 +6732,17 @@ object PipelineQueries {
     * shuffle before the output sort; the stopword-membership and distinct
     * lambdas stay per-row (t19's trade-off) behind [[fanOut]]. */
   val t20GopherRules: Q = (spark, dir) =>
-    fanOut(spark, t(spark, dir, "documents"))
+    t20Flags(fanOut(spark, t(spark, dir, "documents")))
+      .select(col("doc_id"), col("n_words"), col("f_meanlen6"), col("ttr6"),
+        col("n_stop"), col("r_wordcount"), col("r_meanlen"), col("r_ttr"),
+        col("r_stop"), col("pass"))
+      .orderBy(col("doc_id"))
+
+  /** t20's per-rule flags over any `(doc_id, text, ...)` frame — shared
+    * by t20 (full-corpus report) and pipe7 (gate stage): one formula, no
+    * drift. */
+  private[graft] def t20Flags(df: DataFrame): DataFrame =
+    df
       .withColumn("w", split(lower(col("text")), " "))
       .withColumn("len_c", length(col("text")).cast(LongType))
       .withColumn("n_words", size(col("w")).cast(LongType))
@@ -6297,10 +6759,6 @@ object PipelineQueries {
       .withColumn("r_stop", col("n_stop") >= T20MinStop)
       .withColumn("pass",
         col("r_wordcount") && col("r_meanlen") && col("r_ttr") && col("r_stop"))
-      .select(col("doc_id"), col("n_words"), col("f_meanlen6"), col("ttr6"),
-        col("n_stop"), col("r_wordcount"), col("r_meanlen"), col("r_ttr"),
-        col("r_stop"), col("pass"))
-      .orderBy(col("doc_id"))
 
   // ---- D10: per-source quota curation (domain balancing) -------------------
 
@@ -6797,6 +7255,59 @@ object PipelineQueries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
+  // ---- T31: the epoch SHUFFLE (deterministic data-loader order) ------------
+
+  /** t31's hash-position block width: positions are 60-bit md5 prefixes
+    * (t30's salt discipline), so `pos div 2^50` yields 1024 contiguous
+    * hash ranges — uniformly filled by construction, the block axis of
+    * the two-level cumsum. */
+  val T31PosBlock = 1L << 50
+
+  /** T31: the epoch SHUFFLE — the deterministic global training order a
+    * data loader executes. t30 decides HOW MANY times each document is
+    * seen; t31 decides WHEN: every (doc, epoch) instance of t30's repeat
+    * plan gets a salted 60-bit hash position (independent per epoch, so
+    * a doc's repeats scatter across the run rather than clumping — the
+    * "shuffle each epoch globally" convention), and the instance stream
+    * is packed in position order into ~[[ShardBudget]]-token shards by
+    * exclusive-prefix-sum (t7's rule: an instance lands in the shard its
+    * first token falls in). Emits (source, doc_id, epoch, n_tokens, pos,
+    * cum_tokens, shard_id) — the order file a loader replays verbatim;
+    * re-runs are byte-identical, and a resumed run seeks to a shard
+    * boundary without recomputing anything upstream.
+    *
+    * Scale shape: the instance explode is bounded by Σrepeats — the
+    * output's own size (t30 caps it at the token budget ÷ min doc size);
+    * the only corpus-sized movement is ONE shuffle into 1024 contiguous
+    * hash ranges for the two-level cumsum ([[distributedCumsum]] with
+    * hash-range blocks — the block-sum table is 1024 rows, broadcast
+    * back), and hash uniformity balances the ranges under ANY corpus
+    * skew. No window ever sees more than one block's rows; the result
+    * is defined by the (pos, doc_id, epoch) total order alone, so it is
+    * identical for any partition count (T17's invariance argument). */
+  val t31EpochShuffle: Q = (spark, dir) =>
+    epochShuffleFor(t30PlanFor(fanOut(spark, t(spark, dir, "documents"))
+      .select(col("source").as("g"), col("doc_id"),
+        expr("(n_chars + 3) div 4").as("tok"))))
+
+  /** t31's instance explode + salted order + shard pack over any t30-shaped
+    * plan frame — shared by t31 (full corpus) and pipe7 (gated survivors). */
+  private[graft] def epochShuffleFor(plan: DataFrame): DataFrame = {
+    val inst = plan.filter(col("repeats") >= 1)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        explode(sequence(lit(0L), col("repeats") - 1)).as("epoch"))
+      .withColumn("pos", expr(
+        "cast(conv(substring(md5(concat('t31:', cast(doc_id as string), " +
+          "':', cast(epoch as string))),1,15),16,10) as bigint)"))
+    distributedCumsum(inst, "n_tokens",
+        Seq(col("pos"), col("doc_id"), col("epoch")),
+        blkExpr = s"pos div $T31PosBlock")
+      .select(col("source"), col("doc_id"), col("epoch"), col("n_tokens"),
+        col("pos"), col("cum_tokens"),
+        expr(s"(cum_tokens - n_tokens) div $ShardBudget").as("shard_id"))
+      .orderBy(col("pos"), col("doc_id"), col("epoch"))
+  }
+
   // ---- T23: temperature-based mixture resampling ---------------------------
 
   /** mT5/XLM-R-style temperature sampling (τ = 1/2): source sampling
@@ -6861,8 +7372,13 @@ object PipelineQueries {
     * whole upstream twice — for the composed pipeline that would mean
     * re-running dedup and decontamination end to end. */
   def distributedCumsum(df: DataFrame, tokenCol: String,
-                        orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val blocked = df.withColumn("blk", expr(s"doc_id div $PackBlock"))
+                        orderCols: Seq[org.apache.spark.sql.Column],
+                        blkExpr: String = s"doc_id div $PackBlock"): DataFrame = {
+    // `blkExpr` must COARSEN the leading order column (equal-order rows
+    // share a block, blocks ascend with the order), so block-major +
+    // within-block order is the caller's total order. Default: t7/t26's
+    // contiguous doc_id ranges; t31 passes uniform hash-position ranges.
+    val blocked = df.withColumn("blk", expr(blkExpr))
       .localCheckpoint() // GC-released when the result goes out of scope (see d2)
     val offsets = blocked.groupBy(col("blk")).agg(sum(col(tokenCol)).as("bt"))
       .withColumn("off", coalesce(sum(col("bt")).over(
@@ -7442,6 +7958,7 @@ object PipelineQueries {
     "t23_temperature_mix" -> t23TemperatureMix,
     "t30_epoch_plan" -> t30EpochPlan,
     "t30b_epoch_replan" -> t30bEpochReplan,
+    "t31_epoch_shuffle" -> t31EpochShuffle,
     "t13_pii_redact" -> t13PiiRedact,
     "t14_vocab" -> t14Vocab,
     "t15_lm_score" -> t15LmScore,
@@ -7488,6 +8005,10 @@ object PipelineQueries {
     "g2_incremental_cc" -> g2IncrementalCc,
     "g2b_cc_retirement" -> g2bCcRetirement,
     "g2c_doc_takedown" -> g2cDocTakedown,
+    "d19b_incremental_canonical" -> d19bIncrementalCanonical,
+    "g4b_incremental_triangles" -> g4bIncrementalTriangles,
+    "k12_rollup_distinct" -> k12RollupDistinct,
+    "d19c_takedown_reelection" -> d19cTakedownReelection,
     "g4_triangles" -> g4Triangles,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,

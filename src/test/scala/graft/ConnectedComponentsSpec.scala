@@ -210,4 +210,217 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got.exists(r => r.getLong(4) != r.getLong(1)),
       "quality election should differ from the min-id election on this tier")
   }
+
+  test("d19b: a late high-quality arrival FLIPS a settled canonical; a merged-away " +
+      "component's election row drains through the keyed delete") {
+    import org.apache.spark.sql.functions.col
+    // Edge batches split by max-endpoint tercile over ids 0..81 (the 80-81
+    // bystander pins maxId): batch 0 (max ≤ 27) settles {1,2} and {10,11};
+    // batch 1 (max ≤ 54) settles {40,41}; batch 2 delivers
+    //   (2,65)  — doc 65 is the stopword-rich HIGH-quality member that must
+    //             steal component 1's canonical seat from the symbol-heavy
+    //             incumbents (the flip: no deletion, the DECISION moves), and
+    //   (11,63),(63,41) — the high-id bridge that absorbs component 40 into
+    //             component 10, so election row l=40 must LEAVE the store.
+    val junk = "@#$% ^&*! %%%% @@@@ ####"
+    val docs = Seq(
+      (1L, junk + " aaaa"), (2L, junk + " bbbb"),
+      (10L, junk + " cc"), (11L, junk + " dd"), (63L, junk + " ee"),
+      (40L, junk + " ff"), (41L, junk + " gg"),
+      (65L, "the and of to in is it for on as the and of to in is it for on as"),
+      (80L, junk + " hh"), (81L, junk + " ii")
+    ).toDF("doc_id", "text")
+    val logits = PipelineQueries.t19Scored(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit6")).toMap
+    assert(logits(65L) > logits(1L) && logits(65L) > logits(2L),
+      "fixture: doc 65 must outrank both incumbents on the t19 logit")
+    val early = Seq((1L, 2L), (10L, 11L), (40L, 41L), (80L, 81L))
+    val late = Seq((2L, 65L), (11L, 63L), (63L, 41L))
+    val rootA = java.nio.file.Files.createTempDirectory("graft-d19b-a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-d19b-b").toString
+    try {
+      // pre-flip state: without batch 2 the canonical of {1,2} is the
+      // better symbol-heavy incumbent, and elections exist for 1/10/40/80
+      val pre = PipelineQueries.d19bRun(spark, docs,
+        early.toDF("a_id", "b_id"), rootA).collect()
+      val preCanon1 = pre.find(_.getLong(0) == 1L).get.getLong(4)
+      val incumbents = Set(1L, 2L)
+      assert(incumbents.contains(preCanon1), "pre-flip canonical is an incumbent")
+      val preElect = graft.incremental.SnapshotStore
+        .read(spark, s"$rootA/election").get.select(col("l"))
+        .collect().map(_.getLong(0)).toSet
+      assert(preElect == Set(1L, 10L, 40L, 80L), s"pre-flip election keys: $preElect")
+      // full arrival: the seat flips to 65 and election row 40 drains
+      val got = PipelineQueries.d19bRun(spark, docs,
+        (early ++ late).toDF("a_id", "b_id"), rootB).collect()
+      val comp1 = got.filter(_.getLong(1) == 1L)
+      assert(comp1.map(_.getLong(0)).toSet == Set(1L, 2L, 65L), "flip component members")
+      comp1.foreach { r =>
+        assert(r.getLong(4) == 65L, "canonical seat must flip to the late arrival")
+        assert(r.getBoolean(6) == (r.getLong(0) == 65L), "keep follows the flip")
+      }
+      val postElect = graft.incremental.SnapshotStore
+        .read(spark, s"$rootB/election").get.select(col("l"))
+        .collect().map(_.getLong(0)).toSet
+      assert(postElect == Set(1L, 10L, 80L),
+        s"absorbed component 40's election row must drain, got $postElect")
+      // declarative close: the served state equals a one-shot election
+      val labels = unionFind(early ++ late)
+      val sizes = labels.values.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val byComp = labels.keys.groupBy(labels)
+      got.foreach { r =>
+        val (v, comp) = (r.getLong(0), r.getLong(1))
+        assert(comp == labels(v) && r.getLong(2) == sizes(comp), s"doc $v label/size")
+        assert(r.getLong(3) == logits(v), s"doc $v stored logit")
+        val winner = byComp(comp).map(m => (-logits(m), m)).min._2
+        assert(r.getLong(4) == winner && r.getLong(5) == logits(winner),
+          s"component $comp one-shot winner")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootA))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rootB))
+    }
+  }
+
+  test("g4b: triangles closed ACROSS batches (1, 2 and 3 new edges) count once; " +
+      "state equals the naive recount") {
+    // max-endpoint terciles over ids 0..81 (80-81 bystander pins maxId):
+    // batch 0 lays the base edge (1,2); batch 1 closes {1,2,30} with TWO
+    // new edges; batch 2 closes {1,2,65} (two new), and {1,30,65} +
+    // {2,30,65} each via one new edge (30,65) against settled edges —
+    // every multiplicity of the count-once rule fires in one fixture
+    val edges = Seq(
+      (1L, 2L),                       // batch 0
+      (2L, 30L), (1L, 30L),           // batch 1
+      (2L, 65L), (1L, 65L), (30L, 65L), // batch 2
+      (80L, 81L))                     // bystander, pins maxId
+    // naive local reference over the full edge set
+    val pairSet = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val triCnt = verts.map { v =>
+      val nb = verts.filter(u => u != v && pairSet.contains((math.min(u, v), math.max(u, v))))
+      v -> nb.combinations(2).count(p =>
+        pairSet.contains((math.min(p(0), p(1)), math.max(p(0), p(1))))).toLong
+    }.toMap
+    val deg = verts.map(v => v -> verts.count(u =>
+      u != v && pairSet.contains((math.min(u, v), math.max(u, v)))).toLong).toMap
+    val root = java.nio.file.Files.createTempDirectory("graft-g4bspec").toString
+    try {
+      val got = PipelineQueries.g4bRun(spark, edges.toDF("a_id", "b_id"), root)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(got.map(_._1).toSet == verts.toSet, "every endpoint is a row")
+      got.foreach { case (v, (d, t, lcc)) =>
+        assert(d == deg(v), s"vertex $v degree")
+        assert(t == triCnt(v), s"vertex $v triangle count (count-once discipline)")
+        val expLcc = if (d >= 2) 2L * t * 1000000L / (d * (d - 1L)) else 0L
+        assert(lcc == expLcc, s"vertex $v lcc")
+      }
+      assert(got.toMap.apply(30L)._2 == 3L, "vertex 30 sits in 3 triangles")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("g4b: maintained counts equal g4's one-shot audit on real data " +
+      "(arrival order invisible)") {
+    val dir = "/root/testdata/sf0.001"
+    val oneShot = PipelineQueries.g4Triangles(spark, dir)
+    val inc = PipelineQueries.g4bIncrementalTriangles(spark, dir)
+    assert(inc.count() > 0, "fixture must exercise the operator")
+    assert(inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty,
+      "incremental triangle maintenance diverged from the one-shot audit")
+  }
+
+  test("d19c: retiring the CANONICAL promotes the next-best survivor; dissolved " +
+      "and renamed components drain their election rows") {
+    import org.apache.spark.sql.functions.col
+    // retire predicate: doc_id % 7 == 3 → docs {24, 10, 38}. Planted so the
+    // sweep hits every shape at once:
+    //   {1,2,24}: 24 is the stopword-rich CANONICAL — retiring it must
+    //             promote the best surviving incumbent (no arrival anywhere);
+    //   {10,16}:  10 retired → 16 isolated → the whole component dissolves
+    //             and election row l=10 drains;
+    //   {36,38,44,50} (path 36-38-44-50): 38 retired → 36 isolated, the
+    //             {44,50} half re-labels to 44 → old election row l=36
+    //             drains, a fresh l=44 row appears;
+    //   {40,41}, {79,81}: bystanders (81 pins maxId for the terciles).
+    val junk = "@#$% ^&*! %%%% @@@@ ####"
+    val docs = Seq(
+      (1L, junk + " aa"), (2L, junk + " bb"),
+      (24L, "the and of to in is it for on as the and of to in is it for on as"),
+      (10L, junk + " cc"), (16L, junk + " dd"),
+      (36L, junk + " ee"), (38L, junk + " ff"), (44L, junk + " gg"),
+      (50L, junk + " hh"), (40L, junk + " ii"), (41L, junk + " jj"),
+      (79L, junk + " kk"), (81L, junk + " ll")
+    ).toDF("doc_id", "text")
+    val logits = PipelineQueries.t19Scored(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit6")).toMap
+    assert(logits(24L) > logits(1L) && logits(24L) > logits(2L),
+      "fixture: the doomed canonical must outrank its survivors pre-takedown")
+    val edges = Seq((1L, 2L), (2L, 24L), (10L, 16L),
+      (36L, 38L), (38L, 44L), (44L, 50L), (40L, 41L), (79L, 81L))
+    val root = java.nio.file.Files.createTempDirectory("graft-d19c").toString
+    try {
+      val got = PipelineQueries.d19cRun(spark, docs, edges.toDF("a_id", "b_id"),
+        root, c => org.apache.spark.sql.functions.pmod(c,
+          org.apache.spark.sql.functions.lit(7L)) === 3L).collect()
+      val surviving = edges.filter { case (a, b) => a % 7 != 3 && b % 7 != 3 }
+      val labels = unionFind(surviving)
+      assert(got.map(_.getLong(0)).toSet == labels.keySet,
+        "output membership = surviving-edge endpoints (retired + isolated leave)")
+      val byComp = labels.keys.groupBy(labels)
+      got.foreach { r =>
+        val (v, comp) = (r.getLong(0), r.getLong(1))
+        assert(comp == labels(v), s"doc $v label")
+        assert(r.getLong(2) == byComp(comp).size.toLong, s"doc $v size")
+        val winner = byComp(comp).map(m => (-logits(m), m)).min._2
+        assert(r.getLong(4) == winner, s"component $comp must promote $winner")
+        assert(r.getBoolean(6) == (v == winner), s"doc $v keep")
+      }
+      assert(got.filter(_.getLong(1) == 1L).forall(_.getLong(4) != 24L),
+        "the retired canonical must not hold the seat")
+      val electKeys = graft.incremental.SnapshotStore
+        .read(spark, s"$root/election").get.select(col("l"))
+        .collect().map(_.getLong(0)).toSet
+      assert(electKeys == Set(1L, 40L, 44L, 79L),
+        s"dissolved (10) and renamed (36) election rows must drain, got $electKeys")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
+  test("d19c: takedown re-election equals the one-shot election over surviving " +
+      "pairs on real data") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val M = PipelineQueries.D18RetireMod.toLong
+    val R = PipelineQueries.D18RetireRem.toLong
+    val pairs = PipelineQueries.d2MinhashLsh(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val surviving = pairs.filter { case (a, b) => a % M != R && b % M != R }
+    assert(surviving.length < pairs.length, "fixture must actually retire an edge")
+    val labels = unionFind(surviving.toSeq)
+    val logits = PipelineQueries.t19Scored(
+        graft.Sources.testdata(spark, dir)("documents")
+          .filter(col("doc_id").isin(labels.keys.toSeq: _*)))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("logit6")).toMap
+    val byComp = labels.keys.groupBy(labels)
+    val expected = labels.map { case (v, comp) =>
+      val winner = byComp(comp).map(m => (-logits(m), m)).min._2
+      (v, comp, byComp(comp).size.toLong, logits(v), winner, logits(winner), v == winner)
+    }.toSet
+    val got = PipelineQueries.d19cTakedownReelection(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSet
+    assert(got == expected,
+      "takedown re-election diverged from the one-shot surviving election")
+  }
+
+  test("d19b: served election equals d19's one-shot pick on real data " +
+      "(arrival order invisible)") {
+    val dir = "/root/testdata/sf0.001"
+    val oneShot = PipelineQueries.d19CanonicalPick(spark, dir)
+    val inc = PipelineQueries.d19bIncrementalCanonical(spark, dir)
+    assert(inc.count() > 0, "fixture must exercise the operator")
+    assert(inc.exceptAll(oneShot).isEmpty && oneShot.exceptAll(inc).isEmpty,
+      "incremental election diverged from the one-shot canonical pick")
+  }
 }

@@ -35,4 +35,31 @@ class CumsumPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("hash-block cumsum (t31's blkExpr) ≡ sequential scan in hash order, " +
+      "for any partition count") {
+    // ids scattered, positions = salted 60-bit hashes (t31's discipline):
+    // the block axis is pos div 2^50, NOT doc_id ranges — the cumsum must
+    // follow the (pos, doc_id) total order exactly, at any parallelism
+    val data = (1 to 400).map(i => (i * 37L % 1009L, (i % 7L) + 1L)).distinct
+    val df = data.toDF("doc_id", "tokens")
+      .withColumn("pos", expr(
+        "cast(conv(substring(md5(concat('t31:', cast(doc_id as string))),1,15),16,10) as bigint)"))
+    for (parts <- Seq(1, 3, 32)) {
+      val got = PipelineQueries
+        .distributedCumsum(df.repartition(parts), "tokens",
+          Seq(col("pos"), col("doc_id")),
+          blkExpr = s"pos div ${PipelineQueries.T31PosBlock}")
+        .select(col("doc_id"), col("pos"), col("cum_tokens"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // sequential reference in (pos, doc_id) order
+      val seq = got.sortBy(t => (t._2, t._1))
+      var run = 0L
+      val tok = data.toMap
+      seq.foreach { case (id, _, cum) =>
+        run += tok(id)
+        assert(cum == run, s"parts=$parts: id $id expected $run got $cum")
+      }
+    }
+  }
 }

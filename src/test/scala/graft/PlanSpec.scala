@@ -333,6 +333,46 @@ class PlanSpec extends SparkSpec {
         s"shape), got:\n${p.take(1200)}")
   }
 
+  test("k12: both sketch ranks (day partials and the rollup merge) plan as " +
+      "two-phase WindowGroupLimit") {
+    import graft.queries.PipelineQueries
+    // pin each stage directly — the gate checkpoints between them, which
+    // would hide the windows behind LogicalRDDs (k10's pattern)
+    val vals = PipelineQueries.k12DailyValues(
+      graft.Sources.testdata(spark, sf)("events"))
+    val pd = PipelineQueries.k12DaySketch(vals)
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(pd).length == 2,
+      s"day-partial rank must pre-limit per partition (k-bounded tasks)\n${pd.take(1200)}")
+    val pt = PipelineQueries.k12TotalSketch(
+        PipelineQueries.k12DaySketch(vals).localCheckpoint())
+      .queryExecution.executedPlan.toString
+    assert("WindowGroupLimit".r.findAllIn(pt).length == 2,
+      s"rollup-merge rank must pre-limit per partition\n${pt.take(1200)}")
+  }
+
+  test("t31: the order file's running sum is two-level — the corpus window " +
+      "hash-partitions by block, never a single global window") {
+    import graft.queries.PipelineQueries
+    val p = planOf(PipelineQueries.t31EpochShuffle)
+    assert(p.contains("hashpartitioning(blk"),
+      s"the in-block running sum must partition on the hash-range block\n${p.take(1400)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row block-offset table must broadcast back\n${p.take(1400)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(1400))
+  }
+
+  test("pipe7: the composed training-order chain keeps its stages' shapes — " +
+      "no degenerate join anywhere") {
+    import graft.queries.CorpusPrep
+    val p = planOf(CorpusPrep.pipe7TrainingOrder)
+    assert(p.contains("hashpartitioning(blk"),
+      s"the shuffle/pack tail must keep t31's two-level cumsum shape\n${p.take(1400)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"no stage of the chain may degenerate to a cross\n${p.take(1400)}")
+  }
+
   test("k11: the per-source min-k sketch plans as two-phase WindowGroupLimit") {
     import graft.queries.PipelineQueries
     // pin the SKETCH stage itself (the gate checkpoints it for the pair

@@ -295,4 +295,42 @@ class SketchSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(onePass == merged, "min-k of per-shard min-k's must equal one-pass min-k")
   }
+
+  test("k12: the rollup served from day partials equals the direct sketch over " +
+      "raw values, and both serving modes live at this tier") {
+    import graft.queries.PipelineQueries
+    import org.apache.spark.sql.expressions.Window
+    val vals = PipelineQueries.k12DailyValues(
+      graft.Sources.testdata(spark, dir)("events")).localCheckpoint()
+    // direct total sketch from the raw value union (never built by the gate)
+    val wt = Window.partitionBy(col("g")).orderBy(col("h"))
+    val direct = vals.select(col("g"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= PipelineQueries.K12k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // the gate's rollup rows re-derived: day partials → min-k of their union
+    val wd = Window.partitionBy(col("g"), col("day")).orderBy(col("h"))
+    val fromPartials = vals.withColumn("rk", row_number().over(wd))
+      .filter(col("rk") <= PipelineQueries.K12k)
+      .select(col("g"), col("h")).distinct()
+      .withColumn("rk", row_number().over(wt))
+      .filter(col("rk") <= PipelineQueries.K12k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(direct == fromPartials,
+      "KMV merge law: min-k of the day partials must equal min-k of the raw union")
+    val out = PipelineQueries.k12RollupDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    // exact mode: an unfilled cell's estimate IS the exact count
+    assert(out.exists { case (_, day, n, est, ex) =>
+      day != "ALL" && n < PipelineQueries.K12k && est == ex },
+      "an unfilled day cell must answer exactly")
+    // estimate mode: some cell fills (n == k) at this tier
+    assert(out.exists(_._3 == PipelineQueries.K12k.toLong),
+      "a filled sketch must exist at sf0.001 (k chosen for this)")
+    // every rollup row estimates over ≥ the busiest day (sanity, not a bound)
+    out.filter(_._2 == "ALL").foreach { case (g, _, _, est, ex) =>
+      assert(est > 0 && ex > 0, s"rollup row for $g must be non-degenerate")
+    }
+  }
 }
