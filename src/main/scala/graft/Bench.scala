@@ -81,7 +81,9 @@ object Bench {
     // incremental triangle maintenance (three edge + deg + tri merges)
     "d19b_incremental_canonical", "g4b_incremental_triangles",
     // takedown re-election (d19b's build + retirement + re-elect sweep)
-    "d19c_takedown_reelection")
+    "d19c_takedown_reelection",
+    // streamed day-partial rollup (three event drops through the store)
+    "k12s_stream_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -728,6 +728,43 @@ object PipelineOracles {
                AS shard_id
       FROM cm ORDER BY pos, doc_id, epoch"""
 
+  private[queries] val k12RollupSql: String =
+    s"""
+      WITH v AS (SELECT DISTINCT event_type AS g,
+                        CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                        ('0x' || substr(md5('k12:' || user_id::VARCHAR), 1, 12))::BIGINT AS h
+                 FROM events),
+      ds AS (SELECT g, day, h,
+                    row_number() OVER (PARTITION BY g, day ORDER BY h) AS rk
+             FROM v),
+      dk AS (SELECT g, day, h FROM ds WHERE rk <= ${PipelineQueries.K12k}),
+      dayrows AS (SELECT g, day, COUNT(*) AS n, MAX(h) AS theta
+                  FROM dk GROUP BY g, day),
+      dayex AS (SELECT g, day, COUNT(*) AS exact_distinct FROM v GROUP BY g, day),
+      tu AS (SELECT DISTINCT g, h FROM dk),
+      tr AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+             FROM tu),
+      tk AS (SELECT g, h FROM tr WHERE rk <= ${PipelineQueries.K12k}),
+      totrows AS (SELECT g, 'ALL' AS day, COUNT(*) AS n, MAX(h) AS theta
+                  FROM tk GROUP BY g),
+      totex AS (SELECT g, COUNT(DISTINCT h) AS exact_distinct FROM v GROUP BY g),
+      u AS (SELECT d.g, d.day, d.n, d.theta, e.exact_distinct
+            FROM dayrows d JOIN dayex e USING (g, day)
+            UNION ALL
+            SELECT t.g, t.day, t.n, t.theta, e.exact_distinct
+            FROM totrows t JOIN totex e USING (g))
+      SELECT g AS event_type, day, n, theta,
+             CASE WHEN n < ${PipelineQueries.K12k} THEN n
+                  ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
+                         // greatest(theta, 1) END AS est_distinct,
+             exact_distinct,
+             abs(CASE WHEN n < ${PipelineQueries.K12k} THEN n
+                      ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
+                             // greatest(theta, 1) END
+                 - exact_distinct) * 1000000
+               // greatest(exact_distinct, 1) AS err_ppm
+      FROM u ORDER BY event_type, day"""
+
   private val baseA: Map[String, String] = Map(
 
     "d1_exact_dedup" -> """
@@ -1223,41 +1260,12 @@ object PipelineOracles {
     // the day min-k's ≡ min-k of the raw union) holds exactly, so both
     // engines land on identical rollup rows without the oracle ever
     // materializing a "direct" total sketch
-    "k12_rollup_distinct" -> s"""
-      WITH v AS (SELECT DISTINCT event_type AS g,
-                        CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-                        ('0x' || substr(md5('k12:' || user_id::VARCHAR), 1, 12))::BIGINT AS h
-                 FROM events),
-      ds AS (SELECT g, day, h,
-                    row_number() OVER (PARTITION BY g, day ORDER BY h) AS rk
-             FROM v),
-      dk AS (SELECT g, day, h FROM ds WHERE rk <= ${PipelineQueries.K12k}),
-      dayrows AS (SELECT g, day, COUNT(*) AS n, MAX(h) AS theta
-                  FROM dk GROUP BY g, day),
-      dayex AS (SELECT g, day, COUNT(*) AS exact_distinct FROM v GROUP BY g, day),
-      tu AS (SELECT DISTINCT g, h FROM dk),
-      tr AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
-             FROM tu),
-      tk AS (SELECT g, h FROM tr WHERE rk <= ${PipelineQueries.K12k}),
-      totrows AS (SELECT g, 'ALL' AS day, COUNT(*) AS n, MAX(h) AS theta
-                  FROM tk GROUP BY g),
-      totex AS (SELECT g, COUNT(DISTINCT h) AS exact_distinct FROM v GROUP BY g),
-      u AS (SELECT d.g, d.day, d.n, d.theta, e.exact_distinct
-            FROM dayrows d JOIN dayex e USING (g, day)
-            UNION ALL
-            SELECT t.g, t.day, t.n, t.theta, e.exact_distinct
-            FROM totrows t JOIN totex e USING (g))
-      SELECT g AS event_type, day, n, theta,
-             CASE WHEN n < ${PipelineQueries.K12k} THEN n
-                  ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
-                         // greatest(theta, 1) END AS est_distinct,
-             exact_distinct,
-             abs(CASE WHEN n < ${PipelineQueries.K12k} THEN n
-                      ELSE (${PipelineQueries.K12k - 1} * ${PipelineQueries.K11M})
-                             // greatest(theta, 1) END
-                 - exact_distinct) * 1000000
-               // greatest(exact_distinct, 1) AS err_ppm
-      FROM u ORDER BY event_type, day""",
+    "k12_rollup_distinct" -> k12RollupSql,
+
+    // the streamed partial build must land on the identical serve —
+    // micro-batch boundaries, redelivery and the per-cell min-k replay
+    // are invisible in the final (day, rollup) table
+    "k12s_stream_rollup" -> k12RollupSql,
 
     "k11_theta_sketch" -> {
       val k = PipelineQueries.K11k

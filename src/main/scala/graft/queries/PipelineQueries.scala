@@ -5803,8 +5803,16 @@ object PipelineQueries {
   val k12RollupDistinct: Q = (spark, dir) => {
     val vals = k12DailyValues(t(spark, dir, "events"))
       .localCheckpoint() // feeds the day sketch AND both exact columns
-    val daily = k12DaySketch(vals)
+    val daily = k12DaySketch(vals).select(col("g"), col("day"), col("h"))
       .localCheckpoint() // feeds the day serve AND the rollup merge
+    k12Serve(vals, daily)
+  }
+
+  /** k12's serving tail over a partial frame — shared by k12 (one-pass
+    * build) and k12s (partials read back from the streamed store): the
+    * sketch path runs on `daily` ALONE; `vals` feeds only the exact
+    * eval columns (the audited-error half, k6/k11's convention). */
+  private[graft] def k12Serve(vals: DataFrame, daily: DataFrame): DataFrame = {
     val dayExact = vals.groupBy(col("g"), col("day"))
       .agg(count(lit(1)).as("exact_distinct"))
     val dayRows = daily.groupBy(col("g"), col("day"))
@@ -5827,6 +5835,44 @@ object PipelineQueries {
       .select(col("g").as("event_type"), col("day"), col("n"), col("theta"),
         col("est_distinct"), col("exact_distinct"), col("err_ppm"))
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** K12S: the daily sketch job AS A STREAM — k12's partial table built
+    * through the store from event micro-batches ([[graft.streaming
+    * .StreamingIngest.dailyRollupBatch]]: k11s's bounded-state
+    * idempotent replay class with the day in the cell key; a
+    * redelivered event re-derives its identical (type, day, hash)
+    * triple and the per-cell min-k merge swallows it). The serve reads
+    * the partial table back and runs k12's tail on it — day estimates
+    * AND the rollup come from the streamed state alone; the raw log is
+    * touched only for the exact eval columns. Final output must
+    * hash-match one-shot k12 (the shared oracle): arrival order,
+    * micro-batch boundaries and the replay are invisible. */
+  val k12sStreamRollup: Q = (spark, dir) => {
+    val events = t(spark, dir, "events")
+    val root = java.nio.file.Files.createTempDirectory("graft-sk12").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sk12-ckpt").toString
+    val drops = java.nio.file.Files.createTempDirectory("graft-sk12-drops").toString
+    try {
+      streamDrops(spark, events.schema, drops, Seq(
+        events.filter(pmod(col("event_id"), lit(3)) === 0),
+        events.filter(pmod(col("event_id"), lit(3)) === 1)
+          .unionByName(events.filter( // redelivered overlap slice
+            pmod(col("event_id"), lit(3)) === 0 && col("event_id") < 100)),
+        events.filter(pmod(col("event_id"), lit(3)) === 2))) { stream =>
+        graft.streaming.StreamingIngest.dailyRollupIngest(stream, root, ckpt)
+      }
+      val daily = graft.incremental.SnapshotStore
+        .read(spark, s"$root/k12_partials").get
+        .select(col("g"), col("day"), col("h"))
+      k12Serve(k12DailyValues(events).localCheckpoint(), daily)
+        .localCheckpoint() // materialized before the temp store dies
+        .orderBy(col("event_type"), col("day"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(drops))
+    }
   }
 
   // ---- DAG: bucketed store layout — the recurring join with NO shuffle -----
@@ -8009,6 +8055,7 @@ object PipelineQueries {
     "g4b_incremental_triangles" -> g4bIncrementalTriangles,
     "k12_rollup_distinct" -> k12RollupDistinct,
     "d19c_takedown_reelection" -> d19cTakedownReelection,
+    "k12s_stream_rollup" -> k12sStreamRollup,
     "g4_triangles" -> g4Triangles,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d14_fuzzy_join" -> d14FuzzyJoin,

@@ -393,6 +393,37 @@ object StreamingIngest {
     SnapshotStore.merge(spark, s"$root/k11_sketch", top, Seq("g", "rk"))
   }
 
+  /** k12's day-partial build as a stream: each micro-batch of EVENTS
+    * folds into the (g, day, rk)-keyed partial table. */
+  def dailyRollupIngest(streamingEvents: DataFrame, root: String,
+                        checkpointDir: String): StreamingQuery =
+    streamingEvents.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) => dailyRollupBatch(batch, root) }
+      .start()
+
+  /** One micro-batch of [[dailyRollupIngest]]: candidates = stored
+    * per-cell min-k rows ∪ the batch's distinct (type, day, hash)
+    * triples, set-deduped (a redelivered event re-derives the identical
+    * triple), re-ranked per cell, merged keyed (g, day, rk) —
+    * [[thetaSketchBatch]]'s bounded-state idempotent replay class with
+    * the day in the cell key. Per-CELL state stays ≤ k rows; the table
+    * grows only with the (type, day) domain — which is the product: the
+    * daily sketch job IS this stream. */
+  def dailyRollupBatch(batch: DataFrame, root: String): Unit = {
+    import graft.queries.PipelineQueries
+    val spark = batch.sparkSession
+    val cand = PipelineQueries.k12DailyValues(batch)
+    val all = SnapshotStore.read(spark, s"$root/k12_partials")
+      .map(s => cand.unionByName(s.select(col("g"), col("day"), col("h"))))
+      .getOrElse(cand)
+      .distinct()
+    val top = PipelineQueries.k12DaySketch(all)
+      .select(col("g"), col("day"), col("rk"), col("h"))
+      .localCheckpoint() // frozen BEFORE the merge moves the store
+    SnapshotStore.merge(spark, s"$root/k12_partials", top, Seq("g", "day", "rk"))
+  }
+
   /** One micro-batch (or one incremental run) of [[nearDupIngest]].
     * `thresholdPpm` is the Jaccard threshold in exact parts-per-million
     * (500000 = 1/2) — integer so the keep predicate and the emitted

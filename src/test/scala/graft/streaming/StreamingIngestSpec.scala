@@ -411,4 +411,42 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == oneShot,
       "re-executed batches must leave the max-merged grid unchanged")
   }
+
+  test("streamed day partials are replay-proof by algebra: per-cell min-k merge " +
+      "makes redelivery and re-execution no-ops, and the filled cell stays k-bounded") {
+    import spark.implicits._
+    import graft.queries.PipelineQueries
+    val root = Files.createTempDirectory("graft-k12crash").toString
+    // 12 users on day-1/type-A (> k = 8: that cell FILLS and values fall
+    // out of the min-k), 3 on day-2/type-A, 4 on day-1/type-B
+    val ts1 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-06 10:00:00")
+    val events = ((1L to 12L).map(u => (u, ts1, u, "A")) ++
+      (21L to 23L).map(u => (100L + u, ts2, u, "A")) ++
+      (31L to 34L).map(u => (200L + u, ts1, u, "B")))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val b0 = events.filter(col("event_id") <= 6)
+    // batch 1 REDELIVERS events 4-6; then two full post-commit
+    // re-executions (checkpoint not yet advanced) — nothing guards any
+    // of it except the per-cell min-k union itself
+    val b1 = events.filter(col("event_id") >= 4)
+    StreamingIngest.dailyRollupBatch(b0, root)
+    StreamingIngest.dailyRollupBatch(b1, root)
+    StreamingIngest.dailyRollupBatch(b1, root)
+    StreamingIngest.dailyRollupBatch(b1, root)
+    val served = SnapshotStore.read(spark, s"$root/k12_partials").get
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getLong(3))).toSet
+    val oneShot = PipelineQueries.k12DaySketch(
+        PipelineQueries.k12DailyValues(events))
+      .select(col("g"), col("day"), col("rk"), col("h"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2), r.getLong(3))).toSet
+    assert(served == oneShot,
+      "replayed/redelivered batches must leave the partial table at the one-shot sketch")
+    assert(served.count(t => t._1 == "A" && t._2 == "2024-01-05")
+      == PipelineQueries.K12k, "the over-full cell must hold exactly k rows")
+    assert(served.count(t => t._1 == "A" && t._2 == "2024-01-06") == 3,
+      "the small cell is its own value set (exact mode)")
+  }
 }
