@@ -299,6 +299,11 @@ object PipelineQueries {
       .filter(lit(2) * col("inter") >= col("uni"))
       .select(col("a_id"), col("b_id"),
         expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
+      // r14 opt: materialize the (output-sized) verified pairs before the
+      // global sort — the range exchange's sampling job re-executes
+      // everything since the last shuffle, i.e. the whole per-candidate
+      // array_intersect verify, a second time (see d14bNamePairs)
+      .localCheckpoint()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -376,6 +381,9 @@ object PipelineQueries {
       .filter(lit(5) * col("inter") >= lit(4) * col("na"))
       .select(col("a_id"), col("b_id"),
         expr("cast(inter as bigint) * 1000000 div na").as("containment_ppm"))
+      // r14 opt: sort-sampling would re-run the array_intersect verify
+      // (see d14bNamePairs); the checkpoint is output-sized
+      .localCheckpoint()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -495,6 +503,9 @@ object PipelineQueries {
       .filter(lit(10) * col("inter") >= lit(3) * col("uni"))
       .select(col("source"), col("a_id"), col("b_id"),
         expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
+      // r14 opt: sort-sampling would re-run the array_intersect verify
+      // (see d14bNamePairs); the checkpoint is output-sized
+      .localCheckpoint()
       .orderBy(col("source"), col("a_id"), col("b_id"))
   }
 
@@ -573,7 +584,10 @@ object PipelineQueries {
     val same = rmap.as("x").join(rmap.as("y"),
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"), lit(0L).as("dist"))
-    cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
+    // checkpoint before the global sort: the range exchange's sampling job
+    // would otherwise re-execute the id-expansion joins and the verify
+    // chain above them a second time (r14 opt — see d14bNamePairs)
+    cross.unionByName(same).localCheckpoint().orderBy(col("a_id"), col("b_id"))
   }
 
   /** SymSpell match-field bound for [[d14bFuzzyJoinK2]]: deletions are
@@ -678,6 +692,15 @@ object PipelineQueries {
         col("n").as("b_n")), "b_id")
       .withColumn("dist", expr("levenshtein(a_name, b_name, 2)"))
       .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
+      // materialize the verified pairs ONCE (r14 opt, guide §1/§2.4): both
+      // consumers end in a global orderBy, and a range exchange runs a
+      // SAMPLING job that re-executes everything since the last shuffle —
+      // without this checkpoint the candidate-distinct read, both
+      // name-fetch joins and the 17M-row levenshtein verify run TWICE per
+      // query (measured 2.0-4.5× on the full query at sf0.1). The frame is
+      // output-sized (|verified name pairs|), the same bound the operator
+      // already carries.
+      .localCheckpoint()
   }
 
   /** Per-side id cap for [[d14cFuzzyExpand]]: each duplicate group
@@ -727,7 +750,10 @@ object PipelineQueries {
         col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
         lit(0L).as("dist"))
-    cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
+    // checkpoint before the global sort: the range exchange's sampling job
+    // would otherwise re-execute both expansion joins and the same-name
+    // self-join a second time (r14 opt — see d14bNamePairs)
+    cross.unionByName(same).localCheckpoint().orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- D15: incremental near-dup admission through the store ---------------
