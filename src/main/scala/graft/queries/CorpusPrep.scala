@@ -49,7 +49,7 @@ object CorpusPrep {
     val docs = Sources.testdata(spark, dir)("documents")
 
     // 1. docs that lost their cluster election (canonical survives)
-    val nonCanonical = d6DedupClusters(spark, dir)
+    val nonCanonical = d6Labels(spark, dir)
       .filter(col("doc_id") =!= col("canonical_id")).select("doc_id")
     // 2. training docs sharing any 8-gram with the eval slice
     val evalGrams = decontGrams(docs.filter(pmod(col("doc_id"), lit(DecontMod)) === 0), "eval_id")
@@ -179,7 +179,10 @@ object CorpusPrep {
     * here either). */
   val pipe3GatedQuota: Q = (spark, dir) => {
     val docs = Sources.testdata(spark, dir)("documents")
-    val pass = t20GopherRules(spark, dir).filter(col("pass")).select("doc_id")
+    // r14 opt: t20Flags directly — the declared t20's global sort exists
+    // only for ITS oracle's row order; the gate never needed it (§2.4)
+    val pass = PipelineQueries.t20Flags(fanOut(spark, docs))
+      .filter(col("pass")).select("doc_id")
     sourceQuota(docs.join(pass, Seq("doc_id")))
   }
 
@@ -203,13 +206,16 @@ object CorpusPrep {
     * digest groupBy over survivors, map-only gate. */
   val pipe4CrawlPrep: Q = (spark, dir) => {
     val docs = Sources.testdata(spark, dir)("documents")
-    val urlKeep = d12UrlDedup(spark, dir)
+    // r14 opt: unsorted cores — the callees' global sorts exist only for
+    // their own oracles' row order (§2.4)
+    val urlKeep = d12Clusters(spark, dir)
       .filter(col("is_dup") === 0).select("doc_id")
     val contentKeep = docs.join(urlKeep, Seq("doc_id"))
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val pass = t20GopherRules(spark, dir).filter(col("pass")).select("doc_id")
+    val pass = PipelineQueries.t20Flags(fanOut(spark, docs))
+      .filter(col("pass")).select("doc_id")
     docs.join(contentKeep, Seq("doc_id")).join(pass, Seq("doc_id"))
       .select(col("doc_id"), col("source"),
         size(split(lower(col("text")), " ")).cast(LongType).as("n_words"))

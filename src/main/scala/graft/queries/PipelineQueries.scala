@@ -51,7 +51,7 @@ object PipelineQueries {
     * matter the cluster size. The row shuffle is trivial next to the per-row
     * CPU it unlocks; on a cluster whose scan already yields thousands of
     * splits AQE coalesces it away rather than letting it hurt. */
-  private def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
+  private[queries] def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
 
   // ---- deterministic pseudo-random literals (shared with the oracles) ----
@@ -170,7 +170,13 @@ object PipelineQueries {
     * skew-tolerant shape. The canonical frame is checkpointed — it
     * feeds both the groupBy and the probe side, and a self-join never
     * reuses its own exchange (the d2/d4 lesson). */
-  val d12UrlDedup: Q = (spark, dir) => {
+  val d12UrlDedup: Q = (spark, dir) =>
+    // declared query = core + deterministic output order (see d2Pairs)
+    d12Clusters(spark, dir).orderBy(col("doc_id"))
+
+  /** d12's URL-canonicalization report, unsorted — the reusable core of
+    * [[d12UrlDedup]]; pipe4 never needed the global sort (r14 opt). */
+  private[queries] def d12Clusters(spark: SparkSession, dir: String): DataFrame = {
     val id = col("doc_id")
     val k = pmod(id, lit(40))
     val schemeC = when(pmod(k, lit(2)) === 0, "http").otherwise("https")
@@ -209,7 +215,6 @@ object PipelineQueries {
       .withColumn("is_dup", (id =!= col("canonical_doc")).cast(IntegerType))
       .select(col("doc_id"), col("url"), col("canonical_url"),
         col("cluster_size"), col("canonical_doc"), col("is_dup"))
-      .orderBy(id)
   }
 
   // ---- shared shingling ----------------------------------------------------
@@ -266,7 +271,17 @@ object PipelineQueries {
       .toDF("doc_id", "band", "bucket")
   }
 
-  val d2MinhashLsh: Q = (spark, dir) => {
+  val d2MinhashLsh: Q = (spark, dir) =>
+    // the declared query adds the deterministic output order; every
+    // internal consumer (d6/d13/d15/d17/d18/g2/t21/...) reads [[d2Pairs]]
+    // directly — the global sort exists only for the oracle's hashed row
+    // order, and paying a range exchange per reuse is the guide-§2.4
+    // "orderBy used only to make output deterministic" anti-pattern
+    d2Pairs(spark, dir).orderBy(col("a_id"), col("b_id"))
+
+  /** d2's verified near-dup pairs, unsorted and localCheckpoint'd —
+    * the reusable core of [[d2MinhashLsh]] (r14 opt). */
+  private[queries] def d2Pairs(spark: SparkSession, dir: String): DataFrame = {
     // localCheckpoint (not persist): three consumers share the shingling
     // pass, and the materialized blocks are released by the ContextCleaner
     // when the result goes out of scope — a persist() here has no safe
@@ -299,12 +314,12 @@ object PipelineQueries {
       .filter(lit(2) * col("inter") >= col("uni"))
       .select(col("a_id"), col("b_id"),
         expr("cast(inter as bigint) * 1000000 div uni").as("jaccard_ppm"))
-      // r14 opt: materialize the (output-sized) verified pairs before the
-      // global sort — the range exchange's sampling job re-executes
-      // everything since the last shuffle, i.e. the whole per-candidate
-      // array_intersect verify, a second time (see d14bNamePairs)
+      // r14 opt: materialize the (output-sized) verified pairs — the
+      // declared query's range exchange would otherwise re-execute the
+      // whole per-candidate array_intersect verify in its sampling job
+      // (see d14bNamePairs), and internal consumers fan the frame into
+      // self-joins/multiple passes
       .localCheckpoint()
-      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- D11: asymmetric containment dedup ----------------------------------
@@ -393,7 +408,13 @@ object PipelineQueries {
     * digits of md5 (engine-portable); each bit of the fingerprint is the
     * sign of the ±1 vote sum across tokens. A narrow map-side projection —
     * no shuffle; near-dup lookups then group on fingerprint prefixes. */
-  val d3Simhash: Q = (spark, dir) => {
+  val d3Simhash: Q = (spark, dir) =>
+    // declared query = core + deterministic output order (see d2Pairs)
+    d3Fingerprints(spark, dir).orderBy(col("doc_id"))
+
+  /** d3's per-doc fingerprints, unsorted — the reusable core of
+    * [[d3Simhash]]; d13 never needed the global sort (r14 opt). */
+  private[queries] def d3Fingerprints(spark: SparkSession, dir: String): DataFrame = {
     // explode words, then 60 codegen'd conditional-sum aggregates (one per
     // bit) — partial aggregation combines map-side, so the shuffle carries
     // 60 longs per doc, not the token stream. fanOut first: the md5-per-word
@@ -409,7 +430,6 @@ object PipelineQueries {
       .reduce(_ + _)
     ex.groupBy(col("doc_id")).agg(bitAggs.head, bitAggs.tail: _*)
       .select(col("doc_id"), fingerprint.as("simhash"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- D4: n-gram Jaccard similarity join within source groups -------------
@@ -1013,7 +1033,7 @@ object PipelineQueries {
     try {
       val retireP = pmod(col("doc_id"), lit(D18RetireMod)) === D18RetireRem
       val pre = admissionRun(spark, dir, root).localCheckpoint()
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       incrementalCcRun(spark, pairs, s"$root/graph")
       val admission = retireAndReadmit(spark, root, pre, retireP)
       val labels =
@@ -1148,7 +1168,7 @@ object PipelineQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-d19b").toString
     try {
       val docs = fanOut(spark, t(spark, dir, "documents"))
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       d19bRun(spark, docs, pairs, root)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -1185,7 +1205,7 @@ object PipelineQueries {
     * triangles, different algorithm, so an orientation bug or a
     * double-counted corner reds the hash. */
   val g4Triangles: Q = (spark, dir) => {
-    val pairs = d2MinhashLsh(spark, dir)
+    val pairs = d2Pairs(spark, dir)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint() // feeds degree, orientation AND closure (self-join rule)
     val deg = pairs.select(col("a_id").as("v"))
@@ -1312,7 +1332,7 @@ object PipelineQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-d19c").toString
     try {
       val docs = fanOut(spark, t(spark, dir, "documents"))
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       d19cRun(spark, docs, pairs, root,
         c => pmod(c, lit(D18RetireMod.toLong)) === lit(D18RetireRem.toLong))
     } finally
@@ -1457,7 +1477,7 @@ object PipelineQueries {
   val g4bIncrementalTriangles: Q = (spark, dir) => {
     val root = java.nio.file.Files.createTempDirectory("graft-g4b").toString
     try {
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       g4bRun(spark, pairs, root)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -3806,6 +3826,9 @@ object PipelineQueries {
       .filter(lit(2) * col("inter") >= col("uni"))
       .select(col("a_id"), col("b_id"), col("hamming"),
         expr("inter * 1000000 div uni").as("jaccard_ppm"))
+      // r14 opt: sort-sampling would re-run the candidate fetch joins and
+      // the array_intersect verify (see d14bNamePairs); output-sized
+      .localCheckpoint()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -3879,6 +3902,9 @@ object PipelineQueries {
           * lit(1e6) + lit(0.5)))
       .withColumn("keep", col("cos_e6") >= M8Threshold)
       .select(col("doc_id"), col("n_cap"), col("n_img"), col("cos_e6"), col("keep"))
+      // r14 opt: sort-sampling would re-run the grid join + the cosine
+      // lambdas (see d14bNamePairs); the checkpoint is output-sized
+      .localCheckpoint()
       .orderBy(col("doc_id"))
   }
 
@@ -4122,6 +4148,9 @@ object PipelineQueries {
       .filter(lit(2) * col("inter") >= col("uni"))
       .select(col("a_id"), col("b_id"), col("hamming"),
         expr("inter * 1000000 div uni").as("jaccard_ppm"))
+      // r14 opt: sort-sampling would re-run the candidate fetch joins and
+      // the array_intersect verify (see d14bNamePairs); output-sized
+      .localCheckpoint()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -4409,7 +4438,9 @@ object PipelineQueries {
         col("x.rid") === col("y.rid") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         lit(0L).as("hamming"), lit(1000000L).as("jaccard_ppm"))
-    cross.unionByName(intra).orderBy(col("a_id"), col("b_id"))
+    // r14 opt: sort-sampling would re-run the verify + both expansion
+    // joins (see d14bNamePairs); the checkpoint is output-sized
+    cross.unionByName(intra).localCheckpoint().orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- M2: frame sampling (one row per sampled frame) ----------------------
@@ -4552,14 +4583,20 @@ object PipelineQueries {
     * their own canonical). Components come from [[connectedComponents]]:
     * min-label propagation sized for LSH near-cliques, with the
     * large-star/small-star fallback covering high-diameter graphs. */
-  val d6DedupClusters: Q = (spark, dir) => {
-    val pairs = d2MinhashLsh(spark, dir)
+  val d6DedupClusters: Q = (spark, dir) =>
+    // declared query = core + deterministic output order (see d2Pairs)
+    d6Labels(spark, dir).orderBy(col("doc_id"))
+
+  /** d6's cluster labeling, unsorted — the reusable core of
+    * [[d6DedupClusters]]; internal consumers (d19/k5/t21/pipe) never
+    * needed the global sort (r14 opt). */
+  private[queries] def d6Labels(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d2Pairs(spark, dir)
       .select(col("a_id"), col("b_id")).localCheckpoint()
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "l")
       .select(col("v").as("doc_id"), col("l").as("canonical_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
   }
 
   // ---- D19: quality-aware canonical election per near-dup cluster ----------
@@ -4584,7 +4621,7 @@ object PipelineQueries {
     * component-keyed rank window over members only. All-integer logit
     * (t19's fixed point), so the argmax is engine-exact. */
   val d19CanonicalPick: Q = (spark, dir) => {
-    val labels = d6DedupClusters(spark, dir)
+    val labels = d6Labels(spark, dir)
       .select(col("doc_id"), col("canonical_id").as("component_id"),
         col("cluster_size"))
     val members = t19Scored(
@@ -5008,7 +5045,7 @@ object PipelineQueries {
     * t12 itself has. */
   val k5CurationFunnel: Q = (spark, dir) => {
     val docs = t(spark, dir, "documents")
-    val nonCanonical = d6DedupClusters(spark, dir)
+    val nonCanonical = d6Labels(spark, dir)
       .filter(col("doc_id") =!= col("canonical_id"))
       .select(col("doc_id"), lit(1L).as("nc"))
     val evalGrams = decontGrams(
@@ -6053,7 +6090,7 @@ object PipelineQueries {
   val g2IncrementalCc: Q = (spark, dir) => {
     val root = java.nio.file.Files.createTempDirectory("graft-g2").toString
     try {
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       incrementalCcRun(spark, pairs, root)
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
@@ -6158,7 +6195,7 @@ object PipelineQueries {
   val g2bCcRetirement: Q = (spark, dir) => {
     val root = java.nio.file.Files.createTempDirectory("graft-g2b").toString
     try {
-      val pairs = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+      val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
       ccRetireRun(spark, pairs, root,
         pmod(col("a_id") + col("b_id"), lit(G2bRetireMod)) === lit(G2bRetireRem))
     } finally
@@ -6370,7 +6407,7 @@ object PipelineQueries {
     * SAMPLE (d2 on a stripe), exactly how v12 samples its query set. All
     * arithmetic integer; the div guards (nullif) mirror the oracle. */
   val d13DedupEval: Q = (spark, dir) => {
-    val sh = d3Simhash(spark, dir).localCheckpoint() // self-join (see d2)
+    val sh = d3Fingerprints(spark, dir).localCheckpoint() // self-join (see d2)
     val mask = (1L << SimBandBits) - 1
     val bands = sh.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${SimBands - 1}), b -> " +
@@ -6381,7 +6418,7 @@ object PipelineQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val exact = d2MinhashLsh(spark, dir).select(col("a_id"), col("b_id"))
+    val exact = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
     // one keyed full-outer + one aggregate: candidate-only rows count
     // toward precision's denominator, exact-only rows toward recall's,
     // matched rows toward both — no single-row cross stitch anywhere
@@ -6920,7 +6957,7 @@ object PipelineQueries {
     * small, shuffles when a pathological corpus makes it big); the hash,
     * bucket and split label are map-side expressions. */
   val t21SplitLeakfree: Q = (spark, dir) => {
-    val clusters = d6DedupClusters(spark, dir)
+    val clusters = d6Labels(spark, dir)
       .select(col("doc_id"), col("canonical_id"))
     t(spark, dir, "documents").select(col("doc_id"), col("lang"))
       .join(clusters, Seq("doc_id"), "left")
@@ -7688,8 +7725,15 @@ object PipelineQueries {
       .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + E))
       .select(col("term"), col("seq"), col("freq"))
       .localCheckpoint()
+    import spark.implicits._
     val reports = (1 to iters).map { it =>
-      val best = cur
+      // r14 opt: ONE action per round for the argmax (head on the
+      // TakeOrderedAndProject) and the report row rebuilt as a literal
+      // frame from the collected values — the old shape checkpointed the
+      // 1-row argmax (a full extra job per round) only to re-scan it for
+      // the report. 1 row of driver data, same values, one fewer job and
+      // one fewer checkpoint per round.
+      val row = cur
         .withColumn("toks", transform(
           filter(split(col("seq"), S), x => x =!= ""),
           x => x.substr(lit(1), length(x) - 1))) // strip the trailing ⟨E⟩
@@ -7700,15 +7744,14 @@ object PipelineQueries {
         .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
         .agg(sum(col("freq")).as("pf"), countDistinct(col("seq")).as("n_types"))
         .orderBy(col("pf").desc, col("c1"), col("c2")).limit(1)
-        .localCheckpoint() // 1 row: feeds the report AND the merge literal
-      val row = best.head
+        .head
       val (c1, c2) = (row.getString(0), row.getString(1))
       cur = cur
         .withColumn("seq", replace(col("seq"),
           lit(S + c1 + E + S + c2 + E), lit(S + c1 + c2 + E)))
         .localCheckpoint() // step k+1 never replays step k's merge chain
-      best.select(lit(it.toLong).as("iter"), col("c1"), col("c2"),
-        col("pf"), col("n_types"))
+      Seq((it.toLong, c1, c2, row.getLong(2), row.getLong(3)))
+        .toDF("iter", "c1", "c2", "pf", "n_types")
     }
     (reports, cur)
   }
