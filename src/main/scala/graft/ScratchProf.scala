@@ -1,14 +1,18 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.LongType
 
 /** Dev-only same-session A/B harness for optimization work (guide §1):
-  * alternates OLD and NEW shapes of a hot query inside one JVM so host
-  * phase drift cannot masquerade as a win. Not part of the driver
-  * contract. Usage: ScratchProf [sfDir] [reps] */
+  * alternates variant shapes of a hot query inside one JVM, round-robin,
+  * so host phase drift cannot masquerade as a win. Not part of the driver
+  * contract.
+  *
+  * r15 matrix: the d14b/d14c checkpoint placements (the r14 driver
+  * measured d14c's double-barrier shape as a 1.6× regression — VERDICT.md
+  * "Next round" #1). Variants run INTERLEAVED (a full round of all
+  * variants, repeated), per-run block release, median reported.
+  *
+  * Usage: ScratchProf [sfDir] [reps] */
 object ScratchProf {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -25,9 +29,11 @@ object ScratchProf {
 
     def run(label: String)(f: => DataFrame): Double = {
       val before = spark.sparkContext.getPersistentRDDs.keySet
+      spark.sparkContext.setJobDescription(label)
       val t0 = System.nanoTime()
       f.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.setJobDescription(null)
       spark.sqlContext.clearCache()
       spark.sparkContext.getPersistentRDDs
         .filterNot { case (id, _) => before.contains(id) }
@@ -37,93 +43,31 @@ object ScratchProf {
       sec
     }
 
-    // ---- OLD d14c shape (pre-r14-opt): no checkpoints around the sort ----
-    val D14bPrefix = graft.queries.PipelineQueries.D14bPrefix
-    val D14cCap = graft.queries.PipelineQueries.D14cCap
-    def oldNamePairs(): DataFrame = {
-      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-        .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      val reps0 = cust.groupBy(col("name"))
-        .agg(min(col("id")).as("rid"), count(lit(1)).as("n"))
-        .localCheckpoint()
-      val maxLen = reps0.agg(max(length(col("name")))).head.getInt(0)
-      require(maxLen <= D14bPrefix)
-      val nb = reps0.select(col("rid"), explode(expr(
-          s"""concat(
-             |  array(name),
-             |  CASE WHEN length(name) >= 1 THEN
-             |    transform(sequence(1, least(length(name), $D14bPrefix)),
-             |      i -> concat(substring(name, 1, i - 1), substring(name, i + 1)))
-             |  ELSE array() END,
-             |  CASE WHEN least(length(name), $D14bPrefix) >= 2 THEN
-             |    flatten(transform(sequence(1, least(length(name), $D14bPrefix) - 1),
-             |      i -> transform(sequence(i + 1, least(length(name), $D14bPrefix)),
-             |        j -> concat(substring(name, 1, i - 1),
-             |                    substring(name, i + 1, j - i - 1),
-             |                    substring(name, j + 1)))))
-             |  ELSE array() END)""".stripMargin)).as("v"), length(col("name")).as("len"))
-        .select(col("rid"), xxhash64(col("v")).as("vh"), col("len"))
-        .distinct()
-        .localCheckpoint()
-      nb.as("x").join(nb.as("y"),
-          col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid") &&
-            abs(col("x.len") - col("y.len")) <= 2)
-        .select(col("x.rid").as("a_id"), col("y.rid").as("b_id"))
-        .distinct()
-        .join(reps0.select(col("rid").as("a_id"), col("name").as("a_name"),
-          col("n").as("a_n")), "a_id")
-        .join(reps0.select(col("rid").as("b_id"), col("name").as("b_name"),
-          col("n").as("b_n")), "b_id")
-        .withColumn("dist", expr("levenshtein(a_name, b_name, 2)"))
-        .filter(col("dist") >= 0)
-    }
-    def oldD14b(): DataFrame =
-      oldNamePairs()
-        .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
-          col("a_n"), col("b_n"), (col("a_n") * col("b_n")).as("n_id_pairs"))
-        .orderBy(col("a_id"), col("b_id"))
-    def oldD14c(): DataFrame = {
-      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-        .select(col("c_custkey").as("id"), col("c_name").as("name"))
-      val capped = cust
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("name")).orderBy(col("id"))))
-        .withColumn("rid", min(col("id")).over(Window.partitionBy(col("name"))))
-        .filter(col("rn") <= D14cCap)
-        .select(col("rid"), col("id"))
-        .localCheckpoint()
-      val np = oldNamePairs()
-      val cross = np
-        .join(capped.select(col("rid").as("a_id"), col("id").as("ia")), "a_id")
-        .join(capped.select(col("rid").as("b_id"), col("id").as("ib")), "b_id")
-        .select(least(col("ia"), col("ib")).as("a_id"),
-          greatest(col("ia"), col("ib")).as("b_id"),
-          col("dist").cast("long").as("dist"))
-      val same = capped.as("x").join(capped.as("y"),
-          col("x.rid") === col("y.rid") && col("x.id") < col("y.id"))
-        .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
-          lit(0L).as("dist"))
-      cross.unionByName(same).orderBy(col("a_id"), col("b_id"))
-    }
+    import graft.queries.PipelineQueries
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "d14c_np1_tail1" -> (() => PipelineQueries.d14cImpl(spark, sfDir, npCkpt = true, tailCkpt = true)),
+      "d14c_np1_tail0" -> (() => PipelineQueries.d14cImpl(spark, sfDir, npCkpt = true, tailCkpt = false)),
+      "d14c_np0_tail1" -> (() => PipelineQueries.d14cImpl(spark, sfDir, npCkpt = false, tailCkpt = true)),
+      "d14c_np0_tail0" -> (() => PipelineQueries.d14cImpl(spark, sfDir, npCkpt = false, tailCkpt = false)),
+      "d14b_np1" -> (() => PipelineQueries.d14bImpl(spark, sfDir, npCkpt = true)),
+      "d14b_np0" -> (() => PipelineQueries.d14bImpl(spark, sfDir, npCkpt = false)))
 
-    // warmup
+    // warmup (same as Bench): classloading + codegen off the first timing
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // one untimed warm pass of each variant so codegen compilation of the
+    // shared shapes is not charged to whichever variant runs first
+    variants.foreach { case (l, f) => run(s"warm:$l")(f()) }
 
-    val res = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
-    (1 to reps).foreach { r =>
-      println(s"== round $r ==")
-      res("old d14b") ::= run("old d14b")(oldD14b())
-      res("new d14b") ::= run("new d14b")(
-        SparkEntry.queries("d14b_fuzzy_join_k2")(spark, sfDir))
-      res("old d14c") ::= run("old d14c")(oldD14c())
-      res("new d14c") ::= run("new d14c")(
-        SparkEntry.queries("d14c_fuzzy_expand")(spark, sfDir))
-    }
-    println("== medians ==")
-    res.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      val m = v.sorted.apply(v.size / 2)
-      println(f"[scratch] $k%-12s median=$m%7.3f  runs=${v.reverse.map(t => f"$t%.2f").mkString(",")}")
+    val times = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (r <- 1 to reps; (l, f) <- variants)
+      times(l) = times(l) :+ run(s"rep$r:$l")(f())
+    println("---- medians ----")
+    for ((l, _) <- variants) {
+      val ts = times(l).sorted
+      val med = ts(ts.size / 2)
+      println(f"[scratch] MEDIAN $l%-22s $med%8.3f s  runs=${times(l).map(t => f"$t%.2f").mkString(",")}")
     }
     spark.stop()
   }

@@ -650,8 +650,13 @@ object PipelineQueries {
     * rows); candidates dedup before the per-pair verify; the
     * neighborhood frame is localCheckpoint'ed for its self-join (the
     * d2/d4 lesson). */
-  val d14bFuzzyJoinK2: Q = (spark, dir) =>
-    d14bNamePairs(spark, dir)
+  val d14bFuzzyJoinK2: Q = (spark, dir) => d14bImpl(spark, dir)
+
+  /** d14b's body with the verified-pairs checkpoint parameterized for the
+    * r15 same-boot A/B (see [[d14cImpl]]). */
+  private[graft] def d14bImpl(spark: SparkSession, dir: String,
+                              npCkpt: Boolean = true): DataFrame =
+    d14bNamePairs(spark, dir, materialize = npCkpt)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"),
         col("a_n"), col("b_n"), (col("a_n") * col("b_n")).as("n_id_pairs"))
       .orderBy(col("a_id"), col("b_id"))
@@ -662,7 +667,8 @@ object PipelineQueries {
     * expansion): one pipeline, no drift. Returns one row per verified
     * name pair: (a_id, b_id) = representative ids, both names, both
     * group sizes, dist (int, 1..2). */
-  private def d14bNamePairs(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def d14bNamePairs(spark: SparkSession, dir: String,
+                                   materialize: Boolean = true): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val reps = cust.groupBy(col("name"))
@@ -701,7 +707,7 @@ object PipelineQueries {
     // length band |len(a) − len(b)| ≤ 2 — the standard SymSpell candidate
     // filter: lev(a,b) ≤ 2 bounds the length difference, so the predicate
     // is lossless and prunes the verify stream before the pair-dedup
-    nb.as("x").join(nb.as("y"),
+    val verified = nb.as("x").join(nb.as("y"),
         col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid") &&
           abs(col("x.len") - col("y.len")) <= 2)
       .select(col("x.rid").as("a_id"), col("y.rid").as("b_id"))
@@ -712,15 +718,14 @@ object PipelineQueries {
         col("n").as("b_n")), "b_id")
       .withColumn("dist", expr("levenshtein(a_name, b_name, 2)"))
       .filter(col("dist") >= 0) // thresholded form returns -1 past the bound
-      // materialize the verified pairs ONCE (r14 opt, guide §1/§2.4): both
-      // consumers end in a global orderBy, and a range exchange runs a
-      // SAMPLING job that re-executes everything since the last shuffle —
-      // without this checkpoint the candidate-distinct read, both
-      // name-fetch joins and the 17M-row levenshtein verify run TWICE per
-      // query (measured 2.0-4.5× on the full query at sf0.1). The frame is
-      // output-sized (|verified name pairs|), the same bound the operator
-      // already carries.
-      .localCheckpoint()
+    // materialize the verified pairs ONCE (r14 opt, guide §1/§2.4) when the
+    // consumer's final global orderBy would otherwise re-execute the verify
+    // chain in the range exchange's sampling job. d14b wants this (its sort
+    // reads the pairs directly); d14c does NOT (it checkpoints its own
+    // union tail, so this barrier would be a second, redundant
+    // materialization — the r14 driver measured that double barrier as a
+    // 1.6× regression on d14c).
+    if (materialize) verified.localCheckpoint() else verified
   }
 
   /** Per-side id cap for [[d14cFuzzyExpand]]: each duplicate group
@@ -747,7 +752,20 @@ object PipelineQueries {
     * ≤ (Cap² + Cap(Cap−1)/2)·|groups| rows regardless of replication
     * factor — the k² blowup d14b's name-level report avoids stays
     * avoided here. */
-  val d14cFuzzyExpand: Q = (spark, dir) => {
+  val d14cFuzzyExpand: Q = (spark, dir) => d14cImpl(spark, dir)
+
+  /** d14c's body with the two checkpoint barriers parameterized for the
+    * same-boot A/B the r15 round runs (the r14 driver measured the
+    * both-barriers shape as a 1.6× regression). Declared defaults carry
+    * the measured winner of the r15 interleaved A/B (5 reps, one JVM):
+    * np0_tail1 10.84 s < np1_tail1 11.16 s < np0_tail0 12.98 s — the
+    * union-tail checkpoint alone already guards the sort's sampling job,
+    * so the shared name-pairs barrier is a redundant second
+    * materialization HERE (d14b, whose sort reads the pairs directly,
+    * keeps it: np1 11.26 s vs np0 12.61 s). */
+  private[graft] def d14cImpl(spark: SparkSession, dir: String,
+                              npCkpt: Boolean = false,
+                              tailCkpt: Boolean = true): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // K smallest ids per duplicate group, keyed by the group's
@@ -759,7 +777,7 @@ object PipelineQueries {
       .filter(col("rn") <= D14cCap)
       .select(col("rid"), col("id"))
       .localCheckpoint() // feeds both expansion fetches AND the self-join
-    val np = d14bNamePairs(spark, dir)
+    val np = d14bNamePairs(spark, dir, materialize = npCkpt)
     val cross = np
       .join(capped.select(col("rid").as("a_id"), col("id").as("ia")), "a_id")
       .join(capped.select(col("rid").as("b_id"), col("id").as("ib")), "b_id")
@@ -773,7 +791,9 @@ object PipelineQueries {
     // checkpoint before the global sort: the range exchange's sampling job
     // would otherwise re-execute both expansion joins and the same-name
     // self-join a second time (r14 opt — see d14bNamePairs)
-    cross.unionByName(same).localCheckpoint().orderBy(col("a_id"), col("b_id"))
+    val tail = cross.unionByName(same)
+    (if (tailCkpt) tail.localCheckpoint() else tail)
+      .orderBy(col("a_id"), col("b_id"))
   }
 
   // ---- D15: incremental near-dup admission through the store ---------------
