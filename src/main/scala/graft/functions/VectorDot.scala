@@ -110,6 +110,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vector_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vector_l2sq", exprs => VectorL2SqLong(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_ids", exprs => ShingleIds(exprs.head), "built-in")
   }
 }
@@ -126,6 +128,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VectorDot].getCanonicalName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children.head, children(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_l2sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VectorL2SqLong].getCanonicalName, "vector_l2sq"),
+      (children: Seq[Expression]) => VectorL2SqLong(children.head, children(1))))
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("shingle_ids"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

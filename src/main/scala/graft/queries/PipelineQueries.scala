@@ -1758,15 +1758,15 @@ object PipelineQueries {
     * with (and the ADC lookup table when kept on the query side). */
   private lazy val pqDistListsSql: String = {
     def subDist(m: Int, k: Int) =
-      s"""aggregate(zip_with(slice(u, ${m * PqDim + 1}, $PqDim),
-         |  cast(array(${PqCodebookQ(m)(k).mkString(",")}) as array<bigint>),
-         |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
+      s"""vector_l2sq(slice(u, ${m * PqDim + 1}, $PqDim),
+         |  cast(array(${PqCodebookQ(m)(k).mkString(",")}) as array<bigint>))""".stripMargin
     (0 until PqSub).map(m =>
       (0 until PqK).map(k => subDist(m, k)).mkString("array(", ",", ")"))
       .mkString("array(", ",", ")")
   }
 
   val v6PqTopk: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val enc = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint))").as("u"))
@@ -2204,8 +2204,7 @@ object PipelineQueries {
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
     val shortlist = coded.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc_dist", expr(
-        "aggregate(zip_with(qu, r510, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+      .withColumn("adc_dist", expr("vector_l2sq(qu, r510)"))
       .withColumn("srk", row_number().over(wAdc))
       .filter(col("srk") <= SqShortlist)
       .select(col("q_id"), col("vec_id"), col("adc_dist"))
@@ -2601,7 +2600,9 @@ object PipelineQueries {
   private def kmCentLit(c: Seq[Long]) =
     c.mkString("cast(array(", ",", ") as array<bigint>)")
   private def kmDistExpr(c: Seq[Long]) = expr(
-    s"aggregate(zip_with(u, ${kmCentLit(c)}, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+    // r15 opt (guide §4): the interpreted aggregate(zip_with(...)) fold
+    // is CodegenFallback — vector_l2sq is the codegen'd exact twin
+    s"vector_l2sq(u, ${kmCentLit(c)})")
 
   /** One Lloyd refinement of the COARSE quantizer from the
     * [[IvfCentroids]] literal seeds, in offset 1e-6 units: returns the
@@ -2613,6 +2614,7 @@ object PipelineQueries {
     * is the per-iteration centroid broadcast, ≤ cells×dims rows. */
   private def ivfTrainLloyd(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[Long])]) = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     def quant(d: Double): Long = math.floor(d * 1e6 + 0.5).toLong + KmOff
     val cq0 = IvfCentroids.map(_.map(quant))
     val a0 = fanOut(spark, t(spark, dir, "embeddings"))
@@ -2625,19 +2627,21 @@ object PipelineQueries {
       .localCheckpoint() // update pass + second assignment share it; GC-released
     // Lloyd update: exact integer unit sums per (cell, dim). The collect is
     // the per-iteration centroid broadcast — ≤ cells×dims rows.
+    // r15 opt (guide §2.3): 64 codegen'd per-dim sums, no 64× posexplode
+    val dimAggs = count(lit(1)).as("n") +:
+      (0 until 64).map(i => sum(col("u")(i)).as(s"s$i"))
     val upd = a0
-      .select(col("cell0"), posexplode(col("u")).as(Seq("i", "uv")))
-      .groupBy(col("cell0"), col("i"))
-      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+      .groupBy(col("cell0"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
-    val byCell: Seq[(Int, Seq[Long])] = upd.groupBy(_.getInt(0)).toSeq.map {
-      case (cell, rows) =>
-        val n = rows.head.getLong(3)
-        val cent = new Array[Long](64)
+    val byCell: Seq[(Int, Seq[Long])] = upd.map { row =>
+      val n = row.getLong(1)
+      val cent = (0 until 64).map { i =>
         // all-positive s, n ⇒ truncating div == floor == HALF_UP of s/n
-        rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
-        (cell, cent.toSeq)
-    }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell id
+        (2 * row.getLong(2 + i) + n) / (2 * n)
+      }
+      (row.getInt(0), cent)
+    }.toSeq.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell id
     (a0, byCell)
   }
 
@@ -2651,7 +2655,7 @@ object PipelineQueries {
       .withColumn("cent", element_at(centArr, col("p")))
       // 1e-12-unit squared distance → 1e-6 units, floor(x+0.5) per vector
       .withColumn("d2u", expr(
-        "(aggregate(zip_with(u, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) + 500000L) div 1000000L"))
+        "(vector_l2sq(u, cent) + 500000L) div 1000000L"))
       .groupBy(col("cell1").as("cell"))
       .agg(
         count(lit(1)).as("n_members"),
@@ -2688,7 +2692,7 @@ object PipelineQueries {
     * (serving on the trained codebook) — one training, no drift. The
     * collect is the per-iteration centroid broadcast, ≤ Sub·K·Dim rows
     * (v5's sanctioned metadata collect). */
-  private def pqTrainLloyd(spark: SparkSession, dir: String)
+  private[queries] def pqTrainLloyd(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])]) = {
     val sub = fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
@@ -2707,6 +2711,7 @@ object PipelineQueries {
     * same offset units as `su`. */
   private def pqLloydStepFrom(sub: DataFrame, seeds: Seq[Seq[Seq[Long]]])
       : (DataFrame, Seq[(Int, Seq[(Int, Seq[Long])])]) = {
+    graft.functions.GraftFunctions.ensureRegistered(sub.sparkSession)
     def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
     val cbSql = seeds.map(_.map(cLit).mkString("array(", ",", ")"))
       .mkString("cast(array(", ",", ") as array<array<array<bigint>>>)")
@@ -2714,31 +2719,34 @@ object PipelineQueries {
     val a0 = sub
       .withColumn("s", expr(
         s"""transform(sequence(1, $nCodes), k ->
-           |  aggregate(zip_with(su, element_at(element_at($cbSql, m + 1), k),
-           |    (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x))""".stripMargin))
+           |  vector_l2sq(su, element_at(element_at($cbSql, m + 1), k)))""".stripMargin))
       .withColumn("code0", array_position(col("s"), array_min(col("s"))).cast(IntegerType))
       .drop("s")
       .localCheckpoint() // shared by the update agg and the reassignment
-    // Lloyd update: exact integer unit sums per (m, code, dim)
+    // Lloyd update: exact integer unit sums per (m, code, dim) — r15 opt
+    // (guide §2.3): PqDim codegen'd per-dim sums, no posexplode
+    val dimAggs = count(lit(1)).as("n") +:
+      (0 until PqDim).map(i => sum(col("su")(i)).as(s"s$i"))
     val upd = a0
-      .select(col("m"), col("code0"), posexplode(col("su")).as(Seq("i", "uv")))
-      .groupBy(col("m"), col("code0"), col("i"))
-      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+      .groupBy(col("m"), col("code0"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
     val byM = upd.groupBy(_.getInt(0)).toSeq
       .map { case (m, rows) =>
-        m -> rows.groupBy(_.getInt(1)).toSeq.map { case (code, cr) =>
-          val n = cr.head.getLong(4)
-          val cent = new Array[Long](PqDim)
-          // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
-          cr.foreach(r => cent(r.getInt(2)) = (2 * r.getLong(3) + n) / (2 * n))
-          (code, cent.toSeq)
-        }.sortBy(_._1) // ascending codes: first-min tie-break = lowest code
+        m -> rows.map { row =>
+          val n = row.getLong(2)
+          val cent = (0 until PqDim).map { i =>
+            // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
+            (2 * row.getLong(3 + i) + n) / (2 * n)
+          }
+          (row.getInt(1), cent)
+        }.toSeq.sortBy(_._1) // ascending codes: first-min tie-break = lowest code
       }.sortBy(_._1)
     (a0, byM)
   }
 
   val v20PqTrain: Q = (spark, dir) => {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     def cLit(c: Seq[Long]) = c.mkString("array(", ",", ")")
     val (a0, byM) = pqTrainLloyd(spark, dir)
     val codes1Sql = byM.map { case (_, cs) =>
@@ -2750,8 +2758,7 @@ object PipelineQueries {
     a0
       .withColumn("s1", expr(
         s"""transform(element_at($cents1Sql, m + 1), c ->
-           |  aggregate(zip_with(su, c, (a, b) -> (a - b) * (a - b)),
-           |    0L, (acc, x) -> acc + x))""".stripMargin))
+           |  vector_l2sq(su, c))""".stripMargin))
       .withColumn("p", array_position(col("s1"), array_min(col("s1"))).cast(IntegerType))
       .withColumn("code1", expr(s"element_at(element_at($codes1Sql, m + 1), p)"))
       // 1e-12-unit squared distance → 1e-6 units, floor(x+0.5) per vector
@@ -2787,9 +2794,8 @@ object PipelineQueries {
                         vcol: String = "u"): String =
     byM.map { case (m, cs) =>
       cs.map { case (_, cent) =>
-        s"""aggregate(zip_with(slice($vcol, ${m * PqDim + 1}, $PqDim),
-           |  cast(array(${cent.mkString(",")}) as array<bigint>),
-           |  (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)""".stripMargin
+        s"""vector_l2sq(slice($vcol, ${m * PqDim + 1}, $PqDim),
+           |  cast(array(${cent.mkString(",")}) as array<bigint>))""".stripMargin
       }.mkString("array(", ",", ")")
     }.mkString("array(", ",", ")")
 
@@ -2878,11 +2884,13 @@ object PipelineQueries {
     * adds (u, ks, p, cell, dl, code) to an embeddings-shaped frame
     * (v22's per-vector encode, verbatim). Shared by [[trainedEncoder]]
     * (1-step coarse training) and v26 (converged coarse training). */
-  private def quantEncoder(byCell: Seq[(Int, Seq[Long])],
+  private[queries] def quantEncoder(byCell: Seq[(Int, Seq[Long])],
                            byM: Seq[(Int, Seq[(Int, Seq[Long])])])
       : (Column, DataFrame => DataFrame) = {
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
-    val encode = (src: DataFrame) => src
+    val encode = (src: DataFrame) => {
+      graft.functions.GraftFunctions.ensureRegistered(src.sparkSession)
+      src
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
       .withColumn("ks", array(byCell.map { case (_, c) => kmDistExpr(c) }: _*))
@@ -2890,6 +2898,7 @@ object PipelineQueries {
       .withColumn("cell", element_at(cellIds, col("p")))
       .withColumn("dl", expr(pqDistSql(byM)))
       .withColumn("code", expr("transform(dl, l -> array_position(l, array_min(l)) - 1)"))
+    }
     (cellIds, encode)
   }
 
@@ -3068,20 +3077,21 @@ object PipelineQueries {
     * [[V25Iters]]+1 assignments fused into a single projection. */
   /** The one quantize pass (vec_id, offset-unit u) the Lloyd loop and
     * its report both read — checkpointed so no iteration rescans. */
-  private def kmQuantized(spark: SparkSession, dir: String): DataFrame =
+  private[queries] def kmQuantized(spark: SparkSession, dir: String): DataFrame =
     fanOut(spark, t(spark, dir, "embeddings"))
       .select(col("vec_id"), expr(
         s"transform(embedding, x -> cast(floor(cast(x as double) * 1000000.0d + 0.5d) as bigint) + ${KmOff}L)").as("u"))
       .localCheckpoint()
 
   /** The quantized [[IvfCentroids]] seeds as iteration-0 Lloyd state. */
-  private lazy val kmSeedState: Seq[(Int, Seq[Long])] =
+  private[queries] lazy val kmSeedState: Seq[(Int, Seq[Long])] =
     (1 to IvfCells).zip(IvfCentroids.map(_.map(d =>
       math.floor(d * 1e6 + 0.5).toLong + KmOff)))
 
   /** Adds c$tag (assigned cell, lowest id on ties) and d$tag (rounded
     * 1e-6-unit squared distance to it) against one iteration's state. */
   private def kmAssign(state: Seq[(Int, Seq[Long])], tag: String)(df: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(df.sparkSession)
     val ids = array(state.map { case (id, _) => lit(id) }: _*)
     df.withColumn(s"s$tag", array(state.map { case (_, c) => kmDistExpr(c) }: _*))
       .withColumn(s"p$tag",
@@ -3095,20 +3105,26 @@ object PipelineQueries {
     * mean. The collect is the ≤ cells×dims per-iteration centroid
     * broadcast (v5's sanctioned metadata pull). Shared by v25 (which
     * persists every state) and v26 (which serves on the converged one). */
-  private def lloydNext(u: DataFrame, state: Seq[(Int, Seq[Long])])
+  private[queries] def lloydNext(u: DataFrame, state: Seq[(Int, Seq[Long])])
       : Seq[(Int, Seq[Long])] = {
+    // r15 opt (guide §2.3): per-dim sums as 64 codegen'd aggregates over
+    // the array column instead of a 64× posexplode through the hash agg —
+    // same exact integer sums, no row expansion, one collect of
+    // |cells| × 66 cells of metadata
+    val dimAggs = count(lit(1)).as("n") +:
+      (0 until 64).map(i => sum(col("u")(i)).as(s"s$i"))
     val upd = kmAssign(state, "x")(u)
-      .select(col("cx").as("cell"), posexplode(col("u")).as(Seq("i", "uv")))
-      .groupBy(col("cell"), col("i"))
-      .agg(sum(col("uv")).as("su"), count(lit(1)).as("n"))
+      .groupBy(col("cx").as("cell"))
+      .agg(dimAggs.head, dimAggs.tail: _*)
       .collect()
-    upd.groupBy(_.getInt(0)).toSeq.map { case (cell, rows) =>
-      val n = rows.head.getLong(3)
-      val cent = new Array[Long](64)
-      // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
-      rows.foreach(r => cent(r.getInt(1)) = (2 * r.getLong(2) + n) / (2 * n))
-      (cell, cent.toSeq)
-    }.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell
+    upd.map { row =>
+      val n = row.getLong(1)
+      val cent = (0 until 64).map { i =>
+        // all-positive su, n ⇒ truncating div == floor == HALF_UP of su/n
+        (2 * row.getLong(2 + i) + n) / (2 * n)
+      }
+      (row.getInt(0), cent)
+    }.toSeq.sortBy(_._1) // ascending cells: first-min tie-break = lowest cell
   }
 
   val v25LloydConvergence: Q = (spark, dir) => {
@@ -3258,6 +3274,7 @@ object PipelineQueries {
   private def residualTrainedFrom(spark: SparkSession, dir: String,
                                   byCell: Seq[(Int, Seq[Long])])
       : (Column, String, Seq[(Int, Seq[(Int, Seq[Long])])], DataFrame) = {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
     val cellIds = array(byCell.map { case (id, _) => lit(id) }: _*)
     val centsSql = byCell.map { case (_, c) => kmCentLit(c) }
       .mkString("array(", ",", ")")
