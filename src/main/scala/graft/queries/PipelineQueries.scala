@@ -54,6 +54,21 @@ object PipelineQueries {
   private[queries] def fanOut(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.sparkContext.defaultParallelism)
 
+  /** Build two INDEPENDENT eager subtrees concurrently (guide §2.6
+    * "overlap independent jobs"): Spark's scheduler runs jobs from
+    * several driver threads side by side, so two training/checkpoint
+    * chains with no data dependency need not serialize their barriers.
+    * Failures propagate (Await rethrows). Used where both arguments run
+    * eager actions (localCheckpoint / collect) at build time. */
+  private[queries] def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fb = Future(b)
+    val ra = a
+    (ra, Await.result(fb, Duration.Inf))
+  }
+
   // ---- deterministic pseudo-random literals (shared with the oracles) ----
 
   /** 64-bit LCG stream (Knuth MMIX constants), top-33-bit outputs. */
@@ -2904,8 +2919,10 @@ object PipelineQueries {
 
   private def trainedEncoder(spark: SparkSession, dir: String)
       : (Column, DataFrame => DataFrame) = {
-    val (_, byCell) = ivfTrainLloyd(spark, dir)
-    val (_, byM) = pqTrainLloyd(spark, dir)
+    // r15 opt (§2.6): the coarse training and the PQ training are
+    // independent eager chains — overlap their jobs
+    val ((_, byCell), (_, byM)) =
+      inParallel(ivfTrainLloyd(spark, dir), pqTrainLloyd(spark, dir))
     quantEncoder(byCell, byM)
   }
 
@@ -3194,10 +3211,14 @@ object PipelineQueries {
     * v22's serving shape (one encode scan, broadcast cell equi-join —
     * the corpus is never crossed or shuffled). */
   val v26ConvergedIvfServe: Q = (spark, dir) => {
-    val u = kmQuantized(spark, dir)
-    var state = kmSeedState
-    for (_ <- 1 to V25Iters) state = lloydNext(u, state)
-    val (_, byM) = pqTrainLloyd(spark, dir)
+    // r15 opt (§2.6): the coarse convergence loop and the PQ training are
+    // independent eager chains — overlap their jobs
+    val (state, (_, byM)) = inParallel({
+      val u = kmQuantized(spark, dir)
+      var st = kmSeedState
+      for (_ <- 1 to V25Iters) st = lloydNext(u, st)
+      st
+    }, pqTrainLloyd(spark, dir))
     val (cellIds, encode) = quantEncoder(state, byM)
     val enc = encode(fanOut(spark, t(spark, dir, "embeddings")))
       .drop("u", "p")
@@ -4532,8 +4553,11 @@ object PipelineQueries {
     val edges = pairs.select(col("a").as("u"), col("b").as("v"))
       .union(pairs.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint()
-    // both directions are present, so every vertex appears as a `u`
-    val vertices = edges.select(col("u").as("v")).distinct().localCheckpoint()
+    // both directions are present, so every vertex appears as a `u`.
+    // r15 opt: vertices stays LAZY — the labels checkpoint materializes
+    // the same rows one line later, and the only other consumer is the
+    // rare starLabels fallback (which re-runs one distinct then)
+    val vertices = edges.select(col("u").as("v")).distinct()
     var labels = vertices.withColumn("l", col("v")).localCheckpoint()
     // labels only ever DECREASE, so Σl strictly decreases iff any label
     // changed — one aggregate on the label frame is the whole convergence
@@ -4628,8 +4652,10 @@ object PipelineQueries {
     * [[d6DedupClusters]]; internal consumers (d19/k5/t21/pipe) never
     * needed the global sort (r14 opt). */
   private[queries] def d6Labels(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = d2Pairs(spark, dir)
-      .select(col("a_id"), col("b_id")).localCheckpoint()
+    // r15 opt: d2Pairs is already localCheckpoint'd — re-materializing a
+    // 2-column projection of it was a redundant barrier (one extra job +
+    // block write per consumer query)
+    val pairs = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("l")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "l")
@@ -5687,8 +5713,13 @@ object PipelineQueries {
   /** The corpus value sets + the planted seed source. */
   private[graft] def k11Values(spark: SparkSession, dir: String): DataFrame = {
     val seed = spark.createDataFrame(K11Seed).toDF("g", "h")
+    // r15 opt (guide §2.4 "a distinct on data that is already unique"):
+    // k11BatchValues is already distinct, the 3-row seed is distinct, and
+    // the seed source name is disjoint from every tier — so the union IS
+    // distinct, and the outer .distinct() here was a full extra
+    // shuffle+hash-agg of the corpus value set per run
     k11BatchValues(fanOut(spark, t(spark, dir, "documents")))
-      .unionByName(seed).distinct()
+      .unionByName(seed)
   }
 
   /** The KMV sketch: each source's [[K11k]] SMALLEST distinct hashes.
@@ -6444,7 +6475,11 @@ object PipelineQueries {
     * SAMPLE (d2 on a stripe), exactly how v12 samples its query set. All
     * arithmetic integer; the div guards (nullif) mirror the oracle. */
   val d13DedupEval: Q = (spark, dir) => {
-    val sh = d3Fingerprints(spark, dir).localCheckpoint() // self-join (see d2)
+    // r15 opt (§2.6): the simhash fingerprint pass and d2's LSH+verify
+    // chain are independent eager builds — overlap their jobs
+    val (sh, exact0) = inParallel(
+      d3Fingerprints(spark, dir).localCheckpoint(), // self-join (see d2)
+      d2Pairs(spark, dir))
     val mask = (1L << SimBandBits) - 1
     val bands = sh.select(col("doc_id"), explode(expr(
       s"transform(sequence(0, ${SimBands - 1}), b -> " +
@@ -6455,7 +6490,7 @@ object PipelineQueries {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val exact = d2Pairs(spark, dir).select(col("a_id"), col("b_id"))
+    val exact = exact0.select(col("a_id"), col("b_id"))
     // one keyed full-outer + one aggregate: candidate-only rows count
     // toward precision's denominator, exact-only rows toward recall's,
     // matched rows toward both — no single-row cross stitch anywhere
@@ -7743,8 +7778,9 @@ object PipelineQueries {
     * word-encoding table with ALL merges applied. Shared by t27 (the
     * training report) and t28 (encoding the corpus with the trained
     * merges) -- one training, no drift. */
-  private def bpeTrainLoop(spark: SparkSession, dir: String,
-                           iters: Int = T27Iters)
+  private[queries] def bpeTrainLoop(spark: SparkSession, dir: String,
+                           iters: Int = T27Iters,
+                           ckptEvery: Int = 1)
       : (Seq[DataFrame], DataFrame) = {
     val S = "\u0001"; val E = "\u0002" // start/end token markers
     val terms = fanOut(spark, t(spark, dir, "documents"))
@@ -7775,18 +7811,26 @@ object PipelineQueries {
           filter(split(col("seq"), S), x => x =!= ""),
           x => x.substr(lit(1), length(x) - 1))) // strip the trailing ⟨E⟩
         .filter(size(col("toks")) >= 2)
-        .select(col("seq"), col("freq"), explode(expr(
+        .select(col("term"), col("freq"), explode(expr(
           "transform(sequence(1, size(toks) - 1)," +
             " i -> struct(element_at(toks, i) as c1, element_at(toks, i + 1) as c2))")).as("p"))
         .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
-        .agg(sum(col("freq")).as("pf"), countDistinct(col("seq")).as("n_types"))
+        // r15 opt (§2.3 shuffle fewer bytes): n_types counts the distinct
+        // WORDS containing the pair. seq ↦ term is injective (stripping
+        // the markers and concatenating the tokens reproduces the term),
+        // so countDistinct(term) ≡ countDistinct(seq) — and term is ~3×
+        // narrower than the marker-framed seq the distinct-agg expansion
+        // used to shuffle
+        .agg(sum(col("freq")).as("pf"), countDistinct(col("term")).as("n_types"))
         .orderBy(col("pf").desc, col("c1"), col("c2")).limit(1)
         .head
       val (c1, c2) = (row.getString(0), row.getString(1))
       cur = cur
         .withColumn("seq", replace(col("seq"),
           lit(S + c1 + E + S + c2 + E), lit(S + c1 + c2 + E)))
-        .localCheckpoint() // step k+1 never replays step k's merge chain
+      // step k+1 never replays more than ckptEvery−1 earlier merges; the
+      // r15 A/B decides how often the vocab-sized frame is worth a barrier
+      if (it % ckptEvery == 0 || it == iters) cur = cur.localCheckpoint()
       Seq((it.toLong, c1, c2, row.getLong(2), row.getLong(3)))
         .toDF("iter", "c1", "c2", "pf", "n_types")
     }
