@@ -1744,6 +1744,14 @@ object PipelineQueries {
     * four-bit codes (4 B — 64× smaller). Codebook components are 6-dp
     * literals (the same engine-portability rule as the planes/centroids). */
   val PqSub = 8
+  /** The ADC lookup sum Σₘ dq[m][code[m]] as an UNROLLED codegen'd long
+    * sum (r15 opt, guide §4): the former
+    * `aggregate(sequence(0,7), 0L, (acc,m) -> acc + ...)` fold is a
+    * CodegenFallback higher-order function that also allocates the
+    * sequence array per candidate row — the hot expression of every PQ
+    * serve tail. Left-assoc addition over exact longs: same values. */
+  lazy val adcSumSql: String = (0 until PqSub)
+    .map(m => s"dq[$m][cast(code[$m] as int)]").mkString(" + ")
   val PqDim = 8
   val PqK = 16
   val PqCodebook: Seq[Seq[Seq[Double]]] =
@@ -1797,7 +1805,7 @@ object PipelineQueries {
     enc.drop("dl").crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -1836,7 +1844,7 @@ object PipelineQueries {
     enc.select(col("vec_id"), col("cell"), col("code"))
       .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -1908,7 +1916,7 @@ object PipelineQueries {
     index
       .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -2025,7 +2033,7 @@ object PipelineQueries {
     enc.filter(corpusPred).select(col("vec_id"), col("cell"), col("code"))
       .join(broadcast(q), col("cell") === col("probe") && col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -2072,7 +2080,7 @@ object PipelineQueries {
         .join(broadcast(q),
           col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
         .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+          adcSumSql))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -2830,7 +2838,7 @@ object PipelineQueries {
     enc.drop("dl").crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("adc_dist"))
@@ -2944,7 +2952,7 @@ object PipelineQueries {
       .join(broadcast(probe), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
@@ -2981,7 +2989,7 @@ object PipelineQueries {
       idx.join(broadcast(probe), Seq("cell"))
         .filter(col("vec_id") =!= col("q_id"))
         .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+          adcSumSql))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
@@ -3043,7 +3051,7 @@ object PipelineQueries {
         .join(broadcast(probe.drop("cell")),
           col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
         .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+          adcSumSql))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
@@ -3272,7 +3280,7 @@ object PipelineQueries {
       .join(broadcast(residualProbe(enc0, cellIds, centsSql, byMr)), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+        adcSumSql))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
@@ -3417,7 +3425,7 @@ object PipelineQueries {
         .join(broadcast(probe.drop("cell")),
           col(SnapshotStore.PartCol) === col("probe_s") && col("vec_id") =!= col("q_id"))
         .withColumn("adc_dist", expr(
-          s"aggregate(sequence(0, ${PqSub - 1}), 0L, (acc, m) -> acc + dq[m][cast(code[m] as int)])"))
+          adcSumSql))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cell"), col("adc_dist"))
