@@ -773,14 +773,20 @@ object PipelineQueries {
     * same-boot A/B the r15 round runs (the r14 driver measured the
     * both-barriers shape as a 1.6× regression). Declared defaults carry
     * the measured winner of the r15 interleaved A/B (5 reps, one JVM):
-    * np0_tail1 10.84 s < np1_tail1 11.16 s < np0_tail0 12.98 s — the
-    * union-tail checkpoint alone already guards the sort's sampling job,
-    * so the shared name-pairs barrier is a redundant second
-    * materialization HERE (d14b, whose sort reads the pairs directly,
-    * keeps it: np1 11.26 s vs np0 12.61 s). */
+    * at sf0.1 np0_tail1 10.84 s ≈ np1_tail0 11.16 s < np0_tail0 12.98 s,
+    * but at the sf1 rehearsal tier the ranking FLIPS — np1_tail0 18.0 s
+    * ≪ np0_tail0 23.2 s < np1_tail1 26.7 s < np0_tail1 26.9-45.6 s —
+    * because the union tail is OUTPUT-sized (tens of millions of id
+    * pairs at sf1): materializing it costs more than re-running the
+    * output-sized expansion joins in the sort's sampling job, while the
+    * verify chain behind the name-pairs barrier must NOT re-run twice.
+    * np1_tail0 is the scale-robust choice (ties the sf0.1 winner within
+    * noise, 1.5-2.5× better than every tail-checkpointed shape at sf1).
+    * d14b, whose sort reads the pairs directly, keeps its barrier at
+    * both tiers (sf0.1: 11.26 vs 12.61 s; sf1: 13.5 vs 15.9 s). */
   private[graft] def d14cImpl(spark: SparkSession, dir: String,
-                              npCkpt: Boolean = false,
-                              tailCkpt: Boolean = true): DataFrame = {
+                              npCkpt: Boolean = true,
+                              tailCkpt: Boolean = false): DataFrame = {
     val cust = t(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // K smallest ids per duplicate group, keyed by the group's
