@@ -592,12 +592,14 @@ object PipelineQueries {
       .localCheckpoint() // feeds both expansion fetches AND the exact-dup join
     // i = 0 keeps the string itself; i = 1..len deletes char i. (rid, vh)
     // dedups the duplicate deletions repeated characters produce.
-    val nb = reps.select(col("rid"), explode(expr(
-        "transform(sequence(0, length(name)), i -> CASE WHEN i = 0 THEN name " +
-          "ELSE concat(substring(name, 1, i - 1), substring(name, i + 1)) END)"))
+    // r15 opt: within-name duplicate deletions dedup map-side via
+    // array_distinct — no post-explode shuffle; fanOut the NAME rows
+    // first (see d14bNamePairs)
+    val nb = fanOut(spark, reps).select(col("rid"), explode(expr(
+        "array_distinct(transform(sequence(0, length(name)), i -> CASE WHEN i = 0 THEN name " +
+          "ELSE concat(substring(name, 1, i - 1), substring(name, i + 1)) END))"))
         .as("v"))
       .select(col("rid"), xxhash64(col("v")).as("vh"))
-      .distinct()
       .localCheckpoint() // feeds both sides of the candidate self-join
     val candR = nb.as("x").join(nb.as("y"),
         col("x.vh") === col("y.vh") && col("x.rid") < col("y.rid"))
@@ -702,8 +704,20 @@ object PipelineQueries {
     // position sets S ⊆ {1..L}, |S| ≤ 2. sequence() descends when start >
     // stop, so the two-deletion block is guarded for L < 2 (and the
     // single-deletion block for empty names).
-    val nb = reps.select(col("rid"), explode(expr(
-        s"""concat(
+    // r15 opt (§2.4 remove shuffles outright): duplicate deletions from
+    // repeated characters are WITHIN-name (rid is in the dedup key), so
+    // array_distinct before the explode removes them map-side — the old
+    // post-explode .distinct() shuffled the full 300×-exploded member
+    // stream (4.6M rows at the 15k-name tiers) through an exchange+agg
+    // for the same result. (A within-name xxhash64 collision between two
+    // DIFFERENT variants would now survive as two equal (rid, vh) rows;
+    // the candidate pair-level distinct below absorbs exactly that.)
+    // fanOut FIRST: the old post-explode distinct's exchange was also
+    // (accidentally) redistributing the exploded stream — without it the
+    // AQE-coalesced 15k-row reps frame would fan 300× inside ONE task.
+    // Repartitioning the NAME rows costs 15k-row shuffle, not 4.6M.
+    val nb = fanOut(spark, reps).select(col("rid"), explode(expr(
+        s"""array_distinct(concat(
            |  array(name),
            |  CASE WHEN length(name) >= 1 THEN
            |    transform(sequence(1, least(length(name), $D14bPrefix)),
@@ -715,9 +729,8 @@ object PipelineQueries {
            |        j -> concat(substring(name, 1, i - 1),
            |                    substring(name, i + 1, j - i - 1),
            |                    substring(name, j + 1)))))
-           |  ELSE array() END)""".stripMargin)).as("v"), length(col("name")).as("len"))
+           |  ELSE array() END))""".stripMargin)).as("v"), length(col("name")).as("len"))
       .select(col("rid"), xxhash64(col("v")).as("vh"), col("len"))
-      .distinct() // repeated chars produce duplicate deletions
       .localCheckpoint() // feeds both sides of the candidate self-join
     // length band |len(a) − len(b)| ≤ 2 — the standard SymSpell candidate
     // filter: lev(a,b) ≤ 2 bounds the length difference, so the predicate
