@@ -7821,7 +7821,10 @@ object PipelineQueries {
         .rlike("[\\x01\\x02\\n\\r\\u0085\\u2028\\u2029]")).isEmpty,
       "t27: corpus contains marker or line-terminator chars — the BPE " +
         "token encoding would be ambiguous")
-    var cur = terms
+    // fanOut first (r15 opt): the vocab histogram agg AQE-coalesces to one
+    // partition, so every round's pair-explode argmax (string transforms
+    // over the whole vocabulary) would otherwise run in ONE task
+    var cur = fanOut(spark, terms)
       .withColumn("seq", regexp_replace(col("term"), "(.)", S + "$1" + E))
       .select(col("term"), col("seq"), col("freq"))
       .localCheckpoint()
